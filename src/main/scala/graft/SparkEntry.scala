@@ -1,13 +1,25 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.queries.AllQueries
+
+/** Driver contract — see SURVEY.md §7 and TESTDATA.md. */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query (bucketize + group-agg + sort, the reference's most
+    * query-like shape — DataCorrelator.java:41-51) on sf0.001; driver
+    * smoke-checks rows > 0.
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    queries("q01_bucket_agg")(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    AllQueries.specs.map(q => q.name -> q.fn).toMap
+
+  /** DuckDB-dialect oracle SQL per query; omitted entries get the
+    * driver's weaker rows-only check.
+    */
+  def oracleSql: Map[String, String] =
+    AllQueries.specs.flatMap(q => q.oracle.map(o => q.name -> o)).toMap
 }

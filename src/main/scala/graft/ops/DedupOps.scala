@@ -1,0 +1,72 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Deduplication primitives for the LLM-data-pipeline extensions
+  * (SURVEY.md §2.14 E1/E2): exact dedup, a deterministic portable MinHash
+  * (md5-based, so the DuckDB oracle can replay it bit-for-bit), and the
+  * band-bucket candidate-pair join that makes near-dup detection scale —
+  * candidates come from an equi-join on (band, signature), never from an
+  * O(n²) cross join.
+  */
+object DedupOps {
+
+  /** Exact dedup keeping the smallest id per identical key column.
+    * Deterministic alternative to `dropDuplicates` (which keeps an
+    * arbitrary row). One shuffle on the dedup key.
+    */
+  def exactDedup(df: DataFrame, keyCol: String, idCol: String): DataFrame =
+    df.groupBy(keyCol)
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** MinHash signatures from distinct (doc_id, s) shingle rows: for each of
+    * `bands` hash functions, min over shingles of md5(band || '|' || s).
+    * md5 is identical in Spark and DuckDB and hex strings compare
+    * lexicographically the same way, so this MinHash is fully
+    * oracle-portable. At scale: one explode (×bands) + one hash-agg shuffle
+    * keyed (doc_id, band); map-side partial min keeps the shuffle small.
+    */
+  def minhashSignature(shingleRows: DataFrame, bands: Int): DataFrame =
+    shingleRows
+      .withColumn("band", explode(sequence(lit(0), lit(bands - 1))))
+      .groupBy("doc_id", "band")
+      .agg(min(md5(concat(col("band").cast("string"), lit("|"), col("s")))).as("sig"))
+
+  /** Candidate near-dup pairs: docs agreeing on any band's signature.
+    * Equi-join on (band, sig) — bucket sizes are small for honest hashes,
+    * so this survives a 100× scale-up where a cross join would not.
+    */
+  def candidatePairs(sig: DataFrame): DataFrame = {
+    val x = sig.select(col("doc_id").as("a"), col("band"), col("sig"))
+    val y = sig.select(col("doc_id").as("b"), col("band"), col("sig"))
+    x.join(y, Seq("band", "sig"))
+      .where(col("a") < col("b"))
+      .select("a", "b")
+      .distinct()
+  }
+
+  /** Exact Jaccard similarity for already-bounded candidate pairs: joins
+    * each pair back to its two shingle sets. Work is O(candidates ×
+    * shingles-per-doc), not O(n²).
+    */
+  def jaccardForPairs(cand: DataFrame, shingleRows: DataFrame): DataFrame = {
+    val cnt = shingleRows.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val shA = shingleRows.select(col("doc_id").as("a"), col("s"))
+    val shB = shingleRows.select(col("doc_id").as("b"), col("s"))
+    val inter = cand
+      .join(shA, "a")
+      .join(shB, Seq("b", "s"))
+      .groupBy("a", "b")
+      .agg(count(lit(1)).as("c"))
+    cand
+      .join(inter, Seq("a", "b"), "left")
+      .join(cnt.select(col("doc_id").as("a"), col("n").as("na")), "a")
+      .join(cnt.select(col("doc_id").as("b"), col("n").as("nb")), "b")
+      .select(
+        col("a"), col("b"),
+        coalesce(col("c"), lit(0L)).as("inter_cnt"),
+        round(coalesce(col("c"), lit(0L)) * lit(1.0) /
+          (col("na") + col("nb") - coalesce(col("c"), lit(0L))), 6).as("jaccard"))
+  }
+}

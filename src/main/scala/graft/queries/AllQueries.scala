@@ -1,0 +1,14 @@
+package graft.queries
+
+import graft.QuerySpec
+
+/** The full registered query surface — SURVEY.md §2 inventory plus the
+  * §2.14 north-star extensions. Names are stable; the driver's DuckDB
+  * oracle checks every spec that carries an oracle string.
+  */
+object AllQueries {
+  val specs: Seq[QuerySpec] =
+    RelationalQueries.specs ++ EventQueries.specs ++ TextQueries.specs ++ ScaleQueries.specs
+
+  require(specs.map(_.name).distinct.size == specs.size, "duplicate query names")
+}

@@ -1,0 +1,270 @@
+package graft.queries
+
+import graft.{QuerySpec, Tables}
+import graft.ops.{DedupOps, TextOps, VectorOps}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** LLM-training-data pipeline operators (SURVEY.md §2.14 / BASELINE.json
+  * north star): dedup (exact, MinHash, SimHash, n-gram Jaccard), similarity
+  * search (brute-force + LSH-bucketed ANN), text analysis (lang-id,
+  * quality, token counts, fingerprints) and multimodal columns.
+  *
+  * Scale stance: candidate generation is always a hash/bucket equi-join —
+  * never an O(n²) cross join over the corpus. The only cross joins below
+  * are against a fixed 10-row query set or a 1-row count.
+  */
+object ScaleQueries {
+
+  private def t(s: SparkSession, d: String, n: String): DataFrame = Tables.load(s, d, n)
+
+  /** Distinct (doc_id, s) word-trigram shingle rows. */
+  private def shingleRows(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents")
+      .select(col("doc_id"),
+        explode(TextOps.wordShingles(TextOps.tokens(col("text")), 3)).as("s"))
+      .distinct()
+
+  /** Shared DuckDB CTE prefix replaying shingles + 4-band md5 MinHash. */
+  private val shingleCte =
+    """WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents), sh AS (SELECT DISTINCT doc_id, s FROM (SELECT doc_id, unnest([concat_ws(' ', tk[i], tk[i+1], tk[i+2]) for i in generate_series(1, len(tk) - 2)]) AS s FROM toks) z), sig AS (SELECT doc_id, band, min(md5(concat(CAST(band AS VARCHAR), '|', s))) AS sig FROM sh, (SELECT unnest(generate_series(0, 3)) AS band) b GROUP BY doc_id, band), cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b FROM sig x JOIN sig y ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id)"""
+
+  private val emL2 =
+    """sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE) for x in embedding]))"""
+
+  val langMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "is", "and", "data", "query"),
+    "de" -> Seq("der", "und", "merge", "batch", "window"),
+    "es" -> Seq("el", "y", "la", "scan", "sort"),
+    "fr" -> Seq("le", "et", "stream", "join", "vector"))
+
+  val specs: Seq[QuerySpec] = Seq(
+
+    // q33 — E1 exact dedup: smallest doc_id survives per identical text.
+    QuerySpec(
+      "q33_dedup_exact",
+      (s, d) => DedupOps.exactDedup(t(s, d, "documents"), "text", "doc_id")
+        .select("keep_id", "n_copies")
+        .orderBy("keep_id"),
+      Some("""SELECT min(doc_id) AS keep_id, count(*) AS n_copies FROM documents GROUP BY text ORDER BY keep_id"""),
+      "E1: exact dedup via hash groupBy on text"),
+
+    // q34 — E2 MinHash near-dup candidates: 4-band md5 MinHash over word
+    // trigrams; pairs agreeing on any band. Fully portable (md5 + hex
+    // string min are identical in DuckDB).
+    QuerySpec(
+      "q34_minhash_pairs",
+      (s, d) => DedupOps.candidatePairs(DedupOps.minhashSignature(shingleRows(s, d), 4))
+        .orderBy("a", "b"),
+      Some(s"""$shingleCte SELECT a, b FROM cand ORDER BY a, b"""),
+      "E2: MinHash band-bucket near-dup candidate pairs"),
+
+    // q35 — E2 SimHash (16-bit, md5-nibble variant; the 64-bit xxhash64
+    // production variant is graft.ops tested in ScalaTest — hash fns
+    // beyond md5 don't exist in the oracle).
+    QuerySpec(
+      "q35_simhash",
+      (s, d) => {
+        val tf = t(s, d, "documents")
+          .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("term"))
+          .groupBy("doc_id", "term")
+          .agg(count(lit(1)).as("tf"))
+        tf.withColumn("h4", expr("substr(md5(term), 1, 4)"))
+          .withColumn("j", explode(sequence(lit(0), lit(15))))
+          .withColumn("nib",
+            expr("instr('0123456789abcdef', substr(h4, CAST(floor(j / 4) AS INT) + 1, 1)) - 1"))
+          .withColumn("bit", expr("CAST(floor(nib / power(2, 3 - j % 4)) AS BIGINT) % 2"))
+          .groupBy("doc_id", "j")
+          .agg(sum(expr("tf * (2 * bit - 1)")).as("wj"))
+          .groupBy("doc_id")
+          .agg(sum(expr("CASE WHEN wj > 0 THEN CAST(power(2, j) AS BIGINT) ELSE 0 END")).as("simhash16"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH tok AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents), tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2), h AS (SELECT doc_id, tf, substr(md5(term), 1, 4) AS h4 FROM tf), b AS (SELECT doc_id, tf, j, instr('0123456789abcdef', substr(h4, CAST(floor(j / 4) AS INT) + 1, 1)) - 1 AS nib FROM h, (SELECT unnest(generate_series(0, 15)) AS j) js), w AS (SELECT doc_id, j, sum(tf * (2 * (CAST(floor(nib / power(2, 3 - j % 4)) AS BIGINT) % 2) - 1)) AS wj FROM b GROUP BY 1, 2) SELECT doc_id, CAST(sum(CASE WHEN wj > 0 THEN CAST(power(2, j) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash16 FROM w GROUP BY doc_id ORDER BY doc_id"""),
+      "E2: SimHash document sketch (portable 16-bit variant)"),
+
+    // q36 — E2 n-gram Jaccard, exact, but only over MinHash candidates —
+    // the compose-don't-cross-join scale pattern.
+    QuerySpec(
+      "q36_ngram_jaccard",
+      (s, d) => {
+        val sh = shingleRows(s, d)
+        val cand = DedupOps.candidatePairs(DedupOps.minhashSignature(sh, 4))
+        DedupOps.jaccardForPairs(cand, sh).orderBy("a", "b")
+      },
+      Some(s"""$shingleCte, cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1), inter AS (SELECT c.a, c.b, count(*) AS c FROM cand c JOIN sh sa ON sa.doc_id = c.a JOIN sh sb ON sb.doc_id = c.b AND sb.s = sa.s GROUP BY 1, 2) SELECT c.a AS a, c.b AS b, CAST(coalesce(i.c, 0) AS BIGINT) AS inter_cnt, round(coalesce(i.c, 0) * 1.0 / (ca.n + cb.n - coalesce(i.c, 0)), 6) AS jaccard FROM cand c LEFT JOIN inter i ON i.a = c.a AND i.b = c.b JOIN cnt ca ON ca.doc_id = c.a JOIN cnt cb ON cb.doc_id = c.b ORDER BY a, b"""),
+      "E2: exact n-gram Jaccard over MinHash candidates"),
+
+    // q37 — E3 brute-force cosine top-3 for a 10-query set. The query set
+    // is broadcast; candidates stream. Ranking is on the ROUNDED cosine
+    // (tie-broken by id) so ordering is deterministic cross-engine.
+    QuerySpec(
+      "q37_cosine_topk",
+      (s, d) => {
+        val e = t(s, d, "embeddings")
+          .select(col("vec_id"), col("embedding"), VectorOps.l2norm(col("embedding")).as("nrm"))
+        val q = e.where(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("nrm").as("qn"))
+        val w = Window.partitionBy("qid").orderBy(col("cos_r").desc, col("cid").asc)
+        broadcast(q).crossJoin(e)
+          .where(col("vec_id") =!= col("qid"))
+          .select(col("qid"), col("vec_id").as("cid"),
+            round(VectorOps.cosine(col("qe"), col("qn"), col("embedding"), col("nrm")), 6).as("cos_r"))
+          .withColumn("rn", row_number().over(w).cast("long"))
+          .where(col("rn") <= 3)
+          .orderBy("qid", "rn")
+      },
+      Some(s"""WITH e AS (SELECT vec_id, embedding, $emL2 AS nrm FROM embeddings), p AS (SELECT q.vec_id AS qid, c.vec_id AS cid, round(list_sum([CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE) for i in generate_series(1, len(q.embedding))]) / (q.nrm * c.nrm), 6) AS cos_r FROM e q, e c WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id), r AS (SELECT qid, cid, cos_r, CAST(row_number() OVER (PARTITION BY qid ORDER BY cos_r DESC, cid) AS BIGINT) AS rn FROM p) SELECT qid, cid, cos_r, rn FROM r WHERE rn <= 3 ORDER BY qid, rn"""),
+      "E3: brute-force cosine top-k (baseline ANN)"),
+
+    // q38 — E3 LSH-bucketed ANN: 8-bit sign-projection bucket, candidates
+    // share the bucket (equi-join — the 100 TB path), top-1 by rounded
+    // cosine.
+    QuerySpec(
+      "q38_lsh_ann",
+      (s, d) => {
+        val b = t(s, d, "embeddings")
+          .select(col("vec_id"), col("embedding"),
+            VectorOps.srpBucket(col("embedding"), 8).as("bucket"),
+            VectorOps.l2norm(col("embedding")).as("nrm"))
+        val q = b.where(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+            col("bucket"), col("nrm").as("qn"))
+        val w = Window.partitionBy("qid").orderBy(col("cos_r").desc, col("cid").asc)
+        q.join(b, Seq("bucket"))
+          .where(col("vec_id") =!= col("qid"))
+          .select(col("qid"), col("vec_id").as("cid"), col("bucket"),
+            round(VectorOps.cosine(col("qe"), col("qn"), col("embedding"), col("nrm")), 6).as("cos_r"))
+          .withColumn("rn", row_number().over(w).cast("long"))
+          .where(col("rn") === 1)
+          .select("qid", "cid", "bucket", "cos_r")
+          .orderBy("qid")
+      },
+      Some {
+        val bucketSql = (1 to 8)
+          .map(i => s"${1L << (i - 1)} * (CASE WHEN embedding[$i] > 0 THEN 1 ELSE 0 END)")
+          .mkString(" + ")
+        s"""WITH b AS (SELECT vec_id, embedding, CAST($bucketSql AS BIGINT) AS bucket, $emL2 AS nrm FROM embeddings), p AS (SELECT q.vec_id AS qid, c.vec_id AS cid, q.bucket AS bucket, round(list_sum([CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE) for i in generate_series(1, len(q.embedding))]) / (q.nrm * c.nrm), 6) AS cos_r FROM b q JOIN b c ON q.bucket = c.bucket AND c.vec_id <> q.vec_id WHERE q.vec_id < 10), r AS (SELECT qid, cid, bucket, cos_r, row_number() OVER (PARTITION BY qid ORDER BY cos_r DESC, cid) AS rn FROM p) SELECT qid, cid, bucket, cos_r FROM r WHERE rn = 1 ORDER BY qid"""
+      },
+      "E3: sign-projection LSH bucketed ANN (equi-join scale path)"),
+
+    // q39 — E4 language-ID heuristic: occurrence counts against per-lang
+    // marker lists, argmax with alphabetical tie preference.
+    QuerySpec(
+      "q39_lang_id",
+      (s, d) => {
+        val toks = TextOps.tokens(col("text"))
+        val m = ScaleQueries.langMarkers
+        val sEn = TextOps.markerHits(toks, m("en"))
+        val sDe = TextOps.markerHits(toks, m("de"))
+        val sEs = TextOps.markerHits(toks, m("es"))
+        val sFr = TextOps.markerHits(toks, m("fr"))
+        t(s, d, "documents")
+          .select(col("doc_id"), col("lang"),
+            sEn.as("s_en"), sDe.as("s_de"), sEs.as("s_es"), sFr.as("s_fr"))
+          .withColumn("pred",
+            when(col("s_de") >= greatest(col("s_en"), col("s_es"), col("s_fr")), "de")
+              .when(col("s_en") >= greatest(col("s_es"), col("s_fr")), "en")
+              .when(col("s_es") >= col("s_fr"), "es")
+              .otherwise("fr"))
+          .orderBy("doc_id")
+      },
+      Some {
+        def hits(l: Seq[String]) =
+          s"""CAST(len(list_filter(string_split(lower(text), ' '), tk -> list_contains(${l.mkString("['", "', '", "']")}, tk))) AS BIGINT)"""
+        val m = ScaleQueries.langMarkers
+        s"""WITH sc AS (SELECT doc_id, lang, ${hits(m("en"))} AS s_en, ${hits(m("de"))} AS s_de, ${hits(m("es"))} AS s_es, ${hits(m("fr"))} AS s_fr FROM documents) SELECT doc_id, lang, s_en, s_de, s_es, s_fr, CASE WHEN s_de >= greatest(s_en, s_es, s_fr) THEN 'de' WHEN s_en >= greatest(s_es, s_fr) THEN 'en' WHEN s_es >= s_fr THEN 'es' ELSE 'fr' END AS pred FROM sc ORDER BY doc_id"""
+      },
+      "E4: marker-list language-ID heuristic"),
+
+    // q40 — E4 quality scoring: token stats + stopword ratio + a bounded
+    // composite score.
+    QuerySpec(
+      "q40_text_quality",
+      (s, d) => {
+        val toks = TextOps.tokens(col("text"))
+        val nTok = size(toks).cast("long")
+        val nStop = TextOps.markerHits(toks, Seq("the", "a"))
+        val nChar = length(regexp_replace(col("text"), " ", "")).cast("long")
+        t(s, d, "documents")
+          .select(col("doc_id"),
+            nTok.as("n_tok"), nChar.as("n_char_nospace"),
+            round(nChar / nTok, 6).as("avg_tok_len"),
+            round(nStop / nTok, 6).as("stop_ratio"),
+            round(least(lit(1.0), nTok / lit(100.0)) * (lit(1.0) - nStop / nTok), 6).as("quality"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH f AS (SELECT doc_id, CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tok, CAST(length(replace(text, ' ', '')) AS BIGINT) AS n_char_nospace, CAST(len(list_filter(string_split(lower(text), ' '), tk -> list_contains(['the', 'a'], tk))) AS BIGINT) AS n_stop FROM documents) SELECT doc_id, n_tok, n_char_nospace, round(n_char_nospace / n_tok, 6) AS avg_tok_len, round(n_stop / n_tok, 6) AS stop_ratio, round(least(1.0, n_tok / 100.0) * (1.0 - n_stop / n_tok), 6) AS quality FROM f ORDER BY doc_id"""),
+      "E4: length/stopword-ratio quality scoring"),
+
+    // q41 — E4 token counting: whitespace vs regex ("BPE-ish") vs bytes.
+    QuerySpec(
+      "q41_token_count",
+      (s, d) => {
+        t(s, d, "documents")
+          .select(col("doc_id"),
+            size(split(col("text"), " ")).cast("long").as("ws_tokens"),
+            regexp_count(col("text"), lit("[a-z0-9]+")).cast("long").as("re_tokens"),
+            octet_length(col("text")).cast("long").as("n_bytes"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens, CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS BIGINT) AS re_tokens, CAST(strlen(text) AS BIGINT) AS n_bytes FROM documents ORDER BY doc_id"""),
+      "E4: whitespace/regex token counts + byte length"),
+
+    // q42 — E4 document fingerprinting: exact-content md5 + order-
+    // independent bag-of-words md5.
+    QuerySpec(
+      "q42_fingerprint",
+      (s, d) => {
+        t(s, d, "documents")
+          .select(col("doc_id"),
+            md5(col("text")).as("exact_fp"),
+            md5(array_join(array_sort(array_distinct(TextOps.tokens(col("text")))), " ")).as("bag_fp"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, md5(text) AS exact_fp, md5(array_to_string(list_sort(list_distinct(string_split(lower(text), ' '))), ' ')) AS bag_fp FROM documents ORDER BY doc_id"""),
+      "E4: content + bag-of-words md5 fingerprints"),
+
+    // q43 — E5 multimodal join: text metadata ⋈ embedding vectors
+    // (vec_id aligns with doc_id per FIXTURES.md §B).
+    QuerySpec(
+      "q43_multimodal_join",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val emb = t(s, d, "embeddings")
+        docs.join(emb, docs("doc_id") === emb("vec_id"))
+          .select(col("doc_id"), col("lang"), col("n_chars"),
+            col("label").cast("long").as("label"),
+            round(VectorOps.l2norm(col("embedding")), 6).as("emb_l2"))
+          .orderBy("doc_id")
+      },
+      Some(s"""SELECT doc_id, lang, n_chars, CAST(label AS BIGINT) AS label, round($emL2, 6) AS emb_l2 FROM documents JOIN embeddings ON doc_id = vec_id ORDER BY doc_id"""),
+      "E5: multimodal text⋈embedding join"),
+
+    // q44 — E5 binary-column plumbing: text → binary payload →
+    // mapPartitions feature extraction. The byte-level "decode" stands in
+    // for an image/audio decoder (those libs aren't in this container —
+    // SURVEY.md §2.14); the Spark plumbing (binary schema, typed
+    // partition-wise extraction, no driver collect) is real. Rows-only
+    // check: binary byte-sums aren't expressible in the oracle dialect.
+    QuerySpec(
+      "q44_binary_features",
+      (s, d) => {
+        val sp = s
+        import sp.implicits._
+        t(s, d, "documents")
+          .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+          .as[(Long, Array[Byte])]
+          .mapPartitions(_.map { case (id, bytes) =>
+            // Deterministic stand-in for a real media decoder.
+            val sum = bytes.foldLeft(0L)((acc, b) => acc + java.lang.Byte.toUnsignedInt(b))
+            (id, bytes.length.toLong, sum)
+          })
+          .toDF("doc_id", "n_bytes", "byte_sum")
+          .withColumn("byte_mean", round(col("byte_sum") / col("n_bytes"), 6))
+          .orderBy("doc_id")
+      },
+      None,
+      "E5: binary payload + mapPartitions feature extraction (stub decoder)"))
+}
