@@ -20,18 +20,25 @@ object DedupOps {
     df.groupBy(keyCol)
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
-  /** MinHash signatures from distinct (doc_id, s) shingle rows: for each of
-    * `bands` hash functions, min over shingles of md5(band || '|' || s).
-    * md5 is identical in Spark and DuckDB and hex strings compare
-    * lexicographically the same way, so this MinHash is fully
-    * oracle-portable. At scale: one explode (×bands) + one hash-agg shuffle
-    * keyed (doc_id, band); map-side partial min keeps the shuffle small.
+  /** MinHash signatures from distinct (doc_id, s) shingle rows. The
+    * `bands` hash functions are the disjoint 8-hex-char slices of ONE
+    * md5(s) per shingle — md5 is computed once, each slice is an
+    * independent 32-bit min-hash, and hex substrings compare
+    * lexicographically the same way in Spark and DuckDB, so the whole
+    * construction is oracle-portable. One hash-agg shuffle keyed doc_id
+    * with `bands` partial-min aggregates (map-side combined), then a
+    * trivial stack() unpivot of the already-aggregated rows — no row
+    * explosion before the shuffle.
     */
-  def minhashSignature(shingleRows: DataFrame, bands: Int): DataFrame =
-    shingleRows
-      .withColumn("band", explode(sequence(lit(0), lit(bands - 1))))
-      .groupBy("doc_id", "band")
-      .agg(min(md5(concat(col("band").cast("string"), lit("|"), col("s")))).as("sig"))
+  def minhashSignature(shingleRows: DataFrame, bands: Int): DataFrame = {
+    require(bands >= 1 && bands <= 4, "md5 yields 32 hex chars = at most 4 8-char bands")
+    val h = shingleRows.withColumn("h", md5(col("s")))
+    val aggs = (0 until bands).map(b => min(expr(s"substr(h, ${b * 8 + 1}, 8)")).as(s"sig$b"))
+    h.groupBy("doc_id")
+      .agg(aggs.head, aggs.tail: _*)
+      .selectExpr("doc_id",
+        s"stack($bands, ${(0 until bands).map(b => s"$b, sig$b").mkString(", ")}) AS (band, sig)")
+  }
 
   /** Candidate near-dup pairs: docs agreeing on any band's signature.
     * Equi-join on (band, sig) — bucket sizes are small for honest hashes,

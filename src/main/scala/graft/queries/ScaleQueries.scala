@@ -19,16 +19,23 @@ object ScaleQueries {
 
   private def t(s: SparkSession, d: String, n: String): DataFrame = Tables.load(s, d, n)
 
-  /** Distinct (doc_id, s) word-trigram shingle rows. */
+  /** Distinct (doc_id, s) word-trigram shingle rows. Cached: q34/q36 each
+    * walk this sub-DAG several times (signature bands, pair join,
+    * intersection counts); Spark's cache manager dedups identical plans,
+    * so the two queries share one materialization per session.
+    */
   private def shingleRows(s: SparkSession, d: String): DataFrame =
     t(s, d, "documents")
       .select(col("doc_id"),
         explode(TextOps.wordShingles(TextOps.tokens(col("text")), 3)).as("s"))
       .distinct()
+      .cache()
 
-  /** Shared DuckDB CTE prefix replaying shingles + 4-band md5 MinHash. */
+  /** Shared DuckDB CTE prefix replaying shingles + 4-band md5-slice
+    * MinHash (band b = min over shingles of substr(md5(s), b*8+1, 8)).
+    */
   private val shingleCte =
-    """WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents), sh AS (SELECT DISTINCT doc_id, s FROM (SELECT doc_id, unnest([concat_ws(' ', tk[i], tk[i+1], tk[i+2]) for i in generate_series(1, len(tk) - 2)]) AS s FROM toks) z), sig AS (SELECT doc_id, band, min(md5(concat(CAST(band AS VARCHAR), '|', s))) AS sig FROM sh, (SELECT unnest(generate_series(0, 3)) AS band) b GROUP BY doc_id, band), cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b FROM sig x JOIN sig y ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id)"""
+    """WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents), sh AS (SELECT DISTINCT doc_id, s FROM (SELECT doc_id, unnest([concat_ws(' ', tk[i], tk[i+1], tk[i+2]) for i in generate_series(1, len(tk) - 2)]) AS s FROM toks) z), sig AS (SELECT doc_id, band, min(substr(md5(s), band * 8 + 1, 8)) AS sig FROM sh, (SELECT unnest(generate_series(0, 3)) AS band) b GROUP BY doc_id, band), cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b FROM sig x JOIN sig y ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id)"""
 
   private val emL2 =
     """sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE) for x in embedding]))"""
@@ -55,7 +62,7 @@ object ScaleQueries {
     // string min are identical in DuckDB).
     QuerySpec(
       "q34_minhash_pairs",
-      (s, d) => DedupOps.candidatePairs(DedupOps.minhashSignature(shingleRows(s, d), 4))
+      (s, d) => DedupOps.candidatePairs(DedupOps.minhashSignature(shingleRows(s, d), 4).cache())
         .orderBy("a", "b"),
       Some(s"""$shingleCte SELECT a, b FROM cand ORDER BY a, b"""),
       "E2: MinHash band-bucket near-dup candidate pairs"),
@@ -66,19 +73,25 @@ object ScaleQueries {
     QuerySpec(
       "q35_simhash",
       (s, d) => {
+        // One shuffle, no row explosion: each of the 16 bit positions is
+        // its own aggregate expression over the (doc, term, tf) rows —
+        // equivalent to the oracle's explode-by-j formulation but the
+        // per-term bit is evaluated inline inside whole-stage codegen.
         val tf = t(s, d, "documents")
           .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("term"))
           .groupBy("doc_id", "term")
           .agg(count(lit(1)).as("tf"))
-        tf.withColumn("h4", expr("substr(md5(term), 1, 4)"))
-          .withColumn("j", explode(sequence(lit(0), lit(15))))
-          .withColumn("nib",
-            expr("instr('0123456789abcdef', substr(h4, CAST(floor(j / 4) AS INT) + 1, 1)) - 1"))
-          .withColumn("bit", expr("CAST(floor(nib / power(2, 3 - j % 4)) AS BIGINT) % 2"))
-          .groupBy("doc_id", "j")
-          .agg(sum(expr("tf * (2 * bit - 1)")).as("wj"))
-          .groupBy("doc_id")
-          .agg(sum(expr("CASE WHEN wj > 0 THEN CAST(power(2, j) AS BIGINT) ELSE 0 END")).as("simhash16"))
+          .withColumn("h4", expr("substr(md5(term), 1, 4)"))
+        def bitJ(j: Int): String = {
+          val nib = s"(instr('0123456789abcdef', substr(h4, ${j / 4 + 1}, 1)) - 1)"
+          s"CAST(floor($nib / power(2, ${3 - j % 4})) AS BIGINT) % 2"
+        }
+        val wj = (0 to 15).map(j => sum(expr(s"tf * (2 * (${bitJ(j)}) - 1)")).as(s"w$j"))
+        tf.groupBy("doc_id")
+          .agg(wj.head, wj.tail: _*)
+          .select(col("doc_id"),
+            (0 to 15).map(j => when(col(s"w$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+              .reduce(_ + _).as("simhash16"))
           .orderBy("doc_id")
       },
       Some("""WITH tok AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents), tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2), h AS (SELECT doc_id, tf, substr(md5(term), 1, 4) AS h4 FROM tf), b AS (SELECT doc_id, tf, j, instr('0123456789abcdef', substr(h4, CAST(floor(j / 4) AS INT) + 1, 1)) - 1 AS nib FROM h, (SELECT unnest(generate_series(0, 15)) AS j) js), w AS (SELECT doc_id, j, sum(tf * (2 * (CAST(floor(nib / power(2, 3 - j % 4)) AS BIGINT) % 2) - 1)) AS wj FROM b GROUP BY 1, 2) SELECT doc_id, CAST(sum(CASE WHEN wj > 0 THEN CAST(power(2, j) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash16 FROM w GROUP BY doc_id ORDER BY doc_id"""),
@@ -90,7 +103,7 @@ object ScaleQueries {
       "q36_ngram_jaccard",
       (s, d) => {
         val sh = shingleRows(s, d)
-        val cand = DedupOps.candidatePairs(DedupOps.minhashSignature(sh, 4))
+        val cand = DedupOps.candidatePairs(DedupOps.minhashSignature(sh, 4).cache())
         DedupOps.jaccardForPairs(cand, sh).orderBy("a", "b")
       },
       Some(s"""$shingleCte, cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1), inter AS (SELECT c.a, c.b, count(*) AS c FROM cand c JOIN sh sa ON sa.doc_id = c.a JOIN sh sb ON sb.doc_id = c.b AND sb.s = sa.s GROUP BY 1, 2) SELECT c.a AS a, c.b AS b, CAST(coalesce(i.c, 0) AS BIGINT) AS inter_cnt, round(coalesce(i.c, 0) * 1.0 / (ca.n + cb.n - coalesce(i.c, 0)), 6) AS jaccard FROM cand c LEFT JOIN inter i ON i.a = c.a AND i.b = c.b JOIN cnt ca ON ca.doc_id = c.a JOIN cnt cb ON cb.doc_id = c.b ORDER BY a, b"""),
