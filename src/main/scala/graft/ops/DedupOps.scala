@@ -53,6 +53,29 @@ object DedupOps {
       .distinct()
   }
 
+  /** 64-bit SimHash over (doc_id, term, tf) rows — the production-scale
+    * variant of q35's portable 16-bit sketch. Bit j of the sketch is the
+    * sign of Σ tf·(2·bit_j(xxhash64(term)) − 1); all 64 bit-weights are
+    * parallel aggregate expressions in ONE groupBy (no explosion), fully
+    * codegen'd. Near-dups are then `hamming() <= k` on a 64-bit long.
+    */
+  def simhash64(termFreq: DataFrame): DataFrame = {
+    val h = termFreq.withColumn("h64", xxhash64(col("term")))
+    val wj = (0 until 64).map { j =>
+      sum(col("tf") * (shiftright(col("h64"), j).bitwiseAND(lit(1L)) * 2 - 1)).as(s"w$j")
+    }
+    h.groupBy("doc_id")
+      .agg(wj.head, wj.tail: _*)
+      .select(col("doc_id"),
+        (0 until 64).map(j => when(col(s"w$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+          .reduce(_ + _).as("simhash64"))
+  }
+
+  /** Hamming distance between two 64-bit sketches. */
+  def hamming(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    bit_count(a.bitwiseXOR(b))
+
   /** Exact Jaccard similarity for already-bounded candidate pairs: joins
     * each pair back to its two shingle sets. Work is O(candidates ×
     * shingles-per-doc), not O(n²).

@@ -1,0 +1,87 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import java.sql.Timestamp
+
+/** Structured-Streaming layer (SURVEY.md §2.12): the event-time operators
+  * from q22-q24 expressed over streaming DataFrames, plus a custom
+  * stateful sessionizer. The batch queries and these transforms share the
+  * same expressions — Spark's unified API means the EventQueries results
+  * ARE the correctness oracle for the streaming path (tested with
+  * MemoryStream in StreamingSpec).
+  */
+object EventStream {
+
+  /** Tumbling 1h counts with a watermark; `append` output emits a window
+    * once the watermark passes its end — at scale this is the state-store
+    * bound: state per (window × event_type) only.
+    */
+  def hourlyCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), round(sum("value"), 2).as("total_value"))
+      .select(unix_timestamp(col("window.start")).as("ws"),
+        col("event_type"), col("cnt"), col("total_value"))
+
+  /** Built-in session windows on a stream (same 30-min gap as q24). */
+  def sessionCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("cnt"), round(sum("value"), 2).as("total_value"))
+      .select(col("user_id"),
+        unix_timestamp(col("session_window.start")).as("sess_start"),
+        col("cnt"), col("total_value"))
+
+  case class Event(event_id: Long, ts: Timestamp, user_id: Long, value: Double)
+  case class SessionState(start: Long, last: Long, n: Long, total: Double)
+  case class SessionOut(user_id: Long, sess_start: Long, cnt: Long, total_value: Double)
+
+  /** Custom stateful sessionizer via flatMapGroupsWithState — the escape
+    * hatch for session semantics `session_window` can't express (e.g.
+    * emitting closed sessions with custom payloads). State is one small
+    * record per active user; event-time timeout closes idle sessions.
+    */
+  def sessionize(events: Dataset[Event], gapSeconds: Long = 1800): Dataset[SessionOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .withWatermark("ts", "2 hours")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(SessionOut(userId, s.start, s.n, s.total))
+          } else {
+            val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            var closed = List.empty[SessionOut]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              val sec = e.ts.getTime / 1000
+              cur match {
+                case Some(s) if sec - s.last < gapSeconds =>
+                  cur = Some(s.copy(last = sec, n = s.n + 1, total = s.total + e.value))
+                case Some(s) =>
+                  closed ::= SessionOut(userId, s.start, s.n, s.total)
+                  cur = Some(SessionState(sec, sec, 1, e.value))
+                case None =>
+                  cur = Some(SessionState(sec, sec, 1, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.last * 1000 + gapSeconds * 1000)
+            }
+            closed.reverseIterator
+          }
+      }
+  }
+
+}

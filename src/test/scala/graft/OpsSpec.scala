@@ -1,0 +1,105 @@
+package graft
+
+import graft.ops.{DedupOps, TextOps, VectorOps}
+import org.apache.spark.sql.functions._
+
+/** Unit semantics for the ops layer, pinning the reference behaviors
+  * SURVEY.md §5.2 calls out (tokenizer lowercases, stopword removal keeps
+  * duplicates/order, IDF formula, MinHash properties, SimHash locality).
+  */
+class OpsSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("tokens lowercases and splits on spaces") {
+    val got = Seq("The Quick Fox").toDF("text")
+      .select(TextOps.tokens(col("text")).as("t")).as[Seq[String]].head()
+    assert(got == Seq("the", "quick", "fox"))
+  }
+
+  test("removeStopwords preserves duplicates and order") {
+    val got = Seq("the cat the cat sat a mat").toDF("text")
+      .select(TextOps.removeStopwords(TextOps.tokens(col("text")),
+        TextOps.defaultStopwords).as("t"))
+      .as[Seq[String]].head()
+    assert(got == Seq("cat", "cat", "sat", "mat")) // dups kept, 'the'/'a' gone
+  }
+
+  test("wordShingles produces n-1 fewer shingles; short docs yield empty") {
+    val df = Seq("a b c d", "a b").toDF("text")
+      .select(size(TextOps.wordShingles(TextOps.tokens(col("text")), 3)).as("n"))
+    assert(df.as[Int].collect().toSeq == Seq(2, 0))
+  }
+
+  test("l1norm / l2norm / dot on known vectors") {
+    val df = Seq((Seq(3.0f, -4.0f), Seq(1.0f, 2.0f))).toDF("a", "b")
+    val row = df.select(
+      VectorOps.l1norm(col("a")).as("l1"),
+      VectorOps.l2norm(col("a")).as("l2"),
+      VectorOps.dot(col("a"), col("b")).as("d")).head()
+    assert(row.getDouble(0) == 7.0 && row.getDouble(1) == 5.0 && row.getDouble(2) == -5.0)
+  }
+
+  test("srpBucket maps sign pattern to expected bits") {
+    val df = Seq(Seq(1.0f, -1.0f, 0.5f, -0.5f)).toDF("v")
+    // bits: [+,-,+,-] → 1 + 4 = 5
+    assert(df.select(VectorOps.srpBucket(col("v"), 4)).as[Long].head() == 5L)
+  }
+
+  test("exactDedup keeps min id and counts copies") {
+    val df = Seq((1L, "x"), (2L, "x"), (3L, "y")).toDF("doc_id", "text")
+    val got = DedupOps.exactDedup(df, "text", "doc_id")
+      .orderBy("keep_id").as[(String, Long, Long)].collect().toSeq
+    assert(got == Seq(("x", 1L, 2L), ("y", 3L, 1L)))
+  }
+
+  test("minhash: identical docs collide on every band, disjoint docs on none") {
+    val sh = Seq(
+      (1L, "a b c"), (1L, "b c d"),
+      (2L, "a b c"), (2L, "b c d"), // identical shingle set to doc 1
+      (3L, "x y z"), (3L, "y z w")  // disjoint
+    ).toDF("doc_id", "s")
+    val pairs = DedupOps.candidatePairs(DedupOps.minhashSignature(sh, 4))
+      .as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  test("jaccardForPairs computes |A∩B|/|A∪B|") {
+    val sh = Seq((1L, "p"), (1L, "q"), (1L, "r"), (2L, "q"), (2L, "r"), (2L, "s"))
+      .toDF("doc_id", "s")
+    val cand = Seq((1L, 2L)).toDF("a", "b")
+    val got = DedupOps.jaccardForPairs(cand, sh).head()
+    assert(got.getAs[Long]("inter_cnt") == 2L)
+    assert(got.getAs[Double]("jaccard") == 0.5)
+  }
+
+  test("simhash64 is deterministic and locality-sensitive") {
+    def tf(rows: (Long, String, Long)*) = rows.toDF("doc_id", "term", "tf")
+    val base = Seq.tabulate(30)(i => s"tok$i")
+    val a = base.map(t => (1L, t, 1L))
+    val b = base.map(t => (2L, t, 1L)) // identical content
+    val c = base.drop(2).map(t => (3L, t, 1L)) :+ (3L, "other1", 1L) :+ (3L, "other2", 1L)
+    val d = Seq.tabulate(30)(i => (4L, s"zzz$i", 1L)) // unrelated
+    val hashes = DedupOps.simhash64(tf(a ++ b ++ c ++ d: _*))
+      .orderBy("doc_id").as[(Long, Long)].collect().toMap
+    assert(hashes(1L) == hashes(2L))
+    val near = DedupOps.hamming(lit(hashes(1L)), lit(hashes(3L)))
+    val far = DedupOps.hamming(lit(hashes(1L)), lit(hashes(4L)))
+    val Seq(nearD, farD) = spark.range(1).select(near, far).head().toSeq.map(_.toString.toLong)
+    assert(nearD < farD, s"near=$nearD far=$farD")
+    assert(nearD <= 16)
+  }
+
+  test("tfidf query formula matches ln((N+1)/(df+1)) on a tiny corpus") {
+    // 2 docs; term 'x' in both (df=2), 'y' in one (df=1)
+    val q = SparkEntry.queries("q30_tfidf")
+    val dir = java.nio.file.Files.createTempDirectory("tfidf").toString
+    Seq((0L, "x y", "en", "s", 3L), (1L, "x", "en", "s", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = q(spark, dir).where(col("doc_id") === 0).orderBy("term")
+      .select("term", "tfidf").as[(String, Double)].collect().toSeq
+    val expX = BigDecimal(1 * math.log(3.0 / 3.0)).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    val expY = BigDecimal(1 * math.log(3.0 / 2.0)).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    assert(got == Seq(("x", expX.toDouble), ("y", expY.toDouble)))
+  }
+}

@@ -1,0 +1,72 @@
+package graft
+
+import graft.streaming.EventStream
+import graft.streaming.EventStream.Event
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import java.sql.Timestamp
+
+/** Structured-Streaming path (SURVEY.md §2.12): the streaming transforms
+  * produce the same answers as their batch twins, and the custom stateful
+  * sessionizer closes sessions on the event-time gap.
+  */
+class StreamingSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 ${minute / 60}%02d:${minute % 60}%02d:00")
+
+  private val eventsFixture = Seq(
+    Event(1, ts(0), 1, 1.0), Event(2, ts(10), 1, 2.0), Event(3, ts(70), 1, 3.0),
+    Event(4, ts(5), 2, 4.0), Event(5, ts(50), 2, 5.0))
+
+  test("hourlyCounts on a stream matches the batch computation") {
+    val mem = MemoryStream[Event](spark)
+    val q = EventStream.hourlyCounts(mem.toDF().withColumn("event_type", lit("click")))
+      .writeStream.format("memory").queryName("hourly").outputMode("complete").start()
+    try {
+      mem.addData(eventsFixture: _*)
+      q.processAllAvailable()
+      val got = spark.table("hourly").orderBy("ws")
+        .select("ws", "cnt", "total_value").as[(Long, Long, Double)].collect().toSeq
+      val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime / 1000
+      // hour 0: minutes 0,10,5,50 → 4 events Σ12; hour 1: minute 70 → 1 event Σ3
+      assert(got == Seq((base, 4L, 12.0), (base + 3600, 1L, 3.0)))
+    } finally q.stop()
+  }
+
+  test("stateful sessionizer emits closed sessions after the gap") {
+    val mem = MemoryStream[Event](spark)
+    val q = EventStream.sessionize(mem.toDS(), gapSeconds = 1800)
+      .writeStream.format("memory").queryName("sessions").outputMode("append").start()
+    try {
+      mem.addData(eventsFixture: _*)
+      q.processAllAvailable()
+      // advance the watermark far enough to time out all sessions
+      mem.addData(Event(99, ts(600), 9, 0.0))
+      q.processAllAvailable()
+      mem.addData(Event(100, ts(1200), 9, 0.0))
+      q.processAllAvailable()
+      val got = spark.table("sessions")
+        .select("user_id", "cnt", "total_value")
+        .as[(Long, Long, Double)].collect().toSet
+      // user 1: (ts0,ts10) then gap>30m → (ts70); user 2: ts5 then ts50
+      assert(got.contains((1L, 2L, 3.0)) && got.contains((1L, 1L, 3.0)))
+      assert(got.contains((2L, 1L, 4.0)) && got.contains((2L, 1L, 5.0)))
+    } finally q.stop()
+  }
+
+  test("streaming session_window agrees with batch q24 shape") {
+    val mem = MemoryStream[Event](spark)
+    val q = EventStream.sessionCounts(mem.toDF())
+      .writeStream.format("memory").queryName("sesswin").outputMode("complete").start()
+    try {
+      mem.addData(eventsFixture: _*)
+      q.processAllAvailable()
+      val got = spark.table("sesswin").orderBy("user_id", "sess_start")
+        .select("user_id", "cnt", "total_value").as[(Long, Long, Double)].collect().toSeq
+      assert(got == Seq((1L, 2L, 3.0), (1L, 1L, 3.0), (2L, 1L, 4.0), (2L, 1L, 5.0)))
+    } finally q.stop()
+  }
+}
