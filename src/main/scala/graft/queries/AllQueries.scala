@@ -8,7 +8,8 @@ import graft.QuerySpec
   */
 object AllQueries {
   val specs: Seq[QuerySpec] =
-    RelationalQueries.specs ++ EventQueries.specs ++ TextQueries.specs ++ ScaleQueries.specs
+    RelationalQueries.specs ++ EventQueries.specs ++ TextQueries.specs ++
+      ScaleQueries.specs ++ ExtraQueries.specs
 
   require(specs.map(_.name).distinct.size == specs.size, "duplicate query names")
 }

@@ -1,0 +1,166 @@
+package graft.queries
+
+import graft.{QuerySpec, Tables}
+import graft.ops.{JoinOps, SkewOps}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Second-wave coverage: multiset set-ops, cube, collection aggregates,
+  * percentiles, extended scalar functions, and two scale-pattern
+  * operators — as-of join (union-merge) and salted aggregation.
+  */
+object ExtraQueries {
+
+  private def t(s: SparkSession, d: String, n: String): DataFrame = Tables.load(s, d, n)
+
+  val specs: Seq[QuerySpec] = Seq(
+
+    // q51 — INTERSECT ALL / EXCEPT ALL (multiset semantics).
+    QuerySpec(
+      "q51_setops_all",
+      (s, d) => {
+        val li = t(s, d, "lineitem")
+        val a = li.where(col("l_returnflag") === "A").select("l_suppkey")
+        val r = li.where(col("l_returnflag") === "R").select("l_suppkey")
+        a.intersectAll(r).groupBy("l_suppkey").agg(count(lit(1)).as("cnt"))
+          .withColumn("tag", lit("ia"))
+          .union(
+            a.exceptAll(r).groupBy("l_suppkey").agg(count(lit(1)).as("cnt"))
+              .withColumn("tag", lit("ea")))
+          .orderBy("tag", "l_suppkey")
+      },
+      Some("""SELECT l_suppkey, count(*) AS cnt, 'ia' AS tag FROM ((SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'A') INTERSECT ALL (SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'R')) GROUP BY 1 UNION ALL SELECT l_suppkey, count(*) AS cnt, 'ea' AS tag FROM ((SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'A') EXCEPT ALL (SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'R')) GROUP BY 1 ORDER BY tag, l_suppkey"""),
+      "§2.7 ext: INTERSECT ALL / EXCEPT ALL multiset ops"),
+
+    // q52 — CUBE with grouping_id.
+    QuerySpec(
+      "q52_cube",
+      (s, d) => {
+        t(s, d, "lineitem")
+          .cube("l_returnflag", "l_linestatus")
+          .agg(count(lit(1)).as("cnt"), grouping_id().cast("long").as("gid"))
+          .select(
+            coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+            coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+            col("cnt"), col("gid"))
+          .orderBy("gid", "flag", "status")
+      },
+      Some("""SELECT coalesce(l_returnflag, 'ALL') AS flag, coalesce(l_linestatus, 'ALL') AS status, count(*) AS cnt, CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus) ORDER BY gid, flag, status"""),
+      "§2.4 ext: CUBE + grouping_id"),
+
+    // q53 — collection aggregate: sorted distinct set per group
+    // (collect_set is unordered → array_sort for determinism).
+    QuerySpec(
+      "q53_collect_list",
+      (s, d) => {
+        t(s, d, "orders")
+          .groupBy("o_orderstatus")
+          .agg(
+            array_join(array_sort(collect_set(col("o_orderpriority"))), ",").as("priorities"),
+            count(lit(1)).as("cnt"))
+          .orderBy("o_orderstatus")
+      },
+      Some("""SELECT o_orderstatus, array_to_string(list_sort(list(DISTINCT o_orderpriority)), ',') AS priorities, count(*) AS cnt FROM orders GROUP BY 1 ORDER BY 1"""),
+      "§2.4 ext: collect_set + deterministic ordering"),
+
+    // q54 — exact percentiles (continuous interpolation) per group.
+    QuerySpec(
+      "q54_percentiles",
+      (s, d) => {
+        t(s, d, "lineitem")
+          .groupBy("l_returnflag")
+          .agg(
+            round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
+            round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90"),
+            round(expr("percentile(l_quantity, 0.25)"), 4).as("qty_p25"))
+          .orderBy("l_returnflag")
+      },
+      Some("""SELECT l_returnflag, round(quantile_cont(l_extendedprice, 0.5), 4) AS p50, round(quantile_cont(l_extendedprice, 0.9), 4) AS p90, round(quantile_cont(l_quantity, 0.25), 4) AS qty_p25 FROM lineitem GROUP BY 1 ORDER BY 1"""),
+      "§2.4 ext: exact interpolated percentiles"),
+
+    // q55 — extended string functions (§2.9).
+    QuerySpec(
+      "q55_string_funcs2",
+      (s, d) => {
+        t(s, d, "documents")
+          .select(
+            col("doc_id"),
+            concat(col("lang"), lit(":"), col("source")).as("lang_src"),
+            lpad(col("doc_id").cast("string"), 6, "0").as("id_pad"),
+            regexp_replace(substring(col("text"), 1, 20), " ", "_").as("head_snake"),
+            regexp_replace(substring(col("text"), 1, 30), "[aeiou]", "*").as("devoweled"),
+            translate(col("lang"), "aeiou", "AEIOU").as("lang_up"),
+            reverse(col("source")).as("src_rev"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, concat(lang, ':', source) AS lang_src, lpad(CAST(doc_id AS VARCHAR), 6, '0') AS id_pad, replace(substr(text, 1, 20), ' ', '_') AS head_snake, regexp_replace(substr(text, 1, 30), '[aeiou]', '*', 'g') AS devoweled, translate(lang, 'aeiou', 'AEIOU') AS lang_up, reverse(source) AS src_rev FROM documents ORDER BY doc_id"""),
+      "§2.9 ext: concat/lpad/replace/regexp_replace/translate/reverse"),
+
+    // q56 — array scalar functions over embeddings (§2.9).
+    QuerySpec(
+      "q56_array_funcs",
+      (s, d) => {
+        t(s, d, "embeddings")
+          .select(
+            col("vec_id"),
+            size(col("embedding")).cast("long").as("n_dim"),
+            round(element_at(col("embedding"), 1).cast("double"), 6).as("e1"),
+            round(array_max(col("embedding")).cast("double"), 6).as("emax"),
+            round(array_min(col("embedding")).cast("double"), 6).as("emin"),
+            round(aggregate(slice(col("embedding"), 1, 8), lit(0.0),
+              (acc, x) => acc + x.cast("double")), 6).as("head8_sum"))
+          .orderBy("vec_id")
+      },
+      Some("""SELECT vec_id, CAST(len(embedding) AS BIGINT) AS n_dim, round(CAST(embedding[1] AS DOUBLE), 6) AS e1, round(CAST(list_aggregate(embedding, 'max') AS DOUBLE), 6) AS emax, round(CAST(list_aggregate(embedding, 'min') AS DOUBLE), 6) AS emin, round(list_sum(list_transform(embedding[1:8], x -> CAST(x AS DOUBLE))), 6) AS head8_sum FROM embeddings ORDER BY vec_id"""),
+      "§2.9 ext: size/element_at/array_min/max/slice/aggregate"),
+
+    // q57 — extended date functions (§2.9).
+    QuerySpec(
+      "q57_date_funcs2",
+      (s, d) => {
+        t(s, d, "orders")
+          .select(
+            col("o_orderkey"),
+            datediff(col("o_orderdate"), lit("1995-01-01").cast("date")).cast("long").as("days_since"),
+            quarter(col("o_orderdate")).cast("long").as("qtr"),
+            dayofmonth(col("o_orderdate")).cast("long").as("dom"),
+            date_format(col("o_orderdate"), "EEEE").as("dow_name"),
+            date_format(date_add(col("o_orderdate"), 30), "yyyy-MM-dd").as("plus30"),
+            date_format(last_day(col("o_orderdate")), "yyyy-MM-dd").as("month_end"))
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, CAST(datediff('day', DATE '1995-01-01', o_orderdate) AS BIGINT) AS days_since, CAST(quarter(o_orderdate) AS BIGINT) AS qtr, CAST(dayofmonth(o_orderdate) AS BIGINT) AS dom, dayname(o_orderdate) AS dow_name, strftime(o_orderdate + INTERVAL 30 DAY, '%Y-%m-%d') AS plus30, strftime(last_day(o_orderdate), '%Y-%m-%d') AS month_end FROM orders ORDER BY o_orderkey"""),
+      "§2.9 ext: datediff/quarter/day-of/dayname/date_add/last_day"),
+
+    // q58 — as-of join via union-merge (graft.ops.JoinOps): for each
+    // error event, the latest click of the same user at or before it.
+    // Oracle: DuckDB's native ASOF JOIN.
+    QuerySpec(
+      "q58_asof_join",
+      (s, d) => {
+        val ev = t(s, d, "events")
+        val errors = ev.where(col("event_type") === "error")
+          .select(col("user_id"), col("ts"), col("event_id").as("err_id"))
+        val clicks = ev.where(col("event_type") === "click")
+          .select(col("user_id"), col("ts"), col("event_id").as("click_id"))
+        JoinOps.asofJoin(errors, clicks, "user_id", "ts", "ts", "err_id", "click_id")
+          .select(col("err_id"), col("user_id"),
+            unix_timestamp(col("ts")).as("err_epoch"), col("click_id"))
+          .orderBy("err_id")
+      },
+      Some("""WITH ev AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, event_type FROM events), e AS (SELECT user_id, ts, event_id AS err_id FROM ev WHERE event_type = 'error'), c AS (SELECT user_id, ts, event_id AS click_id FROM ev WHERE event_type = 'click') SELECT e.err_id AS err_id, e.user_id AS user_id, CAST(floor(epoch(e.ts)) AS BIGINT) AS err_epoch, c.click_id AS click_id FROM e ASOF JOIN c ON e.user_id = c.user_id AND e.ts >= c.ts ORDER BY err_id"""),
+      "§2.3 ext: as-of join (union-merge impl vs native ASOF oracle)"),
+
+    // q59 — salted two-phase aggregation (graft.ops.SkewOps): identical
+    // result to the direct groupBy, resilient to hot keys.
+    QuerySpec(
+      "q59_salted_agg",
+      (s, d) => {
+        SkewOps.saltedSumCount(t(s, d, "lineitem"),
+            Seq("l_returnflag"), col("l_orderkey"), "l_quantity", 16)
+          .select(col("l_returnflag"), round(col("total"), 2).as("total"), col("cnt"))
+          .orderBy("l_returnflag")
+      },
+      Some("""SELECT l_returnflag, round(sum(l_quantity), 2) AS total, count(*) AS cnt FROM lineitem GROUP BY 1 ORDER BY 1"""),
+      "§4 ext: salted aggregation == direct aggregation"))
+}
