@@ -20,22 +20,32 @@ object DedupOps {
     df.groupBy(keyCol)
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
-  /** MinHash signatures from distinct (doc_id, s) shingle rows. The
-    * `bands` hash functions are the disjoint 8-hex-char slices of ONE
-    * md5(s) per shingle — md5 is computed once, each slice is an
-    * independent 32-bit min-hash, and hex substrings compare
-    * lexicographically the same way in Spark and DuckDB, so the whole
-    * construction is oracle-portable. One hash-agg shuffle keyed doc_id
-    * with `bands` partial-min aggregates (map-side combined), then a
-    * trivial stack() unpivot of the already-aggregated rows — no row
-    * explosion before the shuffle.
+  /** Per-doc distinct shingle SETS as array columns: (doc_id, shs).
+    * The within-doc distinct is array_distinct — pure map-side, so the
+    * 100×-data version of this never shuffles a shingle row.
     */
-  def minhashSignature(shingleRows: DataFrame, bands: Int): DataFrame = {
+  def shingleSets(docs: DataFrame, textCol: String, n: Int): DataFrame =
+    docs.select(col("doc_id"),
+      array_distinct(TextOps.wordShingles(TextOps.tokens(col(textCol)), n)).as("shs"))
+
+  /** MinHash signatures from (doc_id, shs) shingle-set rows. The `bands`
+    * hash functions are the disjoint 8-hex-char slices of ONE md5 per
+    * shingle — each slice an independent 32-bit min-hash, and hex
+    * substrings compare lexicographically the same way in Spark and
+    * DuckDB, so the construction is oracle-portable. Everything is
+    * array_min over a transformed array: ZERO shuffles — signatures are
+    * computed in the scan stage, and only the tiny (doc × band) rows
+    * move afterwards. Docs too short to shingle yield null sigs, which
+    * never match in the candidate join.
+    */
+  def minhashSignature(shSets: DataFrame, bands: Int): DataFrame = {
     require(bands >= 1 && bands <= 4, "md5 yields 32 hex chars = at most 4 8-char bands")
-    val h = shingleRows.withColumn("h", md5(col("s")))
-    val aggs = (0 until bands).map(b => min(expr(s"substr(h, ${b * 8 + 1}, 8)")).as(s"sig$b"))
-    h.groupBy("doc_id")
-      .agg(aggs.head, aggs.tail: _*)
+    val sigs = (0 until bands).map { b =>
+      array_min(transform(col("hs"), h => substring(h, b * 8 + 1, 8))).as(s"sig$b")
+    }
+    shSets
+      .withColumn("hs", transform(col("shs"), s => md5(s))) // hash each shingle ONCE
+      .select((col("doc_id") +: sigs): _*)
       .selectExpr("doc_id",
         s"stack($bands, ${(0 until bands).map(b => s"$b, sig$b").mkString(", ")}) AS (band, sig)")
   }
@@ -77,26 +87,19 @@ object DedupOps {
     bit_count(a.bitwiseXOR(b))
 
   /** Exact Jaccard similarity for already-bounded candidate pairs: joins
-    * each pair back to its two shingle sets. Work is O(candidates ×
-    * shingles-per-doc), not O(n²).
+    * each pair to its two per-doc shingle-set ARRAYS and intersects them
+    * with array_intersect — work is O(candidates × shingles-per-doc) with
+    * only the tiny candidate table shuffling, never the corpus.
     */
-  def jaccardForPairs(cand: DataFrame, shingleRows: DataFrame): DataFrame = {
-    val cnt = shingleRows.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val shA = shingleRows.select(col("doc_id").as("a"), col("s"))
-    val shB = shingleRows.select(col("doc_id").as("b"), col("s"))
-    val inter = cand
-      .join(shA, "a")
-      .join(shB, Seq("b", "s"))
-      .groupBy("a", "b")
-      .agg(count(lit(1)).as("c"))
+  def jaccardForPairs(cand: DataFrame, shSets: DataFrame): DataFrame =
     cand
-      .join(inter, Seq("a", "b"), "left")
-      .join(cnt.select(col("doc_id").as("a"), col("n").as("na")), "a")
-      .join(cnt.select(col("doc_id").as("b"), col("n").as("nb")), "b")
+      .join(shSets.select(col("doc_id").as("a"), col("shs").as("sa")), "a")
+      .join(shSets.select(col("doc_id").as("b"), col("shs").as("sb")), "b")
       .select(
         col("a"), col("b"),
-        coalesce(col("c"), lit(0L)).as("inter_cnt"),
-        round(coalesce(col("c"), lit(0L)) * lit(1.0) /
-          (col("na") + col("nb") - coalesce(col("c"), lit(0L))), 6).as("jaccard"))
-  }
+        size(array_intersect(col("sa"), col("sb"))).cast("long").as("inter_cnt"),
+        round(
+          size(array_intersect(col("sa"), col("sb"))).cast("long") * lit(1.0) /
+            (size(col("sa")) + size(col("sb")) -
+              size(array_intersect(col("sa"), col("sb"))).cast("long")), 6).as("jaccard"))
 }

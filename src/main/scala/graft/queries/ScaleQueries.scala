@@ -19,16 +19,22 @@ object ScaleQueries {
 
   private def t(s: SparkSession, d: String, n: String): DataFrame = Tables.load(s, d, n)
 
-  /** Distinct (doc_id, s) word-trigram shingle rows. Cached: q34/q36 each
-    * walk this sub-DAG several times (signature bands, pair join,
-    * intersection counts); Spark's cache manager dedups identical plans,
-    * so the two queries share one materialization per session.
+  /** Per-doc word-trigram shingle sets (map-side array_distinct — no
+    * shuffle). Cached: q34/q36 each walk this sub-DAG several times, and
+    * Spark's cache manager dedups identical plans so the two queries
+    * share one materialization per session.
     */
-  private def shingleRows(s: SparkSession, d: String): DataFrame =
+  private def shingleSets(s: SparkSession, d: String): DataFrame =
+    DedupOps.shingleSets(t(s, d, "documents"), "text", 3).cache()
+
+  /** (doc_id, term, tf) exact term frequencies — the shared base of
+    * q29/q30/q35, cached across them.
+    */
+  private[queries] def termFreq(s: SparkSession, d: String): DataFrame =
     t(s, d, "documents")
-      .select(col("doc_id"),
-        explode(TextOps.wordShingles(TextOps.tokens(col("text")), 3)).as("s"))
-      .distinct()
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("term"))
+      .groupBy("doc_id", "term")
+      .agg(count(lit(1)).as("tf"))
       .cache()
 
   /** Shared DuckDB CTE prefix replaying shingles + 4-band md5-slice
@@ -62,7 +68,7 @@ object ScaleQueries {
     // string min are identical in DuckDB).
     QuerySpec(
       "q34_minhash_pairs",
-      (s, d) => DedupOps.candidatePairs(DedupOps.minhashSignature(shingleRows(s, d), 4).cache())
+      (s, d) => DedupOps.candidatePairs(DedupOps.minhashSignature(shingleSets(s, d), 4))
         .orderBy("a", "b"),
       Some(s"""$shingleCte SELECT a, b FROM cand ORDER BY a, b"""),
       "E2: MinHash band-bucket near-dup candidate pairs"),
@@ -77,11 +83,7 @@ object ScaleQueries {
         // its own aggregate expression over the (doc, term, tf) rows —
         // equivalent to the oracle's explode-by-j formulation but the
         // per-term bit is evaluated inline inside whole-stage codegen.
-        val tf = t(s, d, "documents")
-          .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("term"))
-          .groupBy("doc_id", "term")
-          .agg(count(lit(1)).as("tf"))
-          .withColumn("h4", expr("substr(md5(term), 1, 4)"))
+        val tf = termFreq(s, d).withColumn("h4", expr("substr(md5(term), 1, 4)"))
         def bitJ(j: Int): String = {
           val nib = s"(instr('0123456789abcdef', substr(h4, ${j / 4 + 1}, 1)) - 1)"
           s"CAST(floor($nib / power(2, ${3 - j % 4})) AS BIGINT) % 2"
@@ -102,8 +104,8 @@ object ScaleQueries {
     QuerySpec(
       "q36_ngram_jaccard",
       (s, d) => {
-        val sh = shingleRows(s, d)
-        val cand = DedupOps.candidatePairs(DedupOps.minhashSignature(sh, 4).cache())
+        val sh = shingleSets(s, d)
+        val cand = DedupOps.candidatePairs(DedupOps.minhashSignature(sh, 4))
         DedupOps.jaccardForPairs(cand, sh).orderBy("a", "b")
       },
       Some(s"""$shingleCte, cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1), inter AS (SELECT c.a, c.b, count(*) AS c FROM cand c JOIN sh sa ON sa.doc_id = c.a JOIN sh sb ON sb.doc_id = c.b AND sb.s = sa.s GROUP BY 1, 2) SELECT c.a AS a, c.b AS b, CAST(coalesce(i.c, 0) AS BIGINT) AS inter_cnt, round(coalesce(i.c, 0) * 1.0 / (ca.n + cb.n - coalesce(i.c, 0)), 6) AS jaccard FROM cand c LEFT JOIN inter i ON i.a = c.a AND i.b = c.b JOIN cnt ca ON ca.doc_id = c.a JOIN cnt cb ON cb.doc_id = c.b ORDER BY a, b"""),

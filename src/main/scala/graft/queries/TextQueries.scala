@@ -86,13 +86,7 @@ object TextQueries {
     // explode + one hash-agg shuffle keyed (doc_id, term).
     QuerySpec(
       "q29_term_freq",
-      (s, d) => {
-        t(s, d, "documents")
-          .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("term"))
-          .groupBy("doc_id", "term")
-          .agg(count(lit(1)).as("tf"))
-          .orderBy("doc_id", "term")
-      },
+      (s, d) => ScaleQueries.termFreq(s, d).orderBy("doc_id", "term"),
       Some("""SELECT doc_id, term, count(*) AS tf FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents) GROUP BY doc_id, term ORDER BY doc_id, term"""),
       "T3b: exact TF via explode + count"),
 
@@ -103,9 +97,9 @@ object TextQueries {
       "q30_tfidf",
       (s, d) => {
         val docs = t(s, d, "documents")
-        val tok = docs.select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("term"))
-        val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-        val dfreq = tok.groupBy("term").agg(countDistinct("doc_id").as("df"))
+        val tf = ScaleQueries.termFreq(s, d)
+        // df(t) = #docs containing t — one row per (doc, term) in tf
+        val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
         val n = docs.agg(count(lit(1)).as("n"))
         tf.join(broadcast(dfreq), Seq("term"))
           .crossJoin(broadcast(n))

@@ -53,21 +53,29 @@ class OpsSpec extends SparkSpecBase {
   }
 
   test("minhash: identical docs collide on every band, disjoint docs on none") {
-    val sh = Seq(
-      (1L, "a b c"), (1L, "b c d"),
-      (2L, "a b c"), (2L, "b c d"), // identical shingle set to doc 1
-      (3L, "x y z"), (3L, "y z w")  // disjoint
-    ).toDF("doc_id", "s")
-    val pairs = DedupOps.candidatePairs(DedupOps.minhashSignature(sh, 4))
+    val sets = Seq(
+      (1L, Seq("a b c", "b c d")),
+      (2L, Seq("a b c", "b c d")), // identical shingle set to doc 1
+      (3L, Seq("x y z", "y z w")), // disjoint
+      (4L, Seq.empty[String])      // too short to shingle → null sigs
+    ).toDF("doc_id", "shs")
+    val pairs = DedupOps.candidatePairs(DedupOps.minhashSignature(sets, 4))
       .as[(Long, Long)].collect().toSet
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("shingleSets builds per-doc distinct trigram sets map-side") {
+    val docs = Seq((7L, "a b c b c d a b c")).toDF("doc_id", "text")
+    val got = DedupOps.shingleSets(docs, "text", 3)
+      .select("shs").as[Seq[String]].head().toSet
+    assert(got == Set("a b c", "b c b", "c b c", "b c d", "c d a", "d a b"))
+  }
+
   test("jaccardForPairs computes |A∩B|/|A∪B|") {
-    val sh = Seq((1L, "p"), (1L, "q"), (1L, "r"), (2L, "q"), (2L, "r"), (2L, "s"))
-      .toDF("doc_id", "s")
+    val sets = Seq((1L, Seq("p", "q", "r")), (2L, Seq("q", "r", "s")))
+      .toDF("doc_id", "shs")
     val cand = Seq((1L, 2L)).toDF("a", "b")
-    val got = DedupOps.jaccardForPairs(cand, sh).head()
+    val got = DedupOps.jaccardForPairs(cand, sets).head()
     assert(got.getAs[Long]("inter_cnt") == 2L)
     assert(got.getAs[Double]("jaccard") == 0.5)
   }
