@@ -1,0 +1,46 @@
+package graft.ops
+
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.functions.array_to_vector
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** IVF-style approximate nearest neighbor: a KMeans coarse quantizer
+  * assigns every vector to a centroid cell; queries probe only their own
+  * cell (nprobe=1 here; union more cells for higher recall). The index
+  * build is one MLlib job; search is an equi-join on cell id — the same
+  * scale shape as the LSH path (q38), with data-adaptive buckets instead
+  * of data-oblivious hyperplanes.
+  *
+  * Not oracle-checkable (KMeans isn't expressible in the oracle dialect)
+  * → registered rows-only (q60), semantics pinned by AnnSpec.
+  */
+object AnnOps {
+
+  /** (vec_id, embedding, cell) with a deterministic seeded quantizer. */
+  def ivfAssign(emb: DataFrame, k: Int, seed: Long): DataFrame = {
+    val withVec = emb.withColumn("v", array_to_vector(col("embedding")))
+    val model = new KMeans().setK(k).setSeed(seed).setFeaturesCol("v")
+      .setMaxIter(5) // coarse cells only — centroid quality ≪ assignment cost
+      .setPredictionCol("cell").fit(withVec)
+    model.transform(withVec).drop("v")
+  }
+
+  /** Top-1 same-cell neighbor per query vector, ranked by the fused
+    * cosine_sim expression (rounded, id-tiebroken → deterministic).
+    */
+  def ivfTop1(assigned: DataFrame, queryPred: org.apache.spark.sql.Column): DataFrame = {
+    graft.functions.CosineSimilarity.register(assigned.sparkSession)
+    val q = assigned.where(queryPred)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("cell"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("cos_r").desc, col("cid").asc)
+    q.join(assigned, Seq("cell"))
+      .where(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("cid"), col("cell"),
+        round(expr("cosine_sim(qe, embedding)"), 6).as("cos_r"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .where(col("rn") === 1)
+      .select("qid", "cid", "cell", "cos_r")
+  }
+}

@@ -162,5 +162,16 @@ object ExtraQueries {
           .orderBy("l_returnflag")
       },
       Some("""SELECT l_returnflag, round(sum(l_quantity), 2) AS total, count(*) AS cnt FROM lineitem GROUP BY 1 ORDER BY 1"""),
-      "§4 ext: salted aggregation == direct aggregation"))
+      "§4 ext: salted aggregation == direct aggregation"),
+
+    // q60 — IVF ANN (KMeans coarse quantizer, nprobe=1). Seeded and
+    // deterministic but KMeans isn't oracle-expressible → rows-only.
+    QuerySpec(
+      "q60_ivf_ann",
+      (s, d) => {
+        val assigned = graft.ops.AnnOps.ivfAssign(t(s, d, "embeddings"), 8, 42L)
+        graft.ops.AnnOps.ivfTop1(assigned, col("vec_id") < 10).orderBy("qid")
+      },
+      None,
+      "E3: IVF ANN via seeded KMeans cells — rows-only check"))
 }

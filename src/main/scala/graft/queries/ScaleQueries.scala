@@ -117,15 +117,15 @@ object ScaleQueries {
     QuerySpec(
       "q37_cosine_topk",
       (s, d) => {
+        graft.functions.CosineSimilarity.register(s)
         val e = t(s, d, "embeddings")
-          .select(col("vec_id"), col("embedding"), VectorOps.l2norm(col("embedding")).as("nrm"))
         val q = e.where(col("vec_id") < 10)
-          .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("nrm").as("qn"))
+          .select(col("vec_id").as("qid"), col("embedding").as("qe"))
         val w = Window.partitionBy("qid").orderBy(col("cos_r").desc, col("cid").asc)
         broadcast(q).crossJoin(e)
           .where(col("vec_id") =!= col("qid"))
           .select(col("qid"), col("vec_id").as("cid"),
-            round(VectorOps.cosine(col("qe"), col("qn"), col("embedding"), col("nrm")), 6).as("cos_r"))
+            round(expr("cosine_sim(qe, embedding)"), 6).as("cos_r"))
           .withColumn("rn", row_number().over(w).cast("long"))
           .where(col("rn") <= 3)
           .orderBy("qid", "rn")
@@ -139,18 +139,17 @@ object ScaleQueries {
     QuerySpec(
       "q38_lsh_ann",
       (s, d) => {
+        graft.functions.CosineSimilarity.register(s)
         val b = t(s, d, "embeddings")
           .select(col("vec_id"), col("embedding"),
-            VectorOps.srpBucket(col("embedding"), 8).as("bucket"),
-            VectorOps.l2norm(col("embedding")).as("nrm"))
+            VectorOps.srpBucket(col("embedding"), 8).as("bucket"))
         val q = b.where(col("vec_id") < 10)
-          .select(col("vec_id").as("qid"), col("embedding").as("qe"),
-            col("bucket"), col("nrm").as("qn"))
+          .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("bucket"))
         val w = Window.partitionBy("qid").orderBy(col("cos_r").desc, col("cid").asc)
         q.join(b, Seq("bucket"))
           .where(col("vec_id") =!= col("qid"))
           .select(col("qid"), col("vec_id").as("cid"), col("bucket"),
-            round(VectorOps.cosine(col("qe"), col("qn"), col("embedding"), col("nrm")), 6).as("cos_r"))
+            round(expr("cosine_sim(qe, embedding)"), 6).as("cos_r"))
           .withColumn("rn", row_number().over(w).cast("long"))
           .where(col("rn") === 1)
           .select("qid", "cid", "bucket", "cos_r")

@@ -97,6 +97,24 @@ class OpsSpec extends SparkSpecBase {
     assert(nearD <= 16)
   }
 
+  test("cosine_sim codegen expression matches the composed fold bit-for-bit") {
+    graft.functions.CosineSimilarity.register(spark)
+    val emb = spark.read.parquet(s"$sf001/embeddings.parquet").limit(50)
+    val pairs = emb.select(col("vec_id"), col("embedding"))
+      .crossJoin(emb.select(col("vec_id").as("v2"), col("embedding").as("e2")))
+      .where(col("vec_id") < col("v2"))
+    val diff = pairs.select(
+      expr("cosine_sim(embedding, e2)").as("fused"),
+      (VectorOps.dot(col("embedding"), col("e2")) /
+        (VectorOps.l2norm(col("embedding")) * VectorOps.l2norm(col("e2")))).as("composed"))
+      .where(col("fused") =!= col("composed"))
+    assert(diff.count() == 0) // exact double equality, not approximate
+    // type check rejects non-float arrays
+    intercept[Exception] {
+      spark.range(1).select(expr("cosine_sim(array(1.0, 2.0), array(1.0, 2.0))")).collect()
+    }
+  }
+
   test("tfidf query formula matches ln((N+1)/(df+1)) on a tiny corpus") {
     // 2 docs; term 'x' in both (df=2), 'y' in one (df=1)
     val q = SparkEntry.queries("q30_tfidf")
