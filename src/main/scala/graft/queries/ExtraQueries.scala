@@ -173,5 +173,32 @@ object ExtraQueries {
         graft.ops.AnnOps.ivfTop1(assigned, col("vec_id") < 10).orderBy("qid")
       },
       None,
-      "E3: IVF ANN via seeded KMeans cells — rows-only check"))
+      "E3: IVF ANN via seeded KMeans cells — rows-only check"),
+
+    // q61 — embedding-cosine near-dup pairs: candidates from the 8-bit
+    // sign-LSH bucket (equi-join), kept when rounded cosine ≥ 0.9.
+    // The dedup-by-embedding flavor of E2, sharing q38's scale shape.
+    QuerySpec(
+      "q61_embed_neardup",
+      (s, d) => {
+        graft.functions.CosineSimilarity.register(s)
+        val b = t(s, d, "embeddings")
+          .select(col("vec_id"), col("embedding"),
+            graft.ops.VectorOps.srpBucket(col("embedding"), 8).as("bucket"))
+        val x = b.select(col("vec_id").as("a"), col("embedding").as("ea"), col("bucket"))
+        val y = b.select(col("vec_id").as("b"), col("embedding").as("eb"), col("bucket"))
+        x.join(y, Seq("bucket"))
+          .where(col("a") < col("b"))
+          .select(col("a"), col("b"),
+            round(expr("cosine_sim(ea, eb)"), 6).as("cos_r"))
+          .where(col("cos_r") >= 0.35)
+          .orderBy("a", "b")
+      },
+      Some {
+        val bucketSql = (1 to 8)
+          .map(i => s"${1L << (i - 1)} * (CASE WHEN embedding[$i] > 0 THEN 1 ELSE 0 END)")
+          .mkString(" + ")
+        s"""WITH b AS (SELECT vec_id, embedding, CAST($bucketSql AS BIGINT) AS bucket, sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE) for x in embedding])) AS nrm FROM embeddings) SELECT x.vec_id AS a, y.vec_id AS b, round(list_sum([CAST(x.embedding[i] AS DOUBLE) * CAST(y.embedding[i] AS DOUBLE) for i in generate_series(1, len(x.embedding))]) / (x.nrm * y.nrm), 6) AS cos_r FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id WHERE round(list_sum([CAST(x.embedding[i] AS DOUBLE) * CAST(y.embedding[i] AS DOUBLE) for i in generate_series(1, len(x.embedding))]) / (x.nrm * y.nrm), 6) >= 0.35 ORDER BY a, b"""
+      },
+      "E2: embedding-cosine near-dup pairs over LSH buckets"))
 }

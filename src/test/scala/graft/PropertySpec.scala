@@ -1,0 +1,80 @@
+package graft
+
+import graft.ops.{DedupOps, TextOps, VectorOps}
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Property tests (SURVEY.md §5.2-3) using raw ScalaCheck generators with
+  * fixed seeds (no scalatest bridge in the offline cache). Each case
+  * drives a literal DataFrame through the real operators — case counts
+  * kept small because every case is a Spark job.
+  */
+class PropertySpec extends SparkSpecBase {
+  import spark.implicits._
+
+  /** Deterministic samples from a generator. */
+  private def samples[T](g: Gen[T], n: Int): Seq[T] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(42L + i)))
+
+  private val vecGen: Gen[List[Float]] =
+    Gen.chooseNum(1, 16).flatMap(k =>
+      Gen.listOfN(k, Gen.chooseNum(-10.0f, 10.0f))).suchThat(_.exists(_ != 0.0f))
+
+  test("L1-normalized components sum to ~1 for non-zero vectors") {
+    for (v <- samples(vecGen, 8)) {
+      val row = Seq(Tuple1(v)).toDF("emb")
+        .select(aggregate(
+          transform(col("emb"), x => abs(x.cast("double"))), lit(0.0),
+          (s, x) => s + x / VectorOps.l1norm(col("emb"))).as("s"))
+        .head()
+      assert(math.abs(row.getDouble(0) - 1.0) < 1e-9, s"v=$v")
+    }
+  }
+
+  test("cosine similarity is bounded in [-1, 1] and symmetric") {
+    graft.functions.CosineSimilarity.register(spark)
+    val pairs = samples(vecGen, 8).zip(samples(vecGen, 8).reverse)
+    for ((a0, b0) <- pairs) {
+      val n = math.min(a0.size, b0.size)
+      val (a, b) = (a0.take(n), b0.take(n))
+      val Seq(ab, ba) = Seq((a, b), (b, a)).map { case (x, y) =>
+        Seq((x, y)).toDF("x", "y").select(expr("cosine_sim(x, y)")).head().getDouble(0)
+      }
+      assert(ab >= -1.0 - 1e-9 && ab <= 1.0 + 1e-9, s"cos=$ab")
+      assert(ab == ba)
+    }
+  }
+
+  test("exact dedup is idempotent: dedup of dedup keys changes nothing") {
+    for (ts <- samples(Gen.listOfN(12, Gen.oneOf("x", "y", "z", "w")), 6)) {
+      val df = ts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val once = DedupOps.exactDedup(df, "text", "doc_id")
+        .select(col("keep_id").as("doc_id"), col("text"))
+      val twice = DedupOps.exactDedup(once, "text", "doc_id")
+      assert(once.count() == twice.count())
+    }
+  }
+
+  test("bucketize ladder partitions: bucket counts sum to row count") {
+    for (vs <- samples(Gen.listOfN(20, Gen.chooseNum(-100.0, 100.0)), 6)) {
+      val df = vs.toDF("v")
+        .withColumn("b", when(col("v") < -50, 0).when(col("v") < 0, 1)
+          .when(col("v") < 50, 2).otherwise(3))
+      assert(df.groupBy("b").count().agg(sum("count")).head().getLong(0) == vs.size)
+    }
+  }
+
+  test("stopword removal never increases token count; removed ⊆ stoplist") {
+    for (ws <- samples(Gen.listOfN(15, Gen.oneOf("the", "a", "cat", "dog", "runs")), 6)) {
+      val text = ws.mkString(" ")
+      val row = Seq(text).toDF("text").select(
+        size(TextOps.tokens(col("text"))).as("n"),
+        size(TextOps.removeStopwords(TextOps.tokens(col("text")),
+          TextOps.defaultStopwords)).as("k")).head()
+      val (n, k) = (row.getInt(0), row.getInt(1))
+      val expected = ws.count(w => !TextOps.defaultStopwords.contains(w))
+      assert(k == expected && k <= n, s"ws=$ws")
+    }
+  }
+}
