@@ -21,7 +21,8 @@ object AnnOps {
   def ivfAssign(emb: DataFrame, k: Int, seed: Long): DataFrame = {
     val withVec = emb.withColumn("v", array_to_vector(col("embedding")))
     val model = new KMeans().setK(k).setSeed(seed).setFeaturesCol("v")
-      .setMaxIter(5) // coarse cells only — centroid quality ≪ assignment cost
+      .setMaxIter(5).setInitMode("random") // coarse cells only — skip the
+      // multi-pass k-means|| init; centroid quality ≪ assignment cost here
       .setPredictionCol("cell").fit(withVec)
     model.transform(withVec).drop("v")
   }

@@ -200,5 +200,29 @@ object ExtraQueries {
           .mkString(" + ")
         s"""WITH b AS (SELECT vec_id, embedding, CAST($bucketSql AS BIGINT) AS bucket, sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE) for x in embedding])) AS nrm FROM embeddings) SELECT x.vec_id AS a, y.vec_id AS b, round(list_sum([CAST(x.embedding[i] AS DOUBLE) * CAST(y.embedding[i] AS DOUBLE) for i in generate_series(1, len(x.embedding))]) / (x.nrm * y.nrm), 6) AS cos_r FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id WHERE round(list_sum([CAST(x.embedding[i] AS DOUBLE) * CAST(y.embedding[i] AS DOUBLE) for i in generate_series(1, len(x.embedding))]) / (x.nrm * y.nrm), 6) >= 0.35 ORDER BY a, b"""
       },
-      "E2: embedding-cosine near-dup pairs over LSH buckets"))
+      "E2: embedding-cosine near-dup pairs over LSH buckets"),
+
+    // q62 — per-group top-k via the typed TopKAggregator (bounded buffer,
+    // k·groups shuffle rows) — oracle is the window row_number form.
+    QuerySpec(
+      "q62_topk_agg",
+      (s, d) => {
+        import graft.functions.TopKAggregator
+        import TopKAggregator.Scored
+        val sp = s
+        import sp.implicits._
+        t(s, d, "orders")
+          .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+          .as[(Long, Long, Double)]
+          .groupByKey(_._1)
+          .mapValues(r => Scored(r._2, r._3))
+          .agg(TopKAggregator.topK(2).toColumn.name("top"))
+          .flatMap { case (cust, top) =>
+            top.zipWithIndex.map { case (sc, i) => (cust, sc.id, sc.score, (i + 1).toLong) }
+          }
+          .toDF("o_custkey", "o_orderkey", "o_totalprice", "rn")
+          .orderBy("o_custkey", "rn")
+      },
+      Some("""SELECT * FROM (SELECT o_custkey, o_orderkey, o_totalprice, CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn FROM orders) WHERE rn <= 2 ORDER BY o_custkey, rn"""),
+      "§2.13: typed Aggregator top-k == window row_number"))
 }
