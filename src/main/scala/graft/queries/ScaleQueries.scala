@@ -19,29 +19,33 @@ object ScaleQueries {
 
   private def t(s: SparkSession, d: String, n: String): DataFrame = Tables.load(s, d, n)
 
-  /** Per-doc word-trigram shingle sets (map-side array_distinct — no
+  /** Per-doc word-5-gram shingle sets (map-side array_distinct — no
     * shuffle). Cached: q34/q36 each walk this sub-DAG several times, and
     * Spark's cache manager dedups identical plans so the two queries
     * share one materialization per session.
     */
   private def shingleSets(s: SparkSession, d: String): DataFrame =
-    DedupOps.shingleSets(t(s, d, "documents"), "text", 3).cache()
+    // repartition first: the single-file parquet scan yields ONE input
+    // partition, which would serialize the tokenize+md5 work; the raw
+    // docs are tiny relative to the compute they fan out
+    DedupOps.shingleSets(t(s, d, "documents").repartition(col("doc_id")), "text", 5).cache()
 
   /** (doc_id, term, tf) exact term frequencies — the shared base of
     * q29/q30/q35, cached across them.
     */
   private[queries] def termFreq(s: SparkSession, d: String): DataFrame =
     t(s, d, "documents")
+      .repartition(col("doc_id")) // parallelize past the 1-partition scan
       .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("term"))
       .groupBy("doc_id", "term")
       .agg(count(lit(1)).as("tf"))
       .cache()
 
   /** Shared DuckDB CTE prefix replaying shingles + 4-band md5-slice
-    * MinHash (band b = min over shingles of substr(md5(s), b*8+1, 8)).
+    * MinHash over word 5-grams (band b = min over shingles of substr(md5(s), b*8+1, 8)).
     */
   private val shingleCte =
-    """WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents), sh AS (SELECT DISTINCT doc_id, s FROM (SELECT doc_id, unnest([concat_ws(' ', tk[i], tk[i+1], tk[i+2]) for i in generate_series(1, len(tk) - 2)]) AS s FROM toks) z), sig AS (SELECT doc_id, band, min(substr(md5(s), band * 8 + 1, 8)) AS sig FROM sh, (SELECT unnest(generate_series(0, 3)) AS band) b GROUP BY doc_id, band), cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b FROM sig x JOIN sig y ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id)"""
+    """WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents), sh AS (SELECT DISTINCT doc_id, s FROM (SELECT doc_id, unnest([concat_ws(' ', tk[i], tk[i+1], tk[i+2], tk[i+3], tk[i+4]) for i in generate_series(1, len(tk) - 4)]) AS s FROM toks) z), sig AS (SELECT doc_id, band, min(substr(md5(s), band * 8 + 1, 8)) AS sig FROM sh, (SELECT unnest(generate_series(0, 3)) AS band) b GROUP BY doc_id, band), cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b FROM sig x JOIN sig y ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id)"""
 
   private val emL2 =
     """sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE) for x in embedding]))"""
@@ -64,7 +68,7 @@ object ScaleQueries {
       "E1: exact dedup via hash groupBy on text"),
 
     // q34 — E2 MinHash near-dup candidates: 4-band md5 MinHash over word
-    // trigrams; pairs agreeing on any band. Fully portable (md5 + hex
+    // 5-grams (selective enough that bucket collisions ~= real near-dups); pairs agreeing on any band. Fully portable (md5 + hex
     // string min are identical in DuckDB).
     QuerySpec(
       "q34_minhash_pairs",
