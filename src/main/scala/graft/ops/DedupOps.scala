@@ -23,10 +23,16 @@ object DedupOps {
   /** Per-doc distinct shingle SETS as array columns: (doc_id, shs).
     * The within-doc distinct is array_distinct — pure map-side, so the
     * 100×-data version of this never shuffles a shingle row.
+    *
+    * Tokens are materialized in their OWN projection first: higher-order
+    * functions are CodegenFallback (interpreted), where every element_at
+    * in the shingle lambda would otherwise re-evaluate the whole
+    * split(lower(text)) subtree — O(tokens²) tokenization per doc.
     */
   def shingleSets(docs: DataFrame, textCol: String, n: Int): DataFrame =
-    docs.select(col("doc_id"),
-      array_distinct(TextOps.wordShingles(TextOps.tokens(col(textCol)), n)).as("shs"))
+    docs.select(col("doc_id"), TextOps.tokens(col(textCol)).as("tk"))
+      .select(col("doc_id"),
+        array_distinct(TextOps.wordShingles(col("tk"), n)).as("shs"))
 
   /** MinHash signatures from (doc_id, shs) shingle-set rows. The `bands`
     * hash functions are the disjoint 8-hex-char slices of ONE md5 per
