@@ -224,5 +224,47 @@ object ExtraQueries {
           .orderBy("o_custkey", "rn")
       },
       Some("""SELECT * FROM (SELECT o_custkey, o_orderkey, o_totalprice, CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn FROM orders) WHERE rn <= 2 ORDER BY o_custkey, rn"""),
-      "§2.13: typed Aggregator top-k == window row_number"))
+      "§2.13: typed Aggregator top-k == window row_number"),
+
+    // q63 — multimodal frame-sampling pipeline (E5): binary payloads →
+    // resize → every-2nd-frame sample → per-doc frame stats. Decode is
+    // the documented stub; the oracle checks the portable byte math
+    // (ASCII text ⇒ frame counts derivable from n_chars).
+    QuerySpec(
+      "q63_multimodal_frames",
+      (s, d) => {
+        import graft.ops.MultimodalOps
+        val media = MultimodalOps.mediaFromDocuments(t(s, d, "documents"))
+        MultimodalOps.sampleFrames(MultimodalOps.resize(media, 256), 64, 2)
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_frames"),
+            sum(octet_length(col("frame")).cast("long")).as("sampled_bytes"))
+          .orderBy("doc_id")
+      },
+      // resize-to-256 → 4 frames of 64 bytes → frames 0 and 2 sampled
+      Some("""SELECT doc_id, CAST(2 AS BIGINT) AS n_frames, CAST(128 AS BIGINT) AS sampled_bytes FROM documents ORDER BY doc_id"""),
+      "E5: binary resize + frame-sample pipeline (stub decoder)"),
+
+    // q64 — the SQL entry surface: the same engine driven through
+    // spark.sql over registered views (TPC-H-Q3-shaped).
+    QuerySpec(
+      "q64_sql_surface",
+      (s, d) => {
+        t(s, d, "customer").createOrReplaceTempView("customer_v")
+        t(s, d, "orders").createOrReplaceTempView("orders_v")
+        t(s, d, "lineitem").createOrReplaceTempView("lineitem_v")
+        s.sql("""
+          SELECT o_orderkey,
+                 round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+                 count(*) AS n_lines
+          FROM customer_v
+          JOIN orders_v ON c_custkey = o_custkey
+          JOIN lineitem_v ON l_orderkey = o_orderkey
+          WHERE c_mktsegment = 'BUILDING' AND o_orderstatus = 'O'
+          GROUP BY o_orderkey
+          ORDER BY o_orderkey
+        """)
+      },
+      Some("""SELECT o_orderkey, round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue, count(*) AS n_lines FROM customer JOIN orders ON c_custkey = o_custkey JOIN lineitem ON l_orderkey = o_orderkey WHERE c_mktsegment = 'BUILDING' AND o_orderstatus = 'O' GROUP BY o_orderkey ORDER BY o_orderkey"""),
+      "§3: spark.sql entry path over temp views"))
 }

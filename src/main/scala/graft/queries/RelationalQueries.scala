@@ -82,14 +82,14 @@ object RelationalQueries {
           .groupBy("l_returnflag", "l_linestatus")
           .agg(
             round(sum("l_quantity"), 2).as("sum_qty"),
-            round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+            round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("revenue"),
             round(avg("l_extendedprice"), 4).as("avg_price"),
             min("l_discount").as("min_disc"),
             max("l_discount").as("max_disc"),
             count(lit(1)).as("cnt"))
           .orderBy("l_returnflag", "l_linestatus")
       },
-      Some("""SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue, round(avg(l_extendedprice), 4) AS avg_price, min(l_discount) AS min_disc, max(l_discount) AS max_disc, count(*) AS cnt FROM lineitem GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus"""),
+      Some("""SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty, round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue, round(avg(l_extendedprice), 4) AS avg_price, min(l_discount) AS min_disc, max(l_discount) AS max_disc, count(*) AS cnt FROM lineitem GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus"""),
       "A1/A2: multi-key groupBy with sum/avg/min/max/count"),
 
     // q05 — label histogram (A3/A4 — RandomForest.java:43,87 analog).
@@ -169,12 +169,12 @@ object RelationalQueries {
           .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
           .groupBy("r_name", "n_name")
           .agg(
-            round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+            round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("revenue"),
             countDistinct("o_orderkey").as("n_orders"),
             count(lit(1)).as("n_lines"))
           .orderBy("r_name", "n_name")
       },
-      Some("""SELECT r_name, n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue, count(DISTINCT o_orderkey) AS n_orders, count(*) AS n_lines FROM lineitem JOIN orders ON l_orderkey = o_orderkey JOIN customer ON o_custkey = c_custkey JOIN nation ON c_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey GROUP BY r_name, n_name ORDER BY r_name, n_name"""),
+      Some("""SELECT r_name, n_name, round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue, count(DISTINCT o_orderkey) AS n_orders, count(*) AS n_lines FROM lineitem JOIN orders ON l_orderkey = o_orderkey JOIN customer ON o_custkey = c_custkey JOIN nation ON c_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey GROUP BY r_name, n_name ORDER BY r_name, n_name"""),
       "§2.3: star join lineitem⋈orders⋈customer⋈nation⋈region"),
 
     // q10 — left outer join + agg preserving customers with no orders.
