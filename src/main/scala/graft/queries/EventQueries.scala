@@ -51,6 +51,9 @@ object EventQueries {
 
     // q24 — session window with 30-min gap per user
     // (functions.session_window). Oracle uses the lag/gap/cumsum idiom.
+    // NB Spark merges events EXACTLY gap-apart (inclusive window end), so
+    // the oracle's new-session predicate is strict `>` — pinned by
+    // SemanticsSpec.
     QuerySpec(
       "q24_session_window",
       (s, d) => {
@@ -63,6 +66,6 @@ object EventQueries {
             col("cnt"), col("total_value"))
           .orderBy("user_id", "sess_start")
       },
-      Some("""WITH o AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, value FROM events), ol AS (SELECT user_id, ts, event_id, value, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pts FROM o), g AS (SELECT user_id, ts, event_id, value, CASE WHEN pts IS NULL OR ts >= pts + INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS ns FROM ol), sx AS (SELECT user_id, ts, value, sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid FROM g) SELECT user_id, CAST(floor(epoch(min(ts))) AS BIGINT) AS sess_start, count(*) AS cnt, round(sum(value), 2) AS total_value FROM sx GROUP BY user_id, sid ORDER BY user_id, sess_start"""),
+      Some("""WITH o AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, value FROM events), ol AS (SELECT user_id, ts, event_id, value, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pts FROM o), g AS (SELECT user_id, ts, event_id, value, CASE WHEN pts IS NULL OR ts > pts + INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS ns FROM ol), sx AS (SELECT user_id, ts, value, sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid FROM g) SELECT user_id, CAST(floor(epoch(min(ts))) AS BIGINT) AS sess_start, count(*) AS cnt, round(sum(value), 2) AS total_value FROM sx GROUP BY user_id, sid ORDER BY user_id, sess_start"""),
       "§2.12: session window, 30-min gap"))
 }

@@ -66,7 +66,9 @@ object EventStream {
             sorted.foreach { e =>
               val sec = e.ts.getTime / 1000
               cur match {
-                case Some(s) if sec - s.last < gapSeconds =>
+                // <= : events exactly gap-apart merge, matching
+                // session_window's inclusive window end
+                case Some(s) if sec - s.last <= gapSeconds =>
                   cur = Some(s.copy(last = sec, n = s.n + 1, total = s.total + e.value))
                 case Some(s) =>
                   closed ::= SessionOut(userId, s.start, s.n, s.total)
