@@ -16,6 +16,16 @@ class BucketingSpec extends SparkSpecBase {
     s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force non-BHJ
     s.sql("DROP TABLE IF EXISTS li_b")
     s.sql("DROP TABLE IF EXISTS o_b")
+    // the in-memory catalog forgets tables between JVM runs but the
+    // warehouse dirs persist → LOCATION_ALREADY_EXISTS; clear them
+    for (t <- Seq("li_b", "o_b")) {
+      val p = java.nio.file.Paths.get("spark-warehouse", t)
+      if (java.nio.file.Files.exists(p)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+      }
+    }
 
     Tables.load(s, sf001, "lineitem")
       .write.mode("overwrite").bucketBy(8, "l_orderkey").sortBy("l_orderkey")
