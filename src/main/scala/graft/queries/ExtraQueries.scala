@@ -266,5 +266,27 @@ object ExtraQueries {
         """)
       },
       Some("""SELECT o_orderkey, round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue, count(*) AS n_lines FROM customer JOIN orders ON c_custkey = o_custkey JOIN lineitem ON l_orderkey = o_orderkey WHERE c_mktsegment = 'BUILDING' AND o_orderstatus = 'O' GROUP BY o_orderkey ORDER BY o_orderkey"""),
-      "§3: spark.sql entry path over temp views"))
+      "§3: spark.sql entry path over temp views"),
+
+    // q65 — CSV scans S1 (header+inferSchema) and S2 (all-string) through
+    // the harness surface: region round-trips through a CSV file, read
+    // back both ways; the oracle is the original parquet table.
+    QuerySpec(
+      "q65_csv_scan",
+      (s, d) => {
+        import graft.sources.CsvSource
+        val dir = java.nio.file.Files.createTempDirectory("csvscan").toString
+        Tables.load(s, d, "region")
+          .coalesce(1).write.mode("overwrite").option("header", true)
+          .csv(s"$dir/region_csv")
+        val inferred = CsvSource.inferred(s, s"$dir/region_csv")
+          .select(col("r_regionkey").cast("long").as("r_regionkey"), col("r_name"))
+        val allStr = CsvSource.allString(s, s"$dir/region_csv")
+          .select(col("r_regionkey").cast("long").as("k2"), col("r_name").as("n2"))
+        inferred.join(allStr, col("r_regionkey") === col("k2"))
+          .select("r_regionkey", "r_name", "n2")
+          .orderBy("r_regionkey")
+      },
+      Some("""SELECT CAST(r_regionkey AS BIGINT) AS r_regionkey, r_name, r_name AS n2 FROM region ORDER BY r_regionkey"""),
+      "S1/S2: CSV inferred + all-string scans, checked against parquet"))
 }
