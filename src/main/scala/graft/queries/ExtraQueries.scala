@@ -288,5 +288,46 @@ object ExtraQueries {
           .orderBy("r_regionkey")
       },
       Some("""SELECT CAST(r_regionkey AS BIGINT) AS r_regionkey, r_name, r_name AS n2 FROM region ORDER BY r_regionkey"""),
-      "S1/S2: CSV inferred + all-string scans, checked against parquet"))
+      "S1/S2: CSV inferred + all-string scans, checked against parquet"),
+
+    // q66 — RANGE window frame (§2.5: running aggregates over a value
+    // range, not a row count) + distribution window functions.
+    QuerySpec(
+      "q66_range_frame",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val days = datediff(col("o_orderdate"), lit("1995-01-01").cast("date")).cast("long")
+        val wRange = Window.partitionBy("o_custkey").orderBy("d")
+          .rangeBetween(-7, Window.currentRow)
+        val wRank = Window.partitionBy("o_custkey")
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        t(s, d, "orders")
+          .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), days.as("d"))
+          .select(
+            col("o_custkey"), col("o_orderkey"),
+            round(sum("o_totalprice").over(wRange), 2).as("wk_total"),
+            ntile(4).over(wRank).cast("long").as("quartile"),
+            round(percent_rank().over(wRank), 6).as("pct_rk"),
+            round(cume_dist().over(wRank), 6).as("cume"))
+          .orderBy("o_custkey", "o_orderkey")
+      },
+      Some("""WITH o AS (SELECT o_custkey, o_orderkey, o_totalprice, CAST(datediff('day', DATE '1995-01-01', o_orderdate) AS BIGINT) AS d FROM orders) SELECT o_custkey, o_orderkey, round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY d RANGE BETWEEN 7 PRECEDING AND CURRENT ROW), 2) AS wk_total, CAST(ntile(4) OVER wr AS BIGINT) AS quartile, round(percent_rank() OVER wr, 6) AS pct_rk, round(cume_dist() OVER wr, 6) AS cume FROM o WINDOW wr AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) ORDER BY o_custkey, o_orderkey"""),
+      "§2.5: RANGE frame + ntile/percent_rank/cume_dist"),
+
+    // q67 — argmax aggregates: value at the extreme of another column
+    // (max_by/min_by ↔ DuckDB arg_max/arg_min), id-keyed so ties can't
+    // make the result nondeterministic.
+    QuerySpec(
+      "q67_argmax",
+      (s, d) => {
+        t(s, d, "orders")
+          .groupBy("o_custkey")
+          .agg(
+            max_by(col("o_totalprice"), col("o_orderkey")).as("latest_price"),
+            min_by(col("o_totalprice"), col("o_orderkey")).as("first_price"),
+            max("o_orderkey").as("last_key"))
+          .orderBy("o_custkey")
+      },
+      Some("""SELECT o_custkey, arg_max(o_totalprice, o_orderkey) AS latest_price, arg_min(o_totalprice, o_orderkey) AS first_price, max(o_orderkey) AS last_key FROM orders GROUP BY 1 ORDER BY 1"""),
+      "§2.4 ext: max_by/min_by (arg_max/arg_min) aggregates"))
 }
