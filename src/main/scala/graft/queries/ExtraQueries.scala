@@ -329,5 +329,24 @@ object ExtraQueries {
           .orderBy("o_custkey")
       },
       Some("""SELECT o_custkey, arg_max(o_totalprice, o_orderkey) AS latest_price, arg_min(o_totalprice, o_orderkey) AS first_price, max(o_orderkey) AS last_key FROM orders GROUP BY 1 ORDER BY 1"""),
-      "§2.4 ext: max_by/min_by (arg_max/arg_min) aggregates"))
+      "§2.4 ext: max_by/min_by (arg_max/arg_min) aggregates"),
+
+    // q68 — correlated scalar subquery (§4: Catalyst decorrelates it into
+    // an aggregate + join). Threshold is rounded so the float boundary
+    // can't flip rows between engines.
+    QuerySpec(
+      "q68_correlated_subquery",
+      (s, d) => {
+        t(s, d, "orders").createOrReplaceTempView("orders_v")
+        s.sql("""
+          SELECT o_orderkey, o_custkey, o_totalprice
+          FROM orders_v o1
+          WHERE o_totalprice > round(1.5 * (
+            SELECT avg(o_totalprice) FROM orders_v o2
+            WHERE o2.o_custkey = o1.o_custkey), 4)
+          ORDER BY o_orderkey
+        """)
+      },
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders o1 WHERE o_totalprice > round(1.5 * (SELECT avg(o_totalprice) FROM orders o2 WHERE o2.o_custkey = o1.o_custkey), 4) ORDER BY o_orderkey"""),
+      "§4: correlated scalar subquery → decorrelated agg+join"))
 }
