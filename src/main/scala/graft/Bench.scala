@@ -14,10 +14,19 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Warm the JVM/codegen and the file listing so the first measured
-    // query doesn't absorb session startup cost.
-    try spark.read.parquet(s"$sfDir/lineitem.parquet").count()
-    catch { case _: Throwable => () }
+    // Warm the JVM/JIT, codegen paths (scan, generate+hash-agg, window)
+    // and file listings so the first measured queries don't absorb
+    // session startup cost.
+    try {
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.expressions.Window
+      spark.read.parquet(s"$sfDir/lineitem.parquet").count()
+      spark.read.parquet(s"$sfDir/documents.parquet").limit(50)
+        .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("term"))
+        .groupBy("term").count()
+        .withColumn("rn", row_number().over(Window.orderBy(col("count").desc, col("term"))))
+        .count()
+    } catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
