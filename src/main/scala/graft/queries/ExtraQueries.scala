@@ -348,5 +348,32 @@ object ExtraQueries {
         """)
       },
       Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders o1 WHERE o_totalprice > round(1.5 * (SELECT avg(o_totalprice) FROM orders o2 WHERE o2.o_custkey = o1.o_custkey), 4) ORDER BY o_orderkey"""),
-      "§4: correlated scalar subquery → decorrelated agg+join"))
+      "§4: correlated scalar subquery → decorrelated agg+join"),
+
+    // q69 — posexplode: token position indexing (ordinal-aware flatten).
+    QuerySpec(
+      "q69_posexplode",
+      (s, d) => {
+        t(s, d, "documents")
+          .select(col("doc_id"),
+            posexplode(split(lower(col("text")), " ")).as(Seq("pos", "tok")))
+          .select(col("doc_id"), col("pos").cast("long").as("pos"), col("tok"))
+          .orderBy("doc_id", "pos")
+      },
+      Some("""SELECT doc_id, CAST(u['p'] - 1 AS BIGINT) AS pos, u['tok'] AS tok FROM (SELECT doc_id, unnest([{'p': i, 'tok': tk[i]} for i in generate_series(1, len(tk))]) AS u FROM (SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents)) ORDER BY doc_id, pos"""),
+      "§2.9 ext: posexplode with 0-based ordinals"),
+
+    // q70 — null-handling scalar functions: nullif / ifnull / nvl chain.
+    QuerySpec(
+      "q70_null_funcs",
+      (s, d) => {
+        t(s, d, "lineitem")
+          .select(col("l_orderkey"), col("l_linenumber"),
+            expr("nullif(l_discount, 0)").as("disc_null"),
+            expr("ifnull(nullif(l_tax, 0), -1)").as("tax_or_neg1"),
+            coalesce(expr("nullif(l_returnflag, 'N')"), lit("NONE")).as("flag_or_none"))
+          .orderBy("l_orderkey", "l_linenumber")
+      },
+      Some("""SELECT l_orderkey, l_linenumber, nullif(l_discount, 0) AS disc_null, ifnull(nullif(l_tax, 0), -1) AS tax_or_neg1, coalesce(nullif(l_returnflag, 'N'), 'NONE') AS flag_or_none FROM lineitem ORDER BY l_orderkey, l_linenumber"""),
+      "§2.9 ext: nullif/ifnull/coalesce null handling"))
 }
