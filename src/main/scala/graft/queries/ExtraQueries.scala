@@ -375,5 +375,35 @@ object ExtraQueries {
           .orderBy("l_orderkey", "l_linenumber")
       },
       Some("""SELECT l_orderkey, l_linenumber, nullif(l_discount, 0) AS disc_null, ifnull(nullif(l_tax, 0), -1) AS tax_or_neg1, coalesce(nullif(l_returnflag, 'N'), 'NONE') AS flag_or_none FROM lineitem ORDER BY l_orderkey, l_linenumber"""),
-      "§2.9 ext: nullif/ifnull/coalesce null handling"))
+      "§2.9 ext: nullif/ifnull/coalesce null handling"),
+
+    // q71 — regex predicate + split_part + printf formatting.
+    QuerySpec(
+      "q71_string_funcs3",
+      (s, d) => {
+        t(s, d, "documents")
+          .select(col("doc_id"),
+            col("text").rlike("(spark|stream).*join").cast("int").as("re_hit"),
+            expr("split_part(text, ' ', 2)").as("second_tok"),
+            format_string("%s-%03d", col("lang"), col("doc_id") % 100).as("tag"),
+            expr("repeat(lang, 2)").as("lang2"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, CAST(regexp_matches(text, '(spark|stream).*join') AS INT) AS re_hit, split_part(text, ' ', 2) AS second_tok, printf('%s-%03d', lang, doc_id % 100) AS tag, repeat(lang, 2) AS lang2 FROM documents ORDER BY doc_id"""),
+      "§2.9 ext: rlike/split_part/format_string/repeat"),
+
+    // q72 — bitwise operations.
+    QuerySpec(
+      "q72_bit_ops",
+      (s, d) => {
+        t(s, d, "lineitem")
+          .select(col("l_orderkey"), col("l_linenumber"),
+            expr("l_orderkey & 255").as("low_byte"),
+            expr("l_orderkey ^ l_partkey").as("xored"),
+            expr("shiftright(l_orderkey, 4)").as("shr4"),
+            expr("shiftleft(l_linenumber, 2)").cast("long").as("shl2"))
+          .orderBy("l_orderkey", "l_linenumber")
+      },
+      Some("""SELECT l_orderkey, l_linenumber, l_orderkey & 255 AS low_byte, xor(l_orderkey, l_partkey) AS xored, l_orderkey >> 4 AS shr4, CAST(l_linenumber << 2 AS BIGINT) AS shl2 FROM lineitem ORDER BY l_orderkey, l_linenumber"""),
+      "§2.9 ext: bitwise and/xor/shifts"))
 }
