@@ -405,5 +405,25 @@ object ExtraQueries {
           .orderBy("l_orderkey", "l_linenumber")
       },
       Some("""SELECT l_orderkey, l_linenumber, l_orderkey & 255 AS low_byte, xor(l_orderkey, l_partkey) AS xored, l_orderkey >> 4 AS shr4, CAST(l_linenumber << 2 AS BIGINT) AS shl2 FROM lineitem ORDER BY l_orderkey, l_linenumber"""),
-      "§2.9 ext: bitwise and/xor/shifts"))
+      "§2.9 ext: bitwise and/xor/shifts"),
+
+    // q73 — part/supplier dimension joins (the two tables no other query
+    // exercises): lineitem ⋈ part ⋈ supplier with a LIKE-filtered dim.
+    QuerySpec(
+      "q73_part_supplier",
+      (s, d) => {
+        val li = t(s, d, "lineitem")
+        val p = t(s, d, "part").where(col("p_size") >= 10 && col("p_type").like("%M%"))
+        val sup = t(s, d, "supplier")
+        li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+          .join(broadcast(sup), li("l_suppkey") === sup("s_suppkey"))
+          .groupBy("p_brand", "s_nationkey")
+          .agg(
+            round(sum("l_quantity"), 2).as("sum_qty"),
+            round(sum("p_retailprice"), 2).as("sum_retail"),
+            count(lit(1)).as("cnt"))
+          .orderBy("p_brand", "s_nationkey")
+      },
+      Some("""SELECT p_brand, s_nationkey, round(sum(l_quantity), 2) AS sum_qty, round(sum(p_retailprice), 2) AS sum_retail, count(*) AS cnt FROM lineitem JOIN part ON l_partkey = p_partkey JOIN supplier ON l_suppkey = s_suppkey WHERE p_size >= 10 AND p_type LIKE '%M%' GROUP BY 1, 2 ORDER BY 1, 2"""),
+      "§2.3: part/supplier dimension joins with filtered broadcast"))
 }
