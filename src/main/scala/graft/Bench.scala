@@ -27,15 +27,23 @@ object Bench {
         .withColumn("rn", row_number().over(Window.orderBy(col("count").desc, col("term"))))
         .count()
     } catch { case _: Throwable => () }
+    // Per-query wall seconds, rounded to 3dp so the whole JSON line stays
+    // well under the driver's output-tail capture window (r01's full-precision
+    // line exceeded it and parsed as null). A query that throws is recorded
+    // as -1 — distinguishable from any real wall time.
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok = try { fn(spark, sfDir).count(); true }
+               catch { case e: Throwable =>
+                 System.err.println(s"[bench] $name failed: ${e.getMessage}"); false }
+      val secs = (System.nanoTime() - t0) / 1e9
+      name -> (if (ok) math.rint(secs * 1000) / 1000 else -1.0)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    def f(v: Double): String = if (v == -1.0) "-1" else "%.3f".format(v)
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f(v) }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = math.rint(results.values.filter(_ >= 0).sum * 1000) / 1000
+    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -31,10 +31,16 @@ case class CosineSimilarity(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "cosine_sim"
 
+  // Contract: both arrays must have the same length — mismatched
+  // dimensions raise instead of silently truncating, so results can
+  // never diverge from an oracle that folds over the full vectors.
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (y.numElements() != n)
+      throw new IllegalArgumentException(
+        s"cosine_sim: dimension mismatch ($n vs ${y.numElements()})")
     var dot = 0.0
     var nx = 0.0
     var ny = 0.0
@@ -60,7 +66,11 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val xi = ctx.freshName("xi")
       val yi = ctx.freshName("yi")
       s"""
-        |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+        |int $n = $a.numElements();
+        |if ($b.numElements() != $n) {
+        |  throw new IllegalArgumentException(
+        |    "cosine_sim: dimension mismatch (" + $n + " vs " + $b.numElements() + ")");
+        |}
         |double $dot = 0.0, $nx = 0.0, $ny = 0.0;
         |for (int $i = 0; $i < $n; $i++) {
         |  double $xi = (double) $a.getFloat($i);

@@ -134,7 +134,10 @@ object ExtraQueries {
 
     // q58 — as-of join via union-merge (graft.ops.JoinOps): for each
     // error event, the latest click of the same user at or before it.
-    // Oracle: DuckDB's native ASOF JOIN.
+    // Oracle: DuckDB's native ASOF JOIN. Clicks are pre-deduplicated to
+    // one row per (user_id, ts) — max(click_id) — on BOTH sides: with
+    // duplicate right timestamps ASOF JOIN's pick is unspecified, so
+    // without this the compare would be data-dependent.
     QuerySpec(
       "q58_asof_join",
       (s, d) => {
@@ -142,13 +145,14 @@ object ExtraQueries {
         val errors = ev.where(col("event_type") === "error")
           .select(col("user_id"), col("ts"), col("event_id").as("err_id"))
         val clicks = ev.where(col("event_type") === "click")
-          .select(col("user_id"), col("ts"), col("event_id").as("click_id"))
+          .groupBy(col("user_id"), col("ts"))
+          .agg(max(col("event_id")).as("click_id"))
         JoinOps.asofJoin(errors, clicks, "user_id", "ts", "ts", "err_id", "click_id")
           .select(col("err_id"), col("user_id"),
             unix_timestamp(col("ts")).as("err_epoch"), col("click_id"))
           .orderBy("err_id")
       },
-      Some("""WITH ev AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, event_type FROM events), e AS (SELECT user_id, ts, event_id AS err_id FROM ev WHERE event_type = 'error'), c AS (SELECT user_id, ts, event_id AS click_id FROM ev WHERE event_type = 'click') SELECT e.err_id AS err_id, e.user_id AS user_id, CAST(floor(epoch(e.ts)) AS BIGINT) AS err_epoch, c.click_id AS click_id FROM e ASOF JOIN c ON e.user_id = c.user_id AND e.ts >= c.ts ORDER BY err_id"""),
+      Some("""WITH ev AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, event_type FROM events), e AS (SELECT user_id, ts, event_id AS err_id FROM ev WHERE event_type = 'error'), c AS (SELECT user_id, ts, max(event_id) AS click_id FROM ev WHERE event_type = 'click' GROUP BY 1, 2) SELECT e.err_id AS err_id, e.user_id AS user_id, CAST(floor(epoch(e.ts)) AS BIGINT) AS err_epoch, c.click_id AS click_id FROM e ASOF JOIN c ON e.user_id = c.user_id AND e.ts >= c.ts ORDER BY err_id"""),
       "§2.3 ext: as-of join (union-merge impl vs native ASOF oracle)"),
 
     // q59 — salted two-phase aggregation (graft.ops.SkewOps): identical
@@ -176,8 +180,10 @@ object ExtraQueries {
       "E3: IVF ANN via seeded KMeans cells — rows-only check"),
 
     // q61 — embedding-cosine near-dup pairs: candidates from the 8-bit
-    // sign-LSH bucket (equi-join), kept when rounded cosine ≥ 0.9.
-    // The dedup-by-embedding flavor of E2, sharing q38's scale shape.
+    // sign-LSH bucket (equi-join), kept when rounded cosine ≥ 0.35 (the
+    // synthetic embeddings are near-uniform, so a production-style 0.9
+    // cut would select zero pairs). The dedup-by-embedding flavor of E2,
+    // sharing q38's scale shape.
     QuerySpec(
       "q61_embed_neardup",
       (s, d) => {
