@@ -19,7 +19,9 @@ object AnnOps {
 
   /** (vec_id, embedding, cell) with a deterministic seeded quantizer. */
   def ivfAssign(emb: DataFrame, k: Int, seed: Long): DataFrame = {
-    val withVec = emb.withColumn("v", array_to_vector(col("embedding")))
+    val withVec = emb.withColumn("v", array_to_vector(col("embedding"))).cache()
+    // Cached: fit makes one pass per iteration and would otherwise re-run
+    // the parquet scan + array→vector conversion each time.
     val model = new KMeans().setK(k).setSeed(seed).setFeaturesCol("v")
       .setMaxIter(5).setInitMode("random") // coarse cells only — skip the
       // multi-pass k-means|| init; centroid quality ≪ assignment cost here

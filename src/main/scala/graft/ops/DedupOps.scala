@@ -101,11 +101,15 @@ object DedupOps {
     cand
       .join(shSets.select(col("doc_id").as("a"), col("shs").as("sa")), "a")
       .join(shSets.select(col("doc_id").as("b"), col("shs").as("sb")), "b")
+      // materialize the intersection size ONCE per pair — array_intersect
+      // builds a hash set per evaluation, so repeating it inline would
+      // triple the dominant cost
       .select(
         col("a"), col("b"),
         size(array_intersect(col("sa"), col("sb"))).cast("long").as("inter_cnt"),
-        round(
-          size(array_intersect(col("sa"), col("sb"))).cast("long") * lit(1.0) /
-            (size(col("sa")) + size(col("sb")) -
-              size(array_intersect(col("sa"), col("sb"))).cast("long")), 6).as("jaccard"))
+        (size(col("sa")) + size(col("sb"))).cast("long").as("sz_sum"))
+      .select(
+        col("a"), col("b"), col("inter_cnt"),
+        round(col("inter_cnt") * lit(1.0) /
+          (col("sz_sum") - col("inter_cnt")), 6).as("jaccard"))
 }

@@ -151,10 +151,14 @@ object RelationalQueries {
       Some("""SELECT o_orderkey, c_name, c_mktsegment, o_totalprice FROM orders JOIN customer ON o_custkey = c_custkey ORDER BY o_orderkey"""),
       "§2.3: broadcast-hash equi inner join"),
 
-    // q09 — 5-way star join + revenue rollup. lineitem⋈orders shuffles on
-    // the order key (both fact-sized); customer/nation/region broadcast.
-    // This is the plan shape that must survive 100 TB: one fact-fact
-    // shuffle, everything else map-side.
+    // q09 — 5-way star join + revenue rollup. lineitem is pre-aggregated
+    // by its join key BEFORE the join: the group key (nation) is
+    // functionally determined by the order, so per-order partial sums are
+    // exact, the fact-fact shuffle carries one row per order instead of
+    // one per line, and countDistinct(o_orderkey) degenerates to count(*)
+    // — no Expand doubling the agg input. customer/nation/region
+    // broadcast. This is the plan shape that must survive 100 TB: one
+    // pre-shrunk fact shuffle, everything else map-side.
     QuerySpec(
       "q09_star_join",
       (s, d) => {
@@ -163,15 +167,18 @@ object RelationalQueries {
         val c = t(s, d, "customer")
         val n = t(s, d, "nation")
         val r = t(s, d, "region")
-        li.join(o, li("l_orderkey") === o("o_orderkey"))
+        val liAgg = li.groupBy("l_orderkey").agg(
+          sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev_o"),
+          count(lit(1)).as("nl"))
+        liAgg.join(o, liAgg("l_orderkey") === o("o_orderkey"))
           .join(broadcast(c), o("o_custkey") === c("c_custkey"))
           .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
           .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
           .groupBy("r_name", "n_name")
           .agg(
-            round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("revenue"),
-            countDistinct("o_orderkey").as("n_orders"),
-            count(lit(1)).as("n_lines"))
+            round(sum("rev_o"), 4).as("revenue"),
+            count(lit(1)).as("n_orders"),
+            sum("nl").as("n_lines"))
           .orderBy("r_name", "n_name")
       },
       Some("""SELECT r_name, n_name, round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue, count(DISTINCT o_orderkey) AS n_orders, count(*) AS n_lines FROM lineitem JOIN orders ON l_orderkey = o_orderkey JOIN customer ON o_custkey = c_custkey JOIN nation ON c_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey GROUP BY r_name, n_name ORDER BY r_name, n_name"""),
