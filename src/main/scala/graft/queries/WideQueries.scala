@@ -1,0 +1,269 @@
+package graft.queries
+
+import graft.{QuerySpec, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Third-wave coverage (round 2): reshaping (unpivot, grouping sets),
+  * map-typed columns, window navigation functions, higher statistical
+  * moments, array generation, interval arithmetic, a partitioned parquet
+  * sink round-trip, JSON struct codecs, filtered/boolean aggregates,
+  * IN/NOT IN subqueries, window dedup, edit distance, and ordered string
+  * aggregation.
+  */
+object WideQueries {
+
+  private def t(s: SparkSession, d: String, n: String): DataFrame = Tables.load(s, d, n)
+
+  val specs: Seq[QuerySpec] = Seq(
+
+    // q74 — unpivot/melt wide→long (Dataset.unpivot). The oracle is the
+    // portable UNION ALL expansion.
+    QuerySpec(
+      "q74_unpivot",
+      (s, d) => {
+        t(s, d, "lineitem")
+          .select("l_orderkey", "l_linenumber", "l_quantity", "l_discount", "l_tax")
+          .unpivot(
+            Array(col("l_orderkey"), col("l_linenumber")),
+            Array(col("l_quantity"), col("l_discount"), col("l_tax")),
+            "measure", "val")
+          .orderBy("l_orderkey", "l_linenumber", "measure")
+      },
+      Some("""SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure, l_quantity AS val FROM lineitem UNION ALL SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem UNION ALL SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem ORDER BY l_orderkey, l_linenumber, measure"""),
+      "§2.2 ext: unpivot (melt) == UNION ALL expansion"),
+
+    // q75 — MapType column plumbing: build a map, probe keys/values. The
+    // map itself never leaves the plan (DuckDB MAP extraction semantics
+    // vary) — the oracle checks the extracted VALUES.
+    QuerySpec(
+      "q75_map_funcs",
+      (s, d) => {
+        val m = map(
+          lit("qty"), col("l_quantity"),
+          lit("tax"), col("l_tax"))
+        t(s, d, "lineitem")
+          .select(
+            col("l_orderkey"), col("l_linenumber"),
+            element_at(m, "qty").as("qty_val"),
+            element_at(m, "tax").as("tax_val"),
+            size(map_keys(m)).cast("long").as("n_keys"),
+            array_contains(map_keys(m), "qty").cast("int").as("has_qty"))
+          .orderBy("l_orderkey", "l_linenumber")
+      },
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity AS qty_val, l_tax AS tax_val, CAST(2 AS BIGINT) AS n_keys, CAST(1 AS INT) AS has_qty FROM lineitem ORDER BY l_orderkey, l_linenumber"""),
+      "§2.9 ext: MapType build/probe (map/map_keys/element_at)"),
+
+    // q76 — explicit GROUPING SETS (the general form behind q46 rollup /
+    // q52 cube), with per-column grouping() flags.
+    QuerySpec(
+      "q76_grouping_sets",
+      (s, d) => {
+        t(s, d, "lineitem").createOrReplaceTempView("lineitem_gs")
+        s.sql("""
+          SELECT coalesce(l_returnflag, 'ALL') AS flag,
+                 coalesce(l_linestatus, 'ALL') AS status,
+                 CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS BIGINT) AS gid,
+                 count(*) AS cnt,
+                 round(sum(l_quantity), 2) AS sum_qty
+          FROM lineitem_gs
+          GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+          ORDER BY gid, flag, status
+        """)
+      },
+      Some("""SELECT coalesce(l_returnflag, 'ALL') AS flag, coalesce(l_linestatus, 'ALL') AS status, CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS BIGINT) AS gid, count(*) AS cnt, round(sum(l_quantity), 2) AS sum_qty FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ()) ORDER BY gid, flag, status"""),
+      "§2.4 ext: GROUPING SETS + grouping() flags"),
+
+    // q77 — window navigation: lead / first_value / last_value /
+    // nth_value over the per-customer order history. last/nth need the
+    // full-partition frame (the default frame stops at CURRENT ROW).
+    QuerySpec(
+      "q77_window_nav",
+      (s, d) => {
+        val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+        val wFull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        t(s, d, "orders")
+          .select(
+            col("o_custkey"), col("o_orderkey"),
+            coalesce(round(lead("o_totalprice", 1).over(w), 2), lit(-1.0)).as("next_price"),
+            round(first("o_totalprice").over(wFull), 2).as("first_price"),
+            round(last("o_totalprice").over(wFull), 2).as("last_price"),
+            coalesce(round(nth_value(col("o_totalprice"), 2).over(wFull), 2), lit(-1.0)).as("second_price"))
+          .orderBy("o_custkey", "o_orderkey")
+      },
+      Some("""SELECT o_custkey, o_orderkey, coalesce(round(lead(o_totalprice, 1) OVER w, 2), -1.0) AS next_price, round(first_value(o_totalprice) OVER wf, 2) AS first_price, round(last_value(o_totalprice) OVER wf, 2) AS last_price, coalesce(round(nth_value(o_totalprice, 2) OVER wf, 2), -1.0) AS second_price FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey), wf AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) ORDER BY o_custkey, o_orderkey"""),
+      "§2.5 ext: lead/first_value/last_value/nth_value"),
+
+    // q78 — higher moments + exact median. Spark's skewness/kurtosis are
+    // the POPULATION g1 / excess-g2 statistics; DuckDB's builtins are the
+    // sample-corrected versions, so the oracle computes the population
+    // formulas from raw central moments.
+    QuerySpec(
+      "q78_stats_moments",
+      (s, d) => {
+        t(s, d, "lineitem").agg(
+          round(skewness(col("l_quantity")), 4).as("skew_qty"),
+          round(kurtosis(col("l_quantity")), 4).as("kurt_qty"),
+          round(median(col("l_extendedprice")), 4).as("med_price"),
+          round(stddev_pop(col("l_quantity")), 4).as("std_pop_qty"))
+      },
+      Some("""WITH s AS (SELECT avg(l_quantity) AS mu, count(*) AS n FROM lineitem), m AS (SELECT sum(power(l_quantity - mu, 2)) / max(n) AS m2, sum(power(l_quantity - mu, 3)) / max(n) AS m3, sum(power(l_quantity - mu, 4)) / max(n) AS m4 FROM lineitem, s) SELECT round(m3 / power(m2, 1.5), 4) AS skew_qty, round(m4 / power(m2, 2) - 3, 4) AS kurt_qty, (SELECT round(median(l_extendedprice), 4) FROM lineitem) AS med_price, round(sqrt(m2), 4) AS std_pop_qty FROM m"""),
+      "A5/A6 ext: skewness/kurtosis/median/stddev_pop"),
+
+    // q79 — array generation: sequence + fold, array_repeat.
+    QuerySpec(
+      "q79_array_gen",
+      (s, d) => {
+        val sq = sequence(lit(1L), pmod(col("o_orderkey"), lit(5L)) + lit(1L))
+        t(s, d, "orders")
+          .select(
+            col("o_orderkey"),
+            size(sq).cast("long").as("seq_len"),
+            aggregate(sq, lit(0L), (a, x) => a + x).as("seq_sum"),
+            array_join(array_repeat(col("o_orderpriority"), 2), "+").as("prio2"))
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, CAST(len(generate_series(1, o_orderkey % 5 + 1)) AS BIGINT) AS seq_len, CAST(list_sum(generate_series(1, o_orderkey % 5 + 1)) AS BIGINT) AS seq_sum, concat(o_orderpriority, '+', o_orderpriority) AS prio2 FROM orders ORDER BY o_orderkey"""),
+      "§2.9 ext: sequence/aggregate-fold/array_repeat"),
+
+    // q80 — interval arithmetic and truncation on event timestamps
+    // (epoch-seconds outputs per the determinism rules).
+    QuerySpec(
+      "q80_time_arith",
+      (s, d) => {
+        t(s, d, "events")
+          .select(
+            col("event_id"),
+            unix_timestamp(date_trunc("hour", col("ts"))).as("hr_epoch"),
+            unix_timestamp(col("ts") + expr("INTERVAL 90 MINUTE")).as("plus90_epoch"),
+            (unix_timestamp(col("ts")) % 3600).as("sec_into_hour"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id, CAST(floor(epoch(date_trunc('hour', CAST(ts AS TIMESTAMP)))) AS BIGINT) AS hr_epoch, CAST(floor(epoch(CAST(ts AS TIMESTAMP) + INTERVAL 90 MINUTE)) AS BIGINT) AS plus90_epoch, CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) % 3600 AS sec_into_hour FROM events ORDER BY event_id"""),
+      "§2.9 ext: interval add + date_trunc on timestamps"),
+
+    // q81 — partitioned parquet SINK + scan-back: documents written
+    // partitioned by lang (the layout a 100 TB corpus would use for
+    // partition-pruned reads), then re-aggregated from the files. The
+    // oracle aggregates the original table — checking the round-trip
+    // loses nothing.
+    QuerySpec(
+      "q81_parquet_sink",
+      (s, d) => {
+        val dir = java.nio.file.Files.createTempDirectory("pqsink").toString
+        t(s, d, "documents").write.partitionBy("lang").mode("overwrite")
+          .parquet(s"$dir/docs_by_lang")
+        s.read.parquet(s"$dir/docs_by_lang")
+          .groupBy("lang")
+          .agg(count(lit(1)).as("cnt"), sum("n_chars").as("total_chars"))
+          .orderBy("lang")
+      },
+      Some("""SELECT lang, count(*) AS cnt, CAST(sum(n_chars) AS BIGINT) AS total_chars FROM documents GROUP BY 1 ORDER BY 1"""),
+      "§2.1 ext: partitioned parquet sink + read-back aggregation"),
+
+    // q82 — JSON struct codecs: from_json with an explicit schema, field
+    // extraction, and a to_json re-encode.
+    QuerySpec(
+      "q82_json_codec",
+      (s, d) => {
+        val parsed = from_json(col("props"), org.apache.spark.sql.types.StructType(
+          Seq(org.apache.spark.sql.types.StructField("k",
+            org.apache.spark.sql.types.LongType))))
+        t(s, d, "events")
+          .select(
+            col("event_id"),
+            parsed.getField("k").as("k"),
+            to_json(struct(parsed.getField("k").as("k"))).as("rejson"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id, CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT) AS k, printf('{"k":%d}', CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT)) AS rejson FROM events ORDER BY event_id"""),
+      "§2.9 ext: from_json schema parse + to_json encode"),
+
+    // q83 — filtered aggregates (FILTER clause) and boolean aggregates.
+    QuerySpec(
+      "q83_filtered_agg",
+      (s, d) => {
+        t(s, d, "lineitem")
+          .groupBy("l_linestatus")
+          .agg(
+            expr("count(*) FILTER (WHERE l_returnflag = 'R')").as("n_r"),
+            round(expr("sum(l_quantity) FILTER (WHERE l_tax > 0.04)"), 2).as("qty_hitax"),
+            expr("count_if(l_discount > 0.09)").as("n_bigdisc"),
+            expr("bool_or(l_discount > 0.09)").cast("int").as("any_bigdisc"),
+            expr("bool_and(l_quantity >= 1)").cast("int").as("all_qty_pos"))
+          .orderBy("l_linestatus")
+      },
+      Some("""SELECT l_linestatus, count(*) FILTER (WHERE l_returnflag = 'R') AS n_r, round(sum(l_quantity) FILTER (WHERE l_tax > 0.04), 2) AS qty_hitax, CAST(sum(CASE WHEN l_discount > 0.09 THEN 1 ELSE 0 END) AS BIGINT) AS n_bigdisc, CAST(bool_or(l_discount > 0.09) AS INT) AS any_bigdisc, CAST(bool_and(l_quantity >= 1) AS INT) AS all_qty_pos FROM lineitem GROUP BY 1 ORDER BY 1"""),
+      "§2.4 ext: FILTER-clause and boolean aggregates"),
+
+    // q84 — IN / NOT IN subqueries (the membership-predicate cousins of
+    // q11/q12's semi/anti joins), through the SQL surface.
+    QuerySpec(
+      "q84_in_subquery",
+      (s, d) => {
+        t(s, d, "customer").createOrReplaceTempView("customer_in")
+        t(s, d, "orders").createOrReplaceTempView("orders_in")
+        s.sql("""
+          SELECT c_custkey, c_name
+          FROM customer_in
+          WHERE c_custkey IN (SELECT o_custkey FROM orders_in WHERE o_totalprice > 200000)
+            AND c_custkey NOT IN (SELECT o_custkey FROM orders_in WHERE o_orderstatus = 'P')
+          ORDER BY c_custkey
+        """)
+      },
+      Some("""SELECT c_custkey, c_name FROM customer WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 200000) AND c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'P') ORDER BY c_custkey"""),
+      "§2.3 ext: IN / NOT IN membership subqueries"),
+
+    // q85 — window dedup (E1 pattern at event granularity): latest event
+    // per (user, type), id-tiebroken.
+    QuerySpec(
+      "q85_window_dedup",
+      (s, d) => {
+        val w = Window.partitionBy("user_id", "event_type")
+          .orderBy(col("ts").desc, col("event_id").desc)
+        t(s, d, "events")
+          .withColumn("rn", row_number().over(w))
+          .where(col("rn") === 1)
+          .select(col("user_id"), col("event_type"), col("event_id"),
+            unix_timestamp(col("ts")).as("ts_epoch"))
+          .orderBy("user_id", "event_type")
+      },
+      Some("""SELECT user_id, event_type, event_id, CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS ts_epoch FROM (SELECT *, row_number() OVER (PARTITION BY user_id, event_type ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn FROM events) WHERE rn = 1 ORDER BY user_id, event_type"""),
+      "E1 ext: keep-latest window dedup"),
+
+    // q86 — edit distance (levenshtein), the character-level similarity
+    // complement to the token-level Jaccard (q36).
+    QuerySpec(
+      "q86_levenshtein",
+      (s, d) => {
+        t(s, d, "documents")
+          .select(
+            col("doc_id"),
+            levenshtein(col("lang"), col("source")).cast("long").as("lev_lang_src"),
+            levenshtein(substring(col("text"), 1, 12), substring(col("text"), 3, 12))
+              .cast("long").as("lev_shift"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, CAST(levenshtein(lang, source) AS BIGINT) AS lev_lang_src, CAST(levenshtein(substr(text, 1, 12), substr(text, 3, 12)) AS BIGINT) AS lev_shift FROM documents ORDER BY doc_id"""),
+      "E2 ext: levenshtein edit distance"),
+
+    // q87 — ordered string aggregation: names concatenated in key order.
+    // Spark has no ordered listagg → sort an array of (key, name) structs
+    // (struct arrays sort field-by-field) and project the names out.
+    QuerySpec(
+      "q87_string_agg",
+      (s, d) => {
+        t(s, d, "customer")
+          .groupBy("c_nationkey")
+          .agg(
+            array_join(
+              transform(
+                array_sort(collect_list(struct(col("c_custkey"), col("c_name")))),
+                x => x.getField("c_name")), "|").as("names"),
+            count(lit(1)).as("cnt"))
+          .orderBy("c_nationkey")
+      },
+      Some("""SELECT c_nationkey, string_agg(c_name, '|' ORDER BY c_custkey) AS names, count(*) AS cnt FROM customer GROUP BY 1 ORDER BY 1"""),
+      "§2.4 ext: ordered string_agg via sorted struct array"))
+}
