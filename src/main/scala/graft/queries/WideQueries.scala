@@ -265,5 +265,36 @@ object WideQueries {
           .orderBy("c_nationkey")
       },
       Some("""SELECT c_nationkey, string_agg(c_name, '|' ORDER BY c_custkey) AS names, count(*) AS cnt FROM customer GROUP BY 1 ORDER BY 1"""),
-      "§2.4 ext: ordered string_agg via sorted struct array"))
+      "§2.4 ext: ordered string_agg via sorted struct array"),
+
+    // q88 — JSON-lines source round-trip: nation written as JSONL, read
+    // back with an explicit schema (no inference pass — the 100 TB
+    // stance), checked against the original parquet.
+    QuerySpec(
+      "q88_jsonl_scan",
+      (s, d) => {
+        val dir = java.nio.file.Files.createTempDirectory("jsonscan").toString
+        t(s, d, "nation").coalesce(1).write.mode("overwrite")
+          .json(s"$dir/nation_json")
+        s.read.schema("n_nationkey BIGINT, n_name STRING, n_regionkey BIGINT")
+          .json(s"$dir/nation_json")
+          .orderBy("n_nationkey")
+      },
+      Some("""SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name, CAST(n_regionkey AS BIGINT) AS n_regionkey FROM nation ORDER BY n_nationkey"""),
+      "§2.1 ext: JSON-lines sink + explicit-schema scan"),
+
+    // q89 — ORC source round-trip: supplier through the ORC format both
+    // ways, aggregated per nation.
+    QuerySpec(
+      "q89_orc_roundtrip",
+      (s, d) => {
+        val dir = java.nio.file.Files.createTempDirectory("orcscan").toString
+        t(s, d, "supplier").write.mode("overwrite").orc(s"$dir/supplier_orc")
+        s.read.orc(s"$dir/supplier_orc")
+          .groupBy("s_nationkey")
+          .agg(count(lit(1)).as("cnt"), round(sum("s_acctbal"), 2).as("total_bal"))
+          .orderBy("s_nationkey")
+      },
+      Some("""SELECT s_nationkey, count(*) AS cnt, round(sum(s_acctbal), 2) AS total_bal FROM supplier GROUP BY 1 ORDER BY 1"""),
+      "§2.1 ext: ORC sink + scan aggregation"))
 }

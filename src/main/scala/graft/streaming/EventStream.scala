@@ -37,6 +37,23 @@ object EventStream {
         unix_timestamp(col("session_window.start")).as("sess_start"),
         col("cnt"), col("total_value"))
 
+  /** Streaming exact dedup (E1 on a stream): duplicates dropped by
+    * event_id within the watermark horizon — state holds only ids newer
+    * than the watermark, so state size is bounded by (rate × watermark),
+    * not by stream history.
+    */
+  def dedupStream(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** Stream-static enrich: a streaming fact joined to a small static
+    * dimension. The dimension broadcasts — per-batch hash join, no
+    * stream-side state at all.
+    */
+  def enrichStream(events: DataFrame, dim: DataFrame, key: String): DataFrame =
+    events.join(broadcast(dim), Seq(key))
+
   case class Event(event_id: Long, ts: Timestamp, user_id: Long, value: Double)
   case class SessionState(start: Long, last: Long, n: Long, total: Double)
   case class SessionOut(user_id: Long, sess_start: Long, cnt: Long, total_value: Double)

@@ -57,6 +57,34 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("dedupStream drops duplicate event_ids within the watermark") {
+    val mem = MemoryStream[Event](spark)
+    val q = EventStream.dedupStream(mem.toDF())
+      .writeStream.format("memory").queryName("dedup").outputMode("append").start()
+    try {
+      mem.addData(Event(1, ts(0), 1, 1.0), Event(1, ts(0), 1, 1.0), Event(2, ts(1), 1, 2.0))
+      q.processAllAvailable()
+      mem.addData(Event(2, ts(2), 1, 2.0), Event(3, ts(3), 1, 3.0))
+      q.processAllAvailable()
+      val got = spark.table("dedup").select("event_id").as[Long].collect().toSeq.sorted
+      assert(got == Seq(1L, 2L, 3L))
+    } finally q.stop()
+  }
+
+  test("enrichStream joins the static dimension per batch") {
+    val mem = MemoryStream[Event](spark)
+    val dim = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "tier")
+    val q = EventStream.enrichStream(mem.toDF(), dim, "user_id")
+      .writeStream.format("memory").queryName("enriched").outputMode("append").start()
+    try {
+      mem.addData(eventsFixture: _*)
+      q.processAllAvailable()
+      val got = spark.table("enriched").select("event_id", "tier")
+        .as[(Long, String)].collect().toMap
+      assert(got(1L) == "gold" && got(4L) == "basic" && got.size == 5)
+    } finally q.stop()
+  }
+
   test("streaming session_window agrees with batch q24 shape") {
     val mem = MemoryStream[Event](spark)
     val q = EventStream.sessionCounts(mem.toDF())
