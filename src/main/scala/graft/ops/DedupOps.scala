@@ -87,6 +87,43 @@ object DedupOps {
           .reduce(_ + _).as("simhash64"))
   }
 
+  /** Connected components over an undirected edge list (a, b) by
+    * iterative min-label propagation: every node starts labeled with its
+    * own id; each round every node takes the min of its own and its
+    * neighbors' labels, until a round changes nothing. Converges in
+    * O(component diameter) rounds — near-dup graphs are dense clusters
+    * with tiny diameters, so this is 2-4 joins in practice. Each round is
+    * a shuffle-keyed join + min-agg (the simplified "small-star" step of
+    * the large/small-star CC algorithm), so it scales out; nothing ever
+    * collects to the driver but the 1-row convergence check.
+    *
+    * Returns (id, cluster) where cluster = min node id in the component —
+    * deterministic, and exactly what a dedup pipeline keys "canonical
+    * document" on.
+    */
+  def connectedComponents(edges: DataFrame, maxIters: Int = 20): DataFrame = {
+    val sym = edges.select(col("a").as("src"), col("b").as("dst"))
+      .union(edges.select(col("b").as("src"), col("a").as("dst")))
+      .cache()
+    var labels = sym.select(col("src").as("id")).distinct()
+      .withColumn("lab", col("id")).cache()
+    var iter = 0
+    var changed = 1L
+    while (changed > 0 && iter < maxIters) {
+      val prop = sym.join(labels, sym("src") === labels("id"))
+        .select(sym("dst").as("id"), labels("lab"))
+      val next = labels.select("id", "lab").union(prop)
+        .groupBy("id").agg(min("lab").as("lab")).cache()
+      changed = next.join(labels.withColumnRenamed("lab", "old"), "id")
+        .where(col("lab") =!= col("old")).count()
+      labels.unpersist()
+      labels = next
+      iter += 1
+    }
+    sym.unpersist()
+    labels.select(col("id"), col("lab").as("cluster"))
+  }
+
   /** Hamming distance between two 64-bit sketches. */
   def hamming(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column)
       : org.apache.spark.sql.Column =

@@ -284,5 +284,65 @@ object ScaleQueries {
           .orderBy("doc_id")
       },
       None,
-      "E5: binary payload + mapPartitions feature extraction (stub decoder)"))
+      "E5: binary payload + mapPartitions feature extraction (stub decoder)"),
+
+    // q90 — E2 near-dup CLUSTERING: the step after pair generation in a
+    // real dedup pipeline. Edges = MinHash candidates confirmed by exact
+    // Jaccard ≥ 0.5; clusters = connected components by min-label
+    // propagation (DedupOps.connectedComponents); cluster id = min doc_id.
+    // Oracle replays the components with a recursive transitive-closure
+    // CTE.
+    QuerySpec(
+      "q90_neardup_clusters",
+      (s, d) => {
+        val sh = shingleSets(s, d)
+        val cand = DedupOps.candidatePairs(DedupOps.minhashSignature(sh, 4))
+        val edges = DedupOps.jaccardForPairs(cand, sh)
+          .where(col("jaccard") >= 0.5).select("a", "b")
+        DedupOps.connectedComponents(edges)
+          .select(col("id").as("doc_id"), col("cluster"))
+          .orderBy("doc_id")
+      },
+      Some(s"""${shingleCte.replaceFirst("WITH ", "WITH RECURSIVE ")}, cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1), inter AS (SELECT c.a, c.b, count(*) AS c FROM cand c JOIN sh sa ON sa.doc_id = c.a JOIN sh sb ON sb.doc_id = c.b AND sb.s = sa.s GROUP BY 1, 2), jac AS (SELECT c.a, c.b FROM cand c JOIN inter i ON i.a = c.a AND i.b = c.b JOIN cnt ca ON ca.doc_id = c.a JOIN cnt cb ON cb.doc_id = c.b WHERE round(i.c * 1.0 / (ca.n + cb.n - i.c), 6) >= 0.5), e AS (SELECT a AS src, b AS dst FROM jac UNION SELECT b, a FROM jac), reach AS (SELECT src AS id, src AS r FROM e UNION SELECT re.id, e.dst FROM reach re JOIN e ON e.src = re.r) SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS cluster FROM reach GROUP BY 1 ORDER BY 1"""),
+      "E2: near-dup clustering via connected components"),
+
+    // q91 — ML-prep feature scaling: z-score (population σ) and min-max,
+    // global stats broadcast onto the rows.
+    QuerySpec(
+      "q91_standardize",
+      (s, d) => {
+        val c = t(s, d, "customer")
+        val stats = c.agg(
+          avg("c_acctbal").as("mu"), stddev_pop(col("c_acctbal")).as("sig"),
+          min("c_acctbal").as("mn"), max("c_acctbal").as("mx"))
+        c.crossJoin(broadcast(stats))
+          .select(
+            col("c_custkey"),
+            round((col("c_acctbal") - col("mu")) / col("sig"), 6).as("z"),
+            round((col("c_acctbal") - col("mn")) / (col("mx") - col("mn")), 6).as("mm"))
+          .orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey, round((c_acctbal - mu) / sig, 6) AS z, round((c_acctbal - mn) / (mx - mn), 6) AS mm FROM customer CROSS JOIN (SELECT avg(c_acctbal) AS mu, stddev_pop(c_acctbal) AS sig, min(c_acctbal) AS mn, max(c_acctbal) AS mx FROM customer) ORDER BY c_custkey"""),
+      "T ext: z-score + min-max feature scaling"),
+
+    // q92 — categorical association: mutual information between lang and
+    // source over the document corpus (feature-selection statistic),
+    // from joint/marginal count aggregates — no driver-side math.
+    QuerySpec(
+      "q92_mutual_info",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val n = docs.agg(count(lit(1)).as("n"))
+        val joint = docs.groupBy("lang", "source").agg(count(lit(1)).as("nxy"))
+        val px = docs.groupBy("lang").agg(count(lit(1)).as("nx"))
+        val py = docs.groupBy("source").agg(count(lit(1)).as("ny"))
+        joint.join(broadcast(px), "lang").join(broadcast(py), "source")
+          .crossJoin(broadcast(n))
+          .agg(
+            round(sum((col("nxy") / col("n")) *
+              log(col("nxy") * col("n") / (col("nx") * col("ny")))), 6).as("mi"),
+            count(lit(1)).as("n_cells"))
+      },
+      Some("""WITH nn AS (SELECT count(*) AS n FROM documents), j AS (SELECT lang, source, count(*) AS nxy FROM documents GROUP BY 1, 2), px AS (SELECT lang, count(*) AS nx FROM documents GROUP BY 1), py AS (SELECT source, count(*) AS ny FROM documents GROUP BY 1) SELECT round(sum((nxy * 1.0 / n) * ln(nxy * 1.0 * n / (nx * 1.0 * ny))), 6) AS mi, count(*) AS n_cells FROM j JOIN px USING (lang) JOIN py USING (source) CROSS JOIN nn"""),
+      "E4 ext: lang×source mutual information"))
 }

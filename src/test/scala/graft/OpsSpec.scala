@@ -80,6 +80,14 @@ class OpsSpec extends SparkSpecBase {
     assert(got.getAs[Double]("jaccard") == 0.5)
   }
 
+  test("connectedComponents labels chains and keeps components apart") {
+    // chain 1-2-3 (1,3 never share an edge) + separate pair 10-11
+    val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a", "b")
+    val got = DedupOps.connectedComponents(edges)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
   test("simhash64 is deterministic and locality-sensitive") {
     def tf(rows: (Long, String, Long)*) = rows.toDF("doc_id", "term", "tf")
     val base = Seq.tabulate(30)(i => s"tok$i")
