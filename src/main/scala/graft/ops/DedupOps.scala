@@ -34,6 +34,30 @@ object DedupOps {
       .select(col("doc_id"),
         array_distinct(TextOps.wordShingles(col("tk"), n)).as("shs"))
 
+  /** Distinct (doc_id, shingle) ROWS — the codegen scale path the
+    * registered dedup queries run on. The array-lambda form above runs
+    * interpreted (higher-order functions are CodegenFallback) and
+    * dominated the whole dedup family's runtime; this build is
+    * posexplode + one keyed window of `lead`s + concat, every operator
+    * whole-stage-codegen or WindowExec. Costs one shuffle of the token
+    * stream (by doc) + one distinct — the right trade at scale, since
+    * shingle construction is per-token CPU either way and rows feed the
+    * signature/Jaccard joins directly. Docs shorter than n tokens yield
+    * no rows (same "never a candidate" outcome as an empty set).
+    */
+  def shingleRows(docs: DataFrame, textCol: String, n: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val leads = (1 until n).map(k => lead("tok", k).over(w).as(s"t$k"))
+    docs.select(col("doc_id"),
+        posexplode(TextOps.tokens(col(textCol))).as(Seq("pos", "tok")))
+      .select(col("doc_id") +: col("tok").as("t0") +: leads: _*)
+      .where(col(s"t${n - 1}").isNotNull)
+      .select(col("doc_id"),
+        concat_ws(" ", (0 until n).map(k => col(s"t$k")): _*).as("s"))
+      .distinct()
+  }
+
   /** MinHash signatures from (doc_id, shs) shingle-set rows. The `bands`
     * hash functions are the disjoint 8-hex-char slices of ONE md5 per
     * shingle — each slice an independent 32-bit min-hash, and hex
@@ -44,14 +68,23 @@ object DedupOps {
     * move afterwards. Docs too short to shingle yield null sigs, which
     * never match in the candidate join.
     */
-  def minhashSignature(shSets: DataFrame, bands: Int): DataFrame = {
+  def minhashSignature(shSets: DataFrame, bands: Int): DataFrame =
+    minhashSignatureRows(
+      shSets.select(col("doc_id"), explode(col("shs")).as("s")), bands)
+
+  /** MinHash signatures from (doc_id, s) shingle ROWS: codegen'd md5 +
+    * map-side per-band min-agg — the shuffle carries only `bands` short
+    * strings per doc.
+    */
+  def minhashSignatureRows(shRows: DataFrame, bands: Int): DataFrame = {
     require(bands >= 1 && bands <= 4, "md5 yields 32 hex chars = at most 4 8-char bands")
-    val sigs = (0 until bands).map { b =>
-      array_min(transform(col("hs"), h => substring(h, b * 8 + 1, 8))).as(s"sig$b")
+    val mins = (0 until bands).map { b =>
+      min(substring(col("h"), b * 8 + 1, 8)).as(s"sig$b")
     }
-    shSets
-      .withColumn("hs", transform(col("shs"), s => md5(s))) // hash each shingle ONCE
-      .select((col("doc_id") +: sigs): _*)
+    shRows
+      .select(col("doc_id"), md5(col("s")).as("h"))
+      .groupBy("doc_id")
+      .agg(mins.head, mins.tail: _*)
       .selectExpr("doc_id",
         s"stack($bands, ${(0 until bands).map(b => s"$b, sig$b").mkString(", ")}) AS (band, sig)")
   }
@@ -105,19 +138,29 @@ object DedupOps {
     val sym = edges.select(col("a").as("src"), col("b").as("dst"))
       .union(edges.select(col("b").as("src"), col("a").as("dst")))
       .cache()
-    var labels = sym.select(col("src").as("id")).distinct()
-      .withColumn("lab", col("id")).cache()
+    // Init already folds one propagation round in: label₀ = min(self,
+    // direct neighbors). Every node appears as src (sym is symmetric),
+    // so this is also the node list.
+    var labels = sym.groupBy("src")
+      .agg(min(least(col("src"), col("dst"))).as("lab"))
+      .select(col("src").as("id"), col("lab")).cache()
     var iter = 0
     var changed = 1L
     while (changed > 0 && iter < maxIters) {
       val prop = sym.join(labels, sym("src") === labels("id"))
-        .select(sym("dst").as("id"), labels("lab"))
-      val next = labels.select("id", "lab").union(prop)
-        .groupBy("id").agg(min("lab").as("lab")).cache()
-      changed = next.join(labels.withColumnRenamed("lab", "old"), "id")
-        .where(col("lab") =!= col("old")).count()
+        .select(sym("dst").as("id"), labels("lab"),
+          lit(null).cast(labels.schema("lab").dataType).as("old"))
+      // One aggregation yields BOTH the new labels and (via the carried
+      // `old` self-label — max ignores the prop rows' nulls) the
+      // convergence count, so each round is a single short job instead of
+      // agg + a second compare join.
+      val next = labels.select(col("id"), col("lab"), col("lab").as("old"))
+        .unionByName(prop)
+        .groupBy("id").agg(min("lab").as("lab"), max("old").as("old"))
+        .cache()
+      changed = next.where(col("lab") < col("old")).count()
       labels.unpersist()
-      labels = next
+      labels = next.select("id", "lab")
       iter += 1
     }
     sym.unpersist()

@@ -40,8 +40,10 @@ object TextOps {
     */
   def wordShingles(toks: Column, n: Int): Column =
     when(size(toks) >= n,
+      // one slice+join per shingle: higher-order lambdas run interpreted,
+      // so a 2-node lambda body beats the n-element_at concat by ~n×
       transform(sequence(lit(1), size(toks) - (n - 1)),
-        i => concat_ws(" ", (0 until n).map(k => element_at(toks, i + lit(k))): _*)))
+        i => array_join(slice(toks, i, lit(n)), " ")))
       .otherwise(array().cast("array<string>"))
 
   /** Count of tokens that appear in `marker` (duplicates counted — this is

@@ -19,16 +19,25 @@ object ScaleQueries {
 
   private def t(s: SparkSession, d: String, n: String): DataFrame = Tables.load(s, d, n)
 
-  /** Per-doc word-5-gram shingle sets (map-side array_distinct — no
-    * shuffle). Cached: q34/q36 each walk this sub-DAG several times, and
-    * Spark's cache manager dedups identical plans so the two queries
-    * share one materialization per session.
+  /** Distinct (doc, 5-gram shingle) rows — the codegen scale path
+    * (DedupOps.shingleRows), cached as the shared base of q34/q36/q90.
+    * Repartition first: the single-file parquet scan yields ONE input
+    * partition, which would serialize the tokenize+explode work.
+    */
+  private def shingleRows(s: SparkSession, d: String): DataFrame =
+    DedupOps.shingleRows(t(s, d, "documents").repartition(col("doc_id")), "text", 5).cache()
+
+  /** Per-doc shingle-set ARRAYS for the pairwise Jaccard step, grouped
+    * from the cached rows (one keyed shuffle, shared q36/q90).
     */
   private def shingleSets(s: SparkSession, d: String): DataFrame =
-    // repartition first: the single-file parquet scan yields ONE input
-    // partition, which would serialize the tokenize+md5 work; the raw
-    // docs are tiny relative to the compute they fan out
-    DedupOps.shingleSets(t(s, d, "documents").repartition(col("doc_id")), "text", 5).cache()
+    shingleRows(s, d).groupBy("doc_id").agg(collect_list(col("s")).as("shs")).cache()
+
+  /** MinHash band-bucket candidate pairs — the shared head of q34/q36/q90,
+    * cached so the signature computation runs once per session.
+    */
+  private def minhashCand(s: SparkSession, d: String): DataFrame =
+    DedupOps.candidatePairs(DedupOps.minhashSignatureRows(shingleRows(s, d), 4)).cache()
 
   /** (doc_id, term, tf) exact term frequencies — the shared base of
     * q29/q30/q35, cached across them.
@@ -72,8 +81,7 @@ object ScaleQueries {
     // string min are identical in DuckDB).
     QuerySpec(
       "q34_minhash_pairs",
-      (s, d) => DedupOps.candidatePairs(DedupOps.minhashSignature(shingleSets(s, d), 4))
-        .orderBy("a", "b"),
+      (s, d) => minhashCand(s, d).orderBy("a", "b"),
       Some(s"""$shingleCte SELECT a, b FROM cand ORDER BY a, b"""),
       "E2: MinHash band-bucket near-dup candidate pairs"),
 
@@ -107,11 +115,8 @@ object ScaleQueries {
     // the compose-don't-cross-join scale pattern.
     QuerySpec(
       "q36_ngram_jaccard",
-      (s, d) => {
-        val sh = shingleSets(s, d)
-        val cand = DedupOps.candidatePairs(DedupOps.minhashSignature(sh, 4))
-        DedupOps.jaccardForPairs(cand, sh).orderBy("a", "b")
-      },
+      (s, d) => DedupOps.jaccardForPairs(minhashCand(s, d), shingleSets(s, d))
+        .orderBy("a", "b"),
       Some(s"""$shingleCte, cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1), inter AS (SELECT c.a, c.b, count(*) AS c FROM cand c JOIN sh sa ON sa.doc_id = c.a JOIN sh sb ON sb.doc_id = c.b AND sb.s = sa.s GROUP BY 1, 2) SELECT c.a AS a, c.b AS b, CAST(coalesce(i.c, 0) AS BIGINT) AS inter_cnt, round(coalesce(i.c, 0) * 1.0 / (ca.n + cb.n - coalesce(i.c, 0)), 6) AS jaccard FROM cand c LEFT JOIN inter i ON i.a = c.a AND i.b = c.b JOIN cnt ca ON ca.doc_id = c.a JOIN cnt cb ON cb.doc_id = c.b ORDER BY a, b"""),
       "E2: exact n-gram Jaccard over MinHash candidates"),
 
@@ -295,9 +300,7 @@ object ScaleQueries {
     QuerySpec(
       "q90_neardup_clusters",
       (s, d) => {
-        val sh = shingleSets(s, d)
-        val cand = DedupOps.candidatePairs(DedupOps.minhashSignature(sh, 4))
-        val edges = DedupOps.jaccardForPairs(cand, sh)
+        val edges = DedupOps.jaccardForPairs(minhashCand(s, d), shingleSets(s, d))
           .where(col("jaccard") >= 0.5).select("a", "b")
         DedupOps.connectedComponents(edges)
           .select(col("id").as("doc_id"), col("cluster"))
