@@ -43,11 +43,10 @@ object Bench {
       val c = spark.read.parquet(s"$sfDir/customer.parquet")
       o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
         .orderBy("o_orderkey").limit(10).count()
-      // JIT the interpreted higher-order-function shingle/minhash path
-      // (CodegenFallback classes load lazily and are hot in q34/q36/q90).
+      // JIT the shingle-row window + minhash path (hot in q34/q36/q90).
       val d50 = spark.read.parquet(s"$sfDir/documents.parquet").limit(50)
-      graft.ops.DedupOps.candidatePairs(graft.ops.DedupOps.minhashSignature(
-        graft.ops.DedupOps.shingleSets(d50, "text", 5), 4)).count()
+      graft.ops.DedupOps.candidatePairs(graft.ops.DedupOps.minhashSignatureRows(
+        graft.ops.DedupOps.shingleRows(d50, "text", 5), 4)).count()
     } catch { case _: Throwable => () }
     // Per-query wall seconds, rounded to 3dp so the whole JSON line stays
     // well under the driver's output-tail capture window (r01's full-precision

@@ -13,8 +13,16 @@ object Smoke {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .withExtensions(new graft.functions.GraftExtensions)
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // extension-injected native function resolves in SQL with no
+    // register() call
+    val cos = spark.sql(
+      """SELECT cosine_sim(CAST(array(1.0, 0.0) AS array<float>),
+                           CAST(array(1.0, 0.0) AS array<float>)) AS c""")
+      .head().getDouble(0)
+    println(s"EXT_COSINE_OK=${math.abs(cos - 1.0) < 1e-12}")
     val df = SparkEntry.entry(spark)
     println(s"ENTRY_ROWS=${df.count()}")
     df.show(false)

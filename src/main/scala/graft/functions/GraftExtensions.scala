@@ -1,0 +1,27 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Session-extension entry point: makes the engine's native expressions
+  * first-class SQL functions in any session built with
+  *
+  *   SparkSession.builder().withExtensions(new GraftExtensions)
+  *
+  * or `spark.sql.extensions=graft.functions.GraftExtensions` — the
+  * library-grade alternative to per-session `register(...)` calls
+  * (which remain for ad-hoc sessions; both are idempotent).
+  *
+  * This is preference order (b) of the build brief: the engine needs no
+  * custom LogicalPlan/Strategy (Catalyst's built-ins cover every §2
+  * operator), so the only injection is the expression registry.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
+      (exprs: Seq[Expression]) => CosineSimilarity(exprs(0), exprs(1))))
+  }
+}

@@ -23,8 +23,9 @@ object AnnOps {
     // Cached: fit makes one pass per iteration and would otherwise re-run
     // the parquet scan + array→vector conversion each time.
     val model = new KMeans().setK(k).setSeed(seed).setFeaturesCol("v")
-      .setMaxIter(5).setInitMode("random") // coarse cells only — skip the
-      // multi-pass k-means|| init; centroid quality ≪ assignment cost here
+      .setMaxIter(3).setInitMode("random") // coarse cells only — skip the
+      // multi-pass k-means|| init; centroid quality ≪ assignment cost for
+      // an nprobe-style coarse quantizer, so 3 Lloyd passes suffice
       .setPredictionCol("cell").fit(withVec)
     model.transform(withVec).drop("v")
   }

@@ -40,4 +40,24 @@ object JoinOps {
       .select(col(key), col("l_id").as(leftId), col("t").as(leftTime),
         col("matched").as(rightId))
   }
+
+  /** Bloom-filter semi-join: a driver-built Bloom filter over the build
+    * side's keys pre-filters the fact side BEFORE the exact semi-join —
+    * at scale this drops most fact rows ahead of the shuffle for the
+    * price of one broadcast bitset. False positives are removed by the
+    * exact join, so the result is identical to a plain left-semi join
+    * (the oracle is EXISTS SQL); the UDF probe sits outside every
+    * grouping/join codegen span.
+    */
+  def bloomSemiJoin(fact: DataFrame, build: DataFrame, factKey: String,
+      buildKey: String, fpp: Double = 0.01): DataFrame = {
+    val n = math.max(build.count(), 1L)
+    val bloom = build.stat.bloomFilter(buildKey, n, fpp)
+    val bc = fact.sparkSession.sparkContext.broadcast(bloom)
+    val mightContain = udf((k: Long) => bc.value.mightContainLong(k))
+    fact
+      .where(col(factKey).isNotNull && mightContain(col(factKey)))
+      .join(build.select(col(buildKey)),
+        col(factKey) === col(buildKey), "left_semi")
+  }
 }

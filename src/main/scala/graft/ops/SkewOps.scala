@@ -27,4 +27,20 @@ object SkewOps {
       .groupBy(key.map(col): _*)
       .agg(sum(col("ps")).as("total"), sum(col("pc")).cast("long").as("cnt"))
   }
+
+  /** Salted replicated join: the manual skew-join pattern for when a few
+    * hot fact keys would overwhelm one reducer. The fact side gets a
+    * deterministic salt from a unique column; the (small) build side is
+    * replicated once per salt; the join key becomes (key, salt), so a hot
+    * key's rows spread over `salts` tasks. Result set is identical to the
+    * plain join — the oracle is unsalted SQL.
+    */
+  def saltedJoin(
+      fact: DataFrame, build: DataFrame, key: String,
+      saltSource: Column, salts: Int): DataFrame = {
+    val salted = fact.withColumn("__salt", pmod(hash(saltSource), lit(salts)))
+    val replicated = build.withColumn("__salt",
+      explode(array((0 until salts).map(lit): _*)))
+    salted.join(replicated, Seq(key, "__salt")).drop("__salt")
+  }
 }

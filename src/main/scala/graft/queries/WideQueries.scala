@@ -296,5 +296,65 @@ object WideQueries {
           .orderBy("s_nationkey")
       },
       Some("""SELECT s_nationkey, count(*) AS cnt, round(sum(s_acctbal), 2) AS total_bal FROM supplier GROUP BY 1 ORDER BY 1"""),
-      "§2.1 ext: ORC sink + scan aggregation"))
+      "§2.1 ext: ORC sink + scan aggregation"),
+
+    // q93 — bigram language-model scoring (E4): per-doc mean log
+    // probability under the corpus MLE bigram model p(w2|w1) = c(w1,w2)
+    // / c(w1·) — the classic fluency/quality signal for training-data
+    // filtering. Bigrams come from the codegen lead-window path; the
+    // count tables broadcast.
+    QuerySpec(
+      "q93_bigram_lm",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("doc_id").orderBy("pos")
+        val inst = t(s, d, "documents")
+          .repartition(col("doc_id"))
+          .select(col("doc_id"),
+            posexplode(graft.ops.TextOps.tokens(col("text"))).as(Seq("pos", "w1")))
+          .withColumn("w2", lead("w1", 1).over(w))
+          .where(col("w2").isNotNull)
+          .select("doc_id", "w1", "w2")
+        val cb = inst.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+        val cu = inst.groupBy("w1").agg(count(lit(1)).as("cu"))
+        inst.join(broadcast(cb), Seq("w1", "w2")).join(broadcast(cu), Seq("w1"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_bigrams"),
+            round(avg(log(col("cb") / col("cu"))), 6).as("avg_lp"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH tok AS (SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents), bi AS (SELECT doc_id, u['w1'] AS w1, u['w2'] AS w2 FROM (SELECT doc_id, unnest([{'w1': tk[i], 'w2': tk[i+1]} for i in generate_series(1, len(tk) - 1)]) AS u FROM tok) z), cb AS (SELECT w1, w2, count(*) AS cb FROM bi GROUP BY 1, 2), cu AS (SELECT w1, count(*) AS cu FROM bi GROUP BY 1) SELECT doc_id, count(*) AS n_bigrams, round(avg(ln(cb * 1.0 / cu)), 6) AS avg_lp FROM bi JOIN cb USING (w1, w2) JOIN cu USING (w1) GROUP BY 1 ORDER BY 1"""),
+      "E4 ext: corpus bigram-LM fluency scoring"),
+
+    // q94 — salted replicated JOIN (SkewOps.saltedJoin): hot fact keys
+    // spread over 8 salts, build side replicated; result == plain join.
+    QuerySpec(
+      "q94_salted_join",
+      (s, d) => {
+        val ev = t(s, d, "events")
+        val dim = ev.groupBy("user_id").agg(count(lit(1)).as("user_total"))
+        graft.ops.SkewOps.saltedJoin(
+            ev.select("event_id", "user_id"), dim, "user_id", col("event_id"), 8)
+          .select(col("event_id"), col("user_id"), col("user_total"))
+          .orderBy("event_id")
+      },
+      Some("""WITH d AS (SELECT user_id, count(*) AS user_total FROM events GROUP BY 1) SELECT event_id, e.user_id AS user_id, user_total FROM events e JOIN d ON e.user_id = d.user_id ORDER BY event_id"""),
+      "§4 ext: salted replicated join == plain join"),
+
+    // q95 — Bloom-filter pre-filtered semi-join (JoinOps.bloomSemiJoin):
+    // broadcast bitset drops non-matching fact rows before the shuffle;
+    // the exact semi-join removes false positives, so the oracle is the
+    // plain EXISTS.
+    QuerySpec(
+      "q95_bloom_semi_join",
+      (s, d) => {
+        val rich = t(s, d, "customer")
+          .where(col("c_acctbal") > 9000).select("c_custkey")
+        graft.ops.JoinOps.bloomSemiJoin(
+            t(s, d, "orders").select("o_orderkey", "o_custkey", "o_totalprice"),
+            rich, "o_custkey", "c_custkey")
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders WHERE EXISTS (SELECT 1 FROM customer WHERE c_custkey = o_custkey AND c_acctbal > 9000) ORDER BY o_orderkey"""),
+      "§4 ext: Bloom pre-filter + exact semi-join"))
 }
