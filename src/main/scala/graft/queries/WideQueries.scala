@@ -356,5 +356,94 @@ object WideQueries {
           .orderBy("o_orderkey")
       },
       Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders WHERE EXISTS (SELECT 1 FROM customer WHERE c_custkey = o_custkey AND c_acctbal > 9000) ORDER BY o_orderkey"""),
-      "§4 ext: Bloom pre-filter + exact semi-join"))
+      "§4 ext: Bloom pre-filter + exact semi-join"),
+
+    // q96 — math scalar functions (§2.9): roots, exponentials, logs,
+    // trig, sign. Rounded so last-ulp libm differences can't flip values.
+    QuerySpec(
+      "q96_math_funcs",
+      (s, d) => {
+        t(s, d, "lineitem")
+          .select(
+            col("l_orderkey"), col("l_linenumber"),
+            round(sqrt(col("l_quantity")), 6).as("sq"),
+            round(exp(col("l_discount")), 6).as("ex"),
+            round(pow(col("l_quantity"), 2), 2).as("p2"),
+            round(log10(col("l_extendedprice")), 6).as("l10"),
+            round(atan2(col("l_quantity"), col("l_extendedprice")), 6).as("at2"),
+            signum(col("l_discount") - 0.05).cast("int").as("sgn"))
+          .orderBy("l_orderkey", "l_linenumber")
+      },
+      Some("""SELECT l_orderkey, l_linenumber, round(sqrt(l_quantity), 6) AS sq, round(exp(l_discount), 6) AS ex, round(power(l_quantity, 2), 2) AS p2, round(log10(l_extendedprice), 6) AS l10, round(atan2(l_quantity, l_extendedprice), 6) AS at2, CAST(sign(l_discount - 0.05) AS INT) AS sgn FROM lineitem ORDER BY l_orderkey, l_linenumber"""),
+      "§2.9 ext: sqrt/exp/pow/log10/atan2/sign"),
+
+    // q97 — binary encodings: base64 of UTF-8 bytes, integer hex,
+    // ascii/chr round-trips.
+    QuerySpec(
+      "q97_encoding",
+      (s, d) => {
+        t(s, d, "documents")
+          .select(
+            col("doc_id"),
+            base64(encode(substring(col("text"), 1, 24), "UTF-8")).as("b64"),
+            hex(col("doc_id")).as("id_hex"),
+            ascii(substring(col("source"), 1, 1)).cast("long").as("src_ascii"),
+            expr("char(65 + doc_id % 26)").as("letter"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, base64(encode(substr(text, 1, 24))) AS b64, hex(doc_id) AS id_hex, CAST(ascii(substr(source, 1, 1)) AS BIGINT) AS src_ascii, chr(CAST(65 + doc_id % 26 AS INT)) AS letter FROM documents ORDER BY doc_id"""),
+      "§2.9 ext: base64/hex/ascii/chr encodings"),
+
+    // q98 — deterministic stratified sampling (the oracle-checkable
+    // re-expression of df.stat.sampleBy): per-stratum rates driven by a
+    // multiplicative hash of the row key — 50% of 'en' docs, 10% of the
+    // rest, reproducible on any engine.
+    QuerySpec(
+      "q98_stratified_sample",
+      (s, d) => {
+        val u = (col("doc_id") % 100003L) * 2654435761L % 100L
+        t(s, d, "documents")
+          .where((col("lang") === "en" && u < 50) ||
+                 (col("lang") =!= "en" && u < 10))
+          .select(col("doc_id"), col("lang"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, lang FROM documents WHERE (lang = 'en' AND (doc_id % 100003) * 2654435761 % 100 < 50) OR (lang <> 'en' AND (doc_id % 100003) * 2654435761 % 100 < 10) ORDER BY doc_id"""),
+      "§2.8 ext: deterministic stratified sampleBy"),
+
+    // q99 — typed Dataset pipeline: case-class encoder, typed filter and
+    // map. Typed lambdas run outside codegen and block pushdown — kept
+    // out of every other query on purpose; this one pins that the API
+    // surface exists and agrees with the relational result.
+    QuerySpec(
+      "q99_typed_dataset",
+      (s, d) => {
+        val sp = s
+        import sp.implicits._
+        t(s, d, "orders")
+          .select("o_orderkey", "o_custkey", "o_totalprice")
+          .as[WideQueries.Ord]
+          .filter(_.o_totalprice > 100000.0)
+          .map(o => (o.o_orderkey, o.o_custkey, o.o_totalprice * 0.9))
+          .toDF("o_orderkey", "o_custkey", "discounted")
+          .withColumn("discounted", round(col("discounted"), 4))
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_custkey, round(o_totalprice * 0.9, 4) AS discounted FROM orders WHERE o_totalprice > 100000.0 ORDER BY o_orderkey"""),
+      "§1.1: typed Dataset filter/map == relational result"),
+
+    // q100 — contingency table (df.stat.crosstab); the oracle is the
+    // conditional-aggregation expansion with crosstab's column naming.
+    QuerySpec(
+      "q100_crosstab",
+      (s, d) => {
+        t(s, d, "lineitem")
+          .stat.crosstab("l_returnflag", "l_linestatus")
+          .orderBy("l_returnflag_l_linestatus")
+      },
+      Some("""SELECT l_returnflag AS l_returnflag_l_linestatus, CAST(sum(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS "F", CAST(sum(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS "O" FROM lineitem GROUP BY 1 ORDER BY 1"""),
+      "A5 ext: stat.crosstab contingency table"))
+
+  /** Typed row for q99's Dataset pipeline. */
+  case class Ord(o_orderkey: Long, o_custkey: Long, o_totalprice: Double)
 }
