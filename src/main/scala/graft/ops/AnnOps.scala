@@ -30,6 +30,26 @@ object AnnOps {
     model.transform(withVec).drop("v")
   }
 
+  /** One-pass IVF-flat assignment: the k lowest-id vectors ARE the
+    * centroids (a deterministic sample — fine for a coarse quantizer),
+    * and every vector joins its argmax-cosine centroid in a single
+    * broadcast pass. No iterations, no MLlib, fully oracle-expressible —
+    * the scale path when index-build time matters more than cell balance.
+    */
+  def ivfAssignFlat(emb: DataFrame, k: Int): DataFrame = {
+    graft.functions.CosineSimilarity.register(emb.sparkSession)
+    import org.apache.spark.sql.expressions.Window
+    val cents = emb.where(col("vec_id") < k)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("ce"))
+    val w = Window.partitionBy("vec_id").orderBy(col("cos_c").desc, col("cent_id").asc)
+    emb.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("embedding"), col("cent_id"),
+        round(expr("cosine_sim(embedding, ce)"), 6).as("cos_c"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("vec_id"), col("embedding"), col("cent_id").as("cell"))
+  }
+
   /** Top-1 same-cell neighbor per query vector, ranked by the fused
     * cosine_sim expression (rounded, id-tiebroken → deterministic).
     */

@@ -347,5 +347,23 @@ object ScaleQueries {
             count(lit(1)).as("n_cells"))
       },
       Some("""WITH nn AS (SELECT count(*) AS n FROM documents), j AS (SELECT lang, source, count(*) AS nxy FROM documents GROUP BY 1, 2), px AS (SELECT lang, count(*) AS nx FROM documents GROUP BY 1), py AS (SELECT source, count(*) AS ny FROM documents GROUP BY 1) SELECT round(sum((nxy * 1.0 / n) * ln(nxy * 1.0 * n / (nx * 1.0 * ny))), 6) AS mi, count(*) AS n_cells FROM j JOIN px USING (lang) JOIN py USING (source) CROSS JOIN nn"""),
-      "E4 ext: lang×source mutual information"))
+      "E4 ext: lang×source mutual information"),
+
+    // q101 — one-pass IVF-flat ANN (AnnOps.ivfAssignFlat): deterministic
+    // centroid sample (k lowest ids) makes the WHOLE index+search
+    // pipeline oracle-expressible, unlike q60's iterative KMeans cells —
+    // the build-time-cheap scale path.
+    QuerySpec(
+      "q101_ivf_flat",
+      (s, d) => {
+        val assigned = graft.ops.AnnOps.ivfAssignFlat(t(s, d, "embeddings"), 8)
+        graft.ops.AnnOps.ivfTop1(assigned, col("vec_id") < 10)
+          .select(col("qid"), col("cid"), col("cell").cast("long").as("cell"), col("cos_r"))
+          .orderBy("qid")
+      },
+      Some {
+        val dot = "round(list_sum([CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE) for i in generate_series(1, len(a.embedding))]) / (a.nrm * b.nrm), 6)"
+        s"""WITH e AS (SELECT vec_id, embedding, $emL2 AS nrm FROM embeddings), asg AS (SELECT a.vec_id, a.embedding, a.nrm, b.vec_id AS cell, row_number() OVER (PARTITION BY a.vec_id ORDER BY $dot DESC, b.vec_id) AS rn FROM e a CROSS JOIN (SELECT vec_id, embedding, nrm FROM e WHERE vec_id < 8) b), cells AS (SELECT vec_id, embedding, nrm, cell FROM asg WHERE rn = 1), p AS (SELECT a.vec_id AS qid, b.vec_id AS cid, a.cell AS cell, $dot AS cos_r FROM cells a JOIN cells b ON a.cell = b.cell AND b.vec_id <> a.vec_id WHERE a.vec_id < 10), r AS (SELECT qid, cid, cell, cos_r, row_number() OVER (PARTITION BY qid ORDER BY cos_r DESC, cid) AS rn FROM p) SELECT qid, cid, CAST(cell AS BIGINT) AS cell, cos_r FROM r WHERE rn = 1 ORDER BY qid"""
+      },
+      "E3: one-pass IVF-flat ANN, fully oracle-checked"))
 }

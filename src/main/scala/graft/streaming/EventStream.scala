@@ -54,6 +54,20 @@ object EventStream {
   def enrichStream(events: DataFrame, dim: DataFrame, key: String): DataFrame =
     events.join(broadcast(dim), Seq(key))
 
+  /** Micro-batch parquet sink via foreachBatch — the escape hatch for
+    * sinks without native streaming support; each batch appends tagged
+    * with its batch id (idempotent restarts key on it).
+    */
+  def sinkToParquet(events: DataFrame, outDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        batch.withColumn("batch_id", lit(id))
+          .write.mode("append").parquet(outDir)
+      }
+      .outputMode("append")
+      .start()
+
   case class Event(event_id: Long, ts: Timestamp, user_id: Long, value: Double)
   case class SessionState(start: Long, last: Long, n: Long, total: Double)
   case class SessionOut(user_id: Long, sess_start: Long, cnt: Long, total_value: Double)

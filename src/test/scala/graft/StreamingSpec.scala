@@ -85,6 +85,19 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("foreachBatch parquet sink lands every row with a batch id") {
+    val dir = java.nio.file.Files.createTempDirectory("fb").toString + "/out"
+    val mem = MemoryStream[Event](spark)
+    val q = EventStream.sinkToParquet(mem.toDF(), dir)
+    try {
+      mem.addData(eventsFixture: _*)
+      q.processAllAvailable()
+      val got = spark.read.parquet(dir)
+      assert(got.count() == 5)
+      assert(got.columns.contains("batch_id"))
+    } finally q.stop()
+  }
+
   test("streaming session_window agrees with batch q24 shape") {
     val mem = MemoryStream[Event](spark)
     val q = EventStream.sessionCounts(mem.toDF())
