@@ -442,7 +442,60 @@ object WideQueries {
           .orderBy("l_returnflag_l_linestatus")
       },
       Some("""SELECT l_returnflag AS l_returnflag_l_linestatus, CAST(sum(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS "F", CAST(sum(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS "O" FROM lineitem GROUP BY 1 ORDER BY 1"""),
-      "A5 ext: stat.crosstab contingency table"))
+      "A5 ext: stat.crosstab contingency table"),
+
+    // q102 — Spark 4 VARIANT type: parse_json → typed path extraction
+    // (+ try_variant_get null on a missing path). The variant never
+    // leaves the plan; the oracle checks the extracted values.
+    QuerySpec(
+      "q102_variant",
+      (s, d) => {
+        val v = parse_json(col("props"))
+        t(s, d, "events")
+          .select(
+            col("event_id"),
+            variant_get(v, "$.k", "bigint").as("k"),
+            expr("""variant_get(parse_json('{"a":[1,2,3]}'), '$.a[1]', 'bigint')""").as("const_a1"),
+            coalesce(try_variant_get(v, "$.missing", "bigint"), lit(-1L)).as("missing"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id, CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT) AS k, CAST(2 AS BIGINT) AS const_a1, CAST(-1 AS BIGINT) AS missing FROM events ORDER BY event_id"""),
+      "§2.9 ext: VARIANT parse_json/variant_get"),
+
+    // q103 — ANSI-safe try_* functions: division by zero and bad casts
+    // yield NULL instead of raising (DuckDB's / and TRY_CAST behave the
+    // same natively).
+    QuerySpec(
+      "q103_try_funcs",
+      (s, d) => {
+        t(s, d, "lineitem")
+          .select(
+            col("l_orderkey"), col("l_linenumber"),
+            round(try_divide(col("l_quantity"), col("l_discount")), 4).as("qty_per_disc"),
+            round(try_divide(lit(100.0), col("l_tax")), 4).as("hundred_per_tax"),
+            expr("try_cast(l_returnflag AS int)").as("flag_int"),
+            expr("try_cast(concat('4', l_linenumber) AS int)").as("num_ok"))
+          .orderBy("l_orderkey", "l_linenumber")
+      },
+      Some("""SELECT l_orderkey, l_linenumber, round(l_quantity / l_discount, 4) AS qty_per_disc, round(100.0 / l_tax, 4) AS hundred_per_tax, TRY_CAST(l_returnflag AS INT) AS flag_int, TRY_CAST(concat('4', CAST(l_linenumber AS VARCHAR)) AS INT) AS num_ok FROM lineitem ORDER BY l_orderkey, l_linenumber"""),
+      "§2.9 ext: try_divide/try_cast null-on-error semantics"),
+
+    // q104 — regexp_extract_all: all matches as an array, probed by
+    // count/first/last.
+    QuerySpec(
+      "q104_regexp_extract_all",
+      (s, d) => {
+        val arr = regexp_extract_all(col("text"), lit("[a-z]{5,}"), lit(0))
+        t(s, d, "documents")
+          .select(
+            col("doc_id"),
+            size(arr).cast("long").as("n_m"),
+            coalesce(element_at(arr, 1), lit("-")).as("first_m"),
+            coalesce(element_at(arr, -1), lit("-")).as("last_m"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, CAST(len(regexp_extract_all(text, '[a-z]{5,}')) AS BIGINT) AS n_m, coalesce(regexp_extract_all(text, '[a-z]{5,}')[1], '-') AS first_m, coalesce(regexp_extract_all(text, '[a-z]{5,}')[-1], '-') AS last_m FROM documents ORDER BY doc_id"""),
+      "§2.9 ext: regexp_extract_all array probing"))
 
   /** Typed row for q99's Dataset pipeline. */
   case class Ord(o_orderkey: Long, o_custkey: Long, o_totalprice: Double)
