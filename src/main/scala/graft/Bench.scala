@@ -61,7 +61,12 @@ object Bench {
       name -> (if (ok) math.rint(secs * 1000) / 1000 else -1.0)
     }
     def f(v: Double): String = if (v == -1.0) "-1" else "%.3f".format(v)
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f(v) }
+    // Keys shortened to the unique qNN prefix: the full 104-query map
+    // with long names exceeds the ~2KB output-tail window the driver
+    // captures (the r01 line was truncated there and parsed as null).
+    val short = results.map { case (k, v) => k.takeWhile(_ != '_') -> v }
+    val qs = (if (short.keySet.size == results.size) short else results)
+      .map { case (k, v) => "\"" + k + "\":" + f(v) }
       .mkString("{", ",", "}")
     val total = math.rint(results.values.filter(_ >= 0).sum * 1000) / 1000
     println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
