@@ -495,7 +495,47 @@ object WideQueries {
           .orderBy("doc_id")
       },
       Some("""SELECT doc_id, CAST(len(regexp_extract_all(text, '[a-z]{5,}')) AS BIGINT) AS n_m, coalesce(regexp_extract_all(text, '[a-z]{5,}')[1], '-') AS first_m, coalesce(regexp_extract_all(text, '[a-z]{5,}')[-1], '-') AS last_m FROM documents ORDER BY doc_id"""),
-      "§2.9 ext: regexp_extract_all array probing"))
+      "§2.9 ext: regexp_extract_all array probing"),
+
+    // q105 — explode_outer: rows with an empty/filtered-away array
+    // survive with a NULL element (vs explode, which drops them). The
+    // filter keeps only long tokens so short docs genuinely exercise the
+    // outer branch.
+    QuerySpec(
+      "q105_explode_outer",
+      (s, d) => {
+        val longToks = filter(split(lower(col("text")), " "), t => length(t) >= 9)
+        t(s, d, "documents")
+          .select(col("doc_id"), explode_outer(longToks).as("tok"))
+          .select(col("doc_id"), coalesce(col("tok"), lit("<none>")).as("tok"))
+          .orderBy("doc_id", "tok")
+      },
+      Some("""SELECT doc_id, coalesce(u.tok, '<none>') AS tok FROM documents LEFT JOIN LATERAL (SELECT unnest(list_filter(string_split(lower(text), ' '), t -> length(t) >= 9)) AS tok) u ON true ORDER BY doc_id, tok"""),
+      "§2.9 ext: explode_outer null-preserving generator"),
+
+    // q106 — LATERAL correlated derived table (§2.3 ext): per-customer
+    // top order via a lateral subquery — Catalyst decorrelates it like
+    // q68's scalar subquery but with a full row result.
+    QuerySpec(
+      "q106_lateral_join",
+      (s, d) => {
+        t(s, d, "customer").createOrReplaceTempView("customer_lat")
+        t(s, d, "orders").createOrReplaceTempView("orders_lat")
+        s.sql("""
+          SELECT c_custkey, t.best_key, t.best_price
+          FROM customer_lat,
+          LATERAL (
+            SELECT max_by(o_orderkey,
+                     CAST(round(o_totalprice * 100) AS BIGINT) * 10000000 + o_orderkey) AS best_key,
+                   max(o_totalprice) AS best_price
+            FROM orders_lat WHERE o_custkey = c_custkey
+          ) t
+          WHERE t.best_key IS NOT NULL
+          ORDER BY c_custkey
+        """)
+      },
+      Some("""SELECT c_custkey, t.best_key, t.best_price FROM customer, LATERAL (SELECT arg_max(o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) * 10000000 + o_orderkey) AS best_key, max(o_totalprice) AS best_price FROM orders WHERE o_custkey = c_custkey) t WHERE t.best_key IS NOT NULL ORDER BY c_custkey"""),
+      "§2.3 ext: LATERAL correlated derived table"))
 
   /** Typed row for q99's Dataset pipeline. */
   case class Ord(o_orderkey: Long, o_custkey: Long, o_totalprice: Double)

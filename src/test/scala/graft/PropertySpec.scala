@@ -65,6 +65,31 @@ class PropertySpec extends SparkSpecBase {
     }
   }
 
+  test("connectedComponents matches a plain-Scala union-find on random graphs") {
+    val edgeGen: Gen[List[(Long, Long)]] =
+      Gen.chooseNum(1, 12).flatMap(m => Gen.listOfN(m,
+        for {
+          a <- Gen.chooseNum(0L, 14L)
+          b <- Gen.chooseNum(0L, 14L) if a != b
+        } yield (math.min(a, b), math.max(a, b))))
+    for (edges <- samples(edgeGen, 5) if edges.nonEmpty) {
+      // reference: union-find over the same edges
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = parent.keys.map(n => n -> find(n)).toMap
+      val got = DedupOps.connectedComponents(edges.toDF("a", "b"))
+        .as[(Long, Long)].collect().toMap
+      assert(got == expected, s"edges=$edges")
+    }
+  }
+
   test("stopword removal never increases token count; removed ⊆ stoplist") {
     for (ws <- samples(Gen.listOfN(15, Gen.oneOf("the", "a", "cat", "dog", "runs")), 6)) {
       val text = ws.mkString(" ")
