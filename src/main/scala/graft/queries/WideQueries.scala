@@ -535,7 +535,41 @@ object WideQueries {
         """)
       },
       Some("""SELECT c_custkey, t.best_key, t.best_price FROM customer, LATERAL (SELECT arg_max(o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) * 10000000 + o_orderkey) AS best_key, max(o_totalprice) AS best_price FROM orders WHERE o_custkey = c_custkey) t WHERE t.best_key IS NOT NULL ORDER BY c_custkey"""),
-      "§2.3 ext: LATERAL correlated derived table"))
+      "§2.3 ext: LATERAL correlated derived table"),
+
+    // q107 — bucketed co-located join: both fact tables written bucketBy
+    // the join key, so the join itself plans with NO exchange on either
+    // side — at 100 TB the one-off ETL shuffle at write time replaces a
+    // per-query fact shuffle. Result (and oracle) are identical to the
+    // plain join; BucketingSpec pins the no-Exchange plan property.
+    QuerySpec(
+      "q107_bucketed_join",
+      (s, d) => {
+        for (tbl <- Seq("li_bq107", "o_bq107")) {
+          s.sql(s"DROP TABLE IF EXISTS $tbl")
+          // the in-memory catalog forgets tables between JVM runs but the
+          // warehouse dirs persist → LOCATION_ALREADY_EXISTS; clear them
+          val p = java.nio.file.Paths.get("spark-warehouse", tbl)
+          if (java.nio.file.Files.exists(p)) {
+            import scala.jdk.CollectionConverters._
+            java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+              .foreach(java.nio.file.Files.deleteIfExists(_))
+          }
+        }
+        t(s, d, "lineitem").select("l_orderkey", "l_quantity")
+          .write.mode("overwrite").bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+          .saveAsTable("li_bq107")
+        t(s, d, "orders").select("o_orderkey", "o_orderstatus")
+          .write.mode("overwrite").bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+          .saveAsTable("o_bq107")
+        s.table("li_bq107")
+          .join(s.table("o_bq107"), col("l_orderkey") === col("o_orderkey"))
+          .groupBy("o_orderstatus")
+          .agg(round(sum("l_quantity"), 2).as("sum_qty"), count(lit(1)).as("cnt"))
+          .orderBy("o_orderstatus")
+      },
+      Some("""SELECT o_orderstatus, round(sum(l_quantity), 2) AS sum_qty, count(*) AS cnt FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY 1 ORDER BY 1"""),
+      "§4 ext: bucketed co-located join == plain join"))
 
   /** Typed row for q99's Dataset pipeline. */
   case class Ord(o_orderkey: Long, o_custkey: Long, o_totalprice: Double)
