@@ -556,10 +556,14 @@ object WideQueries {
               .foreach(java.nio.file.Files.deleteIfExists(_))
           }
         }
+        // pre-repartition on the bucket key with numPartitions = buckets:
+        // one file per bucket instead of (input partitions × buckets)
         t(s, d, "lineitem").select("l_orderkey", "l_quantity")
+          .repartition(8, col("l_orderkey"))
           .write.mode("overwrite").bucketBy(8, "l_orderkey").sortBy("l_orderkey")
           .saveAsTable("li_bq107")
         t(s, d, "orders").select("o_orderkey", "o_orderstatus")
+          .repartition(8, col("o_orderkey"))
           .write.mode("overwrite").bucketBy(8, "o_orderkey").sortBy("o_orderkey")
           .saveAsTable("o_bq107")
         s.table("li_bq107")
@@ -569,7 +573,67 @@ object WideQueries {
           .orderBy("o_orderstatus")
       },
       Some("""SELECT o_orderstatus, round(sum(l_quantity), 2) AS sum_qty, count(*) AS cnt FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY 1 ORDER BY 1"""),
-      "§4 ext: bucketed co-located join == plain join"))
+      "§4 ext: bucketed co-located join == plain join"),
+
+    // q108 — map higher-order functions: transform_keys /
+    // transform_values / map_filter. As in q75, the maps stay inside the
+    // plan; the oracle checks the probed values.
+    QuerySpec(
+      "q108_map_hofs",
+      (s, d) => {
+        val m = map_from_arrays(
+          array(lit("qty"), lit("tax")),
+          array(col("l_quantity"), col("l_tax")))
+        t(s, d, "lineitem")
+          .select(
+            col("l_orderkey"), col("l_linenumber"),
+            element_at(transform_keys(m, (k, _) => upper(k)), "QTY").as("qty_up"),
+            element_at(transform_values(m, (_, v) => v * 2), "tax").as("tax2"),
+            size(map_filter(m, (_, v) => v > 0.02)).cast("long").as("n_keep"))
+          .orderBy("l_orderkey", "l_linenumber")
+      },
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity AS qty_up, l_tax * 2 AS tax2, CAST((CASE WHEN l_quantity > 0.02 THEN 1 ELSE 0 END) + (CASE WHEN l_tax > 0.02 THEN 1 ELSE 0 END) AS BIGINT) AS n_keep FROM lineitem ORDER BY l_orderkey, l_linenumber"""),
+      "§2.9 ext: transform_keys/transform_values/map_filter"),
+
+    // q109 — array set algebra: union / except / overlap over token
+    // slices (sizes only — Spark's set ops dedup while preserving
+    // first-occurrence order, so sizes are the portable comparison).
+    QuerySpec(
+      "q109_array_setops",
+      (s, d) => {
+        val toks = split(lower(col("text")), " ")
+        val ta = slice(toks, 1, 10)
+        val tb = slice(toks, 6, 10)
+        t(s, d, "documents")
+          .select(
+            col("doc_id"),
+            size(array_union(ta, tb)).cast("long").as("n_union"),
+            size(array_except(ta, tb)).cast("long").as("n_except"),
+            size(array_intersect(ta, tb)).cast("long").as("n_inter"),
+            arrays_overlap(ta, tb).cast("int").as("overlaps"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH z AS (SELECT doc_id, string_split(lower(text), ' ')[1:10] AS ta, string_split(lower(text), ' ')[6:15] AS tb FROM documents) SELECT doc_id, CAST(len(list_distinct(list_concat(ta, tb))) AS BIGINT) AS n_union, CAST(len(list_distinct(list_filter(ta, x -> NOT list_contains(tb, x)))) AS BIGINT) AS n_except, CAST(len(list_distinct(list_filter(ta, x -> list_contains(tb, x)))) AS BIGINT) AS n_inter, CAST(len(list_filter(ta, x -> list_contains(tb, x))) > 0 AS INT) AS overlaps FROM z ORDER BY doc_id"""),
+      "§2.9 ext: array_union/except/intersect/overlap"),
+
+    // q110 — zip_with + exists/forall array predicates over embeddings:
+    // dot of a vector with its own reverse via zip_with→aggregate (the
+    // same sequential fold order as the oracle's list comprehension).
+    QuerySpec(
+      "q110_zip_exists",
+      (s, d) => {
+        val e = col("embedding")
+        val prod = zip_with(e, reverse(e), (x, y) => x.cast("double") * y.cast("double"))
+        t(s, d, "embeddings")
+          .select(
+            col("vec_id"),
+            round(aggregate(prod, lit(0.0), (acc, x) => acc + x), 6).as("dot_rev"),
+            exists(e, x => x > 0.9f).cast("int").as("has_big"),
+            forall(e, x => x > -10.0f).cast("int").as("all_sane"))
+          .orderBy("vec_id")
+      },
+      Some("""SELECT vec_id, round(list_sum([CAST(embedding[i] AS DOUBLE) * CAST(embedding[len(embedding) + 1 - i] AS DOUBLE) for i in generate_series(1, len(embedding))]), 6) AS dot_rev, CAST(len(list_filter(embedding, x -> x > 0.9)) > 0 AS INT) AS has_big, CAST(len(list_filter(embedding, x -> x > -10.0)) = len(embedding) AS INT) AS all_sane FROM embeddings ORDER BY vec_id"""),
+      "§2.9 ext: zip_with + exists/forall predicates"))
 
   /** Typed row for q99's Dataset pipeline. */
   case class Ord(o_orderkey: Long, o_custkey: Long, o_totalprice: Double)
