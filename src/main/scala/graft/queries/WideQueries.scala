@@ -633,7 +633,51 @@ object WideQueries {
           .orderBy("vec_id")
       },
       Some("""SELECT vec_id, round(list_sum([CAST(embedding[i] AS DOUBLE) * CAST(embedding[len(embedding) + 1 - i] AS DOUBLE) for i in generate_series(1, len(embedding))]), 6) AS dot_rev, CAST(len(list_filter(embedding, x -> x > 0.9)) > 0 AS INT) AS has_big, CAST(len(list_filter(embedding, x -> x > -10.0)) = len(embedding) AS INT) AS all_sane FROM embeddings ORDER BY vec_id"""),
-      "§2.9 ext: zip_with + exists/forall predicates"))
+      "§2.9 ext: zip_with + exists/forall predicates"),
+
+    // q111 — schema evolution: two parquet batches with different
+    // columns (the second adds r_comment2) merged at read time with
+    // mergeSchema — the 100 TB reality of drifting producers.
+    QuerySpec(
+      "q111_merge_schema",
+      (s, d) => {
+        val dir = java.nio.file.Files.createTempDirectory("mergeschema").toString
+        val r = t(s, d, "region")
+        r.where(col("r_regionkey") < 3)
+          .select("r_regionkey", "r_name")
+          .write.mode("overwrite").parquet(s"$dir/batches/b0")
+        r.where(col("r_regionkey") >= 3)
+          .select(col("r_regionkey"), col("r_name"),
+            upper(col("r_name")).as("r_name_up"))
+          .write.mode("overwrite").parquet(s"$dir/batches/b1")
+        s.read.option("mergeSchema", true).parquet(s"$dir/batches/b*")
+          .select(col("r_regionkey"), col("r_name"),
+            coalesce(col("r_name_up"), lit("<missing>")).as("r_name_up"))
+          .orderBy("r_regionkey")
+      },
+      Some("""SELECT r_regionkey, r_name, CASE WHEN r_regionkey >= 3 THEN upper(r_name) ELSE '<missing>' END AS r_name_up FROM region ORDER BY r_regionkey"""),
+      "§2.1 ext: mergeSchema read over drifting parquet batches"),
+
+    // q112 — nested struct columns through parquet: write structs, read
+    // back selecting nested fields (Catalyst prunes the unread leaves —
+    // ReadSchema shows only meta.n_chars) and filter on a nested field.
+    QuerySpec(
+      "q112_nested_struct",
+      (s, d) => {
+        val dir = java.nio.file.Files.createTempDirectory("nested").toString
+        t(s, d, "documents")
+          .select(col("doc_id"),
+            struct(col("lang"), col("source"), col("n_chars")).as("meta"),
+            col("text"))
+          .write.mode("overwrite").parquet(s"$dir/docs_nested")
+        s.read.parquet(s"$dir/docs_nested")
+          .where(col("meta.n_chars") > 200)
+          .select(col("doc_id"), col("meta.lang").as("lang"),
+            col("meta.n_chars").as("n_chars"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, lang, n_chars FROM documents WHERE n_chars > 200 ORDER BY doc_id"""),
+      "§1.3 ext: nested struct round-trip + pruned nested reads"))
 
   /** Typed row for q99's Dataset pipeline. */
   case class Ord(o_orderkey: Long, o_custkey: Long, o_totalprice: Double)
