@@ -47,6 +47,26 @@ object Bench {
       val d50 = spark.read.parquet(s"$sfDir/documents.parquet").limit(50)
       graft.ops.DedupOps.candidatePairs(graft.ops.DedupOps.minhashSignatureRows(
         graft.ops.DedupOps.shingleRows(d50, "text", 5), 4)).count()
+      // First-use operator shapes that otherwise pay their codegen/JIT
+      // inside a measured query: crosstab, cube, session_window, and the
+      // typed-aggregator encoder path — all on tiny limits.
+      val li200 = spark.read.parquet(s"$sfDir/lineitem.parquet").limit(200)
+      li200.stat.crosstab("l_returnflag", "l_linestatus").count()
+      li200.cube("l_returnflag", "l_linestatus").agg(count(lit(1))).count()
+      Tables.events(spark, sfDir).limit(200)
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1))).count()
+      locally {
+        import graft.functions.TopKAggregator
+        import TopKAggregator.Scored
+        val sp = spark
+        import sp.implicits._
+        spark.read.parquet(s"$sfDir/orders.parquet").limit(200)
+          .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+          .as[(Long, Long, Double)]
+          .groupByKey(_._1).mapValues(r => Scored(r._2, r._3))
+          .agg(TopKAggregator.topK(2).toColumn.name("top")).count()
+      }
     } catch { case _: Throwable => () }
     // Per-query wall seconds, rounded to 3dp so the whole JSON line stays
     // well under the driver's output-tail capture window (r01's full-precision
