@@ -130,6 +130,13 @@ class OpsSpec extends SparkSpecBase {
     intercept[Exception] {
       spark.range(1).select(expr("cosine_sim(array(1.0, 2.0), array(1.0, 2.0))")).collect()
     }
+    // ragged inputs raise instead of silently truncating (contract —
+    // keeps the expression from ever diverging from a full-vector oracle)
+    intercept[Exception] {
+      spark.range(1).select(expr(
+        """cosine_sim(CAST(array(1.0, 2.0) AS array<float>),
+                      CAST(array(1.0) AS array<float>))""")).collect()
+    }
   }
 
   test("tfidf query formula matches ln((N+1)/(df+1)) on a tiny corpus") {
