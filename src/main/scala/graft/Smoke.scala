@@ -23,6 +23,16 @@ object Smoke {
                            CAST(array(1.0, 0.0) AS array<float>)) AS c""")
       .head().getDouble(0)
     println(s"EXT_COSINE_OK=${math.abs(cos - 1.0) < 1e-12}")
+    // the injected optimizer rule canonicalizes symmetric cosine_sim
+    // argument order: both spellings optimize to the same plan
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    def planOf(sql: String) = {
+      emb.createOrReplaceTempView("emb_smoke")
+      spark.sql(sql).queryExecution.optimizedPlan.canonicalized
+    }
+    val pa = planOf("SELECT cosine_sim(embedding, reverse(embedding)) AS c FROM emb_smoke")
+    val pb = planOf("SELECT cosine_sim(reverse(embedding), embedding) AS c FROM emb_smoke")
+    println(s"EXT_RULE_CANONICAL=${pa == pb}")
     val df = SparkEntry.entry(spark)
     println(s"ENTRY_ROWS=${df.count()}")
     df.show(false)
