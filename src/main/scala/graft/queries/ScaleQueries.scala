@@ -365,5 +365,45 @@ object ScaleQueries {
         val dot = "round(list_sum([CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE) for i in generate_series(1, len(a.embedding))]) / (a.nrm * b.nrm), 6)"
         s"""WITH e AS (SELECT vec_id, embedding, $emL2 AS nrm FROM embeddings), asg AS (SELECT a.vec_id, a.embedding, a.nrm, b.vec_id AS cell, row_number() OVER (PARTITION BY a.vec_id ORDER BY $dot DESC, b.vec_id) AS rn FROM e a CROSS JOIN (SELECT vec_id, embedding, nrm FROM e WHERE vec_id < 8) b), cells AS (SELECT vec_id, embedding, nrm, cell FROM asg WHERE rn = 1), p AS (SELECT a.vec_id AS qid, b.vec_id AS cid, a.cell AS cell, $dot AS cos_r FROM cells a JOIN cells b ON a.cell = b.cell AND b.vec_id <> a.vec_id WHERE a.vec_id < 10), r AS (SELECT qid, cid, cell, cos_r, row_number() OVER (PARTITION BY qid ORDER BY cos_r DESC, cid) AS rn FROM p) SELECT qid, cid, CAST(cell AS BIGINT) AS cell, cos_r FROM r WHERE rn = 1 ORDER BY qid"""
       },
-      "E3: one-pass IVF-flat ANN, fully oracle-checked"))
+      "E3: one-pass IVF-flat ANN, fully oracle-checked"),
+
+    // q113 — the dedup PIPELINE end-to-end: near-dup clusters (q90's
+    // path) joined back to the corpus, one row per cluster with member
+    // stats and the canonical (min-id) doc's length — what a training-
+    // data pipeline actually materializes before dropping duplicates.
+    QuerySpec(
+      "q113_dedup_pipeline",
+      (s, d) => {
+        val edges = DedupOps.jaccardForPairs(minhashCand(s, d), shingleSets(s, d))
+          .where(col("jaccard") >= 0.5).select("a", "b")
+        val clusters = DedupOps.connectedComponents(edges)
+        clusters.join(t(s, d, "documents"), clusters("id") === col("doc_id"))
+          .groupBy("cluster")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum("n_chars").as("member_chars"),
+            max(when(col("id") === col("cluster"), col("n_chars"))).as("canonical_chars"))
+          .orderBy("cluster")
+      },
+      Some(s"""${shingleCte.replaceFirst("WITH ", "WITH RECURSIVE ")}, cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1), inter AS (SELECT c.a, c.b, count(*) AS c FROM cand c JOIN sh sa ON sa.doc_id = c.a JOIN sh sb ON sb.doc_id = c.b AND sb.s = sa.s GROUP BY 1, 2), jac AS (SELECT c.a, c.b FROM cand c JOIN inter i ON i.a = c.a AND i.b = c.b JOIN cnt ca ON ca.doc_id = c.a JOIN cnt cb ON cb.doc_id = c.b WHERE round(i.c * 1.0 / (ca.n + cb.n - i.c), 6) >= 0.5), e AS (SELECT a AS src, b AS dst FROM jac UNION SELECT b, a FROM jac), reach AS (SELECT src AS id, src AS r FROM e UNION SELECT re.id, e.dst FROM reach re JOIN e ON e.src = re.r), cl AS (SELECT id, min(r) AS cluster FROM reach GROUP BY 1) SELECT cluster, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS member_chars, CAST(max(CASE WHEN id = cluster THEN n_chars END) AS BIGINT) AS canonical_chars FROM cl JOIN documents ON id = doc_id GROUP BY 1 ORDER BY 1"""),
+      "E1/E2: full dedup pipeline — clusters + canonical-doc stats"),
+
+    // q114 — equi-depth quantile binning (ML-prep discretizer): ntile
+    // deciles over a TOTAL order (unique tiebreak key). The global sort
+    // is the documented cost — at corpus scale swap in approx quantile
+    // cut points; semantics here are the exact reference.
+    QuerySpec(
+      "q114_quantile_binning",
+      (s, d) => {
+        val w = Window.orderBy("c_acctbal", "c_custkey")
+        t(s, d, "customer")
+          .select(col("c_custkey"), col("c_acctbal"),
+            ntile(10).over(w).cast("long").as("decile"))
+          .groupBy("decile")
+          .agg(count(lit(1)).as("cnt"),
+            min("c_acctbal").as("lo"), max("c_acctbal").as("hi"))
+          .orderBy("decile")
+      },
+      Some("""SELECT decile, count(*) AS cnt, min(c_acctbal) AS lo, max(c_acctbal) AS hi FROM (SELECT c_custkey, c_acctbal, CAST(ntile(10) OVER (ORDER BY c_acctbal, c_custkey) AS BIGINT) AS decile FROM customer) GROUP BY 1 ORDER BY 1"""),
+      "T9 ext: equi-depth decile binning via ntile"))
 }
