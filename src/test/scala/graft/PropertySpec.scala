@@ -90,6 +90,59 @@ class PropertySpec extends SparkSpecBase {
     }
   }
 
+  test("saltedJoin returns exactly the plain join's rows on random data") {
+    val factGen = Gen.listOfN(20, for {
+      id <- Gen.chooseNum(0L, 99L); k <- Gen.chooseNum(0L, 4L)
+    } yield (id, k))
+    for ((fact, i) <- samples(factGen, 4).zipWithIndex) {
+      val f = fact.zipWithIndex.map { case ((_, k), ix) => (ix.toLong + i * 1000, k) }
+        .toDF("row_id", "k")
+      val dim = Seq((0L, "a"), (1L, "b"), (2L, "c"), (4L, "e")).toDF("k", "attr")
+      val salted = graft.ops.SkewOps.saltedJoin(f, dim, "k", col("row_id"), 4)
+        .select("row_id", "k", "attr").as[(Long, Long, String)].collect().toSet
+      val plain = f.join(dim, "k").select("row_id", "k", "attr")
+        .as[(Long, Long, String)].collect().toSet
+      assert(salted == plain)
+    }
+  }
+
+  test("bloomSemiJoin equals the exact left-semi join on random data") {
+    val keysGen = Gen.listOfN(15, Gen.chooseNum(0L, 30L))
+    for (ks <- samples(keysGen, 4)) {
+      val fact = (0L to 40L).map(i => (i, i % 7)).toDF("fk", "payload")
+      val build = ks.distinct.toDF("bk")
+      val viaBloom = graft.ops.JoinOps.bloomSemiJoin(fact, build, "fk", "bk", 0.3)
+        .select("fk").as[Long].collect().toSet
+      val exact = fact.join(build, col("fk") === col("bk"), "left_semi")
+        .select("fk").as[Long].collect().toSet
+      assert(viaBloom == exact, s"keys=$ks")
+    }
+  }
+
+  test("asofJoin matches the brute-force latest-at-or-before on random events") {
+    val evGen = Gen.listOfN(12, for {
+      u <- Gen.chooseNum(1L, 3L); t <- Gen.chooseNum(0L, 50L)
+    } yield (u, t))
+    for ((evs, i) <- samples(evGen, 4).zipWithIndex) {
+      val lefts = evs.take(6).zipWithIndex.map { case ((u, t0), ix) =>
+        (u, new java.sql.Timestamp(t0 * 1000), ix.toLong + 100) }
+      val rights = evs.drop(6).zipWithIndex.map { case ((u, t0), ix) =>
+        (u, new java.sql.Timestamp(t0 * 1000), ix.toLong + 200) }
+      // dedup rights per (key, ts) — the operator's documented contract
+      val rightsDd = rights.groupBy(r => (r._1, r._2)).map(_._2.maxBy(_._3)).toSeq
+      val l = lefts.toDF("k", "t", "lid")
+      val r = rightsDd.toDF("k", "t", "rid")
+      val got = graft.ops.JoinOps.asofJoin(l, r, "k", "t", "t", "lid", "rid")
+        .select("lid", "rid").as[(Long, Long)].collect().toMap
+      val expected = lefts.flatMap { case (u, t0, lid) =>
+        val cands = rightsDd.filter(rr => rr._1 == u && !rr._2.after(t0))
+        if (cands.isEmpty) None
+        else Some(lid -> cands.maxBy(rr => (rr._2.getTime, rr._3))._3)
+      }.toMap
+      assert(got == expected, s"iter=$i lefts=$lefts rights=$rightsDd")
+    }
+  }
+
   test("stopword removal never increases token count; removed ⊆ stoplist") {
     for (ws <- samples(Gen.listOfN(15, Gen.oneOf("the", "a", "cat", "dog", "runs")), 6)) {
       val text = ws.mkString(" ")
