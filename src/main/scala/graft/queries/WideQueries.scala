@@ -315,6 +315,7 @@ object WideQueries {
           .withColumn("w2", lead("w1", 1).over(w))
           .where(col("w2").isNotNull)
           .select("doc_id", "w1", "w2")
+          .cache() // three consumers (cb, cu, the scoring join) — one pass
         val cb = inst.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
         val cu = inst.groupBy("w1").agg(count(lit(1)).as("cu"))
         inst.join(broadcast(cb), Seq("w1", "w2")).join(broadcast(cu), Seq("w1"))
