@@ -405,5 +405,32 @@ object ScaleQueries {
           .orderBy("decile")
       },
       Some("""SELECT decile, count(*) AS cnt, min(c_acctbal) AS lo, max(c_acctbal) AS hi FROM (SELECT c_custkey, c_acctbal, CAST(ntile(10) OVER (ORDER BY c_acctbal, c_custkey) AS BIGINT) AS decile FROM customer) GROUP BY 1 ORDER BY 1"""),
-      "T9 ext: equi-depth decile binning via ntile"))
+      "T9 ext: equi-depth decile binning via ntile"),
+
+    // q115 — time-series resample + forward-fill (LOCF): per-user hourly
+    // grid between that user's first and last event hour, hourly avg
+    // where events exist, last-observation-carried-forward through gaps.
+    // Grid generation is per-key sequence+explode; the fill is one keyed
+    // window — both scale with users, not with the time range globally.
+    QuerySpec(
+      "q115_forward_fill",
+      (s, d) => {
+        val ev = t(s, d, "events")
+        val hb = ev
+          .groupBy(col("user_id"),
+            (floor(unix_timestamp(col("ts")) / 3600) * 3600).cast("long").as("hr"))
+          .agg(round(avg("value"), 4).as("v"))
+        val rng = hb.groupBy("user_id").agg(min("hr").as("mn"), max("hr").as("mx"))
+        val grid = rng.select(col("user_id"),
+          explode(sequence(col("mn"), col("mx"), lit(3600L))).as("hr"))
+        val w = Window.partitionBy("user_id").orderBy("hr")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        grid.join(hb, Seq("user_id", "hr"), "left")
+          .select(col("user_id"), col("hr"),
+            round(last("v", ignoreNulls = true).over(w), 4).as("filled"),
+            col("v").isNull.cast("int").as("is_gap"))
+          .orderBy("user_id", "hr")
+      },
+      Some("""WITH ev AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events), hb AS (SELECT user_id, CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS hr, round(avg(value), 4) AS v FROM ev GROUP BY 1, 2), rng AS (SELECT user_id, min(hr) AS mn, max(hr) AS mx FROM hb GROUP BY 1), grid AS (SELECT user_id, unnest(generate_series(mn, mx, 3600)) AS hr FROM rng), j AS (SELECT g.user_id AS user_id, g.hr AS hr, hb.v AS v FROM grid g LEFT JOIN hb ON hb.user_id = g.user_id AND hb.hr = g.hr) SELECT user_id, hr, round(last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY hr ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS filled, CAST(v IS NULL AS INT) AS is_gap FROM j ORDER BY user_id, hr"""),
+      "§2.12 ext: hourly resample + forward-fill (LOCF)"))
 }
