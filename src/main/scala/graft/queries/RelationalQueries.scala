@@ -457,5 +457,43 @@ object RelationalQueries {
           .orderBy("c_custkey")
       },
       Some("""SELECT c_custkey, CAST(2 AS BIGINT) AS feat_dim, round(abs(c_acctbal) + abs(CAST(c_nationkey AS DOUBLE)), 4) AS feat_l1 FROM customer ORDER BY c_custkey"""),
-      "T7b/T8b: assemble feature array + L1 reduction"))
+      "T7b/T8b: assemble feature array + L1 reduction"),
+
+    // q116 — TPC-H-Q4 shape: order-priority counts over a date window
+    // where ANY lineitem exists past a ship date — EXISTS decorrelates to
+    // a left-semi join that shuffles only the order keys.
+    QuerySpec(
+      "q116_exists_agg",
+      (s, d) => {
+        val o = t(s, d, "orders")
+          .where(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+                 col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+        val late = t(s, d, "lineitem")
+          .where(col("l_shipdate") >= lit("1998-06-01").cast("timestamp"))
+          .select(col("l_orderkey"))
+        o.join(late, o("o_orderkey") === late("l_orderkey"), "left_semi")
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("order_count"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority, count(*) AS order_count FROM orders WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01' AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_shipdate >= TIMESTAMP '1998-06-01') GROUP BY 1 ORDER BY 1"""),
+      "§2.3/§2.4: TPC-H Q4 shape — EXISTS + priority counts"),
+
+    // q117 — TPC-H-Q19 shape: join with DISJUNCTIVE bracket predicates
+    // (OR of AND-groups mixing both sides) — Catalyst extracts the common
+    // p_partkey equi-condition and pushes the residual disjunction.
+    QuerySpec(
+      "q117_disjunctive_join",
+      (s, d) => {
+        val li = t(s, d, "lineitem")
+        val p = t(s, d, "part")
+        li.join(broadcast(p), li("l_partkey") === p("p_partkey") && (
+            (p("p_size").between(1, 15) && li("l_quantity").between(1, 20)) ||
+            (p("p_size").between(16, 35) && li("l_quantity").between(20, 40))))
+          .agg(
+            round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("revenue"),
+            count(lit(1)).as("n_lines"))
+      },
+      Some("""SELECT round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue, count(*) AS n_lines FROM lineitem JOIN part ON l_partkey = p_partkey AND ((p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20) OR (p_size BETWEEN 16 AND 35 AND l_quantity BETWEEN 20 AND 40))"""),
+      "§2.3 ext: TPC-H Q19 shape — disjunctive join predicates"))
 }
