@@ -41,4 +41,58 @@ class SinkSpec extends SparkSpecBase {
     assert(a.map(_._1).distinct.size == a.size) // one row per query
     assert(a.nonEmpty)
   }
+
+  // Semantic bounds for the rows-only queries (the driver can only count
+  // their rows — these pin what the oracle dialect can't express).
+
+  test("q49 approx_count_distinct lands within HLL error of the exact counts") {
+    val r = SparkEntry.queries("q49_approx_distinct")(spark, sf001).head()
+    val exact = Tables.load(spark, sf001, "lineitem")
+      .agg(countDistinct(col("l_partkey")), countDistinct(col("l_suppkey"))).head()
+    // default rsd = 0.05 → generous 3σ-ish bound
+    assert(math.abs(r.getLong(0) - exact.getLong(0)) <= 0.15 * exact.getLong(0))
+    assert(math.abs(r.getLong(1) - exact.getLong(1)) <= 0.15 * exact.getLong(1))
+  }
+
+  test("q44 binary features equal a driver-side recompute on the same docs") {
+    val got = SparkEntry.queries("q44_binary_features")(spark, sf001)
+      .select("doc_id", "n_bytes", "byte_sum")
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    val expected = Tables.load(spark, sf001, "documents")
+      .select("doc_id", "text").collect().map { r =>
+        val bytes = r.getString(1).getBytes("UTF-8")
+        r.getLong(0) -> (bytes.length.toLong,
+          bytes.foldLeft(0L)((a, b) => a + java.lang.Byte.toUnsignedInt(b)))
+      }.toMap
+    assert(got == expected)
+  }
+
+  test("q60 and q101 IVF variants agree with brute-force top-1 within their cells") {
+    // within its assigned cell, the reported neighbor IS the cell's
+    // cosine argmax — check against a brute-force recompute for q101
+    // (deterministic centroids make the cells reproducible here)
+    val assigned = graft.ops.AnnOps.ivfAssignFlat(
+      Tables.load(spark, sf001, "embeddings"), 8)
+    val cells = assigned.collect().map { r =>
+      (r.getLong(0), (r.getSeq[Float](1).toArray, r.getLong(2)))
+    }.toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { d += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i) }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val got = SparkEntry.queries("q101_ivf_flat")(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    for ((qid, cid) <- got) {
+      val (qe, qcell) = cells(qid)
+      val best = cells.filter { case (vid, (_, c)) => c == qcell && vid != qid }
+        .map { case (vid, (e, _)) =>
+          (vid, BigDecimal(cos(qe, e)).setScale(6, BigDecimal.RoundingMode.HALF_UP)) }
+      val maxSim = best.values.max
+      // reported neighbor achieves the cell's max rounded cosine, with
+      // the smallest id among ties (the query's deterministic tiebreak)
+      assert(best(cid) == maxSim)
+      assert(cid == best.filter(_._2 == maxSim).keys.min)
+    }
+  }
 }
