@@ -678,7 +678,74 @@ object WideQueries {
           .orderBy("doc_id")
       },
       Some("""SELECT doc_id, lang, n_chars FROM documents WHERE n_chars > 200 ORDER BY doc_id"""),
-      "§1.3 ext: nested struct round-trip + pruned nested reads"))
+      "§1.3 ext: nested struct round-trip + pruned nested reads"),
+
+    // q118 — percent-of-group (ratio_to_report analog): each group's
+    // share of its partition total via a window over the aggregate.
+    QuerySpec(
+      "q118_pct_of_total",
+      (s, d) => {
+        val w = Window.partitionBy("l_returnflag")
+        t(s, d, "lineitem")
+          .groupBy("l_returnflag", "l_linestatus")
+          .agg(round(sum("l_quantity"), 2).as("qty"))
+          .select(col("l_returnflag"), col("l_linestatus"), col("qty"),
+            round(col("qty") / sum("qty").over(w), 6).as("pct"))
+          .orderBy("l_returnflag", "l_linestatus")
+      },
+      Some("""WITH a AS (SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS qty FROM lineitem GROUP BY 1, 2) SELECT l_returnflag, l_linestatus, qty, round(qty / sum(qty) OVER (PARTITION BY l_returnflag), 6) AS pct FROM a ORDER BY l_returnflag, l_linestatus"""),
+      "§2.5 ext: percent-of-group via window over aggregate"),
+
+    // q119 — session funnel: per (user, 30-min session), did a purchase
+    // happen at or after the session's first click? Same gap semantics
+    // as q24 (strict > on the oracle side — SemanticsSpec pins it).
+    QuerySpec(
+      "q119_session_funnel",
+      (s, d) => {
+        t(s, d, "events")
+          .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+          .agg(
+            count(lit(1)).as("n_events"),
+            min(when(col("event_type") === "click", col("ts"))).as("fc"),
+            max(when(col("event_type") === "purchase", col("ts"))).as("lp"))
+          .select(
+            col("user_id"),
+            unix_timestamp(col("session_window.start")).as("sess_start"),
+            col("n_events"),
+            coalesce((col("fc").isNotNull && col("lp") >= col("fc")).cast("int"),
+              lit(0)).as("converted"))
+          .orderBy("user_id", "sess_start")
+      },
+      Some("""WITH o AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, event_type FROM events), ol AS (SELECT user_id, ts, event_id, event_type, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pts FROM o), g AS (SELECT user_id, ts, event_id, event_type, CASE WHEN pts IS NULL OR ts > pts + INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS ns FROM ol), sx AS (SELECT user_id, ts, event_type, sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid FROM g) SELECT user_id, CAST(floor(epoch(min(ts))) AS BIGINT) AS sess_start, count(*) AS n_events, coalesce(CAST(min(CASE WHEN event_type = 'click' THEN ts END) IS NOT NULL AND max(CASE WHEN event_type = 'purchase' THEN ts END) >= min(CASE WHEN event_type = 'click' THEN ts END) AS INT), 0) AS converted FROM sx GROUP BY user_id, sid ORDER BY user_id, sess_start"""),
+      "§2.12 ext: session funnel (click→purchase conversion)"),
+
+    // q120 — per-language top-3 terms by summed TF-IDF: the text-analytics
+    // artifact built on q29/q30's base. Per-(doc,term) scores are rounded
+    // BEFORE the language rollup so both engines sum identical 6dp values;
+    // ranking is on the re-rounded sum with a term tiebreak.
+    QuerySpec(
+      "q120_top_terms",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val tf = ScaleQueries.termFreq(s, d)
+        val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+        val n = docs.agg(count(lit(1)).as("n"))
+        val scored = tf.join(broadcast(dfreq), Seq("term"))
+          .crossJoin(broadcast(n))
+          .select(col("doc_id"), col("term"),
+            round(col("tf") * log((col("n") + lit(1.0)) / (col("df") + lit(1.0))), 6).as("tfidf"))
+        val byLang = scored
+          .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+          .groupBy("lang", "term")
+          .agg(round(sum("tfidf"), 6).as("score"))
+        val w = Window.partitionBy("lang").orderBy(col("score").desc, col("term").asc)
+        byLang
+          .withColumn("rn", row_number().over(w).cast("long"))
+          .where(col("rn") <= 3)
+          .orderBy("lang", "rn")
+      },
+      Some("""WITH tok AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents), tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2), dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1), nn AS (SELECT count(*) AS n FROM documents), scored AS (SELECT doc_id, tf.term AS term, round(tf * ln((n + 1.0) / (df + 1.0)), 6) AS tfidf FROM tf JOIN dfreq ON tf.term = dfreq.term CROSS JOIN nn), bylang AS (SELECT lang, term, round(sum(tfidf), 6) AS score FROM scored JOIN documents USING (doc_id) GROUP BY 1, 2) SELECT lang, term, score, rn FROM (SELECT lang, term, score, CAST(row_number() OVER (PARTITION BY lang ORDER BY score DESC, term) AS BIGINT) AS rn FROM bylang) WHERE rn <= 3 ORDER BY lang, rn"""),
+      "E4 ext: per-language top-3 terms by TF-IDF"))
 
   /** Typed row for q99's Dataset pipeline. */
   case class Ord(o_orderkey: Long, o_custkey: Long, o_totalprice: Double)
