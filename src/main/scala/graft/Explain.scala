@@ -11,7 +11,9 @@ object Explain {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val names = if (args.length > 1) args.drop(1).toSeq
       else Seq("q03_filter_pred", "q08_join_inner", "q09_star_join",
-        "q29_term_freq", "q34_minhash_pairs", "q37_cosine_topk", "q45_range_join")
+        "q29_term_freq", "q34_minhash_pairs", "q37_cosine_topk", "q45_range_join",
+        "q90_neardup_clusters", "q93_bigram_lm", "q95_bloom_semi_join",
+        "q107_bucketed_join", "q112_nested_struct", "q117_disjunctive_join")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
