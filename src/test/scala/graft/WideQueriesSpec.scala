@@ -66,6 +66,44 @@ class WideQueriesSpec extends SparkSpecBase {
       got.select("user_id", "event_type").distinct().count())
   }
 
+  /** Events fixture: ts given in SECONDS, stored as LONG nanos exactly
+    * like the real TIMESTAMP(NANOS) table reads under nanosAsLong.
+    */
+  private def eventsDir(rows: (Long, Long, Long, String, Double)*): String = {
+    val dir = java.nio.file.Files.createTempDirectory("wq").toString
+    rows.map { case (id, sec, uid, typ, v) =>
+      (id, sec * 1000000000L, uid, typ, v, """{"k": 1}""") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    dir
+  }
+
+  test("q115 forward-fills gap hours with the last observed hourly average") {
+    // user 1: events in hour 0 (v=2) and hour 2 (v=4) → hour 1 is a gap
+    // carrying 2.0 forward
+    val d = eventsDir((1, 100, 1, "click", 2.0), (2, 7300, 1, "click", 4.0))
+    val got = SparkEntry.queries("q115_forward_fill")(spark, d)
+      .select("hr", "filled", "is_gap").as[(Long, Double, Int)].collect().toSeq
+    assert(got == Seq((0L, 2.0, 0), (3600L, 2.0, 1), (7200L, 4.0, 0)))
+  }
+
+  test("q119 converts only when a purchase follows the first in-session click") {
+    val d = eventsDir(
+      (1, 0, 1, "click", 1.0), (2, 60, 1, "purchase", 1.0), // click→purchase ⇒ 1
+      (3, 0, 2, "purchase", 1.0), (4, 60, 2, "click", 1.0), // purchase first ⇒ 0
+      (5, 0, 3, "click", 1.0))                              // no purchase ⇒ 0
+    val got = SparkEntry.queries("q119_session_funnel")(spark, d)
+      .select("user_id", "converted").as[(Long, Int)].collect().toMap
+    assert(got == Map(1L -> 1, 2L -> 0, 3L -> 0))
+  }
+
+  test("q118 group shares sum to ~1 within each partition") {
+    val got = SparkEntry.queries("q118_pct_of_total")(spark, sf001)
+      .groupBy("l_returnflag").agg(sum("pct").as("s"))
+      .select("s").as[Double].collect()
+    assert(got.nonEmpty && got.forall(s => math.abs(s - 1.0) <= 0.0002))
+  }
+
   test("q75 map probe returns the bound values") {
     val r = Seq((7.0, 0.04)).toDF("q", "t")
       .select(element_at(map(lit("qty"), col("q"), lit("tax"), col("t")), "qty").as("v"),
