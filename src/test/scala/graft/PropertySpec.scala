@@ -90,6 +90,22 @@ class PropertySpec extends SparkSpecBase {
     }
   }
 
+  test("shingleRows and shingleSets agree on random documents") {
+    val docGen = Gen.listOfN(8, Gen.chooseNum(0, 9)).map(_.map(i => s"w$i").mkString(" "))
+    for ((texts, i) <- samples(Gen.listOfN(4, docGen), 4).zipWithIndex) {
+      val docs = texts.zipWithIndex
+        .map { case (t, ix) => (ix.toLong + i * 100, t) }.toDF("doc_id", "text")
+      val viaSets = DedupOps.shingleSets(docs, "text", 3)
+        .as[(Long, Seq[String])].collect()
+        .map { case (id, shs) => id -> shs.toSet }.toMap
+      val viaRows = DedupOps.shingleRows(docs, "text", 3)
+        .as[(Long, String)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      // rows drop shingle-less docs; sets keep them as empty arrays
+      assert(viaSets.filter(_._2.nonEmpty) == viaRows, s"texts=$texts")
+    }
+  }
+
   test("saltedJoin returns exactly the plain join's rows on random data") {
     val factGen = Gen.listOfN(20, for {
       id <- Gen.chooseNum(0L, 99L); k <- Gen.chooseNum(0L, 4L)
