@@ -22,16 +22,18 @@ object Bench {
       import org.apache.spark.sql.expressions.Window
       // Real column reads on every large table: parquet count() is
       // metadata-only, so without these the first query touching each
-      // table pays the cold page-cache + decoder cost.
+      // table pays the cold page-cache + decoder cost. NB collect(), not
+      // count(): count-over-aggregate lets Catalyst prune the unused agg
+      // expressions and the scan would decode nothing.
       spark.read.parquet(s"$sfDir/lineitem.parquet")
-        .agg(sum("l_extendedprice"), sum("l_quantity"), max("l_returnflag")).count()
+        .agg(sum("l_extendedprice"), sum("l_quantity"), max("l_returnflag")).collect()
       spark.read.parquet(s"$sfDir/orders.parquet")
-        .agg(sum("o_totalprice"), max("o_orderdate")).count()
-      Tables.events(spark, sfDir).agg(max("ts"), max("props")).count()
+        .agg(sum("o_totalprice"), max("o_orderdate")).collect()
+      Tables.events(spark, sfDir).agg(max("ts"), max("props")).collect()
       spark.read.parquet(s"$sfDir/embeddings.parquet")
-        .agg(sum(element_at(col("embedding"), 1))).count()
+        .agg(sum(element_at(col("embedding"), 1))).collect()
       spark.read.parquet(s"$sfDir/documents.parquet")
-        .agg(sum(length(col("text")))).count()
+        .agg(sum(length(col("text")))).collect()
       // JIT the hot codegen shapes: generate+hash-agg+window, and a
       // broadcast join + sort.
       spark.read.parquet(s"$sfDir/documents.parquet").limit(50)
@@ -51,8 +53,8 @@ object Bench {
       // inside a measured query: crosstab, cube, session_window, and the
       // typed-aggregator encoder path — all on tiny limits.
       val li200 = spark.read.parquet(s"$sfDir/lineitem.parquet").limit(200)
-      li200.stat.crosstab("l_returnflag", "l_linestatus").count()
-      li200.cube("l_returnflag", "l_linestatus").agg(count(lit(1))).count()
+      li200.stat.crosstab("l_returnflag", "l_linestatus").collect()
+      li200.cube("l_returnflag", "l_linestatus").agg(count(lit(1))).collect()
       Tables.events(spark, sfDir).limit(200)
         .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
         .agg(count(lit(1))).count()

@@ -141,9 +141,10 @@ object DedupOps {
     // Init already folds one propagation round in: label₀ = min(self,
     // direct neighbors). Every node appears as src (sym is symmetric),
     // so this is also the node list.
-    var labels = sym.groupBy("src")
+    var cached = sym.groupBy("src")
       .agg(min(least(col("src"), col("dst"))).as("lab"))
       .select(col("src").as("id"), col("lab")).cache()
+    var labels = cached
     var iter = 0
     var changed = 1L
     while (changed > 0 && iter < maxIters) {
@@ -159,11 +160,19 @@ object DedupOps {
         .groupBy("id").agg(min("lab").as("lab"), max("old").as("old"))
         .cache()
       changed = next.where(col("lab") < col("old")).count()
-      labels.unpersist()
+      // unpersist the CACHED frame, not a projection of it (unpersisting
+      // a derived Dataset would be a no-op and leak one cache per round)
+      cached.unpersist()
+      cached = next
       labels = next.select("id", "lab")
       iter += 1
     }
     sym.unpersist()
+    // A silent non-converged return would emit plausible-but-split
+    // clusters; raise instead (maxIters bounds the component diameter).
+    if (changed > 0) throw new IllegalStateException(
+      s"connectedComponents: not converged after $maxIters rounds " +
+        "(component diameter exceeds maxIters — raise it)")
     labels.select(col("id"), col("lab").as("cluster"))
   }
 

@@ -51,6 +51,16 @@ object JoinOps {
     */
   def bloomSemiJoin(fact: DataFrame, build: DataFrame, factKey: String,
       buildKey: String, fpp: Double = 0.01): DataFrame = {
+    // the probe is long-keyed (mightContainLong); a string key would
+    // hash build-side bytes but probe long casts — silently dropping
+    // every match — so reject non-integral keys up front
+    val integral = Set[org.apache.spark.sql.types.DataType](
+      org.apache.spark.sql.types.LongType, org.apache.spark.sql.types.IntegerType,
+      org.apache.spark.sql.types.ShortType, org.apache.spark.sql.types.ByteType)
+    require(integral(fact.schema(factKey).dataType) &&
+      integral(build.schema(buildKey).dataType),
+      s"bloomSemiJoin requires integral key columns, got " +
+        s"${fact.schema(factKey).dataType}/${build.schema(buildKey).dataType}")
     val n = math.max(build.count(), 1L)
     val bloom = build.stat.bloomFilter(buildKey, n, fpp)
     val bc = fact.sparkSession.sparkContext.broadcast(bloom)

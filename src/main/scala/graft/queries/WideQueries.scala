@@ -438,8 +438,11 @@ object WideQueries {
     QuerySpec(
       "q100_crosstab",
       (s, d) => {
+        // fixed column order: crosstab derives pivot-column order from a
+        // shuffled take(), which varies with partition count
         t(s, d, "lineitem")
           .stat.crosstab("l_returnflag", "l_linestatus")
+          .select("l_returnflag_l_linestatus", "F", "O")
           .orderBy("l_returnflag_l_linestatus")
       },
       Some("""SELECT l_returnflag AS l_returnflag_l_linestatus, CAST(sum(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS "F", CAST(sum(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS "O" FROM lineitem GROUP BY 1 ORDER BY 1"""),
@@ -487,12 +490,15 @@ object WideQueries {
       "q104_regexp_extract_all",
       (s, d) => {
         val arr = regexp_extract_all(col("text"), lit("[a-z]{5,}"), lit(0))
+        // try_element_at, not element_at: under Spark 4's default ANSI
+        // mode element_at on an empty match array would THROW, making
+        // the '-' fallback dead code
         t(s, d, "documents")
           .select(
             col("doc_id"),
             size(arr).cast("long").as("n_m"),
-            coalesce(element_at(arr, 1), lit("-")).as("first_m"),
-            coalesce(element_at(arr, -1), lit("-")).as("last_m"))
+            coalesce(try_element_at(arr, lit(1)), lit("-")).as("first_m"),
+            coalesce(try_element_at(arr, lit(-1)), lit("-")).as("last_m"))
           .orderBy("doc_id")
       },
       Some("""SELECT doc_id, CAST(len(regexp_extract_all(text, '[a-z]{5,}')) AS BIGINT) AS n_m, coalesce(regexp_extract_all(text, '[a-z]{5,}')[1], '-') AS first_m, coalesce(regexp_extract_all(text, '[a-z]{5,}')[-1], '-') AS last_m FROM documents ORDER BY doc_id"""),
