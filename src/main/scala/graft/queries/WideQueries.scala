@@ -751,7 +751,26 @@ object WideQueries {
           .orderBy("lang", "rn")
       },
       Some("""WITH tok AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents), tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2), dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1), nn AS (SELECT count(*) AS n FROM documents), scored AS (SELECT doc_id, tf.term AS term, round(tf * ln((n + 1.0) / (df + 1.0)), 6) AS tfidf FROM tf JOIN dfreq ON tf.term = dfreq.term CROSS JOIN nn), bylang AS (SELECT lang, term, round(sum(tfidf), 6) AS score FROM scored JOIN documents USING (doc_id) GROUP BY 1, 2) SELECT lang, term, score, rn FROM (SELECT lang, term, score, CAST(row_number() OVER (PARTITION BY lang ORDER BY score DESC, term) AS BIGINT) AS rn FROM bylang) WHERE rn <= 3 ORDER BY lang, rn"""),
-      "E4 ext: per-language top-3 terms by TF-IDF"))
+      "E4 ext: per-language top-3 terms by TF-IDF"),
+
+    // q121 — bitmap exact-distinct (functions.BitmapDistinct, the
+    // TypedImperativeAggregate style): per-flag distinct part/supplier
+    // counts with BitSet partials merged by OR — no Expand pass, state
+    // bounded by the key domain. Oracle: plain COUNT(DISTINCT).
+    QuerySpec(
+      "q121_bitmap_distinct",
+      (s, d) => {
+        graft.functions.BitmapDistinct.register(s)
+        t(s, d, "lineitem")
+          .groupBy("l_returnflag")
+          .agg(
+            expr("bitmap_distinct(l_partkey)").as("n_parts"),
+            expr("bitmap_distinct(l_suppkey)").as("n_supps"),
+            count(lit(1)).as("cnt"))
+          .orderBy("l_returnflag")
+      },
+      Some("""SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts, count(DISTINCT l_suppkey) AS n_supps, count(*) AS cnt FROM lineitem GROUP BY 1 ORDER BY 1"""),
+      "§2.13 ext: bitmap distinct (TypedImperativeAggregate) == COUNT(DISTINCT)"))
 
   /** Typed row for q99's Dataset pipeline. */
   case class Ord(o_orderkey: Long, o_custkey: Long, o_totalprice: Double)

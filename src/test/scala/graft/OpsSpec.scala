@@ -139,6 +139,21 @@ class OpsSpec extends SparkSpecBase {
     }
   }
 
+  test("bitmap_distinct merges partial BitSets across partitions correctly") {
+    graft.functions.BitmapDistinct.register(spark)
+    // 8 partitions force serialize/merge of partial buffers
+    val df = spark.range(0, 1000).select((col("id") % 97).as("k"))
+      .repartition(8)
+    val got = df.agg(expr("bitmap_distinct(k)")).head().getLong(0)
+    assert(got == 97L)
+    // nulls ignored; out-of-domain raises
+    val withNull = Seq(Some(1L), None, Some(5L), Some(1L)).toDF("k")
+    assert(withNull.agg(expr("bitmap_distinct(k)")).head().getLong(0) == 2L)
+    intercept[Exception] {
+      Seq(-1L).toDF("k").agg(expr("bitmap_distinct(k)")).collect()
+    }
+  }
+
   test("tfidf query formula matches ln((N+1)/(df+1)) on a tiny corpus") {
     // 2 docs; term 'x' in both (df=2), 'y' in one (df=1)
     val q = SparkEntry.queries("q30_tfidf")
