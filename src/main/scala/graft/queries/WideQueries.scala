@@ -770,7 +770,25 @@ object WideQueries {
           .orderBy("l_returnflag")
       },
       Some("""SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts, count(DISTINCT l_suppkey) AS n_supps, count(*) AS cnt FROM lineitem GROUP BY 1 ORDER BY 1"""),
-      "§2.13 ext: bitmap distinct (TypedImperativeAggregate) == COUNT(DISTINCT)"))
+      "§2.13 ext: bitmap distinct (TypedImperativeAggregate) == COUNT(DISTINCT)"),
+
+    // q122 — width_bucket: fixed-width binning (the third binning style
+    // after q32's CASE ladder and q114's equi-depth ntile). DuckDB lacks
+    // the function, so the oracle replays its exact edge semantics:
+    // below-range → 0, above-range → n+1, left-closed interior bins.
+    QuerySpec(
+      "q122_width_bucket",
+      (s, d) => {
+        t(s, d, "customer")
+          .select(col("c_custkey"),
+            width_bucket(col("c_acctbal"), lit(-1000.0), lit(10000.0), lit(11))
+              .as("bucket"))
+          .groupBy("bucket")
+          .agg(count(lit(1)).as("cnt"))
+          .orderBy("bucket")
+      },
+      Some("""SELECT CAST(CASE WHEN c_acctbal < -1000.0 THEN 0 WHEN c_acctbal >= 10000.0 THEN 12 ELSE CAST(floor((c_acctbal - (-1000.0)) / ((10000.0 - (-1000.0)) / 11)) AS BIGINT) + 1 END AS BIGINT) AS bucket, count(*) AS cnt FROM customer GROUP BY 1 ORDER BY 1"""),
+      "T9 ext: width_bucket fixed-width binning"))
 
   /** Typed row for q99's Dataset pipeline. */
   case class Ord(o_orderkey: Long, o_custkey: Long, o_totalprice: Double)
