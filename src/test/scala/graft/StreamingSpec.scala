@@ -85,6 +85,21 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("update output mode re-emits only the hourly groups a batch touched") {
+    val mem = MemoryStream[Event](spark)
+    val q = EventStream.hourlyCounts(mem.toDF().withColumn("event_type", lit("click")))
+      .writeStream.format("memory").queryName("hourly_upd").outputMode("update").start()
+    try {
+      mem.addData(Event(1, ts(0), 1, 1.0), Event(2, ts(70), 1, 2.0))
+      q.processAllAvailable()
+      val afterFirst = spark.table("hourly_upd").count() // hour 0 + hour 1
+      mem.addData(Event(3, ts(80), 1, 3.0)) // touches ONLY hour 1
+      q.processAllAvailable()
+      val emitted = spark.table("hourly_upd").count() - afterFirst
+      assert(afterFirst == 2 && emitted == 1)
+    } finally q.stop()
+  }
+
   test("foreachBatch parquet sink lands every row with a batch id") {
     val dir = java.nio.file.Files.createTempDirectory("fb").toString + "/out"
     val mem = MemoryStream[Event](spark)
