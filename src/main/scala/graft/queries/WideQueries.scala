@@ -657,7 +657,11 @@ object WideQueries {
           .select(col("r_regionkey"), col("r_name"),
             upper(col("r_name")).as("r_name_up"))
           .write.mode("overwrite").parquet(s"$dir/batches/b1")
-        s.read.option("mergeSchema", true).parquet(s"$dir/batches/b*")
+        // explicit multi-path read, not a "b*" glob: Spark checks the
+        // literal glob path first and LOGS a FileNotFoundException stack
+        // trace (harmless but it pollutes the driver's output tail)
+        s.read.option("mergeSchema", true)
+          .parquet(s"$dir/batches/b0", s"$dir/batches/b1")
           .select(col("r_regionkey"), col("r_name"),
             coalesce(col("r_name_up"), lit("<missing>")).as("r_name_up"))
           .orderBy("r_regionkey")

@@ -1,0 +1,68 @@
+package graft
+
+/** Freezes the load-bearing physical-plan shapes the 100×-scale story
+  * depends on. A regression here wouldn't change RESULTS — the oracle
+  * stays green — it would only make the plan orders of magnitude more
+  * expensive at corpus scale, which no row-compare can catch. So the
+  * shapes themselves are pinned:
+  *
+  *  - q03: every predicate family (range, BETWEEN, IN, compound OR)
+  *    reaches the parquet scan as a pushed filter, and the scan reads
+  *    only referenced columns.
+  *  - q09: all four dimension joins broadcast (zero fact-side shuffles
+  *    beyond the one pre-aggregation), and countDistinct's Expand
+  *    rewrite stays eliminated.
+  *  - q114: equi-depth binning runs with NO window / global row sort —
+  *    the cut-point formulation's whole point.
+  */
+class PlanShapeSpec extends SparkSpecBase {
+
+  // formatted mode: the compact toString ellipsizes PushedFilters, which
+  // would make the contains() asserts below vacuous
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf001).queryExecution
+      .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+
+  test("q03 predicates are pushed to the parquet scan") {
+    val p = plan("q03_filter_pred")
+    for (pushed <- Seq(
+        "GreaterThanOrEqual(l_shipdate",
+        "GreaterThanOrEqual(l_quantity,5.0)",
+        "LessThanOrEqual(l_quantity,45.0)",
+        "In(l_returnflag, [A,R])",
+        "Or(GreaterThan(l_discount,0.05),LessThan(l_tax,0.03))"))
+      assert(p.contains(pushed), s"filter not pushed to scan: $pushed\n$p")
+    // column pruning: the 16-column lineitem scan must read only the 8
+    // referenced columns (projection + predicates)
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_linenumber:int," +
+      "l_quantity:double,l_extendedprice:double,l_discount:double,l_tax:double," +
+      "l_returnflag:string,l_shipdate:timestamp"),
+      s"scan reads more columns than the query needs\n$p")
+  }
+
+  test("q09 star join broadcasts every dimension and avoids Expand") {
+    val p = plan("q09_star_join")
+    // formatted explain shows each operator twice (tree + numbered
+    // detail) — count the numbered detail entries only
+    val nBhj = "\\(\\d+\\) BroadcastHashJoin".r.findAllIn(p).size
+    assert(nBhj == 4, s"expected 4 broadcast joins, saw $nBhj\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"a dimension join fell back to sort-merge (fact shuffle at scale)\n$p")
+    // countDistinct(o_orderkey) is rewritten away by pre-aggregating
+    // lineitem per order — Expand would double every agg input row
+    assert(!p.contains("Expand"), s"Expand reappeared in the agg\n$p")
+    assert(p.contains("partial_sum((l_extendedprice"),
+      s"lineitem is no longer pre-aggregated before the join\n$p")
+  }
+
+  test("q114 equi-depth binning plans without a window or global row sort") {
+    val p = plan("q114_quantile_binning")
+    assert(!p.contains("Window"), s"global window is back\n$p")
+    // word-ish boundary: "percentile(" legitimately contains "ntile("
+    assert("(?<![a-z])ntile\\(".r.findFirstIn(p).isEmpty, s"ntile is back\n$p")
+    // the only range partitioning allowed is the final 10-row orderBy on
+    // decile — never on the raw per-customer rows
+    assert(!p.contains("rangepartitioning(c_acctbal"),
+      s"per-row global sort crept in\n$p")
+  }
+}
