@@ -123,12 +123,14 @@ object DedupOps {
   /** Connected components over an undirected edge list (a, b) by
     * iterative min-label propagation: every node starts labeled with its
     * own id; each round every node takes the min of its own and its
-    * neighbors' labels, until a round changes nothing. Converges in
-    * O(component diameter) rounds — near-dup graphs are dense clusters
-    * with tiny diameters, so this is 2-4 joins in practice. Each round is
-    * a shuffle-keyed join + min-agg (the simplified "small-star" step of
-    * the large/small-star CC algorithm), so it scales out; nothing ever
-    * collects to the driver but the 1-row convergence check.
+    * neighbors' labels, then follows its label one more hop (pointer
+    * jumping), until a round changes nothing. The shortcut makes
+    * convergence O(log diameter) rounds — near-dup graphs are dense
+    * clusters that finish in 2-3 rounds, and even a chain-of-20 corpus
+    * pathology stays within the default iteration budget. Each round is
+    * two shuffle-keyed joins + a min-agg (the "small-star + shortcut"
+    * shape of the large/small-star CC algorithm), so it scales out;
+    * nothing ever collects to the driver but the 1-row convergence check.
     *
     * Returns (id, cluster) where cluster = min node id in the component —
     * deterministic, and exactly what a dedup pipeline keys "canonical
@@ -141,10 +143,18 @@ object DedupOps {
     // Init already folds one propagation round in: label₀ = min(self,
     // direct neighbors). Every node appears as src (sym is symmetric),
     // so this is also the node list.
-    var cached = sym.groupBy("src")
+    //
+    // Each round is localCheckpoint'ed, NOT cache()'d: the round's plan
+    // references `labels` twice (carry + propagate), so with cache the
+    // LOGICAL plan doubles per round — 2^diameter nodes by convergence,
+    // which OOMs the driver on a diameter-20 path graph even though the
+    // data is tiny (caching dedups execution, not the plan). Truncating
+    // lineage to the materialized RDD keeps every round's plan constant-
+    // size; the convergence count is the action that materializes it.
+    var labels = sym.groupBy("src")
       .agg(min(least(col("src"), col("dst"))).as("lab"))
-      .select(col("src").as("id"), col("lab")).cache()
-    var labels = cached
+      .select(col("src").as("id"), col("lab"))
+      .localCheckpoint(false)
     var iter = 0
     var changed = 1L
     while (changed > 0 && iter < maxIters) {
@@ -155,15 +165,24 @@ object DedupOps {
       // `old` self-label — max ignores the prop rows' nulls) the
       // convergence count, so each round is a single short job instead of
       // agg + a second compare join.
-      val next = labels.select(col("id"), col("lab"), col("lab").as("old"))
+      val stepped = labels.select(col("id"), col("lab"), col("lab").as("old"))
         .unionByName(prop)
         .groupBy("id").agg(min("lab").as("lab"), max("old").as("old"))
-        .cache()
+      // Pointer-jumping shortcut (label ← label-of-label): neighbor
+      // propagation alone moves one hop per round, so convergence is
+      // O(diameter) — a chain-shaped component needs as many shuffles as
+      // its length. Following each label to ITS label roughly doubles the
+      // reach per round, giving O(log diameter) rounds total; every lab
+      // is itself a node id, so this is one more keyed equi-join.
+      val jump = stepped.select(col("id").as("jid"), col("lab").as("jlab"))
+      val next = stepped.join(jump, stepped("lab") === jump("jid"), "left")
+        .select(stepped("id"),
+          least(stepped("lab"), coalesce(col("jlab"), stepped("lab"))).as("lab"),
+          stepped("old"))
+        .localCheckpoint(false)
       changed = next.where(col("lab") < col("old")).count()
-      // unpersist the CACHED frame, not a projection of it (unpersisting
-      // a derived Dataset would be a no-op and leak one cache per round)
-      cached.unpersist()
-      cached = next
+      // superseded rounds' checkpoint blocks are unreferenced after this
+      // reassignment; the ContextCleaner reclaims them
       labels = next.select("id", "lab")
       iter += 1
     }

@@ -46,8 +46,9 @@ object JoinOps {
     * at scale this drops most fact rows ahead of the shuffle for the
     * price of one broadcast bitset. False positives are removed by the
     * exact join, so the result is identical to a plain left-semi join
-    * (the oracle is EXISTS SQL); the UDF probe sits outside every
-    * grouping/join codegen span.
+    * (the oracle is EXISTS SQL). The probe is a codegen Expression
+    * (functions.BloomMightContain), so the filter inlines into the scan's
+    * whole-stage-codegen span instead of splitting it at a UDF boundary.
     */
   def bloomSemiJoin(fact: DataFrame, build: DataFrame, factKey: String,
       buildKey: String, fpp: Double = 0.01): DataFrame = {
@@ -64,9 +65,11 @@ object JoinOps {
     val n = math.max(build.count(), 1L)
     val bloom = build.stat.bloomFilter(buildKey, n, fpp)
     val bc = fact.sparkSession.sparkContext.broadcast(bloom)
-    val mightContain = udf((k: Long) => bc.value.mightContainLong(k))
+    import org.apache.spark.sql.graft.ColumnBridge
+    val probe = ColumnBridge.column(graft.functions.BloomMightContain(
+      ColumnBridge.expression(col(factKey).cast("long")), bc))
     fact
-      .where(col(factKey).isNotNull && mightContain(col(factKey)))
+      .where(col(factKey).isNotNull && probe)
       .join(build.select(col(buildKey)),
         col(factKey) === col(buildKey), "left_semi")
   }

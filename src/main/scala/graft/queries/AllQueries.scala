@@ -9,7 +9,8 @@ import graft.QuerySpec
 object AllQueries {
   val specs: Seq[QuerySpec] =
     RelationalQueries.specs ++ EventQueries.specs ++ TextQueries.specs ++
-      ScaleQueries.specs ++ ExtraQueries.specs ++ WideQueries.specs
+      ScaleQueries.specs ++ ExtraQueries.specs ++ WideQueries.specs ++
+      R3Queries.specs
 
   require(specs.map(_.name).distinct.size == specs.size, "duplicate query names")
 }

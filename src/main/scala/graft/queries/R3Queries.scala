@@ -1,0 +1,168 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.QuerySpec
+import graft.Tables
+import graft.ops.TextOps
+
+/** Round-3 additions: the DataSource V2 connector surface (q123), the
+  * Gopher-style document quality GATE and repetition rules a training-data
+  * pipeline runs before dedup (q124/q125), linear-interpolation resampling
+  * (q126 — the companion to q115's LOCF), and window frame EXCLUDE
+  * CURRENT ROW emulation (q127 — SQL:2016 frame exclusion, which Spark's
+  * window API lacks).
+  */
+object R3Queries {
+
+  private def t(s: SparkSession, d: String, n: String): DataFrame = Tables.load(s, d, n)
+
+  val specs: Seq[QuerySpec] = Seq(
+
+    // q123 — DataSource V2 generator table (sources.GenSource): id-range
+    // predicates fold into the scan's [lo, hi) BEFORE partition planning
+    // (DSv2 pushdown = partition pruning), the tag predicate stays a
+    // residual, and column pruning reaches the reader. The row formula is
+    // pure arithmetic, so DuckDB's range() replays the whole pipeline.
+    QuerySpec(
+      "q123_dsv2_gen",
+      (s, d) => {
+        s.read.format("graftgen")
+          .option("rows", 100000).option("parts", 8).load()
+          .where(col("id") >= 20000 && col("id") < 90000 && col("tag") === "g3")
+          .groupBy("bucket")
+          .agg(count(lit(1)).as("cnt"), round(sum("val"), 1).as("sum_val"))
+          .orderBy("bucket")
+      },
+      Some("""SELECT id % 97 AS bucket, count(*) AS cnt, round(sum(((id * 37) % 1000) / 10.0), 1) AS sum_val FROM (SELECT CAST(range AS BIGINT) AS id FROM range(20000, 90000)) WHERE 'g' || CAST(id % 5 AS VARCHAR) = 'g3' GROUP BY 1 ORDER BY 1"""),
+      "§2.13 ext: DataSource V2 table with filter pushdown + column pruning"),
+
+    // q124 — document-quality GATE (Gopher-style rules, adapted to the
+    // fixture): word count, mean word length, stopword presence, and
+    // max-token repetition each gate a doc; output is the per-lang
+    // survival summary a corpus-curation run reports. All ratio compares
+    // use the same a*1.0/b double shape in both engines so boundary docs
+    // can't flip. The repetition rule reuses the cached termFreq base —
+    // one corpus tokenization feeds q29/q30/q35/q124.
+    QuerySpec(
+      "q124_quality_gate",
+      (s, d) => {
+        val toks = TextOps.tokens(col("text"))
+        val stats = t(s, d, "documents").select(
+          col("doc_id"), col("lang"),
+          size(toks).cast("long").as("n_tok"),
+          (length(regexp_replace(col("text"), " ", "")).cast("long") * 1.0 /
+            size(toks).cast("long")).as("mwl"),
+          TextOps.markerHits(toks, Seq("the", "a", "and", "of", "to")).as("n_stop"))
+        val rep = ScaleQueries.termFreq(s, d)
+          .groupBy("doc_id").agg((max("tf") * 1.0 / sum("tf")).as("rep"))
+        stats.join(rep, "doc_id")
+          .select(col("lang"),
+            (col("n_tok") >= 30).as("wc_ok"),
+            (col("mwl") >= 4.0 && col("mwl") <= 5.0).as("mwl_ok"),
+            (col("n_stop") >= 1).as("stop_ok"),
+            (col("rep") <= 0.12).as("rep_ok"))
+          .groupBy("lang")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum((col("wc_ok") && col("mwl_ok") && col("stop_ok") && col("rep_ok"))
+              .cast("long")).as("n_keep"),
+            sum((!col("wc_ok")).cast("long")).as("wc_fail"),
+            sum((!col("mwl_ok")).cast("long")).as("mwl_fail"),
+            sum((!col("stop_ok")).cast("long")).as("stop_fail"),
+            sum((!col("rep_ok")).cast("long")).as("rep_fail"))
+          .orderBy("lang")
+      },
+      Some("""WITH tk AS (SELECT doc_id, lang, string_split(lower(text), ' ') AS t, length(replace(text, ' ', '')) AS nc FROM documents), st AS (SELECT doc_id, lang, len(t) AS n_tok, nc * 1.0 / len(t) AS mwl, len(list_filter(t, x -> list_contains(['the', 'a', 'and', 'of', 'to'], x))) AS n_stop FROM tk), tf AS (SELECT doc_id, term, count(*) AS c FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents) GROUP BY 1, 2), rp AS (SELECT doc_id, max(c) * 1.0 / sum(c) AS rep FROM tf GROUP BY 1), f AS (SELECT lang, n_tok >= 30 AS wc_ok, mwl >= 4.0 AND mwl <= 5.0 AS mwl_ok, n_stop >= 1 AS stop_ok, rep <= 0.12 AS rep_ok FROM st JOIN rp USING (doc_id)) SELECT lang, count(*) AS n_docs, CAST(sum(CAST(wc_ok AND mwl_ok AND stop_ok AND rep_ok AS INT)) AS BIGINT) AS n_keep, CAST(sum(CAST(NOT wc_ok AS INT)) AS BIGINT) AS wc_fail, CAST(sum(CAST(NOT mwl_ok AS INT)) AS BIGINT) AS mwl_fail, CAST(sum(CAST(NOT stop_ok AS INT)) AS BIGINT) AS stop_fail, CAST(sum(CAST(NOT rep_ok AS INT)) AS BIGINT) AS rep_fail FROM f GROUP BY 1 ORDER BY 1"""),
+      "E4 ext: Gopher-style quality gate — per-lang corpus survival"),
+
+    // q125 — most-common-bigram coverage (the Gopher repetition signal at
+    // n=2): bigrams WITH duplicates (shingleRows is distinct — wrong base
+    // here), formed on the codegen posexplode+lead path (an array-lambda
+    // transform would run interpreted — the round-2 shingle lesson), then
+    // ONE grouped aggregate takes both the bigram total and the top
+    // bigram as max(struct(count, bigram)) — no per-doc window pass.
+    // Tiebreak is therefore (count desc, bigram DESC) — struct-max order —
+    // mirrored in the oracle. coverage = top_n / n_bigrams.
+    QuerySpec(
+      "q125_bigram_repetition",
+      (s, d) => {
+        val w = Window.partitionBy("doc_id").orderBy("pos")
+        val bigrams = t(s, d, "documents")
+          .repartition(col("doc_id")) // parallelize past the 1-file scan
+          .select(col("doc_id"), posexplode(TextOps.tokens(col("text"))).as(Seq("pos", "tok")))
+          .withColumn("t1", lead("tok", 1).over(w))
+          .where(col("t1").isNotNull)
+          .select(col("doc_id"), concat_ws(" ", col("tok"), col("t1")).as("bg"))
+        bigrams.groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
+          .groupBy("doc_id")
+          .agg(sum("c").as("n_bigrams"), max(struct(col("c"), col("bg"))).as("m"))
+          .select(col("doc_id"), col("n_bigrams"), col("m.bg").as("top_bigram"),
+            col("m.c").as("top_n"),
+            round(col("m.c") * 1.0 / col("n_bigrams"), 6).as("coverage"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH tk AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents), bg AS (SELECT doc_id, unnest([t[i] || ' ' || t[i + 1] for i in generate_series(1, len(t) - 1)]) AS bg FROM tk), c AS (SELECT doc_id, bg, count(*) AS c FROM bg GROUP BY 1, 2), r AS (SELECT doc_id, bg, c, row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, bg DESC) AS rn, sum(c) OVER (PARTITION BY doc_id) AS n FROM c) SELECT doc_id, CAST(n AS BIGINT) AS n_bigrams, bg AS top_bigram, c AS top_n, round(c * 1.0 / n, 6) AS coverage FROM r WHERE rn = 1 ORDER BY doc_id"""),
+      "E4 ext: most-common-bigram coverage (repetition filter)"),
+
+    // q126 — linear-interpolation resample: q115's hourly grid, but gaps
+    // take prev + (next - prev) * elapsed-fraction instead of LOCF. Both
+    // neighbor scans are keyed windows (one forward, one backward) — still
+    // nothing global. The arithmetic shape (p + (n - p) * frac) is written
+    // identically in the oracle so both engines emit bit-equal doubles;
+    // the output is FLOOR-scaled to 1e-4 units (not rounded): power-of-2
+    // gap lengths make the fraction binary-exact, parking values on true
+    // decimal midpoints where Spark (half-up) and DuckDB (half-even)
+    // round apart — floor of the identical double is unambiguous.
+    QuerySpec(
+      "q126_interp_fill",
+      (s, d) => {
+        val ev = t(s, d, "events")
+        val hb = ev
+          .groupBy(col("user_id"),
+            (floor(unix_timestamp(col("ts")) / 3600) * 3600).cast("long").as("hr"))
+          .agg(round(avg("value"), 4).as("v"))
+        val rng = hb.groupBy("user_id").agg(min("hr").as("mn"), max("hr").as("mx"))
+        val grid = rng.select(col("user_id"),
+          explode(sequence(col("mn"), col("mx"), lit(3600L))).as("hr"))
+        val back = Window.partitionBy("user_id").orderBy("hr")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val fwd = Window.partitionBy("user_id").orderBy("hr")
+          .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        grid.join(hb, Seq("user_id", "hr"), "left")
+          .select(col("user_id"), col("hr"), col("v"),
+            last("v", ignoreNulls = true).over(back).as("pv"),
+            last(when(col("v").isNotNull, col("hr")), ignoreNulls = true).over(back).as("ph"),
+            first("v", ignoreNulls = true).over(fwd).as("nv"),
+            first(when(col("v").isNotNull, col("hr")), ignoreNulls = true).over(fwd).as("nh"))
+          .select(col("user_id"), col("hr"),
+            floor(when(col("v").isNotNull, col("v")).otherwise(
+              col("pv") + (col("nv") - col("pv")) *
+                ((col("hr") - col("ph")) / (col("nh") - col("ph")))) * 10000)
+              .cast("long").as("interp_u4"),
+            col("v").isNull.cast("int").as("is_gap"))
+          .orderBy("user_id", "hr")
+      },
+      Some("""WITH ev AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events), hb AS (SELECT user_id, CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS hr, round(avg(value), 4) AS v FROM ev GROUP BY 1, 2), rng AS (SELECT user_id, min(hr) AS mn, max(hr) AS mx FROM hb GROUP BY 1), grid AS (SELECT user_id, unnest(generate_series(mn, mx, 3600)) AS hr FROM rng), j AS (SELECT g.user_id AS user_id, g.hr AS hr, hb.v AS v FROM grid g LEFT JOIN hb ON hb.user_id = g.user_id AND hb.hr = g.hr), n AS (SELECT user_id, hr, v, last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY hr ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv, last_value(CASE WHEN v IS NOT NULL THEN hr END IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY hr ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ph, first_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY hr ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv, first_value(CASE WHEN v IS NOT NULL THEN hr END IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY hr ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nh FROM j) SELECT user_id, hr, CAST(floor((CASE WHEN v IS NOT NULL THEN v ELSE pv + (nv - pv) * ((hr - ph) / (nh - ph)) END) * 10000) AS BIGINT) AS interp_u4, CAST(v IS NULL AS INT) AS is_gap FROM n ORDER BY user_id, hr"""),
+      "§2.12 ext: hourly resample + linear interpolation"),
+
+    // q127 — frame EXCLUDE CURRENT ROW emulation (SQL:2016 window frame
+    // exclusion, absent from Spark's API): leave-one-out sum/count per
+    // nation = whole-partition aggregate minus the current row. Emitted
+    // as sum+count (exact 2-decimal grid), not a ratio — avg would sit on
+    // rounding midpoints for 2·5-factor counts.
+    QuerySpec(
+      "q127_window_exclude",
+      (s, d) => {
+        val w = Window.partitionBy("c_nationkey")
+        t(s, d, "customer")
+          .select(col("c_custkey"), col("c_nationkey"),
+            round(sum("c_acctbal").over(w) - col("c_acctbal"), 2).as("excl_sum"),
+            (count(lit(1)).over(w) - 1).as("excl_cnt"))
+          .orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey, c_nationkey, round(sum(c_acctbal) OVER (PARTITION BY c_nationkey) - c_acctbal, 2) AS excl_sum, count(*) OVER (PARTITION BY c_nationkey) - 1 AS excl_cnt FROM customer ORDER BY c_custkey"""),
+      "§2.5 ext: window frame EXCLUDE CURRENT ROW emulation"))
+}

@@ -55,6 +55,22 @@ class PlanShapeSpec extends SparkSpecBase {
       s"lineitem is no longer pre-aggregated before the join\n$p")
   }
 
+  test("q95 bloom probe inlines into the scan's codegen span") {
+    // simple mode: codegen'd operators carry a "*(n)" stage prefix — the
+    // probe Expression must sit in a codegen'd Filter, not a UDF boundary
+    // that splits the scan stage (the pre-Expression implementation).
+    // Execute first: AQE only materializes codegen stages in the FINAL plan.
+    val df = SparkEntry.queries("q95_bloom_semi_join")(spark, sf001)
+    df.collect() // count() would plan a DIFFERENT query; execute THIS one
+    val p = df.queryExecution.executedPlan.toString
+    val probeLine = p.linesIterator.find(_.contains("bloom_might_contain"))
+    assert(probeLine.isDefined, s"bloom probe missing from the plan\n$p")
+    assert(probeLine.get.trim.matches("^[+\\-:\\s]*\\*\\(\\d+\\).*"),
+      s"bloom probe fell out of whole-stage codegen: ${probeLine.get}\n$p")
+    assert(!p.contains("BatchEvalPython") && !probeLine.get.contains("UDF"),
+      s"probe runs as a UDF\n$p")
+  }
+
   test("q114 equi-depth binning plans without a window or global row sort") {
     val p = plan("q114_quantile_binning")
     assert(!p.contains("Window"), s"global window is back\n$p")
