@@ -173,13 +173,21 @@ object DedupOps {
       // O(diameter) — a chain-shaped component needs as many shuffles as
       // its length. Following each label to ITS label roughly doubles the
       // reach per round, giving O(log diameter) rounds total; every lab
-      // is itself a node id, so this is one more keyed equi-join.
-      val jump = stepped.select(col("id").as("jid"), col("lab").as("jlab"))
-      val next = stepped.join(jump, stepped("lab") === jump("jid"), "left")
-        .select(stepped("id"),
-          least(stepped("lab"), coalesce(col("jlab"), stepped("lab"))).as("lab"),
-          stepped("old"))
-        .localCheckpoint(false)
+      // is itself a node id, so this is one more keyed equi-join. Round 1
+      // skips it: the init already folded a propagation round, so dense
+      // near-dup clusters (the common case) are final here and the
+      // shortcut would be a pure-overhead join on an already-converged
+      // labeling — chains still double from round 2 on.
+      val jumped =
+        if (iter == 0) stepped
+        else {
+          val jump = stepped.select(col("id").as("jid"), col("lab").as("jlab"))
+          stepped.join(jump, stepped("lab") === jump("jid"), "left")
+            .select(stepped("id"),
+              least(stepped("lab"), coalesce(col("jlab"), stepped("lab"))).as("lab"),
+              stepped("old"))
+        }
+      val next = jumped.localCheckpoint(false)
       changed = next.where(col("lab") < col("old")).count()
       // superseded rounds' checkpoint blocks are unreferenced after this
       // reassignment; the ContextCleaner reclaims them

@@ -164,5 +164,56 @@ object R3Queries {
           .orderBy("c_custkey")
       },
       Some("""SELECT c_custkey, c_nationkey, round(sum(c_acctbal) OVER (PARTITION BY c_nationkey) - c_acctbal, 2) AS excl_sum, count(*) OVER (PARTITION BY c_nationkey) - 1 AS excl_cnt FROM customer ORDER BY c_custkey"""),
-      "§2.5 ext: window frame EXCLUDE CURRENT ROW emulation"))
+      "§2.5 ext: window frame EXCLUDE CURRENT ROW emulation"),
+
+    // q128 — benchmark DECONTAMINATION: the pre-training step that drops
+    // documents sharing any 5-gram shingle with an eval set (docs < 10
+    // stand in for the benchmark). The check is a broadcast semi-join of
+    // corpus shingles against the (small) benchmark shingle set — never a
+    // doc×doc comparison — over the same cached shingle base as q34/q36/
+    // q90, so the corpus is shingled once for dedup AND decontamination.
+    QuerySpec(
+      "q128_decontaminate",
+      (s, d) => {
+        val sh = ScaleQueries.shingleRows(s, d)
+        val bench = sh.where(col("doc_id") < 10).select("s").distinct()
+        val corpus = sh.where(col("doc_id") >= 10)
+        val shared = corpus.join(broadcast(bench), Seq("s"), "left_semi")
+          .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+        corpus.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+          .join(shared, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_sh"),
+            coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+            round(coalesce(col("n_shared"), lit(0L)) * 1.0 / col("n_sh"), 6)
+              .as("contamination"),
+            (coalesce(col("n_shared"), lit(0L)) === 0).cast("long").as("is_clean"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents), sh AS (SELECT DISTINCT doc_id, s FROM (SELECT doc_id, unnest([concat_ws(' ', tk[i], tk[i+1], tk[i+2], tk[i+3], tk[i+4]) for i in generate_series(1, len(tk) - 4)]) AS s FROM toks) z), bench AS (SELECT DISTINCT s FROM sh WHERE doc_id < 10), corpus AS (SELECT * FROM sh WHERE doc_id >= 10), cnt AS (SELECT doc_id, count(*) AS n_sh FROM corpus GROUP BY 1), shr AS (SELECT doc_id, count(*) AS n_shared FROM corpus WHERE s IN (SELECT s FROM bench) GROUP BY 1) SELECT doc_id, CAST(n_sh AS BIGINT) AS n_sh, CAST(coalesce(n_shared, 0) AS BIGINT) AS n_shared, round(coalesce(n_shared, 0) * 1.0 / n_sh, 6) AS contamination, CAST(coalesce(n_shared, 0) = 0 AS BIGINT) AS is_clean FROM cnt LEFT JOIN shr USING (doc_id) ORDER BY doc_id"""),
+      "E2/E4 ext: eval-set decontamination via shingle semi-join"),
+
+    // q129 — PII-style redaction: emails then digit runs replaced by
+    // typed placeholders, with per-doc match counts and an md5 of the
+    // redacted text as the compare surface. The fixture corpus has no
+    // PII, so a deterministic synthetic suffix (email + numeric code
+    // derived from doc columns) is appended first — the REDACTION
+    // pipeline (ordered regexp passes, count-then-replace) is the
+    // operator under test, and it stays pure codegen'd column work.
+    QuerySpec(
+      "q129_redact",
+      (s, d) => {
+        val payload = concat(col("text"), lit(" contact user"), col("doc_id"),
+          lit("@mail.example code "), col("n_chars"))
+        val email = "[a-z0-9]+@[a-z.]+"
+        val noEmail = regexp_replace(payload, email, "<EMAIL>")
+        t(s, d, "documents")
+          .select(col("doc_id"),
+            regexp_count(payload, lit(email)).cast("long").as("n_emails"),
+            regexp_count(noEmail, lit("[0-9]+")).cast("long").as("n_nums"),
+            md5(regexp_replace(noEmail, "[0-9]+", "<NUM>")).as("red_md5"),
+            length(regexp_replace(noEmail, "[0-9]+", "<NUM>")).cast("long").as("red_len"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH p AS (SELECT doc_id, text || ' contact user' || CAST(doc_id AS VARCHAR) || '@mail.example code ' || CAST(n_chars AS VARCHAR) AS payload FROM documents), r AS (SELECT doc_id, payload, regexp_replace(payload, '[a-z0-9]+@[a-z.]+', '<EMAIL>', 'g') AS no_email FROM p) SELECT doc_id, CAST(len(regexp_extract_all(payload, '[a-z0-9]+@[a-z.]+')) AS BIGINT) AS n_emails, CAST(len(regexp_extract_all(no_email, '[0-9]+')) AS BIGINT) AS n_nums, md5(regexp_replace(no_email, '[0-9]+', '<NUM>', 'g')) AS red_md5, CAST(length(regexp_replace(no_email, '[0-9]+', '<NUM>', 'g')) AS BIGINT) AS red_len FROM r ORDER BY doc_id"""),
+      "E4 ext: PII-style redaction — ordered regexp passes + audit counts"))
 }

@@ -34,7 +34,7 @@ object ScaleQueries {
     * Repartition first: the single-file parquet scan yields ONE input
     * partition, which would serialize the tokenize+explode work.
     */
-  private def shingleRows(s: SparkSession, d: String): DataFrame =
+  private[queries] def shingleRows(s: SparkSession, d: String): DataFrame =
     memo(s, d, "shingleRows")(
       DedupOps.shingleRows(t(s, d, "documents").repartition(col("doc_id")), "text", 5))
 
