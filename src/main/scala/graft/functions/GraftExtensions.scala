@@ -13,9 +13,10 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * library-grade alternative to per-session `register(...)` calls
   * (which remain for ad-hoc sessions; both are idempotent).
   *
-  * This is preference order (b) of the build brief: the engine needs no
-  * custom LogicalPlan/Strategy (Catalyst's built-ins cover every §2
-  * operator), so the only injection is the expression registry.
+  * Injects all three extension layers of the build brief: the expression
+  * registry (b — cosine_sim), an optimizer rule (CosineSymmetryRule), and
+  * a planner strategy (c — the TopKPerGroup whole-operator plan node;
+  * `TopKOps.ensureStrategy` is the equivalent for ad-hoc sessions).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
@@ -24,5 +25,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
       (exprs: Seq[Expression]) => CosineSimilarity(exprs(0), exprs(1))))
     ext.injectOptimizerRule(_ => graft.plans.CosineSymmetryRule)
+    ext.injectPlannerStrategy(_ => graft.plans.TopKPerGroupStrategy)
   }
 }

@@ -215,5 +215,28 @@ object R3Queries {
           .orderBy("doc_id")
       },
       Some("""WITH p AS (SELECT doc_id, text || ' contact user' || CAST(doc_id AS VARCHAR) || '@mail.example code ' || CAST(n_chars AS VARCHAR) AS payload FROM documents), r AS (SELECT doc_id, payload, regexp_replace(payload, '[a-z0-9]+@[a-z.]+', '<EMAIL>', 'g') AS no_email FROM p) SELECT doc_id, CAST(len(regexp_extract_all(payload, '[a-z0-9]+@[a-z.]+')) AS BIGINT) AS n_emails, CAST(len(regexp_extract_all(no_email, '[0-9]+')) AS BIGINT) AS n_nums, md5(regexp_replace(no_email, '[0-9]+', '<NUM>', 'g')) AS red_md5, CAST(length(regexp_replace(no_email, '[0-9]+', '<NUM>', 'g')) AS BIGINT) AS red_len FROM r ORDER BY doc_id"""),
-      "E4 ext: PII-style redaction — ordered regexp passes + audit counts"))
+      "E4 ext: PII-style redaction — ordered regexp passes + audit counts"),
+
+    // q130 — per-group top-k through the NATIVE plan node (plans.
+    // TopKPerGroup + TopKPerGroupStrategy + partial/final TopKPerGroupExec
+    // — build-brief §2.13 preference (c)). Unlike the window idiom (q20),
+    // nothing is sorted and only k·groups·partitions rows shuffle: bounded
+    // map-side heaps feed one hash exchange on the group key. The oracle
+    // replays the semantics as row_number() ≤ k under the same total order.
+    QuerySpec(
+      "q130_native_topk",
+      (s, d) => {
+        import graft.ops.TopKOps
+        TopKOps.topKPerGroup(
+          t(s, d, "lineitem")
+            .select("l_returnflag", "l_linestatus", "l_orderkey", "l_linenumber",
+              "l_extendedprice"),
+          groupCols = Seq("l_returnflag", "l_linestatus"),
+          orderBy = Seq(("l_extendedprice", true), ("l_orderkey", false),
+            ("l_linenumber", false)),
+          k = 3)
+          .orderBy("l_returnflag", "l_linestatus", "l_orderkey", "l_linenumber")
+      },
+      Some("""SELECT l_returnflag, l_linestatus, l_orderkey, l_linenumber, l_extendedprice FROM (SELECT l_returnflag, l_linestatus, l_orderkey, l_linenumber, l_extendedprice, row_number() OVER (PARTITION BY l_returnflag, l_linestatus ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rn FROM lineitem) WHERE rn <= 3 ORDER BY l_returnflag, l_linestatus, l_orderkey, l_linenumber"""),
+      "§2.13 ext: native top-k-per-group plan node (custom Strategy + Exec)"))
 }

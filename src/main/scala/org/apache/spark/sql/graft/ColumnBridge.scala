@@ -1,7 +1,8 @@
 package org.apache.spark.sql.graft
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{classic, Column, DataFrame, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.classic.ExpressionUtils
 
 /** Bridge into Spark's `private[sql]` Column ⇄ Expression converters.
@@ -20,4 +21,22 @@ object ColumnBridge {
 
   /** Extract the Catalyst expression backing a (classic) Column. */
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Wrap a logical plan as a DataFrame (classic `Dataset.ofRows`) — the
+    * construction path for custom plan nodes like `graft.plans.TopKPerGroup`.
+    */
+  def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** The analyzed logical plan backing a DataFrame. */
+  def analyzed(df: DataFrame): LogicalPlan =
+    df.asInstanceOf[classic.Dataset[_]].queryExecution.analyzed
+
+  /** The planner strategies an extensions instance would inject (the
+    * builder is private[sql]; tests assert wiring through this).
+    */
+  def plannerStrategies(
+      ext: SparkSessionExtensions,
+      spark: SparkSession): Seq[org.apache.spark.sql.execution.SparkStrategy] =
+    ext.buildPlannerStrategies(spark)
 }
