@@ -19,6 +19,21 @@ object R3Queries {
 
   private def t(s: SparkSession, d: String, n: String): DataFrame = Tables.load(s, d, n)
 
+  /** One hive-partitioned copy of `documents` per (session, corpus) —
+    * partitioned layout is a table-layout decision paid once at write
+    * time, like the q107 bucketed tables; queries then get partition
+    * PRUNING (directories never listed) instead of row-level filtering.
+    */
+  private val partReg =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+  private[graft] def partitionedDocsDir(s: SparkSession, d: String): String =
+    partReg.getOrElseUpdate((s, d), {
+      val dir = java.nio.file.Files.createTempDirectory("graft_docs_by_lang").toString
+      Tables.load(s, d, "documents")
+        .write.partitionBy("lang").mode("overwrite").parquet(dir)
+      dir
+    })
+
   val specs: Seq[QuerySpec] = Seq(
 
     // q123 — DataSource V2 generator table (sources.GenSource): id-range
@@ -238,5 +253,71 @@ object R3Queries {
           .orderBy("l_returnflag", "l_linestatus", "l_orderkey", "l_linenumber")
       },
       Some("""SELECT l_returnflag, l_linestatus, l_orderkey, l_linenumber, l_extendedprice FROM (SELECT l_returnflag, l_linestatus, l_orderkey, l_linenumber, l_extendedprice, row_number() OVER (PARTITION BY l_returnflag, l_linestatus ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rn FROM lineitem) WHERE rn <= 3 ORDER BY l_returnflag, l_linestatus, l_orderkey, l_linenumber"""),
-      "§2.13 ext: native top-k-per-group plan node (custom Strategy + Exec)"))
+      "§2.13 ext: native top-k-per-group plan node (custom Strategy + Exec)"),
+
+    // q131 — SEQUENCE PACKING, GPT-style concat-and-chunk: docs are
+    // assigned to independent streams, concatenated in doc_id order, and
+    // cut at fixed 256-token context boundaries. Per doc: which sequence
+    // it lands in, its token offset there, and whether it straddles a cut.
+    // One exchange (partitionBy stream) + one window cumsum. At 100 TB the
+    // stream count scales with the cluster (each stream's window sorts
+    // corpus/S docs, S≫partitions keeps every sort partition-local) — the
+    // packing itself never needs a global order.
+    QuerySpec(
+      "q131_seq_pack",
+      (s, d) => {
+        val st = t(s, d, "documents").select(col("doc_id"),
+          (col("doc_id") % 8).as("stream"),
+          size(split(col("text"), " ")).cast("long").as("n_tok"))
+        val w = Window.partitionBy("stream").orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        st.withColumn("cum", coalesce(sum("n_tok").over(w), lit(0L)))
+          .select(col("doc_id"), col("stream"), col("n_tok"),
+            expr("cum div 256").as("seq_id"),
+            (col("cum") % 256).as("off"),
+            ((col("cum") % 256) + col("n_tok") > 256).cast("long").as("spans"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH tk AS (SELECT doc_id, doc_id % 8 AS stream, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok FROM documents), c AS (SELECT doc_id, stream, n_tok, CAST(coalesce(sum(n_tok) OVER (PARTITION BY stream ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum FROM tk) SELECT doc_id, stream, n_tok, cum // 256 AS seq_id, cum % 256 AS off, CAST((cum % 256) + n_tok > 256 AS BIGINT) AS spans FROM c ORDER BY doc_id"""),
+      "E4 ext: sequence packing — per-stream token cumsum → context-window id/offset"),
+
+    // q132 — corpus MIXTURE REWEIGHTING: per-language token shares and the
+    // sampling weight that would equalize the mixture (target uniform
+    // share / actual share). Two tiny aggregates and a broadcast of the
+    // one-row total — the whole corpus is touched exactly once.
+    QuerySpec(
+      "q132_mixture_weights",
+      (s, d) => {
+        val byLang = t(s, d, "documents")
+          .select(col("lang"), size(split(col("text"), " ")).cast("long").as("n_tok"))
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tok"))
+        val tot = byLang.agg(sum("n_tok").as("tot"), count(lit(1)).as("n_langs"))
+        byLang.crossJoin(broadcast(tot))
+          .select(col("lang"), col("n_docs"), col("n_tok"),
+            round(col("n_tok") * 1.0 / col("tot"), 6).as("share"),
+            round(col("tot") * 1.0 / (col("n_langs") * col("n_tok")), 6).as("weight"))
+          .orderBy("lang")
+      },
+      Some("""WITH tk AS (SELECT lang, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok FROM documents), b AS (SELECT lang, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tok FROM tk GROUP BY 1), t AS (SELECT CAST(sum(n_tok) AS BIGINT) AS tot, count(*) AS n_langs FROM b) SELECT lang, CAST(n_docs AS BIGINT) AS n_docs, n_tok, round(n_tok * 1.0 / tot, 6) AS share, round(tot * 1.0 / (n_langs * n_tok), 6) AS weight FROM b, t ORDER BY lang"""),
+      "E4 ext: language-mixture sampling weights (uniform-target reweighting)"),
+
+    // q133 — hive-partitioned layout + partition PRUNING: documents
+    // rewritten `partitionBy(lang)` once per corpus, then a lang-filtered
+    // aggregate reads back through the partitioned scan. The lang
+    // predicate becomes a PartitionFilter — non-matching directories are
+    // never listed, let alone read (PlanShapeSpec pins PartitionCount=1).
+    // At 100 TB this is the difference between scanning one language's
+    // share and scanning the corpus to throw 90% away.
+    QuerySpec(
+      "q133_partition_prune",
+      (s, d) => {
+        s.read.parquet(partitionedDocsDir(s, d))
+          .where(col("lang") === "en")
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
+          .orderBy("source")
+      },
+      Some("""SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars FROM documents WHERE lang = 'en' GROUP BY 1 ORDER BY 1"""),
+      "§2.1 ext: hive-partitioned write + partition-pruned scan"))
 }

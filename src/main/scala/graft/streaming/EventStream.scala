@@ -54,6 +54,33 @@ object EventStream {
   def enrichStream(events: DataFrame, dim: DataFrame, key: String): DataFrame =
     events.join(broadcast(dim), Seq(key))
 
+  /** Stream-stream INTERVAL join — the attribution pattern: a click joins
+    * every view by the same user in the 10 minutes before it. Both sides
+    * carry watermarks and the join condition bounds event-time distance,
+    * so each side's state store holds only rows inside
+    * (watermark + interval) — without the time bound Spark would have to
+    * buffer both streams forever. Inner join: a row emits as soon as both
+    * sides have it; the watermark only governs state EVICTION.
+    */
+  def viewClickJoin(views: DataFrame, clicks: DataFrame,
+      horizonMinutes: Int = 10): DataFrame = {
+    val v = views
+      .select(col("event_id").as("view_id"), col("user_id"),
+        col("ts").as("view_ts"))
+      .withWatermark("view_ts", "2 hours")
+    val c = clicks
+      .select(col("event_id").as("click_id"), col("user_id").as("click_user"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", "2 hours")
+    v.join(c,
+      col("user_id") === col("click_user") &&
+        col("click_ts") >= col("view_ts") &&
+        col("click_ts") <= col("view_ts") + expr(s"INTERVAL $horizonMinutes MINUTES"))
+      .select(col("user_id"), col("view_id"), col("click_id"),
+        (unix_timestamp(col("click_ts")) - unix_timestamp(col("view_ts")))
+          .as("lag_sec"))
+  }
+
   /** Micro-batch parquet sink via foreachBatch — the escape hatch for
     * sinks without native streaming support; each batch appends tagged
     * with its batch id (idempotent restarts key on it).

@@ -71,6 +71,17 @@ class PlanShapeSpec extends SparkSpecBase {
       s"probe runs as a UDF\n$p")
   }
 
+  test("q133 lang filter prunes partitions at the directory level") {
+    val p = plan("q133_partition_prune")
+    assert(p.contains("PartitionFilters: ["), s"scan is not partition-aware\n$p")
+    assert("PartitionFilters: \\[[^\\]]*lang[^\\]]*=[^\\]]*en".r.findFirstIn(p).isDefined,
+      s"lang predicate did not become a partition filter\n$p")
+    // the filter must NOT degrade to a row-level pushed filter on a
+    // regular column — that would mean the partitioned layout was lost
+    assert(!p.contains("PushedFilters: [IsNotNull(lang)"),
+      s"lang is being filtered row-by-row, not pruned\n$p")
+  }
+
   test("q114 equi-depth binning plans without a window or global row sort") {
     val p = plan("q114_quantile_binning")
     assert(!p.contains("Window"), s"global window is back\n$p")

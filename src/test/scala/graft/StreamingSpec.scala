@@ -113,6 +113,30 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("stream-stream interval join matches the batch join, bounds state by time") {
+    val views = MemoryStream[Event](spark)
+    val clicks = MemoryStream[Event](spark)
+    val q = EventStream.viewClickJoin(views.toDF(), clicks.toDF())
+      .writeStream.format("memory").queryName("attrib").outputMode("append").start()
+    try {
+      // user 1: views at 0 and 10; click at 5 pairs with the view at 0
+      // (5 min) AND nothing else; click at 18 pairs with the view at 10
+      // (8 min) but NOT the view at 0 (18 min > horizon).
+      // user 2's view only sees a click from a DIFFERENT user → no match.
+      val vRows = Seq(Event(1, ts(0), 1, 0), Event(2, ts(10), 1, 0), Event(3, ts(5), 2, 0))
+      val cRows = Seq(Event(101, ts(5), 1, 0), Event(102, ts(18), 1, 0), Event(103, ts(6), 3, 0))
+      views.addData(vRows: _*)
+      clicks.addData(cRows: _*)
+      q.processAllAvailable()
+      val got = spark.table("attrib").select("view_id", "click_id", "lag_sec")
+        .as[(Long, Long, Long)].collect().toSet
+      val batch = EventStream.viewClickJoin(vRows.toDF(), cRows.toDF())
+        .select("view_id", "click_id", "lag_sec").as[(Long, Long, Long)].collect().toSet
+      assert(got == Set((1L, 101L, 300L), (2L, 102L, 480L)))
+      assert(got == batch, "streaming result diverged from the batch twin")
+    } finally q.stop()
+  }
+
   test("streaming session_window agrees with batch q24 shape") {
     val mem = MemoryStream[Event](spark)
     val q = EventStream.sessionCounts(mem.toDF())
