@@ -319,5 +319,65 @@ object R3Queries {
           .orderBy("source")
       },
       Some("""SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars FROM documents WHERE lang = 'en' GROUP BY 1 ORDER BY 1"""),
-      "§2.1 ext: hive-partitioned write + partition-pruned scan"))
+      "§2.1 ext: hive-partitioned write + partition-pruned scan"),
+
+    // q134 — PARAGRAPH-level dedup (the C4/RefinedWeb "drop repeated
+    // paragraphs" pass, here on fixed 10-token blocks since the corpus
+    // has no paragraph marks): every chunk keeps only its globally first
+    // occurrence (min (doc_id, chunk_idx)), and each doc reports how much
+    // of it survives. One groupBy on the chunk text + one equi-join back
+    // — never doc×doc, and the keeper choice is an order-free min, so
+    // map-side partial aggregation does the heavy lifting at scale.
+    QuerySpec(
+      "q134_para_dedup",
+      (s, d) => {
+        val ch = t(s, d, "documents")
+          .select(col("doc_id"), split(col("text"), " ").as("tk"))
+          .select(col("doc_id"), posexplode(expr(
+            "transform(sequence(0, (size(tk) - 1) div 10), i -> array_join(slice(tk, i * 10 + 1, 10), ' '))"))
+            .as(Seq("chunk_idx", "chunk")))
+          .select(col("doc_id"), col("chunk_idx"), col("chunk"),
+            (col("doc_id") * 1000000L + col("chunk_idx")).as("ck"))
+        val keep = ch.groupBy("chunk").agg(min("ck").as("keeper"))
+        ch.join(keep, Seq("chunk"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_chunks"),
+            sum((col("ck") === col("keeper")).cast("long")).as("n_kept"))
+          .select(col("doc_id"), col("n_chunks"), col("n_kept"),
+            round(col("n_kept") * 1.0 / col("n_chunks"), 6).as("retained"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents), ch0 AS (SELECT doc_id, unnest([{'ci': i, 'chunk': array_to_string(tk[i * 10 + 1 : i * 10 + 10], ' ')} for i in generate_series(0, (len(tk) - 1) // 10)]) AS c FROM toks), ch AS (SELECT doc_id, c.ci AS chunk_idx, c.chunk AS chunk, doc_id * 1000000 + c.ci AS ck FROM ch0), keep AS (SELECT chunk, min(ck) AS keeper FROM ch GROUP BY 1) SELECT doc_id, count(*) AS n_chunks, CAST(sum(CAST(ch.ck = keep.keeper AS BIGINT)) AS BIGINT) AS n_kept, round(sum(CAST(ch.ck = keep.keeper AS BIGINT)) * 1.0 / count(*), 6) AS retained FROM ch JOIN keep USING (chunk) GROUP BY doc_id ORDER BY doc_id"""),
+      "E2 ext: paragraph(block)-level dedup — global first-occurrence retention"),
+
+    // q135 — SCD2 interval build (gaps-and-islands): collapse each user's
+    // consecutive same-type events into [valid_from, valid_to) dimension
+    // rows, the standard change-history load. Two windows over ONE
+    // partitioning (user_id) — a single exchange; -1 marks the open
+    // interval. Ordering ties broken by event_id; interval bounds emit as
+    // floored epoch seconds per the determinism rules.
+    QuerySpec(
+      "q135_scd2",
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val islands = t(s, d, "events")
+          .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+          .withColumn("chg",
+            (lag("event_type", 1).over(w).isNull ||
+              col("event_type") =!= lag("event_type", 1).over(w)).cast("long"))
+          .withColumn("island",
+            sum("chg").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+          .groupBy("user_id", "island", "event_type")
+          .agg(min("ts").as("from_ts"), count(lit(1)).as("n_events"))
+        val w2 = Window.partitionBy("user_id").orderBy("island")
+        islands
+          .select(col("user_id"), col("island"), col("event_type"),
+            unix_timestamp(col("from_ts")).as("valid_from"),
+            coalesce(unix_timestamp(lead("from_ts", 1).over(w2)), lit(-1L))
+              .as("valid_to"),
+            col("n_events"))
+          .orderBy("user_id", "island")
+      },
+      Some("""WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, event_id FROM events), f AS (SELECT *, CASE WHEN lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS DISTINCT FROM event_type THEN 1 ELSE 0 END AS chg FROM e), i AS (SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island FROM f), g AS (SELECT user_id, CAST(island AS BIGINT) AS island, event_type, min(ts) AS from_ts, count(*) AS n_events FROM i GROUP BY 1, 2, 3) SELECT user_id, island, event_type, CAST(floor(epoch(from_ts)) AS BIGINT) AS valid_from, CAST(coalesce(floor(epoch(lead(from_ts) OVER (PARTITION BY user_id ORDER BY island))), -1) AS BIGINT) AS valid_to, CAST(n_events AS BIGINT) AS n_events FROM g ORDER BY user_id, island"""),
+      "§2.5 ext: SCD2 gaps-and-islands interval build (change-history load)"))
 }

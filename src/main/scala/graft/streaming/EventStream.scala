@@ -61,9 +61,12 @@ object EventStream {
     * (watermark + interval) — without the time bound Spark would have to
     * buffer both streams forever. Inner join: a row emits as soon as both
     * sides have it; the watermark only governs state EVICTION.
+    * For `joinType = "left_outer"`, a view with no click emits (null
+    * click columns) only once the watermark proves no match can still
+    * arrive — the streaming-correct version of "unconverted impressions".
     */
   def viewClickJoin(views: DataFrame, clicks: DataFrame,
-      horizonMinutes: Int = 10): DataFrame = {
+      horizonMinutes: Int = 10, joinType: String = "inner"): DataFrame = {
     val v = views
       .select(col("event_id").as("view_id"), col("user_id"),
         col("ts").as("view_ts"))
@@ -75,7 +78,8 @@ object EventStream {
     v.join(c,
       col("user_id") === col("click_user") &&
         col("click_ts") >= col("view_ts") &&
-        col("click_ts") <= col("view_ts") + expr(s"INTERVAL $horizonMinutes MINUTES"))
+        col("click_ts") <= col("view_ts") + expr(s"INTERVAL $horizonMinutes MINUTES"),
+      joinType)
       .select(col("user_id"), col("view_id"), col("click_id"),
         (unix_timestamp(col("click_ts")) - unix_timestamp(col("view_ts")))
           .as("lag_sec"))

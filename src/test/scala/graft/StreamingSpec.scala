@@ -137,6 +137,28 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("left-outer stream-stream join emits unmatched views after the watermark") {
+    val views = MemoryStream[Event](spark)
+    val clicks = MemoryStream[Event](spark)
+    val q = EventStream.viewClickJoin(views.toDF(), clicks.toDF(), joinType = "left_outer")
+      .writeStream.format("memory").queryName("attrib_lo").outputMode("append").start()
+    try {
+      views.addData(Event(1, ts(0), 1, 0), Event(2, ts(5), 2, 0))
+      clicks.addData(Event(101, ts(3), 1, 0))
+      q.processAllAvailable()
+      // push BOTH watermarks well past view_ts + horizon so the
+      // no-match verdict for view 2 becomes final
+      views.addData(Event(98, ts(600), 9, 0))
+      clicks.addData(Event(99, ts(600), 9, 0))
+      q.processAllAvailable()
+      val got = spark.table("attrib_lo")
+        .select("view_id", "click_id").collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+      assert(got.contains((1L, 101L)), s"matched pair missing: $got")
+      assert(got.contains((2L, -1L)), s"unmatched view never emitted: $got")
+    } finally q.stop()
+  }
+
   test("streaming session_window agrees with batch q24 shape") {
     val mem = MemoryStream[Event](spark)
     val q = EventStream.sessionCounts(mem.toDF())
