@@ -110,10 +110,13 @@ object Bench {
       val (a, b) = (pass1(n), pass2(n))
       n -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
     }
-    // 2dp keys+values keep the 122-entry JSON line ~1.5KB — inside the
-    // driver's ~2KB output-tail capture (r1 and r2 lines both overflowed
-    // it and parsed as null).
-    def f(v: Double): String = if (v == -1.0) "-1" else "%.2f".format(v)
+    // Short keys + 2dp values keep the JSON line compact — ~11 bytes per
+    // query, so ~135 entries ≈ 1.6KB, inside the driver's ~2KB output-tail
+    // capture (r1 and r2 lines both overflowed it and parsed as null).
+    // Locale.ROOT: a comma-decimal default locale would emit "0,42" and
+    // invalidate the one line the driver parses.
+    def f(v: Double): String =
+      if (v == -1.0) "-1" else "%.2f".formatLocal(java.util.Locale.ROOT, v)
     val short = results.map { case (k, v) => k.takeWhile(_ != '_') -> v }
     val qs = (if (short.map(_._1).distinct.size == results.size) short else results)
       .map { case (k, v) => "\"" + k + "\":" + f(v) }

@@ -39,13 +39,17 @@ case class BloomMightContain(child: Expression, bloomBc: Broadcast[BloomFilter])
     filter.mightContainLong(k.asInstanceOf[Number].longValue())
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    // embed the broadcast handle as a codegen reference object; .value()
-    // is executor-local after the first block fetch
+    // embed the broadcast handle as a codegen reference object, then
+    // resolve it ONCE into a mutable-state field — per row the probe is a
+    // plain field read + mightContainLong, not a Broadcast.value() call
+    // (assertValid + soft-ref dereference) in the hot loop
     val bcRef = ctx.addReferenceObj("bloomBc", bloomBc,
       classOf[Broadcast[BloomFilter]].getName)
+    val filterCls = classOf[BloomFilter].getName
+    val filterField = ctx.addMutableState(filterCls, "bloomFilter",
+      v => s"$v = ($filterCls) $bcRef.value();")
     nullSafeCodeGen(ctx, ev, k =>
-      s"""${ev.value} = ((org.apache.spark.util.sketch.BloomFilter)
-         |  $bcRef.value()).mightContainLong((long) $k);""".stripMargin)
+      s"${ev.value} = $filterField.mightContainLong((long) $k);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =

@@ -33,6 +33,9 @@ object TopKOps {
       groupCols: Seq[String],
       orderBy: Seq[(String, Boolean)],
       k: Int): DataFrame = {
+    require(groupCols.nonEmpty,
+      "topKPerGroup needs at least one group column — for a GLOBAL top-k use " +
+        "df.orderBy(...).limit(k), which Spark plans as TakeOrderedAndProject")
     val spark = df.sparkSession
     ensureStrategy(spark)
     val plan = ColumnBridge.analyzed(df)

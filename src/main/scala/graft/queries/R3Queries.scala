@@ -28,10 +28,17 @@ object R3Queries {
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
   private[graft] def partitionedDocsDir(s: SparkSession, d: String): String =
     partReg.getOrElseUpdate((s, d), {
-      val dir = java.nio.file.Files.createTempDirectory("graft_docs_by_lang").toString
+      val dir = java.nio.file.Files.createTempDirectory("graft_docs_by_lang")
+      // a corpus copy per JVM run must not outlive the run
+      sys.addShutdownHook {
+        import scala.jdk.CollectionConverters._
+        if (java.nio.file.Files.exists(dir))
+          java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+            .foreach(java.nio.file.Files.deleteIfExists(_))
+      }
       Tables.load(s, d, "documents")
-        .write.partitionBy("lang").mode("overwrite").parquet(dir)
-      dir
+        .write.partitionBy("lang").mode("overwrite").parquet(dir.toString)
+      dir.toString
     })
 
   val specs: Seq[QuerySpec] = Seq(
@@ -336,8 +343,10 @@ object R3Queries {
           .select(col("doc_id"), posexplode(expr(
             "transform(sequence(0, (size(tk) - 1) div 10), i -> array_join(slice(tk, i * 10 + 1, 10), ' '))"))
             .as(Seq("chunk_idx", "chunk")))
+          // lexicographic struct min — no doc_id*K+idx encoding, which
+          // would collide/overflow on 10M-token docs at corpus scale
           .select(col("doc_id"), col("chunk_idx"), col("chunk"),
-            (col("doc_id") * 1000000L + col("chunk_idx")).as("ck"))
+            struct(col("doc_id"), col("chunk_idx")).as("ck"))
         val keep = ch.groupBy("chunk").agg(min("ck").as("keeper"))
         ch.join(keep, Seq("chunk"))
           .groupBy("doc_id")
@@ -347,7 +356,7 @@ object R3Queries {
             round(col("n_kept") * 1.0 / col("n_chunks"), 6).as("retained"))
           .orderBy("doc_id")
       },
-      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents), ch0 AS (SELECT doc_id, unnest([{'ci': i, 'chunk': array_to_string(tk[i * 10 + 1 : i * 10 + 10], ' ')} for i in generate_series(0, (len(tk) - 1) // 10)]) AS c FROM toks), ch AS (SELECT doc_id, c.ci AS chunk_idx, c.chunk AS chunk, doc_id * 1000000 + c.ci AS ck FROM ch0), keep AS (SELECT chunk, min(ck) AS keeper FROM ch GROUP BY 1) SELECT doc_id, count(*) AS n_chunks, CAST(sum(CAST(ch.ck = keep.keeper AS BIGINT)) AS BIGINT) AS n_kept, round(sum(CAST(ch.ck = keep.keeper AS BIGINT)) * 1.0 / count(*), 6) AS retained FROM ch JOIN keep USING (chunk) GROUP BY doc_id ORDER BY doc_id"""),
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents), ch0 AS (SELECT doc_id, unnest([{'ci': i, 'chunk': array_to_string(tk[i * 10 + 1 : i * 10 + 10], ' ')} for i in generate_series(0, (len(tk) - 1) // 10)]) AS c FROM toks), ch AS (SELECT doc_id, c.ci AS chunk_idx, c.chunk AS chunk, {'d': doc_id, 'i': c.ci} AS ck FROM ch0), keep AS (SELECT chunk, min(ck) AS keeper FROM ch GROUP BY 1) SELECT doc_id, count(*) AS n_chunks, CAST(sum(CAST(ch.ck = keep.keeper AS BIGINT)) AS BIGINT) AS n_kept, round(sum(CAST(ch.ck = keep.keeper AS BIGINT)) * 1.0 / count(*), 6) AS retained FROM ch JOIN keep USING (chunk) GROUP BY doc_id ORDER BY doc_id"""),
       "E2 ext: paragraph(block)-level dedup — global first-occurrence retention"),
 
     // q135 — SCD2 interval build (gaps-and-islands): collapse each user's

@@ -434,8 +434,9 @@ object RelationalQueries {
     // differ across engines, so the oracle-comparable surface is the
     // SURVEY §2.4-note pairing: exact distinct counts plus a bounded-
     // relative-error flag (each engine checks ITS OWN sketch against the
-    // exact count; both land 1 at HLL's ~2% standard error vs the 5%
-    // bound).
+    // exact count). Spark's sketch runs at rsd=0.02 so the 0.05 bound is
+    // a 2.5σ margin — at the DEFAULT rsd=0.05 the bound would sit at 1σ
+    // and flip on ~1/3 of datasets; DuckDB's sketch error is ~1.6%.
     QuerySpec(
       "q49_approx_distinct",
       (s, d) => {
@@ -443,9 +444,9 @@ object RelationalQueries {
           countDistinct(col("l_partkey")).as("n_parts"),
           countDistinct(col("l_suppkey")).as("n_supps"),
           count(lit(1)).as("cnt"),
-          (abs(approx_count_distinct(col("l_partkey")) - countDistinct(col("l_partkey")))
+          (abs(approx_count_distinct(col("l_partkey"), 0.02) - countDistinct(col("l_partkey")))
             / countDistinct(col("l_partkey")) <= 0.05).cast("long").as("parts_ok"),
-          (abs(approx_count_distinct(col("l_suppkey")) - countDistinct(col("l_suppkey")))
+          (abs(approx_count_distinct(col("l_suppkey"), 0.02) - countDistinct(col("l_suppkey")))
             / countDistinct(col("l_suppkey")) <= 0.05).cast("long").as("supps_ok"))
       },
       Some("""SELECT count(DISTINCT l_partkey) AS n_parts, count(DISTINCT l_suppkey) AS n_supps, count(*) AS cnt, CAST(abs(approx_count_distinct(l_partkey) - count(DISTINCT l_partkey)) * 1.0 / count(DISTINCT l_partkey) <= 0.05 AS BIGINT) AS parts_ok, CAST(abs(approx_count_distinct(l_suppkey) - count(DISTINCT l_suppkey)) * 1.0 / count(DISTINCT l_suppkey) <= 0.05 AS BIGINT) AS supps_ok FROM lineitem"""),

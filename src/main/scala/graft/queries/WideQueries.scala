@@ -22,10 +22,17 @@ object WideQueries {
     * tables (the same amortization contract as the dedup/ANN caches).
     */
   private val bucketedReg =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Unit]
-  private def ensureBucketed(s: SparkSession, d: String): Unit =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), (String, String)]
+  /** Returns the (lineitem, orders) bucketed-table names for this corpus.
+    * The names carry a corpus suffix: a session that touches MULTIPLE
+    * corpora (tests at several scale factors) must not read one corpus's
+    * layout through another's memo entry.
+    */
+  private def ensureBucketed(s: SparkSession, d: String): (String, String) =
     bucketedReg.getOrElseUpdate((s, d), {
-      for (tbl <- Seq("li_bq107", "o_bq107")) {
+      val suffix = math.abs(scala.util.hashing.MurmurHash3.stringHash(d)).toString
+      val (liTbl, oTbl) = (s"li_bq107_$suffix", s"o_bq107_$suffix")
+      for (tbl <- Seq(liTbl, oTbl)) {
         s.sql(s"DROP TABLE IF EXISTS $tbl")
         // the in-memory catalog forgets tables between JVM runs but the
         // warehouse dirs persist → LOCATION_ALREADY_EXISTS; clear them
@@ -41,11 +48,12 @@ object WideQueries {
       t(s, d, "lineitem").select("l_orderkey", "l_quantity")
         .repartition(8, col("l_orderkey"))
         .write.mode("overwrite").bucketBy(8, "l_orderkey").sortBy("l_orderkey")
-        .saveAsTable("li_bq107")
+        .saveAsTable(liTbl)
       t(s, d, "orders").select("o_orderkey", "o_orderstatus")
         .repartition(8, col("o_orderkey"))
         .write.mode("overwrite").bucketBy(8, "o_orderkey").sortBy("o_orderkey")
-        .saveAsTable("o_bq107")
+        .saveAsTable(oTbl)
+      (liTbl, oTbl)
     })
 
   val specs: Seq[QuerySpec] = Seq(
@@ -584,9 +592,9 @@ object WideQueries {
     QuerySpec(
       "q107_bucketed_join",
       (s, d) => {
-        ensureBucketed(s, d)
-        s.table("li_bq107")
-          .join(s.table("o_bq107"), col("l_orderkey") === col("o_orderkey"))
+        val (liTbl, oTbl) = ensureBucketed(s, d)
+        s.table(liTbl)
+          .join(s.table(oTbl), col("l_orderkey") === col("o_orderkey"))
           .groupBy("o_orderstatus")
           .agg(round(sum("l_quantity"), 2).as("sum_qty"), count(lit(1)).as("cnt"))
           .orderBy("o_orderstatus")

@@ -83,12 +83,15 @@ class GenScanBuilder(rows: Long, parts: Int) extends ScanBuilder
            EqualTo("id", _: Long) | IsNotNull("id") => true
       case _ => false
     }
+    // saturating successor: v+1 on Long.MaxValue would wrap negative and
+    // silently invert an accepted (= residual-free) bound
+    def inc(v: Long): Long = if (v == Long.MaxValue) Long.MaxValue else v + 1
     ours.foreach {
-      case GreaterThan("id", v: Long)        => lo = math.max(lo, v + 1)
+      case GreaterThan("id", v: Long)        => lo = math.max(lo, inc(v))
       case GreaterThanOrEqual("id", v: Long) => lo = math.max(lo, v)
       case LessThan("id", v: Long)           => hi = math.min(hi, v)
-      case LessThanOrEqual("id", v: Long)    => hi = math.min(hi, v + 1)
-      case EqualTo("id", v: Long)            => lo = math.max(lo, v); hi = math.min(hi, v + 1)
+      case LessThanOrEqual("id", v: Long)    => hi = math.min(hi, inc(v))
+      case EqualTo("id", v: Long)            => lo = math.max(lo, v); hi = math.min(hi, inc(v))
       case IsNotNull("id")                   => () // id is never null
     }
     accepted = ours
@@ -111,10 +114,12 @@ class GenScan(lo: Long, hi: Long, parts: Int, required: StructType) extends Scan
     */
   override def planInputPartitions(): Array[InputPartition] = {
     if (hi <= lo) return Array.empty
-    val n = math.min(parts.toLong, hi - lo).toInt
-    Array.tabulate(n) { i =>
-      GenPartition(lo + (hi - lo) * i / n, lo + (hi - lo) * (i + 1) / n)
-    }
+    val span = hi - lo
+    val n = math.min(parts.toLong, span).toInt
+    // balanced split without (span * i) products, which overflow for
+    // spans near 2^63: the first span%n slices get one extra row
+    def bound(i: Int): Long = lo + (span / n) * i + math.min(i.toLong, span % n)
+    Array.tabulate(n)(i => GenPartition(bound(i), bound(i + 1)))
   }
   override def createReaderFactory(): PartitionReaderFactory = GenReaderFactory(required)
 }
@@ -135,8 +140,14 @@ case class GenReaderFactory(required: StructType) extends PartitionReaderFactory
     new PartitionReader[InternalRow] {
       private var cur = gp.start - 1
       override def next(): Boolean = { cur += 1; cur < gp.end }
-      override def get(): InternalRow = InternalRow.fromSeq(
-        gens.toIndexedSeq.map(g => g(cur)))
+      override def get(): InternalRow = {
+        // one array per row — no intermediate Seq/boxed collection churn
+        // in the innermost loop of the scan
+        val values = new Array[Any](gens.length)
+        var j = 0
+        while (j < gens.length) { values(j) = gens(j)(cur); j += 1 }
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(values)
+      }
       override def close(): Unit = ()
     }
   }
