@@ -1,0 +1,70 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Iterative graph analytics over plain DataFrames. Like
+  * [[DedupOps.connectedComponents]], the operators here stay in the
+  * DataFrame algebra (Catalyst-optimizable, AQE-replannable) instead of
+  * dropping to a vertex-program engine — at corpus scale every iteration
+  * is a keyed equi-join + aggregation, the shapes Spark already knows how
+  * to shuffle, skew-split and spill. GraphX serves as the independent
+  * cross-check in tests (GraphxPrSpec), not as the shipped path.
+  */
+object GraphOps {
+
+  /** Fixed-iteration PageRank, GraphX `staticPageRank` convention:
+    * every rank starts at 1.0 and each iteration recomputes ALL nodes as
+    *
+    *   rank = resetProb + (1 - resetProb) · Σ_incoming rank(src) / outdeg(src)
+    *
+    * then a FINAL normalization scales ranks to sum to the node count —
+    * exactly what GraphX does since SPARK-18847 (sinks absorb mass, so
+    * unnormalized static ranks depend on sink structure; the rescale
+    * restores cross-graph comparability at the cost of one scalar agg,
+    * broadcast back). Parallel edges count once each in both outdeg and
+    * the message sum.
+    *
+    * Input: edges with `src`/`dst` (long). Output: (node, rank) for every
+    * node appearing in any edge.
+    *
+    * Scale shape: per iteration ONE join of the edge list against the
+    * rank table (both hash-partitioned on the same key) and one groupBy —
+    * partial aggregation sums contributions map-side. Rounds are
+    * `localCheckpoint`ed: the rank plan would otherwise double per
+    * iteration (see connectedComponents' note on plan growth).
+    */
+  def pageRank(edges: DataFrame, iters: Int = 10, resetProb: Double = 0.15)
+      : DataFrame = {
+    require(iters >= 1, s"pageRank needs iters >= 1, got $iters")
+    require(resetProb > 0 && resetProb < 1, s"resetProb in (0,1), got $resetProb")
+    val e = edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst"))
+    val withDeg = e
+      .join(e.groupBy("src").agg(count(lit(1)).as("outdeg")), Seq("src"))
+      .cache()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .distinct().cache()
+    var ranks = nodes.select(col("node"), lit(1.0).as("rank"))
+      .localCheckpoint(false)
+    for (_ <- 1 to iters) {
+      val sums = withDeg.join(ranks, withDeg("src") === ranks("node"))
+        .select(withDeg("dst").as("node"),
+          (ranks("rank") / withDeg("outdeg")).as("c"))
+        .groupBy("node").agg(sum("c").as("msum"))
+      ranks = nodes.join(sums, Seq("node"), "left")
+        .select(col("node"),
+          (lit(resetProb) +
+            lit(1 - resetProb) * coalesce(col("msum"), lit(0.0))).as("rank"))
+        .localCheckpoint(false)
+    }
+    withDeg.unpersist()
+    nodes.unpersist()
+    // GraphX-parity normalization: Σ rank = |V|. One tiny (1-row) agg
+    // cross-joined back — a broadcast scalar, not a shuffle.
+    val scale = ranks.agg((count(lit(1)) / sum("rank")).as("scale"))
+    ranks.crossJoin(broadcast(scale))
+      .select(col("node"), (col("rank") * col("scale")).as("rank"))
+  }
+}

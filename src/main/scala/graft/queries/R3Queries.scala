@@ -388,5 +388,55 @@ object R3Queries {
           .orderBy("user_id", "island")
       },
       Some("""WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, event_id FROM events), f AS (SELECT *, CASE WHEN lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS DISTINCT FROM event_type THEN 1 ELSE 0 END AS chg FROM e), i AS (SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island FROM f), g AS (SELECT user_id, CAST(island AS BIGINT) AS island, event_type, min(ts) AS from_ts, count(*) AS n_events FROM i GROUP BY 1, 2, 3) SELECT user_id, island, event_type, CAST(floor(epoch(from_ts)) AS BIGINT) AS valid_from, CAST(coalesce(floor(epoch(lead(from_ts) OVER (PARTITION BY user_id ORDER BY island))), -1) AS BIGINT) AS valid_to, CAST(n_events AS BIGINT) AS n_events FROM g ORDER BY user_id, island"""),
-      "§2.5 ext: SCD2 gaps-and-islands interval build (change-history load)"))
+      "§2.5 ext: SCD2 gaps-and-islands interval build (change-history load)"),
+
+    // q136 — approx_percentile with a RANK-window oracle, completing the
+    // sketch family (q49 HLL, q121 bitmap): sketch outputs differ across
+    // engines, so each engine checks ITS OWN estimate against the exact
+    // p45/p55 value band — accuracy=10000 bounds rank error at 0.01%, so
+    // a ±5%-rank band is a ~500σ margin, deterministic in practice.
+    QuerySpec(
+      "q136_approx_percentile",
+      (s, d) => {
+        t(s, d, "lineitem")
+          .groupBy("l_returnflag")
+          .agg(
+            round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50_exact"),
+            expr("approx_percentile(l_extendedprice, 0.5, 10000)").as("p50a"),
+            expr("percentile(l_extendedprice, 0.45)").as("lo45"),
+            expr("percentile(l_extendedprice, 0.55)").as("hi55"))
+          .select(col("l_returnflag"), col("p50_exact"),
+            (col("p50a") >= col("lo45") && col("p50a") <= col("hi55"))
+              .cast("long").as("p50_in_band"))
+          .orderBy("l_returnflag")
+      },
+      Some("""SELECT l_returnflag, round(quantile_cont(l_extendedprice, 0.5), 4) AS p50_exact, CAST(approx_quantile(l_extendedprice, 0.5) BETWEEN quantile_cont(l_extendedprice, 0.45) AND quantile_cont(l_extendedprice, 0.55) AS BIGINT) AS p50_in_band FROM lineitem GROUP BY 1 ORDER BY 1"""),
+      "§2.4 note: approx_percentile vs exact rank band (sketch-family oracle)"),
+
+    // q137 — PageRank over the customer↔supplier trade graph (who trades
+    // with whom, via orders⋈lineitem), 3 fixed iterations of
+    // ops.GraphOps.pageRank. Node ids disambiguate the two key spaces
+    // (cust → 2k, supp → 2k+1); edges are distinct and bidirectional.
+    // The oracle unrolls the same three iterations as chained CTEs —
+    // fixed-iteration semantics make an iterative operator exactly
+    // replayable in SQL (the CC recursive-CTE trick, sibling q90).
+    // GraphxPrSpec independently cross-checks the operator against
+    // GraphX's staticPageRank on random graphs.
+    QuerySpec(
+      "q137_pagerank",
+      (s, d) => {
+        import graft.ops.GraphOps
+        val pairs = t(s, d, "orders")
+          .join(t(s, d, "lineitem"),
+            col("o_orderkey") === col("l_orderkey"))
+          .select((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("p"))
+          .distinct()
+        val edges = pairs.select(col("c").as("src"), col("p").as("dst"))
+          .unionByName(pairs.select(col("p").as("src"), col("c").as("dst")))
+        GraphOps.pageRank(edges, iters = 3)
+          .select(col("node"), round(col("rank"), 6).as("rank"))
+          .orderBy("node")
+      },
+      Some("""WITH e AS (SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst FROM orders JOIN lineitem ON o_orderkey = l_orderkey), ed AS (SELECT src, dst FROM e UNION ALL SELECT dst AS src, src AS dst FROM e), deg AS (SELECT src, count(*) AS outdeg FROM ed GROUP BY 1), n AS (SELECT DISTINCT src AS node FROM ed), s1 AS (SELECT ed.dst AS node, sum(1.0 / deg.outdeg) AS m FROM ed JOIN deg USING (src) GROUP BY 1), r1 AS (SELECT n.node, 0.15 + 0.85 * coalesce(m, 0) AS rank FROM n LEFT JOIN s1 USING (node)), s2 AS (SELECT ed.dst AS node, sum(r1.rank / deg.outdeg) AS m FROM ed JOIN deg USING (src) JOIN r1 ON r1.node = ed.src GROUP BY 1), r2 AS (SELECT n.node, 0.15 + 0.85 * coalesce(m, 0) AS rank FROM n LEFT JOIN s2 USING (node)), s3 AS (SELECT ed.dst AS node, sum(r2.rank / deg.outdeg) AS m FROM ed JOIN deg USING (src) JOIN r2 ON r2.node = ed.src GROUP BY 1), r3 AS (SELECT n.node, 0.15 + 0.85 * coalesce(m, 0) AS rank FROM n LEFT JOIN s3 USING (node)) SELECT node, round(rank * (SELECT count(*) FROM n) / (SELECT sum(rank) FROM r3), 6) AS rank FROM r3 ORDER BY node"""),
+      "E2 ext: fixed-iteration PageRank on the trade graph (iterative keyed joins)"))
 }

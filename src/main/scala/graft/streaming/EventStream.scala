@@ -99,6 +99,52 @@ object EventStream {
       .outputMode("append")
       .start()
 
+  case class EmaOut(user_id: Long, event_id: Long, ema: Double)
+
+  /** Per-user exponential moving average via `transformWithState` —
+    * Spark 4's arbitrary-state API (the successor to
+    * flatMapGroupsWithState used in [[sessionize]]): typed ValueState,
+    * explicit TTL, timers. The EMA is the canonical streaming feature no
+    * built-in window computes: each event emits
+    * α·value + (1−α)·previous-EMA, with exactly ONE double of state per
+    * user regardless of stream length. Events are ordered (ts, event_id)
+    * within each micro-batch for deterministic folds; requires the
+    * RocksDB state store (see StreamingSpec for the config).
+    */
+  class EmaProcessor(alpha: Double)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Event, EmaOut] {
+    @transient private var ema: org.apache.spark.sql.streaming.ValueState[Double] = _
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      ema = getHandle.getValueState[Double]("ema",
+        org.apache.spark.sql.Encoders.scalaDouble,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(user: Long, rows: Iterator[Event],
+        timers: org.apache.spark.sql.streaming.TimerValues): Iterator[EmaOut] = {
+      val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+      var cur = if (ema.exists()) Some(ema.get()) else None
+      val out = sorted.map { e =>
+        val next = cur match {
+          case Some(prev) => alpha * e.value + (1 - alpha) * prev
+          case None => e.value // first observation seeds the average
+        }
+        cur = Some(next)
+        EmaOut(user, e.event_id, next)
+      }
+      cur.foreach(ema.update)
+      out.iterator
+    }
+  }
+
+  /** The EMA stream: group by user, fold through [[EmaProcessor]]. */
+  def emaStream(events: Dataset[Event], alpha: Double = 0.5): Dataset[EmaOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new EmaProcessor(alpha),
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append())
+  }
+
   case class Event(event_id: Long, ts: Timestamp, user_id: Long, value: Double)
   case class SessionState(start: Long, last: Long, n: Long, total: Double)
   case class SessionOut(user_id: Long, sess_start: Long, cnt: Long, total_value: Double)

@@ -159,6 +159,31 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("transformWithState EMA folds across micro-batches with one value of state") {
+    // transformWithState requires the RocksDB state store
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val mem = MemoryStream[Event](spark)
+    val q = EventStream.emaStream(mem.toDS(), alpha = 0.5)
+      .writeStream.format("memory").queryName("ema").outputMode("append").start()
+    try {
+      mem.addData(Event(1, ts(0), 1, 1.0), Event(2, ts(10), 1, 3.0))
+      q.processAllAvailable()
+      mem.addData(Event(3, ts(20), 1, 4.0)) // second batch: state must carry
+      q.processAllAvailable()
+      val got = spark.table("ema").select("event_id", "ema")
+        .as[(Long, Double)].collect().toMap
+      // seed 1.0; then 0.5·3+0.5·1 = 2.0; next batch 0.5·4+0.5·2 = 3.0
+      assert(got == Map(1L -> 1.0, 2L -> 2.0, 3L -> 3.0), s"got $got")
+    } finally {
+      q.stop()
+      prev match { case Some(v) => spark.conf.set(key, v)
+                   case None => spark.conf.unset(key) }
+    }
+  }
+
   test("streaming session_window agrees with batch q24 shape") {
     val mem = MemoryStream[Event](spark)
     val q = EventStream.sessionCounts(mem.toDF())
