@@ -438,5 +438,35 @@ object R3Queries {
           .orderBy("node")
       },
       Some("""WITH e AS (SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst FROM orders JOIN lineitem ON o_orderkey = l_orderkey), ed AS (SELECT src, dst FROM e UNION ALL SELECT dst AS src, src AS dst FROM e), deg AS (SELECT src, count(*) AS outdeg FROM ed GROUP BY 1), n AS (SELECT DISTINCT src AS node FROM ed), s1 AS (SELECT ed.dst AS node, sum(1.0 / deg.outdeg) AS m FROM ed JOIN deg USING (src) GROUP BY 1), r1 AS (SELECT n.node, 0.15 + 0.85 * coalesce(m, 0) AS rank FROM n LEFT JOIN s1 USING (node)), s2 AS (SELECT ed.dst AS node, sum(r1.rank / deg.outdeg) AS m FROM ed JOIN deg USING (src) JOIN r1 ON r1.node = ed.src GROUP BY 1), r2 AS (SELECT n.node, 0.15 + 0.85 * coalesce(m, 0) AS rank FROM n LEFT JOIN s2 USING (node)), s3 AS (SELECT ed.dst AS node, sum(r2.rank / deg.outdeg) AS m FROM ed JOIN deg USING (src) JOIN r2 ON r2.node = ed.src GROUP BY 1), r3 AS (SELECT n.node, 0.15 + 0.85 * coalesce(m, 0) AS rank FROM n LEFT JOIN s3 USING (node)) SELECT node, round(rank * (SELECT count(*) FROM n) / (SELECT sum(rank) FROM r3), 6) AS rank FROM r3 ORDER BY node"""),
-      "E2 ext: fixed-iteration PageRank on the trade graph (iterative keyed joins)"))
+      "E2 ext: fixed-iteration PageRank on the trade graph (iterative keyed joins)"),
+
+    // q138 — CDC MERGE (warehouse upsert-apply): fold a change stream
+    // into a base snapshot. The last op per key wins ('error' = DELETE
+    // drops the key even if it exists in base; otherwise the CDC value
+    // upserts over base). One keep-latest window over the change stream
+    // + one full-outer join — the change stream shuffles once on the
+    // merge key and the base is read exactly once, which is MERGE's
+    // minimal shape at warehouse scale.
+    QuerySpec(
+      "q138_cdc_merge",
+      (s, d) => {
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("ts").desc, col("event_id").desc)
+        val latest = t(s, d, "events")
+          .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+          .select(col("user_id").as("key"), col("event_type").as("op"),
+            round(col("value"), 2).as("cdc_val"))
+        val base = t(s, d, "customer")
+          .select(col("c_custkey").as("key"), round(col("c_acctbal"), 2).as("base_val"))
+        base.join(latest, Seq("key"), "full_outer")
+          .where(col("op").isNull || col("op") =!= "error")
+          .select(col("key"),
+            round(coalesce(col("cdc_val"), col("base_val")), 2).as("val"),
+            when(col("op").isNull, "base")
+              .when(col("base_val").isNull, "insert")
+              .otherwise("update").as("src"))
+          .orderBy("key")
+      },
+      Some("""WITH latest AS (SELECT user_id AS key, event_type AS op, round(value, 2) AS cdc_val FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn FROM events) WHERE rn = 1), base AS (SELECT c_custkey AS key, round(c_acctbal, 2) AS base_val FROM customer) SELECT key, round(coalesce(cdc_val, base_val), 2) AS val, CASE WHEN op IS NULL THEN 'base' WHEN base_val IS NULL THEN 'insert' ELSE 'update' END AS src FROM base FULL OUTER JOIN latest USING (key) WHERE op IS NULL OR op <> 'error' ORDER BY key"""),
+      "§2.3 ext: CDC merge — keep-latest change apply over a full-outer join"))
 }

@@ -25,4 +25,36 @@ class SkewSpec extends SparkSpecBase {
     // the hot key really is hot
     assert(direct.where(col("key") === "hot").head().getLong(2) === 450000L)
   }
+
+  test("AQE splits a skewed join partition at runtime (skew=true in the final plan)") {
+    // 90% of the left side lands on one key; with the skew thresholds
+    // lowered, AQE must rewrite the sort-merge join to read the hot
+    // partition as multiple splits — the runtime answer to skew that
+    // salting solves statically (the two are complementary: AQE for
+    // joins, salting for aggregations AQE can't split).
+    val confs = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "64KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16KB",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val left = spark.range(200000)
+        .select(when(col("id") % 10 < 9, 0L).otherwise(col("id")).as("k"),
+          concat(lit("payload_"), col("id")).as("pad"))
+      val right = spark.range(5000).select(col("id").as("k"), lit(1L).as("m"))
+      val joined = left.join(right, Seq("k"))
+      // execute THIS plan (count() would prune `pad` and nothing would
+      // cross the skew threshold); hot key 0: 180000 matches, tail keys
+      // ≡9 (mod 10) below 5000: 500
+      assert(joined.collect().length === 180500)
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("skew=true"),
+        s"AQE did not split the skewed partition\n$p")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }
