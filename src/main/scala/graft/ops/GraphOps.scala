@@ -29,10 +29,14 @@ object GraphOps {
     * node appearing in any edge.
     *
     * Scale shape: per iteration ONE join of the edge list against the
-    * rank table (both hash-partitioned on the same key) and one groupBy —
-    * partial aggregation sums contributions map-side. Rounds are
-    * `localCheckpoint`ed: the rank plan would otherwise double per
-    * iteration (see connectedComponents' note on plan growth).
+    * rank table and one groupBy — partial aggregation sums contributions
+    * map-side. Unlike connectedComponents, each round references the
+    * previous ranks exactly ONCE, so lineage grows linearly (not 2^n)
+    * and no checkpoint is needed — which also keeps runtime statistics
+    * flowing, letting AQE broadcast the |V|-sized rank table against the
+    * |E|-sized cached edge list instead of shuffling the edges every
+    * round (at 100 TB, |V| ≪ |E| is exactly the broadcast-side split you
+    * want).
     */
   def pageRank(edges: DataFrame, iters: Int = 10, resetProb: Double = 0.15)
       : DataFrame = {
@@ -47,7 +51,6 @@ object GraphOps {
       .union(e.select(col("dst").as("node")))
       .distinct().cache()
     var ranks = nodes.select(col("node"), lit(1.0).as("rank"))
-      .localCheckpoint(false)
     for (_ <- 1 to iters) {
       val sums = withDeg.join(ranks, withDeg("src") === ranks("node"))
         .select(withDeg("dst").as("node"),
@@ -57,7 +60,6 @@ object GraphOps {
         .select(col("node"),
           (lit(resetProb) +
             lit(1 - resetProb) * coalesce(col("msum"), lit(0.0))).as("rank"))
-        .localCheckpoint(false)
     }
     withDeg.unpersist()
     nodes.unpersist()
