@@ -61,12 +61,21 @@ object GraphOps {
           (lit(resetProb) +
             lit(1 - resetProb) * coalesce(col("msum"), lit(0.0))).as("rank"))
     }
+    // Materialize the iterative lineage ONCE (eager checkpoint runs the
+    // job here, while the caches are live): the normalization below
+    // references `ranks` twice (scalar agg + rescale), which would
+    // otherwise re-execute all iterations — and without an action inside
+    // this function the cache/unpersist pair would be a no-op, every
+    // reference re-deriving the edge list from scratch.
+    val preNorm = ranks.localCheckpoint(true)
     withDeg.unpersist()
     nodes.unpersist()
     // GraphX-parity normalization: Σ rank = |V|. One tiny (1-row) agg
-    // cross-joined back — a broadcast scalar, not a shuffle.
-    val scale = ranks.agg((count(lit(1)) / sum("rank")).as("scale"))
-    ranks.crossJoin(broadcast(scale))
-      .select(col("node"), (col("rank") * col("scale")).as("rank"))
+    // cross-joined back — a broadcast scalar, not a shuffle. The rescale
+    // keeps the (rank · count) / sum association so the oracle can
+    // reproduce it bit-for-bit.
+    val scale = preNorm.agg(count(lit(1)).as("nv"), sum("rank").as("rsum"))
+    preNorm.crossJoin(broadcast(scale))
+      .select(col("node"), (col("rank") * col("nv") / col("rsum")).as("rank"))
   }
 }

@@ -401,16 +401,18 @@ object R3Queries {
         t(s, d, "lineitem")
           .groupBy("l_returnflag")
           .agg(
-            round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50_exact"),
-            expr("approx_percentile(l_extendedprice, 0.5, 10000)").as("p50a"),
-            expr("percentile(l_extendedprice, 0.45)").as("lo45"),
-            expr("percentile(l_extendedprice, 0.55)").as("hi55"))
-          .select(col("l_returnflag"), col("p50_exact"),
-            (col("p50a") >= col("lo45") && col("p50a") <= col("hi55"))
+            // one aggregation buffer for all three exact quantiles — three
+            // scalar percentile() calls would each buffer + sort the group
+            expr("percentile(l_extendedprice, array(0.45, 0.5, 0.55))").as("ps"),
+            expr("approx_percentile(l_extendedprice, 0.5, 10000)").as("p50a"))
+          .select(col("l_returnflag"),
+            round(element_at(col("ps"), 2), 4).as("p50_exact"),
+            (col("p50a") >= element_at(col("ps"), 1) &&
+              col("p50a") <= element_at(col("ps"), 3))
               .cast("long").as("p50_in_band"))
           .orderBy("l_returnflag")
       },
-      Some("""SELECT l_returnflag, round(quantile_cont(l_extendedprice, 0.5), 4) AS p50_exact, CAST(approx_quantile(l_extendedprice, 0.5) BETWEEN quantile_cont(l_extendedprice, 0.45) AND quantile_cont(l_extendedprice, 0.55) AS BIGINT) AS p50_in_band FROM lineitem GROUP BY 1 ORDER BY 1"""),
+      Some("""WITH q AS (SELECT l_returnflag, quantile_cont(l_extendedprice, [0.45, 0.5, 0.55]) AS ps, approx_quantile(l_extendedprice, 0.5) AS p50a FROM lineitem GROUP BY 1) SELECT l_returnflag, round(ps[2], 4) AS p50_exact, CAST(p50a BETWEEN ps[1] AND ps[3] AS BIGINT) AS p50_in_band FROM q ORDER BY 1"""),
       "§2.4 note: approx_percentile vs exact rank band (sketch-family oracle)"),
 
     // q137 — PageRank over the customer↔supplier trade graph (who trades
@@ -433,11 +435,17 @@ object R3Queries {
           .distinct()
         val edges = pairs.select(col("c").as("src"), col("p").as("dst"))
           .unionByName(pairs.select(col("p").as("src"), col("c").as("dst")))
+        // integer milli-ranks: rank values are NOT on a value grid (sums
+        // of thousands of doubles), so a 6-dp round could flip at a
+        // half-boundary between the two engines' summation orders; at
+        // 3 significant decimals the ~1e-13 cross-engine noise sits ten
+        // orders of magnitude below the rounding spacing
         GraphOps.pageRank(edges, iters = 3)
-          .select(col("node"), round(col("rank"), 6).as("rank"))
+          .select(col("node"),
+            round(col("rank") * 1000, 0).cast("long").as("rank_milli"))
           .orderBy("node")
       },
-      Some("""WITH e AS (SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst FROM orders JOIN lineitem ON o_orderkey = l_orderkey), ed AS (SELECT src, dst FROM e UNION ALL SELECT dst AS src, src AS dst FROM e), deg AS (SELECT src, count(*) AS outdeg FROM ed GROUP BY 1), n AS (SELECT DISTINCT src AS node FROM ed), s1 AS (SELECT ed.dst AS node, sum(1.0 / deg.outdeg) AS m FROM ed JOIN deg USING (src) GROUP BY 1), r1 AS (SELECT n.node, 0.15 + 0.85 * coalesce(m, 0) AS rank FROM n LEFT JOIN s1 USING (node)), s2 AS (SELECT ed.dst AS node, sum(r1.rank / deg.outdeg) AS m FROM ed JOIN deg USING (src) JOIN r1 ON r1.node = ed.src GROUP BY 1), r2 AS (SELECT n.node, 0.15 + 0.85 * coalesce(m, 0) AS rank FROM n LEFT JOIN s2 USING (node)), s3 AS (SELECT ed.dst AS node, sum(r2.rank / deg.outdeg) AS m FROM ed JOIN deg USING (src) JOIN r2 ON r2.node = ed.src GROUP BY 1), r3 AS (SELECT n.node, 0.15 + 0.85 * coalesce(m, 0) AS rank FROM n LEFT JOIN s3 USING (node)) SELECT node, round(rank * (SELECT count(*) FROM n) / (SELECT sum(rank) FROM r3), 6) AS rank FROM r3 ORDER BY node"""),
+      Some("""WITH e AS (SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst FROM orders JOIN lineitem ON o_orderkey = l_orderkey), ed AS (SELECT src, dst FROM e UNION ALL SELECT dst AS src, src AS dst FROM e), deg AS (SELECT src, count(*) AS outdeg FROM ed GROUP BY 1), n AS (SELECT DISTINCT src AS node FROM ed), s1 AS (SELECT ed.dst AS node, sum(1.0 / deg.outdeg) AS m FROM ed JOIN deg USING (src) GROUP BY 1), r1 AS (SELECT n.node, 0.15 + 0.85 * coalesce(m, 0) AS rank FROM n LEFT JOIN s1 USING (node)), s2 AS (SELECT ed.dst AS node, sum(r1.rank / deg.outdeg) AS m FROM ed JOIN deg USING (src) JOIN r1 ON r1.node = ed.src GROUP BY 1), r2 AS (SELECT n.node, 0.15 + 0.85 * coalesce(m, 0) AS rank FROM n LEFT JOIN s2 USING (node)), s3 AS (SELECT ed.dst AS node, sum(r2.rank / deg.outdeg) AS m FROM ed JOIN deg USING (src) JOIN r2 ON r2.node = ed.src GROUP BY 1), r3 AS (SELECT n.node, 0.15 + 0.85 * coalesce(m, 0) AS rank FROM n LEFT JOIN s3 USING (node)) SELECT node, CAST(round(rank * (SELECT count(*) FROM n) / (SELECT sum(rank) FROM r3) * 1000, 0) AS BIGINT) AS rank_milli FROM r3 ORDER BY node"""),
       "E2 ext: fixed-iteration PageRank on the trade graph (iterative keyed joins)"),
 
     // q138 — CDC MERGE (warehouse upsert-apply): fold a change stream

@@ -103,13 +103,15 @@ object EventStream {
 
   /** Per-user exponential moving average via `transformWithState` —
     * Spark 4's arbitrary-state API (the successor to
-    * flatMapGroupsWithState used in [[sessionize]]): typed ValueState,
-    * explicit TTL, timers. The EMA is the canonical streaming feature no
-    * built-in window computes: each event emits
-    * α·value + (1−α)·previous-EMA, with exactly ONE double of state per
-    * user regardless of stream length. Events are ordered (ts, event_id)
-    * within each micro-batch for deterministic folds; requires the
-    * RocksDB state store (see StreamingSpec for the config).
+    * flatMapGroupsWithState used in [[sessionize]]), here exercising its
+    * typed ValueState (TTL and timers exist on the handle but are not
+    * needed for an EMA — state is one double per user, forever live).
+    * The EMA is the canonical streaming feature no built-in window
+    * computes: each event emits α·value + (1−α)·previous-EMA. Events are
+    * ordered by FULL-precision ts (Timestamp.compareTo keeps the nanos
+    * that getTime would truncate to millis), tie-broken by event_id,
+    * within each micro-batch; requires the RocksDB state store (see
+    * StreamingSpec for the config).
     */
   class EmaProcessor(alpha: Double)
       extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Event, EmaOut] {
@@ -121,7 +123,10 @@ object EventStream {
         org.apache.spark.sql.streaming.TTLConfig.NONE)
     override def handleInputRows(user: Long, rows: Iterator[Event],
         timers: org.apache.spark.sql.streaming.TimerValues): Iterator[EmaOut] = {
-      val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+      val sorted = rows.toSeq.sortWith { (a, b) =>
+        val c = a.ts.compareTo(b.ts) // full precision, incl. sub-millis
+        c < 0 || (c == 0 && a.event_id < b.event_id)
+      }
       var cur = if (ema.exists()) Some(ema.get()) else None
       val out = sorted.map { e =>
         val next = cur match {
