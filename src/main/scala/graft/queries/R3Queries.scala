@@ -476,5 +476,37 @@ object R3Queries {
           .orderBy("key")
       },
       Some("""WITH latest AS (SELECT user_id AS key, event_type AS op, round(value, 2) AS cdc_val FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn FROM events) WHERE rn = 1), base AS (SELECT c_custkey AS key, round(c_acctbal, 2) AS base_val FROM customer) SELECT key, round(coalesce(cdc_val, base_val), 2) AS val, CASE WHEN op IS NULL THEN 'base' WHEN base_val IS NULL THEN 'insert' ELSE 'update' END AS src FROM base FULL OUTER JOIN latest USING (key) WHERE op IS NULL OR op <> 'error' ORDER BY key"""),
-      "§2.3 ext: CDC merge — keep-latest change apply over a full-outer join"))
+      "§2.3 ext: CDC merge — keep-latest change apply over a full-outer join"),
+
+    // q139 — DATA-QUALITY GATE: the expectation checks a pipeline runs
+    // before trusting a batch — null rates, domain-range violations,
+    // duplicate primary keys, and referential integrity (lineitem rows
+    // whose order vanished, via a broadcast-able anti-join on the FK).
+    // Everything folds into ONE pass over lineitem (conditional
+    // aggregates) plus one agg-of-groupBy for dup PKs and one anti-join —
+    // no per-check rescans, which is what makes a validation suite
+    // affordable at 100 TB.
+    QuerySpec(
+      "q139_data_quality",
+      (s, d) => {
+        val li = t(s, d, "lineitem")
+        val stats = li.agg(
+          count(lit(1)).as("n_rows"),
+          sum(col("l_returnflag").isNull.cast("long")).as("null_flags"),
+          sum((col("l_quantity") <= 0).cast("long")).as("bad_qty"),
+          sum((col("l_discount") < 0 || col("l_discount") > 1).cast("long"))
+            .as("bad_discount"),
+          sum((col("l_shipdate") < lit("1992-01-01").cast("timestamp") ||
+            col("l_shipdate") >= lit("1999-01-01").cast("timestamp")).cast("long"))
+            .as("bad_shipdate"))
+        val dupPk = li.groupBy("l_orderkey", "l_linenumber")
+          .agg(count(lit(1)).as("c")).where(col("c") > 1)
+          .agg(count(lit(1)).as("dup_pks"))
+        val orphans = li.join(t(s, d, "orders"),
+            col("l_orderkey") === col("o_orderkey"), "left_anti")
+          .agg(count(lit(1)).as("fk_orphans"))
+        stats.crossJoin(dupPk).crossJoin(orphans)
+      },
+      Some("""SELECT count(*) AS n_rows, CAST(sum(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_flags, CAST(sum(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS bad_qty, CAST(sum(CASE WHEN l_discount < 0 OR l_discount > 1 THEN 1 ELSE 0 END) AS BIGINT) AS bad_discount, CAST(sum(CASE WHEN l_shipdate < TIMESTAMP '1992-01-01 00:00:00' OR l_shipdate >= TIMESTAMP '1999-01-01 00:00:00' THEN 1 ELSE 0 END) AS BIGINT) AS bad_shipdate, (SELECT count(*) FROM (SELECT l_orderkey, l_linenumber FROM lineitem GROUP BY 1, 2 HAVING count(*) > 1)) AS dup_pks, (SELECT count(*) FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)) AS fk_orphans FROM lineitem"""),
+      "E4/§2.4 ext: one-pass data-quality gate (nulls, ranges, dup PKs, FK orphans)"))
 }

@@ -73,4 +73,19 @@ class SemanticsSpec extends SparkSpecBase {
       .as[(Long, Long)].collect().toSet
     assert(pairs.contains((1L, 2L)) && !pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
+
+  test("Observation collects pipeline metrics in the SAME pass as the action") {
+    // the pipeline-health idiom for 100-TB jobs: row counts and
+    // validation sums ride along the real query as accumulator-backed
+    // observed metrics — no second scan, unlike a separate .agg() pass
+    val obs = org.apache.spark.sql.Observation("gate")
+    val out = spark.range(1000)
+      .observe(obs, count(lit(1)).as("rows_seen"),
+        sum(when(col("id") % 100 === 0, 1).otherwise(0)).as("centuries"))
+      .where(col("id") % 2 === 0)
+    assert(out.count() == 500)
+    val m = obs.get
+    // observed BEFORE the filter: metrics see every scanned row
+    assert(m("rows_seen") == 1000L && m("centuries") == 10L, s"got $m")
+  }
 }
