@@ -507,27 +507,32 @@ object R3Queries {
           .agg(count(lit(1)).as("fk_orphans"))
         stats.crossJoin(dupPk).crossJoin(orphans)
       },
-      Some("""SELECT count(*) AS n_rows, CAST(sum(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_flags, CAST(sum(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS bad_qty, CAST(sum(CASE WHEN l_discount < 0 OR l_discount > 1 THEN 1 ELSE 0 END) AS BIGINT) AS bad_discount, CAST(sum(CASE WHEN l_shipdate < TIMESTAMP '1992-01-01 00:00:00' OR l_shipdate >= TIMESTAMP '1999-01-01 00:00:00' THEN 1 ELSE 0 END) AS BIGINT) AS bad_shipdate, (SELECT count(*) FROM (SELECT l_orderkey, l_linenumber FROM lineitem GROUP BY 1, 2 HAVING count(*) > 1)) AS dup_pks, (SELECT count(*) FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)) AS fk_orphans FROM lineitem"""),
+      Some("""SELECT count(*) AS n_rows, CAST(sum(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_flags, CAST(sum(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS bad_qty, CAST(sum(CASE WHEN l_discount < 0 OR l_discount > 1 THEN 1 ELSE 0 END) AS BIGINT) AS bad_discount, CAST(sum(CASE WHEN l_shipdate < TIMESTAMP '1992-01-01 00:00:00' OR l_shipdate >= TIMESTAMP '1999-01-01 00:00:00' THEN 1 ELSE 0 END) AS BIGINT) AS bad_shipdate, (SELECT count(*) FROM (SELECT l_orderkey, l_linenumber FROM lineitem GROUP BY 1, 2 HAVING count(*) > 1)) AS dup_pks, (SELECT count(*) FROM lineitem l WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)) AS fk_orphans FROM lineitem"""),
       "E4/§2.4 ext: one-pass data-quality gate (nulls, ranges, dup PKs, FK orphans)"),
 
     // q140 — INVERTED INDEX build (the search-side twin of TF-IDF): per
     // term, document frequency, collection frequency, and a capped sorted
-    // posting list. One groupBy over the SHARED cached (doc, term, tf)
-    // base — the corpus is tokenized once for q29/q30/q35 AND the index.
-    // Posting lists cap at 8 entries (slice of sort_array) so no term's
-    // output row is unbounded — the discipline a real index build needs
-    // when a stopword's posting list would otherwise be corpus-sized.
+    // posting list, over the SHARED cached (doc, term, tf) base — the
+    // corpus is tokenized once for q29/q30/q35 AND the index. The cap is
+    // enforced BEFORE aggregation by the native TopKPerGroup operator
+    // (q130): bounded per-term heaps keep only the 8 smallest doc ids, so
+    // a stopword-shaped term never materializes a corpus-sized
+    // collect_list buffer — the STATE is capped, not just the output row.
     QuerySpec(
       "q140_inverted_index",
       (s, d) => {
-        ScaleQueries.termFreq(s, d)
+        import graft.ops.TopKOps
+        val tf = ScaleQueries.termFreq(s, d)
+        val stats = tf.groupBy("term")
+          .agg(count(lit(1)).as("df"), sum("tf").as("cf"))
+        val top8 = TopKOps.topKPerGroup(tf.select("term", "doc_id"),
+            groupCols = Seq("term"), orderBy = Seq(("doc_id", false)), k = 8)
           .groupBy("term")
-          .agg(count(lit(1)).as("df"),
-            sum("tf").as("cf"),
-            // string-serialized: the driver's compare hashes scalar cells
-            concat_ws(",",
-              slice(sort_array(collect_list(col("doc_id"))), 1, 8)).as("postings"))
-          .orderBy("term")
+          // ≤8 elements per group by construction; string-serialized
+          // because the driver's compare hashes scalar cells
+          .agg(concat_ws(",", sort_array(collect_list(col("doc_id"))))
+            .as("postings"))
+        stats.join(top8, Seq("term")).orderBy("term")
       },
       Some("""WITH tf AS (SELECT doc_id, term, count(*) AS tf FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents) GROUP BY 1, 2) SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS cf, array_to_string((list(doc_id ORDER BY doc_id))[1:8], ',') AS postings FROM tf GROUP BY term ORDER BY term"""),
       "E4/A7 ext: inverted-index build — df/cf + capped sorted posting lists"))
