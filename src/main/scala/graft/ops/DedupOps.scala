@@ -58,6 +58,39 @@ object DedupOps {
       .distinct()
   }
 
+  /** Prefix-filtered candidate pairs for an EXACT Jaccard similarity
+    * self-join at threshold `t` (the PPJoin/AllPairs prefix principle):
+    * order every doc's shingles by a global rarity order (ascending
+    * document frequency, shingle string as tiebreak), keep only the
+    * first |S| - ceil(t*|S|) + 1 of each doc — if J(A,B) >= t the two
+    * prefixes must share a shingle — and equi-join docs on prefix
+    * shingles. Complementary to MinHash banding (candidatePairs): that
+    * path is probabilistic (can miss pairs), this one is COMPLETE — with
+    * exact verification downstream the join result equals the all-pairs
+    * answer, while only prefix rows (the rarest ~(1-t) fraction of each
+    * set) ever shuffle, and bucket sizes stay small because prefixes are
+    * by construction the rare shingles. No global rank is computed: the
+    * (df, shingle) pair itself is the total order, so there is no
+    * single-partition window anywhere in the plan.
+    */
+  def prefixFilterCandidates(shRows: DataFrame, t: Double): DataFrame = {
+    require(t > 0 && t < 1, "threshold must be in (0, 1)")
+    val freq = shRows.groupBy("s").agg(count(lit(1)).as("df"))
+    val pref = shRows.join(freq, "s")
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("df"), col("s")))).as("sorted"),
+        count(lit(1)).as("sz"))
+      .withColumn("plen",
+        (col("sz") - ceil(col("sz") * lit(t)) + lit(1)).cast("int"))
+      .select(col("doc_id"),
+        explode(expr("transform(slice(sorted, 1, plen), x -> x.s)")).as("s"))
+    pref.select(col("doc_id").as("a"), col("s"))
+      .join(pref.select(col("doc_id").as("b"), col("s")), Seq("s"))
+      .where(col("a") < col("b"))
+      .select("a", "b")
+      .distinct()
+  }
+
   /** MinHash signatures from (doc_id, shs) shingle-set rows. The `bands`
     * hash functions are the disjoint 8-hex-char slices of ONE md5 per
     * shingle — each slice an independent 32-bit min-hash, and hex

@@ -1,0 +1,243 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.QuerySpec
+import graft.Tables
+import graft.ops.DedupOps
+
+/** Round-3 widening, part 2 — corpus-curation and observability closers:
+  * vocabulary heavy hitters (q141), per-source document caps (q142), the
+  * prefix-filtered EXACT similarity self-join (q143 — the complete
+  * counterpart to q34's probabilistic MinHash candidates), int8 embedding
+  * quantization with reconstruction-error audit (q144), distributed
+  * triangle counting (q145), per-type event anomaly gating (q146), kNN
+  * majority-vote label prediction (q147), key-skew diagnostics that decide
+  * when to salt (q148), and per-dimension embedding feature stats (q149).
+  */
+object R4Queries {
+
+  private def t(s: SparkSession, d: String, n: String): DataFrame = Tables.load(s, d, n)
+
+  val specs: Seq[QuerySpec] = Seq(
+
+    // q141 — corpus heavy hitters: terms present in >= 50% of documents.
+    // array_distinct BEFORE explode dedups map-side, so the shuffle
+    // carries one row per (doc, distinct term); the corpus count joins as
+    // a broadcast single row. At 100 TB this is the standard two-phase
+    // (partial/final) count — no driver collection, no sort until the
+    // tiny survivor set.
+    QuerySpec(
+      "q141_heavy_hitters",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val toks = docs.select(col("doc_id"),
+          explode(array_distinct(split(lower(col("text")), " "))).as("term"))
+        val n = docs.agg(count(lit(1)).as("n"))
+        toks.groupBy("term").agg(count(lit(1)).as("df"))
+          .crossJoin(broadcast(n))
+          .where(col("df") >= col("n") * 0.5)
+          .select(col("term"), col("df"),
+            round(col("df") / col("n"), 6).as("doc_frac"))
+          .orderBy("term")
+      },
+      Some("""WITH toks AS (SELECT DISTINCT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents), nn AS (SELECT count(*) AS n FROM documents), dfreq AS (SELECT term, count(*) AS df FROM toks GROUP BY 1) SELECT term, df, round(df * 1.0 / n, 6) AS doc_frac FROM dfreq CROSS JOIN nn WHERE df >= n * 0.5 ORDER BY term"""),
+      "E4 ext: vocabulary heavy hitters (document frequency >= 50%)"),
+
+    // q142 — per-source document cap: keep at most 20 docs per source
+    // (deterministic doc_id order), the domain-cap curation rule that
+    // stops one crawl domain from dominating a pretraining mix. The
+    // window partitions by source, so each key sorts independently —
+    // no global sort; a skewed mega-source would use q130's native
+    // two-heap top-k node instead.
+    QuerySpec(
+      "q142_source_cap",
+      (s, d) => {
+        val w = Window.partitionBy("source").orderBy("doc_id")
+        t(s, d, "documents")
+          .withColumn("rn", row_number().over(w))
+          .groupBy("source")
+          .agg(count(lit(1)).as("total"),
+            sum(when(col("rn") <= 20, 1L).otherwise(0L)).as("kept"),
+            sum(when(col("rn") <= 20, col("n_chars"))).as("kept_chars"))
+          .orderBy("source")
+      },
+      Some("""WITH r AS (SELECT source, n_chars, row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn FROM documents) SELECT source, count(*) AS total, CAST(sum(CASE WHEN rn <= 20 THEN 1 ELSE 0 END) AS BIGINT) AS kept, CAST(sum(CASE WHEN rn <= 20 THEN n_chars END) AS BIGINT) AS kept_chars FROM r GROUP BY 1 ORDER BY 1"""),
+      "E1/E4 ext: per-source document cap (domain-cap curation rule)"),
+
+    // q143 — EXACT Jaccard similarity self-join at t=0.5 via prefix
+    // filtering (DedupOps.prefixFilterCandidates): candidates must share
+    // a shingle in their rarity-ordered prefixes — a COMPLETE candidate
+    // set, unlike q34's MinHash banding — then exact verification on the
+    // cached shingle arrays. The oracle is the naive all-pairs join,
+    // which this plan must equal exactly.
+    QuerySpec(
+      "q143_prefix_simjoin",
+      (s, d) => {
+        val cand = DedupOps.prefixFilterCandidates(
+          ScaleQueries.shingleRows(s, d), 0.5)
+        DedupOps.jaccardForPairs(cand, ScaleQueries.shingleSets(s, d))
+          .where(col("jaccard") >= 0.5)
+          .select(col("a"), col("b"), col("jaccard"))
+          .orderBy("a", "b")
+      },
+      Some("""WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents), sh AS (SELECT DISTINCT doc_id, s FROM (SELECT doc_id, unnest([concat_ws(' ', tk[i], tk[i+1], tk[i+2], tk[i+3], tk[i+4]) for i in generate_series(1, len(tk) - 4)]) AS s FROM toks) z), sz AS (SELECT doc_id, count(*) AS s FROM sh GROUP BY 1), inter AS (SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS ic FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2) SELECT i.a AS a, i.b AS b, round(ic * 1.0 / (x.s + y.s - ic), 6) AS jaccard FROM inter i JOIN sz x ON i.a = x.doc_id JOIN sz y ON i.b = y.doc_id WHERE round(ic * 1.0 / (x.s + y.s - ic), 6) >= 0.5 ORDER BY a, b"""),
+      "E2 ext: exact Jaccard self-join via prefix filtering (complete candidates)"),
+
+    // q144 — int8 scalar quantization of the embedding column: per-dim
+    // [min, max] ranges (64-row broadcast), quantize to 255 levels with
+    // floor (floor semantics are identical across engines; round's
+    // half-up ties are not), reconstruct, and audit per-label
+    // reconstruction error. The compression step every billion-vector
+    // ANN index runs; errors here are the index-quality gate.
+    QuerySpec(
+      "q144_embed_quant",
+      (s, d) => {
+        val e = t(s, d, "embeddings")
+          .select(col("vec_id"), col("label"),
+            posexplode(col("embedding")).as(Seq("pos", "xf")))
+          .withColumn("x", col("xf").cast("double"))
+        val stats = e.groupBy("pos").agg(min("x").as("mn"), max("x").as("mx"))
+        e.join(broadcast(stats), "pos")
+          .withColumn("qv", floor((col("x") - col("mn")) / (col("mx") - col("mn")) * 254))
+          .withColumn("xq", col("qv") / lit(254.0) * (col("mx") - col("mn")) + col("mn"))
+          .withColumn("err", col("x") - col("xq"))
+          .groupBy("vec_id", "label")
+          .agg(avg(col("err") * col("err")).as("mse"),
+            max(abs(col("err"))).as("mae"))
+          .groupBy("label")
+          .agg(count(lit(1)).as("n"),
+            round(avg("mse") * 1e6, 4).as("mse_u"),
+            round(avg("mae"), 6).as("avg_mae"))
+          .orderBy("label")
+      },
+      Some("""WITH ex AS (SELECT vec_id, label, u['p'] AS pos, CAST(u['x'] AS DOUBLE) AS x FROM (SELECT vec_id, label, unnest([{'p': i, 'x': embedding[i]} for i in generate_series(1, len(embedding))]) AS u FROM embeddings)), st AS (SELECT pos, min(x) AS mn, max(x) AS mx FROM ex GROUP BY 1), qq AS (SELECT vec_id, label, x, floor((x - mn) / (mx - mn) * 254) AS qv, mn, mx FROM ex JOIN st USING (pos)), pv AS (SELECT vec_id, label, avg(pow(x - (qv / 254.0 * (mx - mn) + mn), 2)) AS mse, max(abs(x - (qv / 254.0 * (mx - mn) + mn))) AS mae FROM qq GROUP BY 1, 2) SELECT label, count(*) AS n, round(avg(mse) * 1e6, 4) AS mse_u, round(avg(mae), 6) AS avg_mae FROM pv GROUP BY 1 ORDER BY 1"""),
+      "E3 ext: int8 embedding quantization + reconstruction-error audit"),
+
+    // q145 — triangle count on the supplier co-supply graph. Edges are an
+    // equi-join on shared part (u < v kills duplicates and orientation);
+    // triangles are TWO more equi-joins closing the wedge — the standard
+    // distributed node-ordered enumeration, no cross join anywhere. At
+    // 100 TB the refinement is degree-ordering (orient edges low→high
+    // degree) to bound wedge counts on hub nodes.
+    QuerySpec(
+      "q145_triangle_count",
+      (s, d) => {
+        val ps = t(s, d, "lineitem")
+          .select(col("l_partkey").as("p"), col("l_suppkey").as("s")).distinct()
+        val edges = ps.as("x").join(ps.as("y"),
+            col("x.p") === col("y.p") && col("x.s") < col("y.s"))
+          .select(col("x.s").as("u"), col("y.s").as("v")).distinct()
+        val tri = edges.as("e1")
+          .join(edges.as("e2"), col("e1.v") === col("e2.u"))
+          .join(edges.as("e3"),
+            col("e1.u") === col("e3.u") && col("e2.v") === col("e3.v"))
+          .agg(count(lit(1)).as("triangles"))
+        edges.agg(count(lit(1)).as("edges")).crossJoin(tri)
+      },
+      Some("""WITH ps AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem), e AS (SELECT DISTINCT a.s AS u, b.s AS v FROM ps a JOIN ps b ON a.p = b.p AND a.s < b.s) SELECT CAST((SELECT count(*) FROM e) AS BIGINT) AS edges, CAST((SELECT count(*) FROM e e1 JOIN e e2 ON e1.v = e2.u JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v) AS BIGINT) AS triangles"""),
+      "graph ext: distributed triangle count via node-ordered wedge closing"),
+
+    // q146 — per-type event anomaly gate: z-score against each
+    // event_type's own mean/stddev (a 3-row broadcast), count |z| > 3
+    // outliers. The outlier-filtering pass a data-quality pipeline runs
+    // before training aggregation; one shuffle (the stats agg), then a
+    // map-side broadcast probe over the full stream.
+    QuerySpec(
+      "q146_event_anomaly",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val stats = ev.groupBy("event_type")
+          .agg(avg("value").as("mu"), stddev_samp("value").as("sd"))
+        ev.join(broadcast(stats), "event_type")
+          .withColumn("z", (col("value") - col("mu")) / col("sd"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            sum(when(abs(col("z")) > 3, 1L).otherwise(0L)).as("anomalies"),
+            round(max(abs(col("z"))), 6).as("max_z"))
+          .orderBy("event_type")
+      },
+      Some("""WITH st AS (SELECT event_type, avg(value) AS mu, stddev_samp(value) AS sd FROM events GROUP BY 1) SELECT event_type, count(*) AS n, CAST(sum(CASE WHEN abs((value - mu) / sd) > 3 THEN 1 ELSE 0 END) AS BIGINT) AS anomalies, round(max(abs((value - mu) / sd)), 6) AS max_z FROM events JOIN st USING (event_type) GROUP BY 1 ORDER BY 1"""),
+      "E4 ext: per-type z-score anomaly gate over the event stream"),
+
+    // q147 — kNN majority-vote label prediction: 10 broadcast query
+    // vectors against the corpus, top-5 neighbors by ROUNDED cosine
+    // (deterministic cross-engine ordering, q37's convention), then the
+    // modal neighbor label wins (votes desc, label asc tiebreak). The
+    // classify-by-ANN pattern; at scale the crossJoin side stays the
+    // fixed query set and the corpus streams.
+    QuerySpec(
+      "q147_knn_label",
+      (s, d) => {
+        graft.functions.CosineSimilarity.register(s)
+        val e = t(s, d, "embeddings")
+        val q = e.where(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+            col("label").as("true_label"))
+        val base = e.where(col("vec_id") >= 10)
+        val wn = Window.partitionBy("qid").orderBy(col("cos_r").desc, col("cid").asc)
+        val wv = Window.partitionBy("qid").orderBy(col("votes").desc, col("pred_label").asc)
+        broadcast(q).crossJoin(base)
+          .select(col("qid"), col("true_label"), col("vec_id").as("cid"),
+            col("label").as("pred_label"),
+            round(expr("cosine_sim(qe, embedding)"), 6).as("cos_r"))
+          .withColumn("rn", row_number().over(wn))
+          .where(col("rn") <= 5)
+          .groupBy("qid", "true_label", "pred_label")
+          .agg(count(lit(1)).as("votes"))
+          .withColumn("vr", row_number().over(wv))
+          .where(col("vr") === 1)
+          .select("qid", "true_label", "pred_label", "votes")
+          .orderBy("qid")
+      },
+      Some("""WITH e AS (SELECT vec_id, label, embedding, sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE) for x in embedding])) AS nrm FROM embeddings), p AS (SELECT q.vec_id AS qid, q.label AS true_label, c.vec_id AS cid, c.label AS pred_label, round(list_sum([CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE) for i in generate_series(1, len(q.embedding))]) / (q.nrm * c.nrm), 6) AS cos_r FROM e q, e c WHERE q.vec_id < 10 AND c.vec_id >= 10), r AS (SELECT qid, true_label, pred_label, row_number() OVER (PARTITION BY qid ORDER BY cos_r DESC, cid) AS rn FROM p), v AS (SELECT qid, true_label, pred_label, count(*) AS votes FROM r WHERE rn <= 5 GROUP BY 1, 2, 3) SELECT qid, true_label, pred_label, CAST(votes AS BIGINT) AS votes FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY votes DESC, pred_label) AS vr FROM v) WHERE vr = 1 ORDER BY qid"""),
+      "E3 ext: kNN majority-vote label prediction over broadcast queries"),
+
+    // q148 — key-skew diagnostics over l_suppkey: per-key counts (one
+    // shuffle), then single-row stats — max/avg ratio, p99, top-10 key
+    // share — the numbers that decide whether a join needs salting
+    // (q59/q94) or AQE skew splitting. The window runs over the ALREADY
+    // AGGREGATED per-key table (|keys| << |rows|), never the raw fact.
+    QuerySpec(
+      "q148_skew_diag",
+      (s, d) => {
+        val c = t(s, d, "lineitem").groupBy("l_suppkey")
+          .agg(count(lit(1)).as("c"))
+        val ranked = c.withColumn("rk",
+          row_number().over(Window.orderBy(col("c").desc, col("l_suppkey"))))
+        ranked.agg(
+          count(lit(1)).as("n_keys"),
+          sum("c").as("n_rows"),
+          max("c").as("max_c"),
+          round(avg("c"), 4).as("avg_c"),
+          round(max("c") / avg("c"), 4).as("skew_ratio"),
+          round(expr("percentile(c, 0.99)"), 4).as("p99_c"),
+          round(sum(when(col("rk") <= 10, col("c"))) / sum("c"), 6).as("top10_share"))
+      },
+      Some("""WITH c AS (SELECT l_suppkey, count(*) AS c FROM lineitem GROUP BY 1), r AS (SELECT c, row_number() OVER (ORDER BY c DESC, l_suppkey) AS rk FROM c) SELECT CAST(count(*) AS BIGINT) AS n_keys, CAST(sum(c) AS BIGINT) AS n_rows, CAST(max(c) AS BIGINT) AS max_c, round(avg(c), 4) AS avg_c, round(max(c) / avg(c), 4) AS skew_ratio, round(quantile_cont(c, 0.99), 4) AS p99_c, round(sum(CASE WHEN rk <= 10 THEN c END) * 1.0 / sum(c), 6) AS top10_share FROM r"""),
+      "§4 ext: key-skew diagnostics (the salt-or-not decision numbers)"),
+
+    // q149 — per-dimension embedding feature stats (mean/std/min/max):
+    // the whitening/normalization statistics a feature pipeline computes
+    // before training. posexplode fans each vector into (pos, x) rows,
+    // then ONE partial-agg shuffle of 64 groups; at 100 TB the same plan
+    // holds because the group count is the (tiny) dimensionality.
+    QuerySpec(
+      "q149_dim_stats",
+      (s, d) => {
+        t(s, d, "embeddings")
+          .select(posexplode(col("embedding")).as(Seq("pos", "xf")))
+          .withColumn("x", col("xf").cast("double"))
+          .groupBy("pos")
+          .agg(count(lit(1)).as("n"),
+            round(avg("x"), 6).as("mean_x"),
+            round(stddev_samp("x"), 6).as("sd_x"),
+            round(min("x"), 6).as("min_x"),
+            round(max("x"), 6).as("max_x"))
+          .orderBy("pos")
+      },
+      Some("""SELECT CAST(u['p'] - 1 AS INT) AS pos, count(*) AS n, round(avg(CAST(u['x'] AS DOUBLE)), 6) AS mean_x, round(stddev_samp(CAST(u['x'] AS DOUBLE)), 6) AS sd_x, round(min(CAST(u['x'] AS DOUBLE)), 6) AS min_x, round(max(CAST(u['x'] AS DOUBLE)), 6) AS max_x FROM (SELECT unnest([{'p': i, 'x': embedding[i]} for i in generate_series(1, len(embedding))]) AS u FROM embeddings) GROUP BY 1 ORDER BY 1"""),
+      "E3/T ext: per-dimension embedding stats (whitening statistics)"))
+}

@@ -41,7 +41,7 @@ object ScaleQueries {
   /** Per-doc shingle-set ARRAYS for the pairwise Jaccard step, grouped
     * from the cached rows (one keyed shuffle, shared q36/q90).
     */
-  private def shingleSets(s: SparkSession, d: String): DataFrame =
+  private[queries] def shingleSets(s: SparkSession, d: String): DataFrame =
     memo(s, d, "shingleSets")(
       shingleRows(s, d).groupBy("doc_id").agg(collect_list(col("s")).as("shs")))
 

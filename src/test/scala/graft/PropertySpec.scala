@@ -171,4 +171,30 @@ class PropertySpec extends SparkSpecBase {
       assert(k == expected && k <= n, s"ws=$ws")
     }
   }
+
+  test("prefix-filter candidates are COMPLETE: every Jaccard>=t pair survives") {
+    val t = 0.5
+    val docGen = Gen.listOfN(10, Gen.oneOf("a", "b", "c", "d", "e", "f"))
+    for (i <- 0 until 3) {
+      // base docs + near-dup mutations of the first few, so the truth set
+      // is non-trivial at threshold t
+      val base = samples(docGen, 10).map(_.mkString(" "))
+      val mutated = base.take(4).map(s => s + " e")
+      val docs = (base ++ mutated).toVector
+      val df = docs.zipWithIndex.map { case (s, j) => (j.toLong, s) }.toDF("doc_id", "text")
+      val cand = DedupOps
+        .prefixFilterCandidates(DedupOps.shingleRows(df, "text", 3), t)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val sets = docs.map(_.toLowerCase.split(" ").toSeq
+        .sliding(3).filter(_.size == 3).map(_.mkString(" ")).toSet)
+      val truth = (for {
+        a <- sets.indices; b <- (a + 1) until sets.size
+        if sets(a).nonEmpty && sets(b).nonEmpty
+        inter = (sets(a) & sets(b)).size
+        if inter.toDouble / (sets(a).size + sets(b).size - inter) >= t
+      } yield (a.toLong, b.toLong)).toSet
+      assert(truth.nonEmpty, s"iter=$i: degenerate corpus, no true pairs")
+      assert(truth.subsetOf(cand), s"iter=$i missing=${truth -- cand}")
+    }
+  }
 }
