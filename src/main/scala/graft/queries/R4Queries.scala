@@ -21,6 +21,40 @@ object R4Queries {
 
   private def t(s: SparkSession, d: String, n: String): DataFrame = Tables.load(s, d, n)
 
+  /** kNN-sparsified co-supply edge list, memoized and cached per
+    * (session, corpus). The RAW co-supply graph (suppliers sharing any
+    * part) is near-complete on this data — n=1000 nodes, all 499,500
+    * edges at sf0.1 — so enumerating its triangles is inherently
+    * O(C(n,3)); no algorithm fixes a dense graph definition. The
+    * standard cure is similarity-graph sparsification: keep each node's
+    * top-5 partners by shared-part count (ties broken by partner id),
+    * symmetrize (an edge survives if EITHER endpoint selected it), and
+    * count triangles on the ≤ 5n-edge result. Cached because q145
+    * references it four times (three wedge-join legs + the edge count).
+    * At 100 TB the weighted-pair build is the one heavy step (per-part
+    * pair explosion, one shuffle); hub parts would be capped first, the
+    * kNN window parallelizes per node.
+    */
+  private val edgeReg =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private def coSupplyKnnEdges(s: SparkSession, d: String): DataFrame =
+    edgeReg.getOrElseUpdate((s, d), {
+      val ps = t(s, d, "lineitem")
+        .select(col("l_partkey").as("p"), col("l_suppkey").as("s")).distinct()
+      val w = ps.as("x").join(ps.as("y"),
+          col("x.p") === col("y.p") && col("x.s") < col("y.s"))
+        .groupBy(col("x.s").as("u"), col("y.s").as("v"))
+        .agg(count(lit(1)).as("shared"))
+      val dirw = w.select(col("u").as("src"), col("v").as("dst"), col("shared"))
+        .union(w.select(col("v").as("src"), col("u").as("dst"), col("shared")))
+      val wk = Window.partitionBy("src").orderBy(col("shared").desc, col("dst").asc)
+      dirw.withColumn("rn", row_number().over(wk)).where(col("rn") <= 5)
+        .select(least(col("src"), col("dst")).as("u"),
+          greatest(col("src"), col("dst")).as("v"))
+        .distinct()
+        .cache()
+    })
+
   val specs: Seq[QuerySpec] = Seq(
 
     // q141 — corpus heavy hitters: terms present in >= 50% of documents.
@@ -116,20 +150,16 @@ object R4Queries {
       Some("""WITH ex AS (SELECT vec_id, label, u['p'] AS pos, CAST(u['x'] AS DOUBLE) AS x FROM (SELECT vec_id, label, unnest([{'p': i, 'x': embedding[i]} for i in generate_series(1, len(embedding))]) AS u FROM embeddings)), st AS (SELECT pos, min(x) AS mn, max(x) AS mx FROM ex GROUP BY 1), qq AS (SELECT vec_id, label, x, floor((x - mn) / (mx - mn) * 254) AS qv, mn, mx FROM ex JOIN st USING (pos)), pv AS (SELECT vec_id, label, avg(pow(x - (qv / 254.0 * (mx - mn) + mn), 2)) AS mse, max(abs(x - (qv / 254.0 * (mx - mn) + mn))) AS mae FROM qq GROUP BY 1, 2) SELECT label, count(*) AS n, round(avg(mse) * 1e6, 4) AS mse_u, round(avg(mae), 6) AS avg_mae FROM pv GROUP BY 1 ORDER BY 1"""),
       "E3 ext: int8 embedding quantization + reconstruction-error audit"),
 
-    // q145 — triangle count on the supplier co-supply graph. Edges are an
-    // equi-join on shared part (u < v kills duplicates and orientation);
-    // triangles are TWO more equi-joins closing the wedge — the standard
-    // distributed node-ordered enumeration, no cross join anywhere. At
-    // 100 TB the refinement is degree-ordering (orient edges low→high
-    // degree) to bound wedge counts on hub nodes.
+    // q145 — triangle count on the kNN-sparsified co-supply graph (see
+    // coSupplyKnnEdges: the raw graph is near-complete, so sparsify
+    // first — the realistic shape of similarity-graph analytics).
+    // Triangles are two equi-joins closing the wedge over node-ordered
+    // edges (u < v) — the standard distributed enumeration, no cross
+    // join anywhere, and the edge set is bounded at ≤ 5n rows.
     QuerySpec(
       "q145_triangle_count",
       (s, d) => {
-        val ps = t(s, d, "lineitem")
-          .select(col("l_partkey").as("p"), col("l_suppkey").as("s")).distinct()
-        val edges = ps.as("x").join(ps.as("y"),
-            col("x.p") === col("y.p") && col("x.s") < col("y.s"))
-          .select(col("x.s").as("u"), col("y.s").as("v")).distinct()
+        val edges = coSupplyKnnEdges(s, d)
         val tri = edges.as("e1")
           .join(edges.as("e2"), col("e1.v") === col("e2.u"))
           .join(edges.as("e3"),
@@ -137,8 +167,8 @@ object R4Queries {
           .agg(count(lit(1)).as("triangles"))
         edges.agg(count(lit(1)).as("edges")).crossJoin(tri)
       },
-      Some("""WITH ps AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem), e AS (SELECT DISTINCT a.s AS u, b.s AS v FROM ps a JOIN ps b ON a.p = b.p AND a.s < b.s) SELECT CAST((SELECT count(*) FROM e) AS BIGINT) AS edges, CAST((SELECT count(*) FROM e e1 JOIN e e2 ON e1.v = e2.u JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v) AS BIGINT) AS triangles"""),
-      "graph ext: distributed triangle count via node-ordered wedge closing"),
+      Some("""WITH ps AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem), w AS (SELECT a.s AS u, b.s AS v, count(*) AS shared FROM ps a JOIN ps b ON a.p = b.p AND a.s < b.s GROUP BY 1, 2), dirw AS (SELECT u AS src, v AS dst, shared FROM w UNION ALL SELECT v, u, shared FROM w), knn AS (SELECT src, dst FROM (SELECT src, dst, row_number() OVER (PARTITION BY src ORDER BY shared DESC, dst) AS rn FROM dirw) WHERE rn <= 5), e AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v FROM knn) SELECT CAST((SELECT count(*) FROM e) AS BIGINT) AS edges, CAST((SELECT count(*) FROM e e1 JOIN e e2 ON e1.v = e2.u JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v) AS BIGINT) AS triangles"""),
+      "graph ext: triangle count over a kNN-sparsified similarity graph"),
 
     // q146 — per-type event anomaly gate: z-score against each
     // event_type's own mean/stddev (a 3-row broadcast), count |z| > 3
@@ -239,5 +269,51 @@ object R4Queries {
           .orderBy("pos")
       },
       Some("""SELECT CAST(u['p'] - 1 AS INT) AS pos, count(*) AS n, round(avg(CAST(u['x'] AS DOUBLE)), 6) AS mean_x, round(stddev_samp(CAST(u['x'] AS DOUBLE)), 6) AS sd_x, round(min(CAST(u['x'] AS DOUBLE)), 6) AS min_x, round(max(CAST(u['x'] AS DOUBLE)), 6) AS max_x FROM (SELECT unnest([{'p': i, 'x': embedding[i]} for i in generate_series(1, len(embedding))]) AS u FROM embeddings) GROUP BY 1 ORDER BY 1"""),
-      "E3/T ext: per-dimension embedding stats (whitening statistics)"))
+      "E3/T ext: per-dimension embedding stats (whitening statistics)"),
+
+    // q150 — rolling window MEDIAN (exact percentile as a window
+    // aggregate over a 5-row frame): the robust-smoothing counterpart of
+    // q21's running sum — medians resist the outliers that wreck rolling
+    // means. Only FULL frames are emitted (rn >= 5): an odd frame's
+    // median is an exact element, whereas the ramp-up rows' even frames
+    // interpolate (a+b)/2 — which the two engines compute one ulp apart,
+    // flipping the cent rounding. Per-customer frames, so parallelism =
+    // #customers; the frame buffer is 5 rows regardless of corpus size.
+    QuerySpec(
+      "q150_window_median",
+      (s, d) => {
+        val ws = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+        val w5 = ws.rowsBetween(-4, Window.currentRow)
+        t(s, d, "orders")
+          .select(col("o_custkey"), col("o_orderkey"),
+            row_number().over(ws).as("rn"),
+            round(expr("percentile(o_totalprice, 0.5)").over(w5), 2).as("run_median"))
+          .where(col("rn") >= 5)
+          .select("o_custkey", "o_orderkey", "run_median")
+          .orderBy("o_custkey", "o_orderkey")
+      },
+      Some("""SELECT o_custkey, o_orderkey, run_median FROM (SELECT o_custkey, o_orderkey, row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn, round(quantile_cont(o_totalprice, 0.5) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 2) AS run_median FROM orders) WHERE rn >= 5 ORDER BY o_custkey, o_orderkey"""),
+      "§2.5 ext: rolling exact median over a bounded window frame"),
+
+    // q151 — per-source language entropy: the source-diversity metric a
+    // mixture designer reads next to q132's sampling weights (a source
+    // collapsed to one language scores 0). Two partial-agg shuffles of
+    // (source, lang) cells — never a row explosion; the entropy sum runs
+    // over ≤ |langs| cells per source.
+    QuerySpec(
+      "q151_source_entropy",
+      (s, d) => {
+        val c = t(s, d, "documents").groupBy("source", "lang")
+          .agg(count(lit(1)).as("c"))
+        val tot = c.groupBy("source").agg(sum("c").as("n"))
+        c.join(tot, "source")
+          .withColumn("p", col("c") / col("n"))
+          .groupBy("source")
+          .agg(max("n").as("n_docs"),
+            count(lit(1)).as("n_langs"),
+            round(-sum(col("p") * log(col("p"))), 6).as("lang_entropy"))
+          .orderBy("source")
+      },
+      Some("""WITH c AS (SELECT source, lang, count(*) AS c FROM documents GROUP BY 1, 2), tot AS (SELECT source, sum(c) AS n FROM c GROUP BY 1) SELECT source, CAST(max(n) AS BIGINT) AS n_docs, count(*) AS n_langs, round(-sum((c * 1.0 / n) * ln(c * 1.0 / n)), 6) AS lang_entropy FROM c JOIN tot USING (source) GROUP BY 1 ORDER BY 1"""),
+      "E4 ext: per-source language entropy (mixture-diversity metric)"))
 }
