@@ -14,6 +14,9 @@ package graft
   *    rewrite stays eliminated.
   *  - q114: equi-depth binning runs with NO window / global row sort —
   *    the cut-point formulation's whole point.
+  *  - q143: prefix-filter candidate generation carries no global rank
+  *    window and no all-pairs fallback.
+  *  - q145: triangle wedge closing stays equi-join only.
   */
 class PlanShapeSpec extends SparkSpecBase {
 
@@ -91,5 +94,33 @@ class PlanShapeSpec extends SparkSpecBase {
     // decile — never on the raw per-customer rows
     assert(!p.contains("rangepartitioning(c_acctbal"),
       s"per-row global sort crept in\n$p")
+  }
+
+  test("q143 prefix simjoin plans without a global rank window") {
+    // the naive PPJoin formulation ranks the vocabulary with a
+    // PARTITION-BY-NOTHING window (one task sorts every distinct
+    // shingle); the shipped plan orders by the (df, shingle) pair
+    // instead. The only windows allowed anywhere (including inside the
+    // cached shingle build the plan embeds) are the per-doc ones.
+    val p = plan("q143_prefix_simjoin")
+    val specs = "windowspecdefinition\\(([^)]*)".r.findAllMatchIn(p).map(_.group(1)).toSeq
+    for (sp <- specs)
+      assert(sp.contains("doc_id"),
+        s"partition-by-nothing window crept in: windowspecdefinition($sp\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"candidate generation degraded to all-pairs\n$p")
+  }
+
+  test("q145 triangle closing never plans a cartesian product") {
+    // wedge closing is three EQUI-joins over the sparsified edge list; a
+    // non-equi fallback would explode at any real graph size. The single
+    // tolerated nested-loop is the final 1-row × 1-row scalar combine
+    // (edges count × triangle count).
+    val p = plan("q145_triangle_count")
+    assert(!p.contains("CartesianProduct"),
+      s"triangle join fell back to a cartesian plan\n$p")
+    // formatted explain lists each operator once in the numbered detail
+    val nBnlj = "\\(\\d+\\) BroadcastNestedLoopJoin".r.findAllIn(p).size
+    assert(nBnlj <= 1, s"wedge closing uses nested-loop joins ($nBnlj)\n$p")
   }
 }
