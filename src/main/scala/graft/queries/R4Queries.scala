@@ -325,5 +325,84 @@ object R4Queries {
           .orderBy("source")
       },
       Some("""WITH c AS (SELECT source, lang, count(*) AS c FROM documents GROUP BY 1, 2), tot AS (SELECT source, sum(c) AS n FROM c GROUP BY 1) SELECT source, CAST(max(n) AS BIGINT) AS n_docs, count(*) AS n_langs, round(-sum((c * 1.0 / n) * ln(c * 1.0 / n)), 6) AS lang_entropy FROM c JOIN tot USING (source) GROUP BY 1 ORDER BY 1"""),
-      "E4 ext: per-source language entropy (mixture-diversity metric)"))
+      "E4 ext: per-source language entropy (mixture-diversity metric)"),
+
+    // q152 — incremental aggregate maintenance: the maintained view is
+    // (per-customer count, spend) over a pre-cutoff BASE plus a
+    // post-cutoff DELTA batch, merged by RE-AGGREGATING the union of
+    // partial states — the combiner-merge pattern that lets a 100 TB
+    // rollup absorb a 1 GB day of changes without recompute. The oracle
+    // is the full recompute, which the merge must equal exactly.
+    QuerySpec(
+      "q152_incremental_agg",
+      (s, d) => {
+        val o = t(s, d, "orders")
+        def part(df: DataFrame): DataFrame =
+          df.groupBy("o_custkey").agg(count(lit(1)).as("cnt"),
+            sum("o_totalprice").as("spend"))
+        val base = part(o.where(col("o_orderdate") < lit("2000-01-01")))
+        val delta = part(o.where(col("o_orderdate") >= lit("2000-01-01")))
+        base.unionByName(delta)
+          .groupBy("o_custkey")
+          .agg(sum("cnt").as("cnt"), round(sum("spend"), 2).as("spend"))
+          .orderBy("o_custkey")
+      },
+      Some("""SELECT o_custkey, count(*) AS cnt, round(sum(o_totalprice), 2) AS spend FROM orders GROUP BY 1 ORDER BY 1"""),
+      "§2.4/§4 ext: incremental aggregate maintenance (partial-state merge == recompute)"),
+
+    // q153 — deterministic weighted corpus sampling: materialize a
+    // language-balanced subcorpus by keeping doc d iff hash-uniform(d) <
+    // rate(lang), rate = min_lang_count / lang_count (every language
+    // downsampled to the rarest one's expected size). The uniform is a
+    // Knuth multiplicative hash — pure BIGINT arithmetic, identical in
+    // both engines, no RNG state. This is q132's sampling weights
+    // actually APPLIED: one stats pass, then a map-side broadcast-probe
+    // filter — the corpus never shuffles.
+    QuerySpec(
+      "q153_weighted_sample",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val rates = docs.groupBy("lang").agg(count(lit(1)).as("n"))
+          .withColumn("rate",
+            min("n").over(Window.partitionBy()).cast("double") / col("n"))
+        docs.join(broadcast(rates), "lang")
+          .withColumn("u",
+            (col("doc_id") * 2654435761L % 4294967296L) / 4294967296.0)
+          .where(col("u") < col("rate"))
+          .groupBy("lang")
+          .agg(count(lit(1)).as("kept"),
+            max(col("n")).as("lang_total"),
+            round(max(col("rate")), 6).as("rate"))
+          .orderBy("lang")
+      },
+      Some("""WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1), r AS (SELECT lang, n, (SELECT min(n) FROM c) * 1.0 / n AS rate FROM c) SELECT lang, count(*) AS kept, CAST(max(n) AS BIGINT) AS lang_total, round(max(rate), 6) AS rate FROM documents JOIN r USING (lang) WHERE (doc_id * 2654435761 % 4294967296) / 4294967296.0 < rate GROUP BY 1 ORDER BY 1"""),
+      "E4 ext: deterministic weighted sampling (mixture weights applied)"),
+
+    // q154 — PSI distribution drift: population stability index of each
+    // source's n_chars histogram against the corpus baseline over FIXED
+    // 60-char bins (literal bins need no min/max pass and keep the plan
+    // one groupBy + one broadcast probe). PSI = Σ (p-q)·ln(p/q) over
+    // bins populated on both sides (the standard guard against ln 0);
+    // > 0.2 is the conventional "investigate this source" alarm. The
+    // drift monitor a continuously-ingesting corpus runs per batch.
+    QuerySpec(
+      "q154_psi_drift",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+          .withColumn("bin", floor(col("n_chars") / 60))
+        val corpus = docs.groupBy("bin").agg(count(lit(1)).as("cq"))
+          .crossJoin(broadcast(docs.agg(count(lit(1)).as("nq"))))
+          .select(col("bin"), (col("cq") / col("nq")).as("q"))
+        val src = docs.groupBy("source", "bin").agg(count(lit(1)).as("cp"))
+        val tot = docs.groupBy("source").agg(count(lit(1)).as("np"))
+        src.join(tot, "source")
+          .withColumn("p", col("cp") / col("np"))
+          .join(broadcast(corpus), "bin")
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_bins"),
+            round(sum((col("p") - col("q")) * log(col("p") / col("q"))), 6).as("psi"))
+          .orderBy("source")
+      },
+      Some("""WITH b AS (SELECT source, CAST(floor(n_chars / 60) AS BIGINT) AS bin FROM documents), corpus AS (SELECT bin, count(*) * 1.0 / (SELECT count(*) FROM b) AS q FROM b GROUP BY 1), src AS (SELECT source, bin, count(*) AS cp FROM b GROUP BY 1, 2), tot AS (SELECT source, count(*) AS np FROM b GROUP BY 1) SELECT source, count(*) AS n_bins, round(sum((cp * 1.0 / np - q) * ln((cp * 1.0 / np) / q)), 6) AS psi FROM src JOIN tot USING (source) JOIN corpus USING (bin) GROUP BY 1 ORDER BY 1"""),
+      "E4 ext: PSI histogram drift per source (ingest monitoring)"))
 }
