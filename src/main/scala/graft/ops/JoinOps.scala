@@ -41,6 +41,44 @@ object JoinOps {
         col("matched").as(rightId))
   }
 
+  /** LEFT as-of join with a match tolerance: every left row survives,
+    * matched to the latest right row with rightTime in
+    * [leftTime - tolerance, leftTime] on the same key, or null id/time
+    * when no right row falls in the window. Same union-merge single
+    * keyed shuffle as [[asofJoin]] — the globally-latest right row at or
+    * before leftTime either lies inside the tolerance window or proves
+    * no right row does, so the tolerance is a post-filter on the carried
+    * struct, never a range join. Callers should pre-deduplicate right
+    * rows to one per (key, time) for deterministic ids (q58's rule).
+    *
+    * Returns (key, leftId, leftTime, rightId nullable, `<rightId>_ts`
+    * nullable) with `toleranceSec` applied inclusively — the matched
+    * time column is suffixed so callers with identical left/right time
+    * names never collide.
+    */
+  def asofJoinWithin(
+      left: DataFrame, right: DataFrame,
+      key: String, leftTime: String, rightTime: String,
+      leftId: String, rightId: String, toleranceSec: Long): DataFrame = {
+    val rrowType = "struct<rt:timestamp,rid:bigint>"
+    val l = left.select(col(key), col(leftTime).as("t"),
+      col(leftId).as("l_id"), lit(null).cast(rrowType).as("rrow"), lit(1).as("tag"))
+    val r = right.select(col(key), col(rightTime).as("t"),
+      lit(null).cast("long").as("l_id"),
+      struct(col(rightTime).as("rt"), col(rightId).cast("long").as("rid")).as("rrow"),
+      lit(0).as("tag"))
+    val w = Window.partitionBy(key).orderBy(col("t"), col("tag"), col("rrow.rid"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val inWin = col("m").isNotNull &&
+      (unix_timestamp(col("t")) - unix_timestamp(col("m.rt")) <= toleranceSec)
+    r.unionByName(l)
+      .withColumn("m", last("rrow", ignoreNulls = true).over(w))
+      .where(col("tag") === 1)
+      .select(col(key), col("l_id").as(leftId), col("t").as(leftTime),
+        when(inWin, col("m.rid")).as(rightId),
+        when(inWin, col("m.rt")).as(s"${rightId}_ts"))
+  }
+
   /** Bloom-filter semi-join: a driver-built Bloom filter over the build
     * side's keys pre-filters the fact side BEFORE the exact semi-join —
     * at scale this drops most fact rows ahead of the shuffle for the

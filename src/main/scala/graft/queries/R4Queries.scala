@@ -404,5 +404,62 @@ object R4Queries {
           .orderBy("source")
       },
       Some("""WITH b AS (SELECT source, CAST(floor(n_chars / 60) AS BIGINT) AS bin FROM documents), corpus AS (SELECT bin, count(*) * 1.0 / (SELECT count(*) FROM b) AS q FROM b GROUP BY 1), src AS (SELECT source, bin, count(*) AS cp FROM b GROUP BY 1, 2), tot AS (SELECT source, count(*) AS np FROM b GROUP BY 1) SELECT source, count(*) AS n_bins, round(sum((cp * 1.0 / np - q) * ln((cp * 1.0 / np) / q)), 6) AS psi FROM src JOIN tot USING (source) JOIN corpus USING (bin) GROUP BY 1 ORDER BY 1"""),
-      "E4 ext: PSI histogram drift per source (ingest monitoring)"))
+      "E4 ext: PSI histogram drift per source (ingest monitoring)"),
+
+    // q155 — TPC-H Q21 shape: EXISTS + NOT EXISTS against the same fact
+    // under different correlated predicates. Expressed as one semi-join
+    // ("some other supplier touched the order") and one anti-join ("no
+    // other supplier shipped a >45-qty line there") over the distinct
+    // (order, supplier) pairs — Catalyst plans both as hash joins, the
+    // decorrelation a native engine has to hand-roll. Top-10 by count
+    // lands in TakeOrderedAndProject.
+    QuerySpec(
+      "q155_multi_exists",
+      (s, d) => {
+        val li = t(s, d, "lineitem")
+          .select(col("l_orderkey"), col("l_suppkey"), col("l_quantity"))
+        val pairs = li.select("l_orderkey", "l_suppkey").distinct()
+        val flagged = li.where(col("l_quantity") > 45)
+          .select("l_orderkey", "l_suppkey").distinct()
+        val hasOther = flagged.as("c").join(pairs.as("o"),
+          col("c.l_orderkey") === col("o.l_orderkey") &&
+            col("c.l_suppkey") =!= col("o.l_suppkey"), "left_semi")
+        val soleFlagged = hasOther.as("c").join(flagged.as("f"),
+          col("c.l_orderkey") === col("f.l_orderkey") &&
+            col("c.l_suppkey") =!= col("f.l_suppkey"), "left_anti")
+        soleFlagged.groupBy(col("l_suppkey").as("s_suppkey"))
+          .agg(count(lit(1)).as("numwait"))
+          .orderBy(col("numwait").desc, col("s_suppkey"))
+          .limit(10)
+      },
+      Some("""WITH f AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem WHERE l_quantity > 45) SELECT l1.l_suppkey AS s_suppkey, count(*) AS numwait FROM f l1 WHERE EXISTS (SELECT 1 FROM lineitem l2 WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey) AND NOT EXISTS (SELECT 1 FROM f l3 WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey) GROUP BY 1 ORDER BY numwait DESC, s_suppkey LIMIT 10"""),
+      "§2.3 ext: TPC-H Q21 shape — EXISTS + NOT EXISTS via semi + anti join"),
+
+    // q156 — LEFT as-of join with tolerance (JoinOps.asofJoinWithin):
+    // each purchase matched to the user's latest click within the
+    // preceding hour, unmatched purchases kept with lag -1 — the
+    // attribution-window join ad pipelines run. Same single keyed
+    // union-merge shuffle as q58; the tolerance is a post-filter on the
+    // carried struct, never a range join. Oracle: correlated max()
+    // subquery over the window.
+    QuerySpec(
+      "q156_asof_tolerance",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val purchases = ev.where(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"), col("event_id").as("pur_id"))
+        val clicks = ev.where(col("event_type") === "click")
+          .groupBy(col("user_id"), col("ts"))
+          .agg(max(col("event_id")).as("click_id"))
+        graft.ops.JoinOps
+          .asofJoinWithin(purchases, clicks, "user_id", "ts", "ts",
+            "pur_id", "click_id", toleranceSec = 3600L)
+          .select(col("pur_id"), col("user_id"),
+            unix_timestamp(col("ts")).as("pur_epoch"),
+            coalesce(unix_timestamp(col("ts")) - unix_timestamp(col("click_id_ts")),
+              lit(-1L)).as("click_lag_s"))
+          .orderBy("pur_id")
+      },
+      Some("""WITH ev AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, event_type FROM events), p AS (SELECT user_id, ts, event_id AS pur_id FROM ev WHERE event_type = 'purchase'), c AS (SELECT user_id, ts, max(event_id) AS click_id FROM ev WHERE event_type = 'click' GROUP BY 1, 2) SELECT pur_id, p.user_id AS user_id, CAST(floor(epoch(p.ts)) AS BIGINT) AS pur_epoch, coalesce((SELECT CAST(floor(epoch(p.ts)) - floor(epoch(max(c.ts))) AS BIGINT) FROM c WHERE c.user_id = p.user_id AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 60 MINUTE), -1) AS click_lag_s FROM p ORDER BY pur_id"""),
+      "§2.3 ext: left as-of join with attribution-window tolerance"))
 }

@@ -159,6 +159,34 @@ class PropertySpec extends SparkSpecBase {
     }
   }
 
+  test("asofJoinWithin keeps every left row; matches iff within tolerance") {
+    val evGen = Gen.listOfN(12, for {
+      u <- Gen.chooseNum(1L, 3L); t <- Gen.chooseNum(0L, 50L)
+    } yield (u, t))
+    val tol = 10L
+    for ((evs, i) <- samples(evGen, 4).zipWithIndex) {
+      val lefts = evs.take(6).zipWithIndex.map { case ((u, t0), ix) =>
+        (u, new java.sql.Timestamp(t0 * 1000), ix.toLong + 100) }
+      val rights = evs.drop(6).zipWithIndex.map { case ((u, t0), ix) =>
+        (u, new java.sql.Timestamp(t0 * 1000), ix.toLong + 200) }
+      val rightsDd = rights.groupBy(r => (r._1, r._2)).map(_._2.maxBy(_._3)).toSeq
+      val l = lefts.toDF("k", "t", "lid")
+      val r = rightsDd.toDF("k", "t", "rid")
+      val got = graft.ops.JoinOps
+        .asofJoinWithin(l, r, "k", "t", "t", "lid", "rid", tol)
+        .select("lid", "rid").collect()
+        .map(row => row.getLong(0) ->
+          (if (row.isNullAt(1)) None else Some(row.getLong(1)))).toMap
+      val expected = lefts.map { case (u, t0, lid) =>
+        val cands = rightsDd.filter(rr => rr._1 == u && !rr._2.after(t0) &&
+          (t0.getTime - rr._2.getTime) / 1000 <= tol)
+        lid -> cands.sortBy(rr => (rr._2.getTime, rr._3)).lastOption.map(_._3)
+      }.toMap
+      assert(got == expected, s"iter=$i lefts=$lefts rights=$rightsDd")
+      assert(got.size == lefts.size, s"iter=$i dropped a left row")
+    }
+  }
+
   test("stopword removal never increases token count; removed ⊆ stoplist") {
     for (ws <- samples(Gen.listOfN(15, Gen.oneOf("the", "a", "cat", "dog", "runs")), 6)) {
       val text = ws.mkString(" ")
