@@ -110,13 +110,20 @@ object Bench {
       val (a, b) = (pass1(n), pass2(n))
       n -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
     }
-    // Short keys + 2dp values keep the JSON line compact — ~11 bytes per
-    // query, so ~135 entries ≈ 1.6KB, inside the driver's ~2KB output-tail
-    // capture (r1 and r2 lines both overflowed it and parsed as null).
-    // Locale.ROOT: a comma-decimal default locale would emit "0,42" and
-    // invalidate the one line the driver parses.
+    // Short keys + ≤2dp values with trailing zeros stripped keep the JSON
+    // line compact — ~10 bytes per query, so ~170 entries fit inside the
+    // driver's ~2KB output-tail capture (r1 and r2 lines both overflowed
+    // it and parsed as null; at 156 queries the fixed-2dp form was back
+    // within ~180 bytes of the cliff). Locale.ROOT: a comma-decimal
+    // default locale would emit "0,42" and invalidate the one line the
+    // driver parses.
     def f(v: Double): String =
-      if (v == -1.0) "-1" else "%.2f".formatLocal(java.util.Locale.ROOT, v)
+      if (v == -1.0) "-1"
+      else {
+        val s = "%.2f".formatLocal(java.util.Locale.ROOT, v)
+        if (s.contains('.')) s.reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse
+        else s
+      }
     val short = results.map { case (k, v) => k.takeWhile(_ != '_') -> v }
     val qs = (if (short.map(_._1).distinct.size == results.size) short else results)
       .map { case (k, v) => "\"" + k + "\":" + f(v) }
