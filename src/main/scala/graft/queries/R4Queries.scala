@@ -461,5 +461,71 @@ object R4Queries {
           .orderBy("pur_id")
       },
       Some("""WITH ev AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, event_type FROM events), p AS (SELECT user_id, ts, event_id AS pur_id FROM ev WHERE event_type = 'purchase'), c AS (SELECT user_id, ts, max(event_id) AS click_id FROM ev WHERE event_type = 'click' GROUP BY 1, 2) SELECT pur_id, p.user_id AS user_id, CAST(floor(epoch(p.ts)) AS BIGINT) AS pur_epoch, coalesce((SELECT CAST(floor(epoch(p.ts)) - floor(epoch(max(c.ts))) AS BIGINT) FROM c WHERE c.user_id = p.user_id AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 60 MINUTE), -1) AS click_lag_s FROM p ORDER BY pur_id"""),
-      "§2.3 ext: left as-of join with attribution-window tolerance"))
+      "§2.3 ext: left as-of join with attribution-window tolerance"),
+
+    // q157 — centroid classification: per-label mean embedding (a
+    // |labels|×dim table — broadcast-sized at any corpus scale), each
+    // vector assigned to its argmax-cosine centroid, output the
+    // label×prediction confusion counts. The parametric counterpart to
+    // q147's kNN: one stats pass builds the model, assignment is a
+    // fan-out of rows × |labels| with everything else map-side.
+    // Ranking is on the ROUNDED cosine with label tiebreak (q37's
+    // determinism convention).
+    QuerySpec(
+      "q157_centroid_assign",
+      (s, d) => {
+        val ex = t(s, d, "embeddings")
+          .select(col("vec_id"), col("label"),
+            posexplode(col("embedding")).as(Seq("pos", "xf")))
+          .withColumn("x", col("xf").cast("double"))
+        val cent = ex.groupBy(col("label").as("clabel"), col("pos"))
+          .agg(avg("x").as("cx"))
+        val w = Window.partitionBy("vec_id")
+          .orderBy(col("cos_r").desc, col("clabel").asc)
+        ex.join(broadcast(cent), "pos")
+          .groupBy("vec_id", "label", "clabel")
+          .agg(sum(col("x") * col("cx")).as("dot"),
+            sqrt(sum(col("x") * col("x"))).as("nv"),
+            sqrt(sum(col("cx") * col("cx"))).as("nc"))
+          .withColumn("cos_r", round(col("dot") / (col("nv") * col("nc")), 6))
+          .withColumn("rn", row_number().over(w))
+          .where(col("rn") === 1)
+          .groupBy(col("label").as("true_label"), col("clabel").as("pred_label"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy("true_label", "pred_label")
+      },
+      Some("""WITH ex AS (SELECT vec_id, label, u['p'] AS pos, CAST(u['x'] AS DOUBLE) AS x FROM (SELECT vec_id, label, unnest([{'p': i, 'x': embedding[i]} for i in generate_series(1, len(embedding))]) AS u FROM embeddings)), cent AS (SELECT label AS clabel, pos, avg(x) AS cx FROM ex GROUP BY 1, 2), dots AS (SELECT ex.vec_id, ex.label, cent.clabel, sum(ex.x * cent.cx) AS dot, sqrt(sum(ex.x * ex.x)) AS nv, sqrt(sum(cent.cx * cent.cx)) AS nc FROM ex JOIN cent USING (pos) GROUP BY 1, 2, 3), ranked AS (SELECT vec_id, label, clabel, row_number() OVER (PARTITION BY vec_id ORDER BY round(dot / (nv * nc), 6) DESC, clabel) AS rn FROM dots) SELECT label AS true_label, clabel AS pred_label, count(*) AS n FROM ranked WHERE rn = 1 GROUP BY 1, 2 ORDER BY 1, 2"""),
+      "E3 ext: centroid classification + confusion counts (parametric kNN)"),
+
+    // q158 — reciprocal-rank fusion: fuse each query's cosine ranking
+    // with a recency ranking (vec_id desc as the recency proxy) via
+    // RRF = Σ 1/(60 + rank). Scores are rationals of INTEGER ranks, so
+    // both engines compute bit-identical values — no float tolerance
+    // anywhere. The standard way search stacks merge lexical/vector/
+    // freshness signals; all windows are per-query, the corpus streams
+    // against the broadcast query set.
+    QuerySpec(
+      "q158_rrf_fusion",
+      (s, d) => {
+        graft.functions.CosineSimilarity.register(s)
+        val e = t(s, d, "embeddings")
+        val q = e.where(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+        val wCos = Window.partitionBy("qid").orderBy(col("cos_r").desc, col("cid").asc)
+        val wRec = Window.partitionBy("qid").orderBy(col("cid").desc)
+        val wRrf = Window.partitionBy("qid").orderBy(col("rrf").desc, col("cid").asc)
+        broadcast(q).crossJoin(e.where(col("vec_id") >= 10))
+          .select(col("qid"), col("vec_id").as("cid"),
+            round(expr("cosine_sim(qe, embedding)"), 6).as("cos_r"))
+          .withColumn("r_cos", row_number().over(wCos))
+          .withColumn("r_rec", row_number().over(wRec))
+          .withColumn("rrf",
+            round(lit(1.0) / (lit(60) + col("r_cos")) + lit(1.0) / (lit(60) + col("r_rec")), 8))
+          .withColumn("rn", row_number().over(wRrf).cast("long"))
+          .where(col("rn") <= 3)
+          .select("qid", "cid", "rrf", "rn")
+          .orderBy("qid", "rn")
+      },
+      Some("""WITH e AS (SELECT vec_id, embedding, sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE) for x in embedding])) AS nrm FROM embeddings), p AS (SELECT q.vec_id AS qid, c.vec_id AS cid, round(list_sum([CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE) for i in generate_series(1, len(q.embedding))]) / (q.nrm * c.nrm), 6) AS cos_r FROM e q, e c WHERE q.vec_id < 10 AND c.vec_id >= 10), r AS (SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY cos_r DESC, cid) AS r_cos, row_number() OVER (PARTITION BY qid ORDER BY cid DESC) AS r_rec FROM p), s AS (SELECT qid, cid, round(1.0 / (60 + r_cos) + 1.0 / (60 + r_rec), 8) AS rrf FROM r) SELECT qid, cid, rrf, rn FROM (SELECT qid, cid, rrf, CAST(row_number() OVER (PARTITION BY qid ORDER BY rrf DESC, cid) AS BIGINT) AS rn FROM s) WHERE rn <= 3 ORDER BY qid, rn"""),
+      "E3/IR ext: reciprocal-rank fusion of cosine + recency rankings"))
 }
