@@ -13,7 +13,9 @@ object Explain {
       else Seq("q03_filter_pred", "q08_join_inner", "q09_star_join",
         "q29_term_freq", "q34_minhash_pairs", "q37_cosine_topk", "q45_range_join",
         "q90_neardup_clusters", "q93_bigram_lm", "q95_bloom_semi_join",
-        "q107_bucketed_join", "q112_nested_struct", "q117_disjunctive_join")
+        "q107_bucketed_join", "q112_nested_struct", "q117_disjunctive_join",
+        "q143_prefix_simjoin", "q145_triangle_count", "q152_incremental_agg",
+        "q155_multi_exists", "q156_asof_tolerance", "q157_centroid_assign")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
