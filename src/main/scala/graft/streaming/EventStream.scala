@@ -99,6 +99,25 @@ object EventStream {
       .outputMode("append")
       .start()
 
+  /** Streaming trending terms (E4 on a stream): tokenize a document
+    * stream and count terms per tumbling hour. Append mode emits a
+    * (window, term) row once the watermark closes the window, so state
+    * is bounded by (vocabulary × open windows) — never stream history.
+    * The per-window top-k rank is a tiny batch step over CLOSED windows
+    * (ranking can't follow a streaming agg in append mode, and at scale
+    * that's the right split anyway: the rank input is already reduced to
+    * per-window term counts).
+    */
+  def trendingTerms(docs: DataFrame): DataFrame =
+    docs
+      .withWatermark("ts", "2 hours")
+      .select(col("ts"), explode(graft.ops.TextOps.tokens(col("text"))).as("term"))
+      .groupBy(window(col("ts"), "1 hour"), col("term"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(unix_timestamp(col("window.start")).as("ws"), col("term"), col("cnt"))
+
+  case class Doc(doc_id: Long, ts: java.sql.Timestamp, text: String)
+
   case class EmaOut(user_id: Long, event_id: Long, ema: Double)
 
   /** Per-user exponential moving average via `transformWithState` —

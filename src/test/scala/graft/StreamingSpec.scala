@@ -196,4 +196,39 @@ class StreamingSpec extends SparkSpecBase {
       assert(got == Seq((1L, 2L, 3.0), (1L, 1L, 3.0), (2L, 1L, 4.0), (2L, 1L, 5.0)))
     } finally q.stop()
   }
+
+  test("streaming trending terms matches the batch term counts; top-k ranks closed windows") {
+    import EventStream.Doc
+    val docs = Seq(
+      Doc(1, ts(0), "spark joins data"), Doc(2, ts(20), "spark data data"),
+      Doc(3, ts(50), "joins win"), Doc(4, ts(70), "spark wins again"),
+      Doc(5, ts(80), "again again data"))
+    val mem = MemoryStream[Doc](spark)
+    val q = EventStream.trendingTerms(mem.toDF())
+      .writeStream.format("memory").queryName("trending").outputMode("complete").start()
+    try {
+      mem.addData(docs: _*)
+      q.processAllAvailable()
+      val got = spark.table("trending").orderBy("ws", "term")
+        .select("ws", "term", "cnt").as[(Long, String, Long)].collect().toSeq
+      val batch = docs.toDF("doc_id", "ts", "text")
+        .select(col("ts"), explode(graft.ops.TextOps.tokens(col("text"))).as("term"))
+        .groupBy(window(col("ts"), "1 hour"), col("term"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(unix_timestamp(col("window.start")).as("ws"), col("term"), col("cnt"))
+        .orderBy("ws", "term")
+        .as[(Long, String, Long)].collect().toSeq
+      assert(got == batch, s"stream=$got batch=$batch")
+      // the tiny batch step over closed windows: top-1 per hour
+      val top = spark.table("trending")
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("ws")
+            .orderBy(col("cnt").desc, col("term"))))
+        .where(col("rn") === 1)
+        .select("ws", "term", "cnt").as[(Long, String, Long)].collect().toSeq.sortBy(_._1)
+      val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime / 1000
+      // hour 0: data ×3 beats spark/joins ×2; hour 1: again ×3 beats the ×1s
+      assert(top == Seq((base, "data", 3L), (base + 3600, "again", 3L)), s"top=$top")
+    } finally q.stop()
+  }
 }
