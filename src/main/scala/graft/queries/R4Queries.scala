@@ -527,5 +527,53 @@ object R4Queries {
           .orderBy("qid", "rn")
       },
       Some("""WITH e AS (SELECT vec_id, embedding, sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE) for x in embedding])) AS nrm FROM embeddings), p AS (SELECT q.vec_id AS qid, c.vec_id AS cid, round(list_sum([CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE) for i in generate_series(1, len(q.embedding))]) / (q.nrm * c.nrm), 6) AS cos_r FROM e q, e c WHERE q.vec_id < 10 AND c.vec_id >= 10), r AS (SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY cos_r DESC, cid) AS r_cos, row_number() OVER (PARTITION BY qid ORDER BY cid DESC) AS r_rec FROM p), s AS (SELECT qid, cid, round(1.0 / (60 + r_cos) + 1.0 / (60 + r_rec), 8) AS rrf FROM r) SELECT qid, cid, rrf, rn FROM (SELECT qid, cid, rrf, CAST(row_number() OVER (PARTITION BY qid ORDER BY rrf DESC, cid) AS BIGINT) AS rn FROM s) WHERE rn <= 3 ORDER BY qid, rn"""),
-      "E3/IR ext: reciprocal-rank fusion of cosine + recency rankings"))
+      "E3/IR ext: reciprocal-rank fusion of cosine + recency rankings"),
+
+    // q159 — null-safe equality join (<=>): the join where NULL keys
+    // MATCH each other — Spark's eqNullSafe / SQL IS NOT DISTINCT FROM.
+    // Keys are made nullable with nullif (clerk group 0 → NULL on both
+    // sides), so the null bucket is exercised for real. Still a hash
+    // join (null-safe equality is hashable — null is just one more key
+    // value); the oracle uses DuckDB's IS NOT DISTINCT FROM.
+    QuerySpec(
+      "q159_nullsafe_join",
+      (s, d) => {
+        val o = t(s, d, "orders")
+          .select(col("o_orderkey"),
+            nullif(expr("o_orderkey % 7"), lit(0)).as("grp"))
+        val c = t(s, d, "customer")
+          .select(col("c_custkey"),
+            nullif(expr("c_custkey % 7"), lit(0)).as("grp"))
+          .groupBy("grp").agg(count(lit(1)).as("n_cust"))
+        o.join(c, o("grp") <=> c("grp"))
+          .groupBy(coalesce(o("grp"), lit(-1)).as("grp_key"))
+          .agg(count(lit(1)).as("n_orders"), max("n_cust").as("n_cust"))
+          .orderBy("grp_key")
+      },
+      Some("""WITH o AS (SELECT o_orderkey, nullif(o_orderkey % 7, 0) AS grp FROM orders), c AS (SELECT nullif(c_custkey % 7, 0) AS grp, count(*) AS n_cust FROM customer GROUP BY 1) SELECT coalesce(o.grp, -1) AS grp_key, count(*) AS n_orders, CAST(max(n_cust) AS BIGINT) AS n_cust FROM o JOIN c ON o.grp IS NOT DISTINCT FROM c.grp GROUP BY 1 ORDER BY grp_key"""),
+      "§2.3 ext: null-safe equality join (<=> / IS NOT DISTINCT FROM)"),
+
+    // q160 — period-over-period: monthly revenue with month-over-month
+    // and year-over-year deltas via lag offsets 1 and 12 over the
+    // ALREADY AGGREGATED month table (≤ a few hundred rows at any
+    // corpus size — the window never touches raw facts). The BI staple
+    // every revenue dashboard runs.
+    QuerySpec(
+      "q160_mom_yoy",
+      (s, d) => {
+        val w = Window.orderBy("ym")
+        t(s, d, "orders")
+          .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("ym"))
+          .agg(round(sum("o_totalprice"), 2).as("rev"))
+          .withColumn("mom_pct",
+            round((col("rev") - lag("rev", 1).over(w)) / lag("rev", 1).over(w) * 100, 4))
+          .withColumn("yoy_pct",
+            round((col("rev") - lag("rev", 12).over(w)) / lag("rev", 12).over(w) * 100, 4))
+          .select(col("ym"), col("rev"),
+            coalesce(col("mom_pct"), lit(0.0)).as("mom_pct"),
+            coalesce(col("yoy_pct"), lit(0.0)).as("yoy_pct"))
+          .orderBy("ym")
+      },
+      Some("""WITH m AS (SELECT strftime(o_orderdate, '%Y-%m') AS ym, round(sum(o_totalprice), 2) AS rev FROM orders GROUP BY 1) SELECT ym, rev, coalesce(round((rev - lag(rev, 1) OVER (ORDER BY ym)) / lag(rev, 1) OVER (ORDER BY ym) * 100, 4), 0.0) AS mom_pct, coalesce(round((rev - lag(rev, 12) OVER (ORDER BY ym)) / lag(rev, 12) OVER (ORDER BY ym) * 100, 4), 0.0) AS yoy_pct FROM m ORDER BY ym"""),
+      "§2.5 ext: month-over-month / year-over-year deltas on the aggregated month table"))
 }
