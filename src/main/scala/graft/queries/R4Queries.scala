@@ -575,5 +575,46 @@ object R4Queries {
           .orderBy("ym")
       },
       Some("""WITH m AS (SELECT strftime(o_orderdate, '%Y-%m') AS ym, round(sum(o_totalprice), 2) AS rev FROM orders GROUP BY 1) SELECT ym, rev, coalesce(round((rev - lag(rev, 1) OVER (ORDER BY ym)) / lag(rev, 1) OVER (ORDER BY ym) * 100, 4), 0.0) AS mom_pct, coalesce(round((rev - lag(rev, 12) OVER (ORDER BY ym)) / lag(rev, 12) OVER (ORDER BY ym) * 100, 4), 0.0) AS yoy_pct FROM m ORDER BY ym"""),
-      "§2.5 ext: month-over-month / year-over-year deltas on the aggregated month table"))
+      "§2.5 ext: month-over-month / year-over-year deltas on the aggregated month table"),
+
+    // q161 — IVF with a TRAINED quantizer, fully oracle-checked: init
+    // cells from the 8 lowest-id vectors (q101's deterministic seed),
+    // then TWO unrolled Lloyd rounds (assign by argmax rounded cosine,
+    // re-center by per-cell mean) — the fixed-iteration trick that made
+    // PageRank (q137) and CC (q90) exactly replayable as chained CTEs.
+    // This closes the gap q60 leaves: q60 exercises the MLlib KMeans
+    // surface (rows-only by necessity), q161 proves the data-adaptive
+    // quantizer's MATH against the oracle. Each round is one broadcast
+    // of |cells|×dim centroids against the streaming corpus — the
+    // index-build cost profile of a real IVF trainer.
+    QuerySpec(
+      "q161_ivf_lloyd",
+      (s, d) => {
+        val ex = t(s, d, "embeddings")
+          .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "xf")))
+          .withColumn("x", col("xf").cast("double"))
+        def assign(cent: DataFrame): DataFrame = {
+          val w = Window.partitionBy("vec_id")
+            .orderBy(col("cos_r").desc, col("cell").asc)
+          ex.join(broadcast(cent), "pos")
+            .groupBy("vec_id", "cell")
+            .agg(sum(col("x") * col("cx")).as("dot"),
+              sqrt(sum(col("x") * col("x"))).as("nv"),
+              sqrt(sum(col("cx") * col("cx"))).as("nc"))
+            .withColumn("cos_r", round(col("dot") / (col("nv") * col("nc")), 6))
+            .withColumn("rn", row_number().over(w))
+            .where(col("rn") === 1)
+            .select("vec_id", "cell", "cos_r")
+        }
+        val c0 = ex.where(col("vec_id") < 8)
+          .select(col("vec_id").as("cell"), col("pos"), col("x").as("cx"))
+        val c1 = ex.join(assign(c0).select("vec_id", "cell"), "vec_id")
+          .groupBy("cell", "pos").agg(avg("x").as("cx"))
+        assign(c1)
+          .groupBy("cell")
+          .agg(count(lit(1)).as("n_vecs"), round(avg("cos_r"), 6).as("avg_cos"))
+          .orderBy("cell")
+      },
+      Some("""WITH ex AS (SELECT vec_id, u['p'] AS pos, CAST(u['x'] AS DOUBLE) AS x FROM (SELECT vec_id, unnest([{'p': i, 'x': embedding[i]} for i in generate_series(1, len(embedding))]) AS u FROM embeddings)), c0 AS (SELECT vec_id AS cell, pos, x AS cx FROM ex WHERE vec_id < 8), d1 AS (SELECT ex.vec_id, c0.cell, sum(ex.x * c0.cx) AS dot, sqrt(sum(ex.x * ex.x)) AS nv, sqrt(sum(c0.cx * c0.cx)) AS nc FROM ex JOIN c0 USING (pos) GROUP BY 1, 2), a1 AS (SELECT vec_id, cell FROM (SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY round(dot / (nv * nc), 6) DESC, cell) AS rn FROM d1) WHERE rn = 1), c1 AS (SELECT a1.cell, ex.pos, avg(ex.x) AS cx FROM ex JOIN a1 USING (vec_id) GROUP BY 1, 2), d2 AS (SELECT ex.vec_id, c1.cell, sum(ex.x * c1.cx) AS dot, sqrt(sum(ex.x * ex.x)) AS nv, sqrt(sum(c1.cx * c1.cx)) AS nc FROM ex JOIN c1 USING (pos) GROUP BY 1, 2), a2 AS (SELECT vec_id, cell, cos_r FROM (SELECT vec_id, cell, round(dot / (nv * nc), 6) AS cos_r, row_number() OVER (PARTITION BY vec_id ORDER BY round(dot / (nv * nc), 6) DESC, cell) AS rn FROM d2) WHERE rn = 1) SELECT cell, count(*) AS n_vecs, round(avg(cos_r), 6) AS avg_cos FROM a2 GROUP BY 1 ORDER BY 1"""),
+      "E3 ext: IVF with a trained quantizer — two unrolled Lloyd rounds, fully oracled"))
 }
