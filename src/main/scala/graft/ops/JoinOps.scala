@@ -69,8 +69,12 @@ object JoinOps {
       lit(0).as("tag"))
     val w = Window.partitionBy(key).orderBy(col("t"), col("tag"), col("rrow.rid"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // EXACT interval comparison, not floored-epoch seconds: timestamps
+    // carry sub-second precision, and a whole-second diff would admit a
+    // right row up to 1s outside the window that an exact-interval
+    // oracle rejects
     val inWin = col("m").isNotNull &&
-      (unix_timestamp(col("t")) - unix_timestamp(col("m.rt")) <= toleranceSec)
+      col("m.rt") >= col("t") - expr(s"INTERVAL $toleranceSec SECOND")
     r.unionByName(l)
       .withColumn("m", last("rrow", ignoreNulls = true).over(w))
       .where(col("tag") === 1)

@@ -46,18 +46,15 @@ object R3Queries {
     * once-per-corpus artifact — the same index-build stance as the dedup
     * bases — while q137's three PageRank iterations stay live per query.
     */
-  private val tradeReg =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
   private def tradeEdges(s: SparkSession, d: String): DataFrame =
-    tradeReg.getOrElseUpdate((s, d), {
+    ScaleQueries.memo(s, d, "tradeEdges") {
       val pairs = t(s, d, "orders")
         .join(t(s, d, "lineitem"), col("o_orderkey") === col("l_orderkey"))
         .select((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("p"))
         .distinct()
       pairs.select(col("c").as("src"), col("p").as("dst"))
         .unionByName(pairs.select(col("p").as("src"), col("c").as("dst")))
-        .cache()
-    })
+    }
 
   val specs: Seq[QuerySpec] = Seq(
 

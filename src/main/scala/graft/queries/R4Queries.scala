@@ -35,10 +35,8 @@ object R4Queries {
     * pair explosion, one shuffle); hub parts would be capped first, the
     * kNN window parallelizes per node.
     */
-  private val edgeReg =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
   private def coSupplyKnnEdges(s: SparkSession, d: String): DataFrame =
-    edgeReg.getOrElseUpdate((s, d), {
+    ScaleQueries.memo(s, d, "coSupplyKnnEdges") {
       val ps = t(s, d, "lineitem")
         .select(col("l_partkey").as("p"), col("l_suppkey").as("s")).distinct()
       val w = ps.as("x").join(ps.as("y"),
@@ -52,8 +50,7 @@ object R4Queries {
         .select(least(col("src"), col("dst")).as("u"),
           greatest(col("src"), col("dst")).as("v"))
         .distinct()
-        .cache()
-    })
+    }
 
   /** Prefix-filter candidate pairs at t=0.5, memoized and cached per
     * (session, corpus) — the same once-per-corpus index-build stance as
@@ -61,11 +58,13 @@ object R4Queries {
     * edges (q145): candidate generation is the amortized artifact, the
     * exact verification join stays live per query.
     */
-  private val prefReg =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
   private def prefixCand(s: SparkSession, d: String): DataFrame =
-    prefReg.getOrElseUpdate((s, d),
-      DedupOps.prefixFilterCandidates(ScaleQueries.shingleRows(s, d), 0.5).cache())
+    ScaleQueries.memo(s, d, "prefixCand")(
+      // candidates generated at t slightly BELOW the 0.5 verification
+      // threshold: the final filter (and the oracle) keep pairs by
+      // ROUNDED jaccard >= 0.5, which admits true J down to 0.4999995 —
+      // prefix completeness must cover that band, not just J >= 0.5
+      DedupOps.prefixFilterCandidates(ScaleQueries.shingleRows(s, d), 0.499))
 
   val specs: Seq[QuerySpec] = Seq(
 
@@ -80,7 +79,7 @@ object R4Queries {
       (s, d) => {
         val docs = t(s, d, "documents")
         val toks = docs.select(col("doc_id"),
-          explode(array_distinct(split(lower(col("text")), " "))).as("term"))
+          explode(array_distinct(graft.ops.TextOps.tokens(col("text")))).as("term"))
         val n = docs.agg(count(lit(1)).as("n"))
         toks.groupBy("term").agg(count(lit(1)).as("df"))
           .crossJoin(broadcast(n))

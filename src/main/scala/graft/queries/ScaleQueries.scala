@@ -26,7 +26,7 @@ object ScaleQueries {
     */
   private val memoReg =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), DataFrame]
-  private def memo(s: SparkSession, d: String, key: String)(build: => DataFrame): DataFrame =
+  private[queries] def memo(s: SparkSession, d: String, key: String)(build: => DataFrame): DataFrame =
     memoReg.getOrElseUpdate((s, d, key), build.cache())
 
   /** Distinct (doc, 5-gram shingle) rows — the codegen scale path

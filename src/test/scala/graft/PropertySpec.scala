@@ -165,10 +165,13 @@ class PropertySpec extends SparkSpecBase {
     } yield (u, t))
     val tol = 10L
     for ((evs, i) <- samples(evGen, 4).zipWithIndex) {
+      // sub-second offsets exercise the EXACT-interval contract: a
+      // floored-epoch implementation admits rows up to 1s outside the
+      // window and fails here
       val lefts = evs.take(6).zipWithIndex.map { case ((u, t0), ix) =>
-        (u, new java.sql.Timestamp(t0 * 1000), ix.toLong + 100) }
+        (u, new java.sql.Timestamp(t0 * 1000 + (ix % 3) * 400), ix.toLong + 100) }
       val rights = evs.drop(6).zipWithIndex.map { case ((u, t0), ix) =>
-        (u, new java.sql.Timestamp(t0 * 1000), ix.toLong + 200) }
+        (u, new java.sql.Timestamp(t0 * 1000 + (ix % 2) * 700), ix.toLong + 200) }
       val rightsDd = rights.groupBy(r => (r._1, r._2)).map(_._2.maxBy(_._3)).toSeq
       val l = lefts.toDF("k", "t", "lid")
       val r = rightsDd.toDF("k", "t", "rid")
@@ -179,7 +182,7 @@ class PropertySpec extends SparkSpecBase {
           (if (row.isNullAt(1)) None else Some(row.getLong(1)))).toMap
       val expected = lefts.map { case (u, t0, lid) =>
         val cands = rightsDd.filter(rr => rr._1 == u && !rr._2.after(t0) &&
-          (t0.getTime - rr._2.getTime) / 1000 <= tol)
+          (t0.getTime - rr._2.getTime) <= tol * 1000)
         lid -> cands.sortBy(rr => (rr._2.getTime, rr._3)).lastOption.map(_._3)
       }.toMap
       assert(got == expected, s"iter=$i lefts=$lefts rights=$rightsDd")
