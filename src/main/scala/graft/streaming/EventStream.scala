@@ -99,6 +99,21 @@ object EventStream {
       .outputMode("append")
       .start()
 
+  /** Streaming anomaly gate (q146's stream twin): each event z-scored
+    * against STATIC per-type statistics (computed once on a historical
+    * corpus, broadcast per micro-batch), flagged when |z| > threshold.
+    * Stream-static join with no stream-side state at all — the shape a
+    * continuous ingest monitor runs, where reference stats refresh on a
+    * slow cadence while the stream is scored row-by-row.
+    */
+  def anomalyGate(events: DataFrame, stats: DataFrame, zThreshold: Double = 3.0)
+      : DataFrame =
+    events.join(broadcast(stats), Seq("event_type"))
+      .withColumn("z", (col("value") - col("mu")) / col("sd"))
+      .withColumn("is_anomaly", abs(col("z")) > zThreshold)
+      .select(col("event_id"), col("event_type"), col("value"),
+        round(col("z"), 6).as("z"), col("is_anomaly"))
+
   /** Streaming trending terms (E4 on a stream): tokenize a document
     * stream and count terms per tumbling hour. Append mode emits a
     * (window, term) row once the watermark closes the window, so state

@@ -197,6 +197,24 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("streaming anomaly gate scores each event against the static stats") {
+    val mem = MemoryStream[Event](spark)
+    // static reference stats: mu=2, sd=1 for the single type
+    val stats = Seq(("click", 2.0, 1.0)).toDF("event_type", "mu", "sd")
+    val q = EventStream.anomalyGate(
+        mem.toDF().withColumn("event_type", lit("click")), stats, zThreshold = 2.0)
+      .writeStream.format("memory").queryName("anom").outputMode("append").start()
+    try {
+      mem.addData(eventsFixture: _*)
+      q.processAllAvailable()
+      val got = spark.table("anom").orderBy("event_id")
+        .select("event_id", "z", "is_anomaly").as[(Long, Double, Boolean)].collect().toSeq
+      // values 1,2,3,4,5 with mu=2 sd=1 → z = -1,0,1,2,3; |z| > 2 only for z=3
+      assert(got == Seq((1L, -1.0, false), (2L, 0.0, false), (3L, 1.0, false),
+        (4L, 2.0, false), (5L, 3.0, true)), s"got=$got")
+    } finally q.stop()
+  }
+
   test("streaming trending terms matches the batch term counts; top-k ranks closed windows") {
     import EventStream.Doc
     val docs = Seq(
