@@ -17,6 +17,8 @@ package graft
   *  - q143: prefix-filter candidate generation carries no global rank
   *    window and no all-pairs fallback.
   *  - q145: triangle wedge closing stays equi-join only.
+  *  - ALL queries: no non-broadcast CartesianProduct, no Python UDF
+  *    boundary, anywhere in the registered surface.
   */
 class PlanShapeSpec extends SparkSpecBase {
 
@@ -109,6 +111,21 @@ class PlanShapeSpec extends SparkSpecBase {
         s"partition-by-nothing window crept in: windowspecdefinition($sp\n$p")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"candidate generation degraded to all-pairs\n$p")
+  }
+
+  test("no registered query plans a non-broadcast cartesian product or a Python UDF") {
+    // Sweeping hygiene check over ALL queries: `CartesianProduct` (both
+    // sides big, no join keys) is the operator that cannot survive any
+    // scale-up — every intentional cross join in the library is against
+    // a broadcast-sized side and must plan as BroadcastNestedLoopJoin.
+    // BatchEvalPython would mean a Python UDF split a codegen stage.
+    val offenders = graft.queries.AllQueries.specs.flatMap { spec =>
+      val p = SparkEntry.queries(spec.name)(spark, sf001).queryExecution
+        .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("simple"))
+      val bad = Seq("CartesianProduct", "BatchEvalPython").filter(p.contains)
+      if (bad.isEmpty) None else Some(spec.name -> bad)
+    }
+    assert(offenders.isEmpty, s"scale-hostile operators found: $offenders")
   }
 
   test("q145 triangle closing never plans a cartesian product") {
