@@ -615,5 +615,28 @@ object R4Queries {
           .orderBy("cell")
       },
       Some("""WITH ex AS (SELECT vec_id, u['p'] AS pos, CAST(u['x'] AS DOUBLE) AS x FROM (SELECT vec_id, unnest([{'p': i, 'x': embedding[i]} for i in generate_series(1, len(embedding))]) AS u FROM embeddings)), c0 AS (SELECT vec_id AS cell, pos, x AS cx FROM ex WHERE vec_id < 8), d1 AS (SELECT ex.vec_id, c0.cell, sum(ex.x * c0.cx) AS dot, sqrt(sum(ex.x * ex.x)) AS nv, sqrt(sum(c0.cx * c0.cx)) AS nc FROM ex JOIN c0 USING (pos) GROUP BY 1, 2), a1 AS (SELECT vec_id, cell FROM (SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY round(dot / (nv * nc), 6) DESC, cell) AS rn FROM d1) WHERE rn = 1), c1 AS (SELECT a1.cell, ex.pos, avg(ex.x) AS cx FROM ex JOIN a1 USING (vec_id) GROUP BY 1, 2), d2 AS (SELECT ex.vec_id, c1.cell, sum(ex.x * c1.cx) AS dot, sqrt(sum(ex.x * ex.x)) AS nv, sqrt(sum(c1.cx * c1.cx)) AS nc FROM ex JOIN c1 USING (pos) GROUP BY 1, 2), a2 AS (SELECT vec_id, cell, cos_r FROM (SELECT vec_id, cell, round(dot / (nv * nc), 6) AS cos_r, row_number() OVER (PARTITION BY vec_id ORDER BY round(dot / (nv * nc), 6) DESC, cell) AS rn FROM d2) WHERE rn = 1) SELECT cell, count(*) AS n_vecs, round(avg(cos_r), 6) AS avg_cos FROM a2 GROUP BY 1 ORDER BY 1"""),
-      "E3 ext: IVF with a trained quantizer — two unrolled Lloyd rounds, fully oracled"))
+      "E3 ext: IVF with a trained quantizer — two unrolled Lloyd rounds, fully oracled"),
+
+    // q162 — shingle novelty scoring: per document, the fraction of its
+    // 5-gram shingles appearing for the FIRST time in doc_id order (a
+    // shingle's owner = min doc_id containing it — an order-free
+    // map-side partial min, the q134 keeper trick at shingle level).
+    // The novelty score a curation pipeline uses to drop near-copies of
+    // earlier content without pairwise comparison: one agg over the
+    // cached shingle rows + one equi-join back. Docs too short to
+    // shingle are absent on both sides.
+    QuerySpec(
+      "q162_shingle_novelty",
+      (s, d) => {
+        val sh = ScaleQueries.shingleRows(s, d)
+        val owner = sh.groupBy("s").agg(min("doc_id").as("first_doc"))
+        sh.join(owner, "s")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_shingles"),
+            sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
+          .withColumn("novelty", round(col("n_novel") / col("n_shingles"), 6))
+          .orderBy("doc_id")
+      },
+      Some("""WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents), sh AS (SELECT DISTINCT doc_id, s FROM (SELECT doc_id, unnest([concat_ws(' ', tk[i], tk[i+1], tk[i+2], tk[i+3], tk[i+4]) for i in generate_series(1, len(tk) - 4)]) AS s FROM toks) z), owner AS (SELECT s, min(doc_id) AS first_doc FROM sh GROUP BY 1) SELECT doc_id, count(*) AS n_shingles, CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel, round(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) * 1.0 / count(*), 6) AS novelty FROM sh JOIN owner USING (s) GROUP BY 1 ORDER BY 1"""),
+      "E2/E4 ext: per-doc shingle novelty (first-occurrence fraction, no pairwise compare)"))
 }
