@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run output normally passes through sbt's logger, which prefixes
+// every line with "[info] " — that prefix lands in front of Bench's one
+// JSON result line and breaks naive json.loads on it (BENCH_r{1,2,3}.json
+// all carry "parsed": null). StdoutOutput inherits the parent's stdout:
+// the JSON line is printed verbatim.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -129,7 +129,14 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":" + f(v) }
       .mkString("{", ",", "}")
     val total = math.rint(results.map(_._2).filter(_ >= 0).sum * 100) / 100
-    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // "cold" = pass-1 sum: min-of-two is the steady-state headline, but
+    // alone it makes cold-start regressions invisible by construction —
+    // one extra scalar restores that signal. "sf" is the basename (the
+    // full dir path spent ~15 bytes of the ~2KB tail budget on a prefix
+    // the driver already knows).
+    val cold = math.rint(pass1.values.filter(_ >= 0).sum * 100) / 100
+    val sfName = new java.io.File(sfDir).getName
+    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","cold":${f(cold)},"queries":$qs,"sf":"$sfName"}""")
     spark.stop()
   }
 }

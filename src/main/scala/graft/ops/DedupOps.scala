@@ -28,6 +28,17 @@ object DedupOps {
     * functions are CodegenFallback (interpreted), where every element_at
     * in the shingle lambda would otherwise re-evaluate the whole
     * split(lower(text)) subtree — O(tokens²) tokenization per doc.
+    *
+    * MEMORY CONTRACT: one row holds a doc's ENTIRE distinct-shingle array
+    * (≈ tokens × avg-shingle-bytes in one Tungsten row — a 10k-token web
+    * page is ~0.5 MB; a 10M-token book would be ~0.5 GB and does NOT fit
+    * this shape). The operators downstream (jaccardForPairs'
+    * array_intersect, minhashSignature's array_min) share the bound:
+    * this path assumes web-document-sized inputs (≲ 10⁵ tokens/doc).
+    * Corpora with larger documents should shard texts into fixed-token
+    * chunks first (the q134 paragraph-split pattern) or stay on the
+    * row-shaped [[shingleRows]] pipeline end-to-end, which never
+    * materializes a per-doc aggregate.
     */
   def shingleSets(docs: DataFrame, textCol: String, n: Int): DataFrame =
     docs.select(col("doc_id"), TextOps.tokens(col(textCol)).as("tk"))
@@ -72,6 +83,16 @@ object DedupOps {
     * by construction the rare shingles. No global rank is computed: the
     * (df, shingle) pair itself is the total order, so there is no
     * single-partition window anywhere in the plan.
+    *
+    * MEMORY CONTRACT: the prefix build buffers ONE sorted array of all
+    * (df, shingle) structs per doc inside collect_list — the same
+    * per-doc bound as [[shingleSets]]: fine for web-page-sized docs
+    * (a 10k-token doc buffers ~0.5 MB per aggregate state), unbounded
+    * for 10M-token documents. Callers with book-length texts must chunk
+    * upstream (q134's paragraph split) before the self-join; only the
+    * prefix slice (the rarest ~(1−t) fraction) survives the explode, so
+    * the SHUFFLE after this aggregate is already bounded — the contract
+    * is about single-row aggregation-buffer memory, not network.
     */
   def prefixFilterCandidates(shRows: DataFrame, t: Double): DataFrame = {
     require(t > 0 && t < 1, "threshold must be in (0, 1)")

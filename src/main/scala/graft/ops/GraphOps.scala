@@ -40,16 +40,48 @@ object GraphOps {
     */
   def pageRank(edges: DataFrame, iters: Int = 10, resetProb: Double = 0.15)
       : DataFrame = {
-    require(iters >= 1, s"pageRank needs iters >= 1, got $iters")
-    require(resetProb > 0 && resetProb < 1, s"resetProb in (0,1), got $resetProb")
+    val withDeg = degreeEdges(edges).cache()
+    val nodes = nodeList(edges).cache()
+    try pageRankPrepared(withDeg, nodes, iters, resetProb)
+    finally {
+      // pageRankPrepared materializes its result eagerly (localCheckpoint)
+      // before returning, so the caches have already served every read
+      withDeg.unpersist()
+      nodes.unpersist()
+    }
+  }
+
+  /** Edge list joined with each source's out-degree — `(src, dst,
+    * outdeg)` — the per-iteration probe side of [[pageRankPrepared]].
+    * Graph construction is a once-per-corpus artifact: callers that run
+    * PageRank repeatedly over the same graph (verify + bench passes)
+    * should memoize/cache THIS (and [[nodeList]]) so the degree shuffle
+    * is paid once, not per invocation.
+    */
+  def degreeEdges(edges: DataFrame): DataFrame = {
     val e = edges.select(col("src").cast("long").as("src"),
       col("dst").cast("long").as("dst"))
-    val withDeg = e
-      .join(e.groupBy("src").agg(count(lit(1)).as("outdeg")), Seq("src"))
-      .cache()
-    val nodes = e.select(col("src").as("node"))
+    e.join(e.groupBy("src").agg(count(lit(1)).as("outdeg")), Seq("src"))
+  }
+
+  /** Distinct nodes appearing in any edge, as `(node)`. */
+  def nodeList(edges: DataFrame): DataFrame = {
+    val e = edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst"))
+    e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node")))
-      .distinct().cache()
+      .distinct()
+  }
+
+  /** PageRank over pre-built (ideally cached/memoized) [[degreeEdges]]
+    * and [[nodeList]] inputs. Does NOT cache or unpersist its inputs —
+    * lifecycle belongs to the caller, which lets a memoized graph serve
+    * many invocations with zero rebuild cost.
+    */
+  def pageRankPrepared(withDeg: DataFrame, nodes: DataFrame,
+      iters: Int = 10, resetProb: Double = 0.15): DataFrame = {
+    require(iters >= 1, s"pageRank needs iters >= 1, got $iters")
+    require(resetProb > 0 && resetProb < 1, s"resetProb in (0,1), got $resetProb")
     var ranks = nodes.select(col("node"), lit(1.0).as("rank"))
     for (_ <- 1 to iters) {
       val sums = withDeg.join(ranks, withDeg("src") === ranks("node"))
@@ -62,14 +94,10 @@ object GraphOps {
             lit(1 - resetProb) * coalesce(col("msum"), lit(0.0))).as("rank"))
     }
     // Materialize the iterative lineage ONCE (eager checkpoint runs the
-    // job here, while the caches are live): the normalization below
-    // references `ranks` twice (scalar agg + rescale), which would
-    // otherwise re-execute all iterations — and without an action inside
-    // this function the cache/unpersist pair would be a no-op, every
-    // reference re-deriving the edge list from scratch.
+    // job here, while any caller-managed caches are live): the
+    // normalization below references `ranks` twice (scalar agg +
+    // rescale), which would otherwise re-execute all iterations.
     val preNorm = ranks.localCheckpoint(true)
-    withDeg.unpersist()
-    nodes.unpersist()
     // GraphX-parity normalization: Σ rank = |V|. One tiny (1-row) agg
     // cross-joined back — a broadcast scalar, not a shuffle. The rescale
     // keeps the (rank · count) / sum association so the oracle can

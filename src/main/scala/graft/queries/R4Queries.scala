@@ -32,13 +32,32 @@ object R4Queries {
     * count triangles on the ≤ 5n-edge result. Cached because q145
     * references it four times (three wedge-join legs + the edge count).
     * At 100 TB the weighted-pair build is the one heavy step (per-part
-    * pair explosion, one shuffle); hub parts would be capped first, the
-    * kNN window parallelizes per node.
+    * pair explosion, one shuffle), so hub parts ARE capped first: each
+    * part keeps its [[HubCap]] lowest supplier ids (deterministic)
+    * before the pair self-join, bounding any single key's fan-out at
+    * C(HubCap, 2) pairs instead of C(suppliers-per-part, 2) — one hot
+    * part with 10⁴ suppliers emits ≤ 32,640 pairs, not 5·10⁷. The cap
+    * is mirrored verbatim in the q145 oracle SQL, and PropertySpec
+    * proves it is a no-op whenever per-part fan-out ≤ HubCap (true on
+    * this corpus). The kNN window parallelizes per node.
     */
+  private[graft] val HubCap = 256
+
+  /** Per-part supplier list with the hub cap applied: at most [[cap]]
+    * suppliers per part, the lowest ids kept (deterministic order, so
+    * the capped graph is replayable). Exposed for PropertySpec.
+    */
+  private[graft] def cappedPartSuppliers(ps: DataFrame, cap: Int): DataFrame =
+    ps.withColumn("hr", row_number().over(Window.partitionBy("p").orderBy("s")))
+      .where(col("hr") <= cap)
+      .drop("hr")
+
   private def coSupplyKnnEdges(s: SparkSession, d: String): DataFrame =
     ScaleQueries.memo(s, d, "coSupplyKnnEdges") {
-      val ps = t(s, d, "lineitem")
-        .select(col("l_partkey").as("p"), col("l_suppkey").as("s")).distinct()
+      val ps = cappedPartSuppliers(
+        t(s, d, "lineitem")
+          .select(col("l_partkey").as("p"), col("l_suppkey").as("s")).distinct(),
+        HubCap)
       val w = ps.as("x").join(ps.as("y"),
           col("x.p") === col("y.p") && col("x.s") < col("y.s"))
         .groupBy(col("x.s").as("u"), col("y.s").as("v"))
@@ -176,7 +195,7 @@ object R4Queries {
           .agg(count(lit(1)).as("triangles"))
         edges.agg(count(lit(1)).as("edges")).crossJoin(tri)
       },
-      Some("""WITH ps AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem), w AS (SELECT a.s AS u, b.s AS v, count(*) AS shared FROM ps a JOIN ps b ON a.p = b.p AND a.s < b.s GROUP BY 1, 2), dirw AS (SELECT u AS src, v AS dst, shared FROM w UNION ALL SELECT v, u, shared FROM w), knn AS (SELECT src, dst FROM (SELECT src, dst, row_number() OVER (PARTITION BY src ORDER BY shared DESC, dst) AS rn FROM dirw) WHERE rn <= 5), e AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v FROM knn) SELECT CAST((SELECT count(*) FROM e) AS BIGINT) AS edges, CAST((SELECT count(*) FROM e e1 JOIN e e2 ON e1.v = e2.u JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v) AS BIGINT) AS triangles"""),
+      Some("""WITH ps0 AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem), ps AS (SELECT p, s FROM (SELECT p, s, row_number() OVER (PARTITION BY p ORDER BY s) AS hr FROM ps0) WHERE hr <= 256), w AS (SELECT a.s AS u, b.s AS v, count(*) AS shared FROM ps a JOIN ps b ON a.p = b.p AND a.s < b.s GROUP BY 1, 2), dirw AS (SELECT u AS src, v AS dst, shared FROM w UNION ALL SELECT v, u, shared FROM w), knn AS (SELECT src, dst FROM (SELECT src, dst, row_number() OVER (PARTITION BY src ORDER BY shared DESC, dst) AS rn FROM dirw) WHERE rn <= 5), e AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v FROM knn) SELECT CAST((SELECT count(*) FROM e) AS BIGINT) AS edges, CAST((SELECT count(*) FROM e e1 JOIN e e2 ON e1.v = e2.u JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v) AS BIGINT) AS triangles"""),
       "graph ext: triangle count over a kNN-sparsified similarity graph"),
 
     // q146 — per-type event anomaly gate: z-score against each
@@ -239,6 +258,11 @@ object R4Queries {
     // share — the numbers that decide whether a join needs salting
     // (q59/q94) or AQE skew splitting. The window runs over the ALREADY
     // AGGREGATED per-key table (|keys| << |rows|), never the raw fact.
+    // p99 is an EXACT element pick (the ceil(0.99·n)-th smallest count,
+    // addressed via the desc rank: rk = n − ceil(0.99·n) + 1), not an
+    // interpolated percentile — Spark `percentile` and DuckDB
+    // `quantile_cont` interpolate one ulp apart, which the 4dp round can
+    // flip at a boundary.
     QuerySpec(
       "q148_skew_diag",
       (s, d) => {
@@ -246,16 +270,18 @@ object R4Queries {
           .agg(count(lit(1)).as("c"))
         val ranked = c.withColumn("rk",
           row_number().over(Window.orderBy(col("c").desc, col("l_suppkey"))))
+          .withColumn("nk", count(lit(1)).over(Window.partitionBy()))
         ranked.agg(
           count(lit(1)).as("n_keys"),
           sum("c").as("n_rows"),
           max("c").as("max_c"),
           round(avg("c"), 4).as("avg_c"),
           round(max("c") / avg("c"), 4).as("skew_ratio"),
-          round(expr("percentile(c, 0.99)"), 4).as("p99_c"),
+          round(max(when(col("rk") === col("nk") - ceil(col("nk") * lit(0.99)) + 1,
+            col("c"))).cast("double"), 4).as("p99_c"),
           round(sum(when(col("rk") <= 10, col("c"))) / sum("c"), 6).as("top10_share"))
       },
-      Some("""WITH c AS (SELECT l_suppkey, count(*) AS c FROM lineitem GROUP BY 1), r AS (SELECT c, row_number() OVER (ORDER BY c DESC, l_suppkey) AS rk FROM c) SELECT CAST(count(*) AS BIGINT) AS n_keys, CAST(sum(c) AS BIGINT) AS n_rows, CAST(max(c) AS BIGINT) AS max_c, round(avg(c), 4) AS avg_c, round(max(c) / avg(c), 4) AS skew_ratio, round(quantile_cont(c, 0.99), 4) AS p99_c, round(sum(CASE WHEN rk <= 10 THEN c END) * 1.0 / sum(c), 6) AS top10_share FROM r"""),
+      Some("""WITH c AS (SELECT l_suppkey, count(*) AS c FROM lineitem GROUP BY 1), r AS (SELECT c, row_number() OVER (ORDER BY c DESC, l_suppkey) AS rk, count(*) OVER () AS nk FROM c) SELECT CAST(count(*) AS BIGINT) AS n_keys, CAST(sum(c) AS BIGINT) AS n_rows, CAST(max(c) AS BIGINT) AS max_c, round(avg(c), 4) AS avg_c, round(max(c) / avg(c), 4) AS skew_ratio, round(CAST(max(CASE WHEN rk = nk - CAST(ceil(nk * 0.99) AS BIGINT) + 1 THEN c END) AS DOUBLE), 4) AS p99_c, round(sum(CASE WHEN rk <= 10 THEN c END) * 1.0 / sum(c), 6) AS top10_share FROM r"""),
       "§4 ext: key-skew diagnostics (the salt-or-not decision numbers)"),
 
     // q149 — per-dimension embedding feature stats (mean/std/min/max):
@@ -354,9 +380,13 @@ object R4Queries {
     // rate(lang), rate = min_lang_count / lang_count (every language
     // downsampled to the rarest one's expected size). The uniform is a
     // Knuth multiplicative hash — pure BIGINT arithmetic, identical in
-    // both engines, no RNG state. This is q132's sampling weights
-    // actually APPLIED: one stats pass, then a map-side broadcast-probe
-    // filter — the corpus never shuffles.
+    // both engines, no RNG state. doc_id is masked to 31 bits BEFORE the
+    // multiply so the product ((2^31-1)·2654435761 ≈ 5.7e18) stays below
+    // Long.MaxValue in BOTH engines for any id: without the mask Spark
+    // wraps silently while DuckDB raises on BIGINT overflow once
+    // doc_id > ~3.47e9. This is q132's sampling weights actually
+    // APPLIED: one stats pass, then a map-side broadcast-probe filter —
+    // the corpus never shuffles.
     QuerySpec(
       "q153_weighted_sample",
       (s, d) => {
@@ -366,7 +396,7 @@ object R4Queries {
             min("n").over(Window.partitionBy()).cast("double") / col("n"))
         docs.join(broadcast(rates), "lang")
           .withColumn("u",
-            (col("doc_id") * 2654435761L % 4294967296L) / 4294967296.0)
+            (col("doc_id") % 2147483648L * 2654435761L % 4294967296L) / 4294967296.0)
           .where(col("u") < col("rate"))
           .groupBy("lang")
           .agg(count(lit(1)).as("kept"),
@@ -374,7 +404,7 @@ object R4Queries {
             round(max(col("rate")), 6).as("rate"))
           .orderBy("lang")
       },
-      Some("""WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1), r AS (SELECT lang, n, (SELECT min(n) FROM c) * 1.0 / n AS rate FROM c) SELECT lang, count(*) AS kept, CAST(max(n) AS BIGINT) AS lang_total, round(max(rate), 6) AS rate FROM documents JOIN r USING (lang) WHERE (doc_id * 2654435761 % 4294967296) / 4294967296.0 < rate GROUP BY 1 ORDER BY 1"""),
+      Some("""WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1), r AS (SELECT lang, n, (SELECT min(n) FROM c) * 1.0 / n AS rate FROM c) SELECT lang, count(*) AS kept, CAST(max(n) AS BIGINT) AS lang_total, round(max(rate), 6) AS rate FROM documents JOIN r USING (lang) WHERE (doc_id % 2147483648 * 2654435761 % 4294967296) / 4294967296.0 < rate GROUP BY 1 ORDER BY 1"""),
       "E4 ext: deterministic weighted sampling (mixture weights applied)"),
 
     // q154 — PSI distribution drift: population stability index of each

@@ -1,0 +1,128 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.QuerySpec
+import graft.Tables
+
+/** Round-4 widening — the ANN quality/serving closers a vector-retrieval
+  * user reaches for next: the recall@1 metric as a first-class query
+  * (q163 — the number that tells you whether an index config change hurt
+  * retrieval), the nprobe recall/cost knob (q164), and metadata-filtered
+  * retrieval (q165 — the RAG "search within a tenant/language/label"
+  * shape). All three run on the shared memoized IVF-flat index
+  * (ScaleQueries.ivfFlat) and are fully DuckDB-oracled: the deterministic
+  * quantizer keeps the WHOLE index+search+metric pipeline replayable in
+  * SQL.
+  */
+object R5Queries {
+
+  private def t(s: SparkSession, d: String, n: String): DataFrame = Tables.load(s, d, n)
+
+  private val emL2 = ScaleQueries.emL2
+  private val dot =
+    "round(list_sum([CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE) for i in generate_series(1, len(a.embedding))]) / (a.nrm * b.nrm), 6)"
+
+  val specs: Seq[QuerySpec] = Seq(
+
+    // q163 — ANN recall@1 as a registered metric query: join the IVF-flat
+    // top-1 (q101's path, shared cached index) against the brute-force
+    // ground truth (q37's path) and report hits/queries. This is the
+    // quality gate an ANN deployment actually monitors — an index change
+    // that silently degrades retrieval moves THIS number first. Scale
+    // shape: truth is a broadcast-queries × corpus streaming argmax
+    // (ground truth over a SAMPLE of queries — never all-pairs), the
+    // metric itself is a 10-row join + one scalar agg.
+    QuerySpec(
+      "q163_ann_recall",
+      (s, d) => {
+        graft.functions.CosineSimilarity.register(s)
+        val e = t(s, d, "embeddings")
+        val q = e.where(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+        val w = Window.partitionBy("qid").orderBy(col("cos_r").desc, col("cid").asc)
+        val truth = broadcast(q).crossJoin(e)
+          .where(col("vec_id") =!= col("qid"))
+          .select(col("qid"), col("vec_id").as("cid"),
+            round(expr("cosine_sim(qe, embedding)"), 6).as("cos_r"))
+          .withColumn("rn", row_number().over(w))
+          .where(col("rn") === 1)
+          .select(col("qid"), col("cid").as("true_cid"))
+        val got = graft.ops.AnnOps.ivfTop1(ScaleQueries.ivfFlat(s, d), col("vec_id") < 10)
+          .select(col("qid"), col("cid").as("ann_cid"))
+        // left join: a query whose cell has no other member counts as a miss
+        truth.join(got, Seq("qid"), "left")
+          .agg(count(lit(1)).as("n_queries"),
+            sum(when(col("ann_cid") === col("true_cid"), 1L).otherwise(0L)).as("n_hits"),
+            round(sum(when(col("ann_cid") === col("true_cid"), 1L).otherwise(0L)) /
+              count(lit(1)), 6).as("recall_at_1"))
+      },
+      Some(s"""WITH e AS (SELECT vec_id, embedding, $emL2 AS nrm FROM embeddings), bf AS (SELECT qid, cid AS true_cid FROM (SELECT a.vec_id AS qid, b.vec_id AS cid, row_number() OVER (PARTITION BY a.vec_id ORDER BY $dot DESC, b.vec_id) AS rn FROM e a CROSS JOIN e b WHERE a.vec_id < 10 AND b.vec_id <> a.vec_id) WHERE rn = 1), asg AS (SELECT a.vec_id, a.embedding, a.nrm, b.vec_id AS cell, row_number() OVER (PARTITION BY a.vec_id ORDER BY $dot DESC, b.vec_id) AS rn FROM e a CROSS JOIN (SELECT vec_id, embedding, nrm FROM e WHERE vec_id < 8) b), cells AS (SELECT vec_id, embedding, nrm, cell FROM asg WHERE rn = 1), ann AS (SELECT qid, cid AS ann_cid FROM (SELECT a.vec_id AS qid, b.vec_id AS cid, row_number() OVER (PARTITION BY a.vec_id ORDER BY $dot DESC, b.vec_id) AS rn FROM cells a JOIN cells b ON a.cell = b.cell AND b.vec_id <> a.vec_id WHERE a.vec_id < 10) WHERE rn = 1) SELECT count(*) AS n_queries, CAST(sum(CASE WHEN ann_cid = true_cid THEN 1 ELSE 0 END) AS BIGINT) AS n_hits, round(sum(CASE WHEN ann_cid = true_cid THEN 1 ELSE 0 END) * 1.0 / count(*), 6) AS recall_at_1 FROM bf LEFT JOIN ann USING (qid)"""),
+      "E3 ext: ANN recall@1 vs brute force — the retrieval quality gate"),
+
+    // q164 — IVF with nprobe=2: each query probes its TWO nearest cells
+    // instead of one — the recall/cost knob every IVF deployment tunes
+    // (recall rises, candidates roughly double; the plan stays a bucket
+    // equi-join, never all-pairs). Candidate sets from the two probes are
+    // disjoint by construction (a vector lives in exactly one cell).
+    QuerySpec(
+      "q164_ivf_nprobe2",
+      (s, d) => {
+        graft.functions.CosineSimilarity.register(s)
+        val e = t(s, d, "embeddings")
+        val cents = e.where(col("vec_id") < 8)
+          .select(col("vec_id").as("cent_id"), col("embedding").as("ce"))
+        val wq = Window.partitionBy("qid").orderBy(col("cos_c").desc, col("cent_id").asc)
+        val probes = e.where(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+          .crossJoin(broadcast(cents))
+          .select(col("qid"), col("qe"), col("cent_id"),
+            round(expr("cosine_sim(qe, ce)"), 6).as("cos_c"))
+          .withColumn("pn", row_number().over(wq))
+          .where(col("pn") <= 2)
+          .select(col("qid"), col("qe"), col("cent_id").as("cell"))
+        val w = Window.partitionBy("qid").orderBy(col("cos_r").desc, col("cid").asc)
+        probes.join(ScaleQueries.ivfFlat(s, d), Seq("cell"))
+          .where(col("vec_id") =!= col("qid"))
+          .select(col("qid"), col("vec_id").as("cid"),
+            round(expr("cosine_sim(qe, embedding)"), 6).as("cos_r"))
+          .withColumn("rn", row_number().over(w))
+          .where(col("rn") === 1)
+          .select("qid", "cid", "cos_r")
+          .orderBy("qid")
+      },
+      Some(s"""WITH e AS (SELECT vec_id, embedding, $emL2 AS nrm FROM embeddings), asg AS (SELECT a.vec_id, a.embedding, a.nrm, b.vec_id AS cell, row_number() OVER (PARTITION BY a.vec_id ORDER BY $dot DESC, b.vec_id) AS rn FROM e a CROSS JOIN (SELECT vec_id, embedding, nrm FROM e WHERE vec_id < 8) b), cells AS (SELECT vec_id, embedding, nrm, cell FROM asg WHERE rn = 1), probes AS (SELECT vec_id AS qid, embedding, nrm, cell FROM asg WHERE rn <= 2 AND vec_id < 10), p AS (SELECT a.qid AS qid, b.vec_id AS cid, $dot AS cos_r FROM (SELECT qid, embedding, nrm, cell FROM probes) a JOIN cells b ON a.cell = b.cell AND b.vec_id <> a.qid), r AS (SELECT qid, cid, cos_r, row_number() OVER (PARTITION BY qid ORDER BY cos_r DESC, cid) AS rn FROM p) SELECT qid, cid, cos_r FROM r WHERE rn = 1 ORDER BY qid"""),
+      "E3 ext: IVF nprobe=2 — the recall/cost knob as a bucket equi-join"),
+
+    // q165 — metadata-filtered ANN (the RAG serving shape: "nearest
+    // neighbor within my tenant/language/label"): top-1 same-cell
+    // neighbor sharing the query's label. The filter applies INSIDE the
+    // cell join (predicate on the probe side), so selectivity multiplies
+    // with cell pruning instead of post-filtering a top-k that may
+    // contain zero survivors. Queries with no same-label cell-mate drop
+    // out (inner-join semantics, same in both engines).
+    QuerySpec(
+      "q165_filtered_ann",
+      (s, d) => {
+        graft.functions.CosineSimilarity.register(s)
+        val lab = t(s, d, "embeddings").select(col("vec_id"), col("label"))
+        val al = ScaleQueries.ivfFlat(s, d).join(lab, "vec_id")
+        val q = al.where(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+            col("cell"), col("label").as("qlab"))
+        val w = Window.partitionBy("qid").orderBy(col("cos_r").desc, col("cid").asc)
+        q.join(al, Seq("cell"))
+          .where(col("vec_id") =!= col("qid") && col("label") === col("qlab"))
+          .select(col("qid"), col("vec_id").as("cid"),
+            col("label").cast("long").as("label"),
+            round(expr("cosine_sim(qe, embedding)"), 6).as("cos_r"))
+          .withColumn("rn", row_number().over(w))
+          .where(col("rn") === 1)
+          .select("qid", "cid", "label", "cos_r")
+          .orderBy("qid")
+      },
+      Some(s"""WITH e AS (SELECT vec_id, label, embedding, $emL2 AS nrm FROM embeddings), asg AS (SELECT a.vec_id, a.label, a.embedding, a.nrm, b.vec_id AS cell, row_number() OVER (PARTITION BY a.vec_id ORDER BY $dot DESC, b.vec_id) AS rn FROM e a CROSS JOIN (SELECT vec_id, embedding, nrm FROM e WHERE vec_id < 8) b), cells AS (SELECT vec_id, label, embedding, nrm, cell FROM asg WHERE rn = 1), p AS (SELECT a.vec_id AS qid, b.vec_id AS cid, b.label AS label, $dot AS cos_r FROM cells a JOIN cells b ON a.cell = b.cell AND b.vec_id <> a.vec_id AND b.label = a.label WHERE a.vec_id < 10), r AS (SELECT qid, cid, label, cos_r, row_number() OVER (PARTITION BY qid ORDER BY cos_r DESC, cid) AS rn FROM p) SELECT qid, cid, CAST(label AS BIGINT) AS label, cos_r FROM r WHERE rn = 1 ORDER BY qid"""),
+      "E3 ext: metadata-filtered ANN (RAG label/tenant-scoped retrieval)"))
+}

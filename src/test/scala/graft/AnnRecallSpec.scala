@@ -1,0 +1,116 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Approximation-QUALITY floors for the ANN paths (VERDICT r3 #3/#8).
+  * The oracle proves each path deterministic and self-consistent; nothing
+  * before this spec measured how GOOD the approximation is — a config
+  * change that silently degraded IVF cell quality or LSH bucketing would
+  * have passed every check. Ground truth is q37's brute-force ranking.
+  *
+  * Floors are set from measured values on the synthetic corpus (500
+  * near-uniform 64-dim embeddings, 10 queries) with ~2× headroom:
+  *   - q101 IVF-flat: recall@1 measured 0.9 → floor 0.8
+  *   - q60 KMeans IVF: recall@1 measured 0.4, top1∈top3 0.7 → 0.3 / 0.5
+  *   - q38 single-band sign-LSH: recall@1 is ~0 BY GEOMETRY on isotropic
+  *     data (true NN cosine ≈ 0.35 → ~61% per-bit sign agreement →
+  *     0.61⁸ ≈ 2% same-bucket odds), so a recall floor would pin noise.
+  *     The signal that DOES exist: bucket-mates are positively aligned —
+  *     mean reported cosine measured 0.167 vs ≈ 0.000 for random pairs.
+  *
+  * q60's KMeans cells vs q161's Lloyd cells (the verdict's suggested
+  * agreement check) was measured and carries NO signal here: co-membership
+  * Jaccard 0.079 vs 0.067 for independent partitions — on isotropic data
+  * two differently-initialized k-means runs are near-independent. What is
+  * pinned instead: q60's reported neighbor is the exact cosine argmax
+  * within its cell (search-join semantics), its cells are balanced and
+  * all used (quantizer non-degeneracy), and within-cell cohesion beats
+  * the random-pair baseline (the quantizer actually adapts to the data).
+  */
+class AnnRecallSpec extends SparkSpecBase {
+
+  private lazy val truthTop3: Map[Long, Seq[Long]] =
+    SparkEntry.queries("q37_cosine_topk")(spark, sf001)
+      .select("qid", "cid", "rn").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._3).map(_._2).toSeq).toMap
+
+  private def top1Of(name: String): Map[Long, Long] =
+    SparkEntry.queries(name)(spark, sf001)
+      .select("qid", "cid").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  private def recallAt1(got: Map[Long, Long]): Double =
+    truthTop3.count { case (q, t) => got.get(q).contains(t.head) }
+      .toDouble / truthTop3.size
+
+  private def top1InTop3(got: Map[Long, Long]): Double =
+    truthTop3.count { case (q, t) => got.get(q).exists(t.contains) }
+      .toDouble / truthTop3.size
+
+  test("q101 IVF-flat recall@1 >= 0.8 against brute force") {
+    val got = top1Of("q101_ivf_flat")
+    assert(got.keySet == truthTop3.keySet, "q101 must answer every query")
+    assert(recallAt1(got) >= 0.8, s"recall@1 degraded: ${recallAt1(got)}")
+  }
+
+  test("q60 KMeans-IVF recall floors: recall@1 >= 0.3, top1-in-top3 >= 0.5") {
+    val got = top1Of("q60_ivf_ann")
+    assert(got.keySet == truthTop3.keySet, "q60 must answer every query")
+    assert(recallAt1(got) >= 0.3, s"recall@1 degraded: ${recallAt1(got)}")
+    assert(top1InTop3(got) >= 0.5, s"top1-in-top3 degraded: ${top1InTop3(got)}")
+  }
+
+  test("q38 LSH bucket-mates are positively aligned (mean cosine >> random pairs)") {
+    val r = SparkEntry.queries("q38_lsh_ann")(spark, sf001)
+      .agg(avg("cos_r").as("m"), count(lit(1)).as("n")).head()
+    assert(r.getLong(1) >= 8, s"too many queries lost their bucket: n=${r.getLong(1)}")
+    assert(r.getDouble(0) >= 0.08,
+      s"LSH bucketing no longer groups aligned vectors: mean cos ${r.getDouble(0)}")
+    // the baseline the margin is measured against: random pairs ~0
+    graft.functions.CosineSimilarity.register(spark)
+    val e = Tables.load(spark, sf001, "embeddings")
+    val rand = e.where(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      .crossJoin(e.where(col("vec_id") >= 10))
+      .agg(avg(expr("cosine_sim(qe, embedding)"))).head().getDouble(0)
+    assert(math.abs(rand) < 0.05, s"random-pair baseline moved: $rand")
+  }
+
+  test("q60 quantizer semantics: cell-argmax search, balanced cells, real cohesion") {
+    val e = Tables.load(spark, sf001, "embeddings")
+    val assigned = graft.ops.AnnOps.ivfAssignCached(e, sf001, 8, 42L)
+      .select("vec_id", "embedding", "cell").collect()
+      .map(r => (r.getLong(0), (r.getSeq[Float](1).map(_.toDouble).toArray, r.getInt(2))))
+      .toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    // 1. the reported neighbor IS the cell's rounded-cosine argmax,
+    //    smallest id among ties — q60's search-join contract
+    for ((qid, cid) <- top1Of("q60_ivf_ann")) {
+      val (qe, qcell) = assigned(qid)
+      val best = assigned.filter { case (vid, (_, c)) => c == qcell && vid != qid }
+        .map { case (vid, (v, _)) =>
+          (vid, BigDecimal(cos(qe, v)).setScale(6, BigDecimal.RoundingMode.HALF_UP)) }
+      val maxSim = best.values.max
+      assert(best(cid) == maxSim, s"q60 neighbor for $qid is not the cell argmax")
+      assert(cid == best.filter(_._2 == maxSim).keys.min, s"tiebreak drifted for $qid")
+    }
+    // 2. non-degenerate, balanced quantizer (sizes measured 52..70 of 500)
+    val sizes = assigned.values.groupBy(_._2).map(_._2.size)
+    assert(sizes.size == 8, s"quantizer collapsed to ${sizes.size} cells")
+    assert(sizes.max <= assigned.size / 4, s"one cell holds ${sizes.max} vectors")
+    // 3. cells are data-adaptive: within-cell cohesion (measured 0.054)
+    //    clears the ~0.000 random-pair baseline with margin
+    val ids = assigned.keys.toSeq.sorted
+    var s = 0.0; var n = 0L
+    for (i <- ids.indices; j <- (i + 1) until ids.size
+         if assigned(ids(i))._2 == assigned(ids(j))._2) {
+      s += cos(assigned(ids(i))._1, assigned(ids(j))._1); n += 1
+    }
+    assert(s / n >= 0.02, s"within-cell cohesion degraded: ${s / n}")
+  }
+}

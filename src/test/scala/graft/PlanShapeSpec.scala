@@ -128,6 +128,40 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(offenders.isEmpty, s"scale-hostile operators found: $offenders")
   }
 
+  test("no registered query plans a partition-by-nothing window over raw rows") {
+    // Generalizes the q143 check to the WHOLE registered surface: a
+    // window with no partition key moves every input row to one task —
+    // the single worst scale-up operator. A windowspecdefinition's
+    // partition columns come first, bare (no sort direction); if the
+    // first element already carries ASC/DESC (or the spec jumps straight
+    // to the frame), the window is global. Intentional global windows
+    // are allowlisted ONLY where the input is a provably tiny aggregate:
+    //   q25  — distinct label table (|labels| rows)
+    //   q26  — embeds q25's label-index build (same |labels|-row input)
+    //   q114 — 9-row percentile cut-point table
+    //   q148 — per-suppkey count table (|keys| ≪ |rows|)
+    //   q153 — per-lang count table (|langs| rows)
+    //   q160 — per-month aggregate (|months| rows)
+    val allowlist = Set("q25_string_indexer", "q26_index_to_string",
+      "q114_quantile_binning", "q148_skew_diag", "q153_weighted_sample",
+      "q160_mom_yoy")
+    def isGlobal(spec: String): Boolean = {
+      val head = spec.split(",").head
+      head.contains("ASC NULLS") || head.contains("DESC NULLS") ||
+        head.startsWith("specifiedwindowframe")
+    }
+    val offenders = graft.queries.AllQueries.specs.flatMap { spec =>
+      val p = SparkEntry.queries(spec.name)(spark, sf001).queryExecution
+        .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      val globals = "windowspecdefinition\\(([^)]*)".r.findAllMatchIn(p)
+        .map(_.group(1)).filter(isGlobal).toSeq
+      if (globals.isEmpty || allowlist.contains(spec.name)) None
+      else Some(spec.name -> globals)
+    }
+    assert(offenders.isEmpty,
+      s"unallowlisted partition-by-nothing windows: $offenders")
+  }
+
   test("q145 triangle closing never plans a cartesian product") {
     // wedge closing is three EQUI-joins over the sparsified edge list; a
     // non-equi fallback would explode at any real graph size. The single

@@ -203,6 +203,29 @@ class PropertySpec extends SparkSpecBase {
     }
   }
 
+  test("hub cap is a no-op on bounded-degree graphs; binds hot parts deterministically") {
+    import graft.queries.R4Queries
+    val psGen = Gen.listOfN(30, for {
+      p <- Gen.chooseNum(0L, 7L); s <- Gen.chooseNum(0L, 9L)
+    } yield (p, s))
+    for (pairs <- samples(psGen, 4)) {
+      val ps = pairs.distinct.toDF("p", "s")
+      // fan-out here is <= 10 per part; any cap >= 10 must change nothing
+      val capped = R4Queries.cappedPartSuppliers(ps, 10)
+        .as[(Long, Long)].collect().toSet
+      assert(capped == pairs.distinct.toSet, s"cap mutated a bounded graph")
+      // a binding cap keeps exactly the `cap` LOWEST supplier ids per part
+      val cap = 3
+      val tight = R4Queries.cappedPartSuppliers(ps, cap)
+        .as[(Long, Long)].collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+      val expected = pairs.distinct.groupBy(_._1).view
+        .mapValues(_.map(_._2).sorted.take(cap).toSet)
+      assert(tight.toMap == expected.toMap, s"pairs=$pairs")
+    }
+    // the production constant must cover this corpus's real fan-out bound
+    assert(R4Queries.HubCap >= 100)
+  }
+
   test("prefix-filter candidates are COMPLETE: every Jaccard>=t pair survives") {
     val t = 0.5
     val docGen = Gen.listOfN(10, Gen.oneOf("a", "b", "c", "d", "e", "f"))
