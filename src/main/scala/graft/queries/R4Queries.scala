@@ -77,7 +77,7 @@ object R4Queries {
     * edges (q145): candidate generation is the amortized artifact, the
     * exact verification join stays live per query.
     */
-  private def prefixCand(s: SparkSession, d: String): DataFrame =
+  private[queries] def prefixCand(s: SparkSession, d: String): DataFrame =
     ScaleQueries.memo(s, d, "prefixCand")(
       // candidates generated at t slightly BELOW the 0.5 verification
       // threshold: the final filter (and the oracle) keep pairs by

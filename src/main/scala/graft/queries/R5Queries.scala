@@ -7,15 +7,16 @@ import org.apache.spark.sql.functions._
 import graft.QuerySpec
 import graft.Tables
 
-/** Round-4 widening — the ANN quality/serving closers a vector-retrieval
+/** Round-4 widening — the quality/serving closers a retrieval or dedup
   * user reaches for next: the recall@1 metric as a first-class query
   * (q163 — the number that tells you whether an index config change hurt
-  * retrieval), the nprobe recall/cost knob (q164), and metadata-filtered
+  * retrieval), the nprobe recall/cost knob (q164), metadata-filtered
   * retrieval (q165 — the RAG "search within a tenant/language/label"
-  * shape). All three run on the shared memoized IVF-flat index
-  * (ScaleQueries.ivfFlat) and are fully DuckDB-oracled: the deterministic
-  * quantizer keeps the WHOLE index+search+metric pipeline replayable in
-  * SQL.
+  * shape), and MinHash candidate recall/precision against the exact
+  * similarity join (q166 — the banding-parameter tuning gate). The ANN
+  * trio runs on the shared memoized IVF-flat index (ScaleQueries.ivfFlat)
+  * and all four are fully DuckDB-oracled: deterministic index builds keep
+  * the WHOLE index+search+metric pipeline replayable in SQL.
   */
 object R5Queries {
 
@@ -124,5 +125,34 @@ object R5Queries {
           .orderBy("qid")
       },
       Some(s"""WITH e AS (SELECT vec_id, label, embedding, $emL2 AS nrm FROM embeddings), asg AS (SELECT a.vec_id, a.label, a.embedding, a.nrm, b.vec_id AS cell, row_number() OVER (PARTITION BY a.vec_id ORDER BY $dot DESC, b.vec_id) AS rn FROM e a CROSS JOIN (SELECT vec_id, embedding, nrm FROM e WHERE vec_id < 8) b), cells AS (SELECT vec_id, label, embedding, nrm, cell FROM asg WHERE rn = 1), p AS (SELECT a.vec_id AS qid, b.vec_id AS cid, b.label AS label, $dot AS cos_r FROM cells a JOIN cells b ON a.cell = b.cell AND b.vec_id <> a.vec_id AND b.label = a.label WHERE a.vec_id < 10), r AS (SELECT qid, cid, label, cos_r, row_number() OVER (PARTITION BY qid ORDER BY cos_r DESC, cid) AS rn FROM p) SELECT qid, cid, CAST(label AS BIGINT) AS label, cos_r FROM r WHERE rn = 1 ORDER BY qid"""),
-      "E3 ext: metadata-filtered ANN (RAG label/tenant-scoped retrieval)"))
+      "E3 ext: metadata-filtered ANN (RAG label/tenant-scoped retrieval)"),
+
+    // q166 — near-dup candidate quality: recall and precision of the
+    // MinHash band-bucket candidates (q34's probabilistic path) against
+    // the EXACT Jaccard>=0.5 pairs (q143's complete prefix-filter path).
+    // The q163 idea applied to dedup: banding parameters (4 bands × 8
+    // hex chars) trade candidate volume against missed near-dups, and
+    // THIS number is how you tune them — a band-config change that
+    // silently started missing near-dups moves recall first, one that
+    // started flooding the verifier moves precision first. Both inputs
+    // are the memoized corpus indexes; the metric itself joins two tiny
+    // pair tables.
+    QuerySpec(
+      "q166_dedup_recall",
+      (s, d) => {
+        val cand = ScaleQueries.minhashCand(s, d)
+        val truth = graft.ops.DedupOps
+          .jaccardForPairs(R4Queries.prefixCand(s, d), ScaleQueries.shingleSets(s, d))
+          .where(col("jaccard") >= 0.5)
+          .select("a", "b")
+        val hits = truth.join(cand, Seq("a", "b"), "left_semi")
+        truth.agg(count(lit(1)).as("n_true"))
+          .crossJoin(cand.agg(count(lit(1)).as("n_cand")))
+          .crossJoin(hits.agg(count(lit(1)).as("n_hit")))
+          .select(col("n_true"), col("n_cand"), col("n_hit"),
+            round(col("n_hit") / col("n_true"), 6).as("recall"),
+            round(col("n_hit") / col("n_cand"), 6).as("prec"))
+      },
+      Some("""WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents), sh AS (SELECT DISTINCT doc_id, s FROM (SELECT doc_id, unnest([concat_ws(' ', tk[i], tk[i+1], tk[i+2], tk[i+3], tk[i+4]) for i in generate_series(1, len(tk) - 4)]) AS s FROM toks) z), sig AS (SELECT doc_id, band, min(substr(md5(s), band * 8 + 1, 8)) AS sig FROM sh, (SELECT unnest(generate_series(0, 3)) AS band) b GROUP BY doc_id, band), cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b FROM sig x JOIN sig y ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id), sz AS (SELECT doc_id, count(*) AS s FROM sh GROUP BY 1), inter AS (SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS ic FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2), exact AS (SELECT i.a, i.b FROM inter i JOIN sz x ON i.a = x.doc_id JOIN sz y ON i.b = y.doc_id WHERE round(ic * 1.0 / (x.s + y.s - ic), 6) >= 0.5), hit AS (SELECT e.a, e.b FROM exact e JOIN cand c ON e.a = c.a AND e.b = c.b) SELECT (SELECT count(*) FROM exact) AS n_true, (SELECT count(*) FROM cand) AS n_cand, (SELECT count(*) FROM hit) AS n_hit, round((SELECT count(*) FROM hit) * 1.0 / (SELECT count(*) FROM exact), 6) AS recall, round((SELECT count(*) FROM hit) * 1.0 / (SELECT count(*) FROM cand), 6) AS prec"""),
+      "E2 ext: MinHash candidate recall/precision vs exact pairs — the dedup quality gate"))
 }

@@ -48,7 +48,7 @@ object ScaleQueries {
   /** MinHash band-bucket candidate pairs — the shared head of q34/q36/q90,
     * cached so the signature computation runs once per session.
     */
-  private def minhashCand(s: SparkSession, d: String): DataFrame =
+  private[queries] def minhashCand(s: SparkSession, d: String): DataFrame =
     memo(s, d, "minhashCand")(
       DedupOps.candidatePairs(DedupOps.minhashSignatureRows(shingleRows(s, d), 4)))
 

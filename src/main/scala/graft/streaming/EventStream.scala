@@ -133,6 +133,36 @@ object EventStream {
 
   case class Doc(doc_id: Long, ts: java.sql.Timestamp, text: String)
 
+  /** Streaming NEAR-dup filter (E2 on a stream): drop a document whose
+    * full 4-band MinHash signature was already seen inside the watermark
+    * horizon. The signature is the same portable md5-slice construction
+    * as the batch path (DedupOps.minhashSignature) but computed per ROW
+    * with array expressions — tokenize → 5-gram shingles → md5 → per-band
+    * min — so signature computation is map-side with zero stream state;
+    * only the dedup operator keeps state, bounded by (rate × watermark)
+    * signature tuples, never document text. Requiring ALL bands to agree
+    * makes this the high-precision streaming variant: batch banding
+    * (any-band agreement, q34) needs cross-row candidate joins that
+    * streaming can't do one-pass — the right split is this gate on
+    * ingest plus the batch pipeline for the periodic deep dedup.
+    * Documents too short to shingle carry null signatures, which
+    * dropDuplicates treats as one group — callers keep-or-drop them
+    * upstream by length (the q124-gate shape).
+    */
+  def nearDupFilterStream(docs: DataFrame, shingleN: Int = 5): DataFrame = {
+    val hs = transform(
+      array_distinct(graft.ops.TextOps.wordShingles(
+        graft.ops.TextOps.tokens(col("text")), shingleN)),
+      sh => md5(sh))
+    val sigCols = (0 until 4).map(b =>
+      array_min(transform(hs, h => substring(h, b * 8 + 1, 8))).as(s"sig$b"))
+    docs
+      .select(col("doc_id") +: col("ts") +: col("text") +: sigCols: _*)
+      .withWatermark("ts", "2 hours")
+      .dropDuplicatesWithinWatermark("sig0", "sig1", "sig2", "sig3")
+      .select("doc_id", "sig0", "sig1", "sig2", "sig3")
+  }
+
   case class EmaOut(user_id: Long, event_id: Long, ema: Double)
 
   /** Per-user exponential moving average via `transformWithState` —

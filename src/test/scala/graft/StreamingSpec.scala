@@ -71,6 +71,37 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("nearDupFilterStream drops signature-identical docs; sigs match the batch path") {
+    import graft.streaming.EventStream.Doc
+    val mem = MemoryStream[Doc](spark)
+    val q = EventStream.nearDupFilterStream(mem.toDF())
+      .writeStream.format("memory").queryName("neardup").outputMode("append").start()
+    // same 5-gram shingle set → same signature (word order of a COPY is
+    // identical); doc 4 shares no shingles with doc 1
+    val a = "the quick brown fox jumps over the lazy dog tonight"
+    val b = "completely different sentence with enough words to build shingles here"
+    try {
+      mem.addData(Doc(1, ts(0), a), Doc(2, ts(1), a))
+      q.processAllAvailable()
+      mem.addData(Doc(3, ts(2), a), Doc(4, ts(3), b))
+      q.processAllAvailable()
+      val kept = spark.table("neardup").select("doc_id").as[Long].collect().toSet
+      assert(kept == Set(1L, 4L), s"kept=$kept") // first copy survives, later copies drop
+      // the per-row signature construction equals the batch DedupOps path
+      val docs = Seq((1L, a), (4L, b)).toDF("doc_id", "text")
+      val batch = graft.ops.DedupOps
+        .minhashSignature(graft.ops.DedupOps.shingleSets(docs, "text", 5), 4)
+        .as[(Long, Int, String)].collect()
+        .map { case (id, band, sig) => (id, band) -> sig }.toMap
+      val stream = spark.table("neardup")
+        .select("doc_id", "sig0", "sig1", "sig2", "sig3")
+        .as[(Long, String, String, String, String)].collect()
+        .flatMap { case (id, s0, s1, s2, s3) =>
+          Seq((id, 0) -> s0, (id, 1) -> s1, (id, 2) -> s2, (id, 3) -> s3) }.toMap
+      assert(stream == batch, s"stream=$stream batch=$batch")
+    } finally q.stop()
+  }
+
   test("enrichStream joins the static dimension per batch") {
     val mem = MemoryStream[Event](spark)
     val dim = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "tier")
