@@ -154,5 +154,50 @@ object R5Queries {
             round(col("n_hit") / col("n_cand"), 6).as("prec"))
       },
       Some("""WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents), sh AS (SELECT DISTINCT doc_id, s FROM (SELECT doc_id, unnest([concat_ws(' ', tk[i], tk[i+1], tk[i+2], tk[i+3], tk[i+4]) for i in generate_series(1, len(tk) - 4)]) AS s FROM toks) z), sig AS (SELECT doc_id, band, min(substr(md5(s), band * 8 + 1, 8)) AS sig FROM sh, (SELECT unnest(generate_series(0, 3)) AS band) b GROUP BY doc_id, band), cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b FROM sig x JOIN sig y ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id), sz AS (SELECT doc_id, count(*) AS s FROM sh GROUP BY 1), inter AS (SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS ic FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2), exact AS (SELECT i.a, i.b FROM inter i JOIN sz x ON i.a = x.doc_id JOIN sz y ON i.b = y.doc_id WHERE round(ic * 1.0 / (x.s + y.s - ic), 6) >= 0.5), hit AS (SELECT e.a, e.b FROM exact e JOIN cand c ON e.a = c.a AND e.b = c.b) SELECT (SELECT count(*) FROM exact) AS n_true, (SELECT count(*) FROM cand) AS n_cand, (SELECT count(*) FROM hit) AS n_hit, round((SELECT count(*) FROM hit) * 1.0 / (SELECT count(*) FROM exact), 6) AS recall, round((SELECT count(*) FROM hit) * 1.0 / (SELECT count(*) FROM cand), 6) AS prec"""),
-      "E2 ext: MinHash candidate recall/precision vs exact pairs — the dedup quality gate"))
+      "E2 ext: MinHash candidate recall/precision vs exact pairs — the dedup quality gate"),
+
+    // q167 — LEAKAGE-SAFE train/val/test split: assign whole near-dup
+    // CLUSTERS (q90's connected components; singletons = their own doc)
+    // to splits via the q153 arithmetic hash on the CLUSTER id, so a
+    // document and its near-duplicates can never straddle train and
+    // eval — the split-time decontamination rule a training pipeline
+    // must enforce (a doc-level hash split leaks paraphrases into val).
+    // The output carries its own guard: cross_pairs counts near-dup
+    // edges crossing splits and must be 0 by construction. Scale shape:
+    // the cluster map is (paired docs only) ≪ corpus, broadcast back;
+    // the split filter is map-side; the guard is a join over the tiny
+    // edge set.
+    QuerySpec(
+      "q167_leakage_split",
+      (s, d) => {
+        val edges = graft.ops.DedupOps
+          .jaccardForPairs(ScaleQueries.minhashCand(s, d), ScaleQueries.shingleSets(s, d))
+          .where(col("jaccard") >= 0.5).select("a", "b")
+        val clusters = graft.ops.DedupOps.connectedComponents(edges)
+        val docs = t(s, d, "documents")
+        val withCl = docs.join(clusters, docs("doc_id") === clusters("id"), "left")
+          .select(col("doc_id"), col("n_chars"),
+            coalesce(col("cluster"), col("doc_id")).as("cl"))
+        // 31-bit mask before the multiply — same overflow-safe portable
+        // hash contract as q153
+        val split = withCl
+          .withColumn("u",
+            (col("cl") % 2147483648L * 2654435761L % 4294967296L) / 4294967296.0)
+          .withColumn("split",
+            when(col("u") < 0.8, lit("train"))
+              .when(col("u") < 0.9, lit("val")).otherwise(lit("test")))
+        val cross = edges
+          .join(split.select(col("doc_id").as("a"), col("split").as("sa")), "a")
+          .join(split.select(col("doc_id").as("b"), col("split").as("sb")), "b")
+          .where(col("sa") =!= col("sb"))
+          .agg(count(lit(1)).as("cross_pairs"))
+        split.groupBy("split")
+          .agg(count(lit(1)).as("n_docs"),
+            countDistinct(col("cl")).as("n_clusters"),
+            sum("n_chars").as("n_chars"))
+          .crossJoin(broadcast(cross))
+          .orderBy("split")
+      },
+      Some(s"""${"WITH RECURSIVE toks AS (SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents), sh AS (SELECT DISTINCT doc_id, s FROM (SELECT doc_id, unnest([concat_ws(' ', tk[i], tk[i+1], tk[i+2], tk[i+3], tk[i+4]) for i in generate_series(1, len(tk) - 4)]) AS s FROM toks) z), sig AS (SELECT doc_id, band, min(substr(md5(s), band * 8 + 1, 8)) AS sig FROM sh, (SELECT unnest(generate_series(0, 3)) AS band) b GROUP BY doc_id, band), cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b FROM sig x JOIN sig y ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id)"}, cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1), inter AS (SELECT c.a, c.b, count(*) AS c FROM cand c JOIN sh sa ON sa.doc_id = c.a JOIN sh sb ON sb.doc_id = c.b AND sb.s = sa.s GROUP BY 1, 2), jac AS (SELECT c.a, c.b FROM cand c JOIN inter i ON i.a = c.a AND i.b = c.b JOIN cnt ca ON ca.doc_id = c.a JOIN cnt cb ON cb.doc_id = c.b WHERE round(i.c * 1.0 / (ca.n + cb.n - i.c), 6) >= 0.5), e AS (SELECT a AS src, b AS dst FROM jac UNION SELECT b, a FROM jac), reach AS (SELECT src AS id, src AS r FROM e UNION SELECT re.id, e.dst FROM reach re JOIN e ON e.src = re.r), cl AS (SELECT id, min(r) AS cluster FROM reach GROUP BY 1), wc AS (SELECT doc_id, n_chars, coalesce(cluster, doc_id) AS cl FROM documents LEFT JOIN cl ON id = doc_id), sp AS (SELECT doc_id, n_chars, cl, CASE WHEN u < 0.8 THEN 'train' WHEN u < 0.9 THEN 'val' ELSE 'test' END AS split FROM (SELECT *, (cl % 2147483648 * 2654435761 % 4294967296) / 4294967296.0 AS u FROM wc)) SELECT split, count(*) AS n_docs, count(DISTINCT cl) AS n_clusters, CAST(sum(n_chars) AS BIGINT) AS n_chars, (SELECT CAST(count(*) AS BIGINT) FROM jac JOIN sp x ON jac.a = x.doc_id JOIN sp y ON jac.b = y.doc_id WHERE x.split <> y.split) AS cross_pairs FROM sp GROUP BY 1 ORDER BY 1"""),
+      "E1/E2/§2.8 ext: leakage-safe split — near-dup clusters never straddle train/eval"))
 }
