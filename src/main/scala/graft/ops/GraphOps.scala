@@ -84,14 +84,19 @@ object GraphOps {
     require(resetProb > 0 && resetProb < 1, s"resetProb in (0,1), got $resetProb")
     var ranks = nodes.select(col("node"), lit(1.0).as("rank"))
     for (_ <- 1 to iters) {
-      val sums = withDeg.join(ranks, withDeg("src") === ranks("node"))
+      // ONE join + ONE aggregation per round: contributions stream off
+      // the cached edge list against the (small, AQE-broadcastable) rank
+      // table, and the per-node zero rows folded into the SAME union feed
+      // the aggregation in place of a second "carry the sink nodes" left
+      // join — nodes with no incoming mass sum to 0 and land on
+      // resetProb, identical semantics, one fewer join per iteration.
+      val contrib = withDeg.join(ranks, withDeg("src") === ranks("node"))
         .select(withDeg("dst").as("node"),
           (ranks("rank") / withDeg("outdeg")).as("c"))
-        .groupBy("node").agg(sum("c").as("msum"))
-      ranks = nodes.join(sums, Seq("node"), "left")
-        .select(col("node"),
-          (lit(resetProb) +
-            lit(1 - resetProb) * coalesce(col("msum"), lit(0.0))).as("rank"))
+      ranks = contrib
+        .unionByName(nodes.select(col("node"), lit(0.0).as("c")))
+        .groupBy("node")
+        .agg((lit(resetProb) + lit(1 - resetProb) * sum("c")).as("rank"))
     }
     // Materialize the iterative lineage ONCE (eager checkpoint runs the
     // job here, while any caller-managed caches are live): the
