@@ -199,5 +199,69 @@ object R5Queries {
           .orderBy("split")
       },
       Some(s"""${"WITH RECURSIVE toks AS (SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents), sh AS (SELECT DISTINCT doc_id, s FROM (SELECT doc_id, unnest([concat_ws(' ', tk[i], tk[i+1], tk[i+2], tk[i+3], tk[i+4]) for i in generate_series(1, len(tk) - 4)]) AS s FROM toks) z), sig AS (SELECT doc_id, band, min(substr(md5(s), band * 8 + 1, 8)) AS sig FROM sh, (SELECT unnest(generate_series(0, 3)) AS band) b GROUP BY doc_id, band), cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b FROM sig x JOIN sig y ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id)"}, cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1), inter AS (SELECT c.a, c.b, count(*) AS c FROM cand c JOIN sh sa ON sa.doc_id = c.a JOIN sh sb ON sb.doc_id = c.b AND sb.s = sa.s GROUP BY 1, 2), jac AS (SELECT c.a, c.b FROM cand c JOIN inter i ON i.a = c.a AND i.b = c.b JOIN cnt ca ON ca.doc_id = c.a JOIN cnt cb ON cb.doc_id = c.b WHERE round(i.c * 1.0 / (ca.n + cb.n - i.c), 6) >= 0.5), e AS (SELECT a AS src, b AS dst FROM jac UNION SELECT b, a FROM jac), reach AS (SELECT src AS id, src AS r FROM e UNION SELECT re.id, e.dst FROM reach re JOIN e ON e.src = re.r), cl AS (SELECT id, min(r) AS cluster FROM reach GROUP BY 1), wc AS (SELECT doc_id, n_chars, coalesce(cluster, doc_id) AS cl FROM documents LEFT JOIN cl ON id = doc_id), sp AS (SELECT doc_id, n_chars, cl, CASE WHEN u < 0.8 THEN 'train' WHEN u < 0.9 THEN 'val' ELSE 'test' END AS split FROM (SELECT *, (cl % 2147483648 * 2654435761 % 4294967296) / 4294967296.0 AS u FROM wc)) SELECT split, count(*) AS n_docs, count(DISTINCT cl) AS n_clusters, CAST(sum(n_chars) AS BIGINT) AS n_chars, (SELECT CAST(count(*) AS BIGINT) FROM jac JOIN sp x ON jac.a = x.doc_id JOIN sp y ON jac.b = y.doc_id WHERE x.split <> y.split) AS cross_pairs FROM sp GROUP BY 1 ORDER BY 1"""),
-      "E1/E2/§2.8 ext: leakage-safe split — near-dup clusters never straddle train/eval"))
+      "E1/E2/§2.8 ext: leakage-safe split — near-dup clusters never straddle train/eval"),
+
+    // q168 — ANN index health: occupancy stats for BOTH index families
+    // (the 8-bit sign-LSH buckets of q38 and the IVF-flat cells of
+    // q101/q164/q165) in one report — bucket count, max/avg occupancy,
+    // max share. THE skew diagnostic for similarity search: a collapsed
+    // bucket (max_share → 1) turns the candidate equi-join into an
+    // all-pairs join on that key, the exact failure q148 diagnoses for
+    // relational joins. Two partial-agg shuffles of |index| rows each;
+    // the report is 2 rows.
+    QuerySpec(
+      "q168_index_health",
+      (s, d) => {
+        def occupancy(assign: DataFrame, keyCol: String, name: String): DataFrame = {
+          val c = assign.groupBy(keyCol).agg(count(lit(1)).as("n"))
+          c.agg(count(lit(1)).as("n_buckets"),
+            sum("n").as("n_vecs"),
+            max("n").as("max_n"),
+            round(avg("n"), 4).as("avg_n"),
+            round(max("n") / sum("n"), 6).as("max_share"))
+            .select(lit(name).as("index_name"), col("n_buckets"), col("n_vecs"),
+              col("max_n"), col("avg_n"), col("max_share"))
+        }
+        val lsh = t(s, d, "embeddings")
+          .select(graft.ops.VectorOps.srpBucket(col("embedding"), 8).as("bucket"))
+        val ivf = ScaleQueries.ivfFlat(s, d).select(col("cell"))
+        occupancy(lsh, "bucket", "lsh8")
+          .unionByName(occupancy(ivf, "cell", "ivf8"))
+          .orderBy("index_name")
+      },
+      Some {
+        val bucketSql = (1 to 8)
+          .map(i => s"${1L << (i - 1)} * (CASE WHEN embedding[$i] > 0 THEN 1 ELSE 0 END)")
+          .mkString(" + ")
+        s"""WITH e AS (SELECT vec_id, embedding, $emL2 AS nrm FROM embeddings), asg AS (SELECT a.vec_id, b.vec_id AS cell, row_number() OVER (PARTITION BY a.vec_id ORDER BY $dot DESC, b.vec_id) AS rn FROM e a CROSS JOIN (SELECT vec_id, embedding, nrm FROM e WHERE vec_id < 8) b), lshc AS (SELECT CAST($bucketSql AS BIGINT) AS k, count(*) AS n FROM embeddings GROUP BY 1), ivfc AS (SELECT cell AS k, count(*) AS n FROM asg WHERE rn = 1 GROUP BY 1), u AS (SELECT 'lsh8' AS index_name, count(*) AS n_buckets, sum(n) AS n_vecs, max(n) AS max_n, round(avg(n), 4) AS avg_n, round(max(n) * 1.0 / sum(n), 6) AS max_share FROM lshc UNION ALL SELECT 'ivf8', count(*), sum(n), max(n), round(avg(n), 4), round(max(n) * 1.0 / sum(n), 6) FROM ivfc) SELECT index_name, CAST(n_buckets AS BIGINT) AS n_buckets, CAST(n_vecs AS BIGINT) AS n_vecs, CAST(max_n AS BIGINT) AS max_n, avg_n, max_share FROM u ORDER BY index_name"""
+      },
+      "E3/§4 ext: ANN index occupancy/skew report (the collapsed-bucket alarm)"),
+
+    // q169 — INCREMENTAL dedup maintenance: treat doc_id % 10 >= 8 as the
+    // newly-ingested delta batch and the rest as the already-indexed
+    // base. Candidate generation probes ONLY pairs touching the delta
+    // (the base×base pairs were checked when the base was indexed), then
+    // exact-verifies at 0.5 — the q152 partial-state idea applied to
+    // dedup: a daily crawl increment joins its signatures against the
+    // persisted index instead of recomputing the corpus×corpus candidate
+    // set. Shuffle: |delta| × bands signature rows probe the index
+    // equi-join; the base signature table is the amortized artifact.
+    QuerySpec(
+      "q169_incr_dedup",
+      (s, d) => {
+        val sig = graft.ops.DedupOps
+          .minhashSignatureRows(ScaleQueries.shingleRows(s, d), 4)
+        def side(ab: String) = sig.select(col("doc_id").as(ab), col("band"), col("sig"),
+          (col("doc_id") % 10 >= 8).as(s"new_$ab"))
+        val cand = side("a").join(side("b"), Seq("band", "sig"))
+          .where(col("a") < col("b") && (col("new_a") || col("new_b")))
+          .select("a", "b").distinct()
+        graft.ops.DedupOps.jaccardForPairs(cand, ScaleQueries.shingleSets(s, d))
+          .where(col("jaccard") >= 0.5)
+          .select(col("a"), col("b"), col("jaccard"),
+            (col("b") % 10 >= 8).cast("long").as("b_is_new"))
+          .orderBy("a", "b")
+      },
+      Some("""WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents), sh AS (SELECT DISTINCT doc_id, s FROM (SELECT doc_id, unnest([concat_ws(' ', tk[i], tk[i+1], tk[i+2], tk[i+3], tk[i+4]) for i in generate_series(1, len(tk) - 4)]) AS s FROM toks) z), sig AS (SELECT doc_id, band, min(substr(md5(s), band * 8 + 1, 8)) AS sig FROM sh, (SELECT unnest(generate_series(0, 3)) AS band) b GROUP BY doc_id, band), cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b FROM sig x JOIN sig y ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id WHERE x.doc_id % 10 >= 8 OR y.doc_id % 10 >= 8), cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1), inter AS (SELECT c.a, c.b, count(*) AS c FROM cand c JOIN sh sa ON sa.doc_id = c.a JOIN sh sb ON sb.doc_id = c.b AND sb.s = sa.s GROUP BY 1, 2) SELECT c.a AS a, c.b AS b, round(i.c * 1.0 / (ca.n + cb.n - i.c), 6) AS jaccard, CAST(c.b % 10 >= 8 AS BIGINT) AS b_is_new FROM cand c JOIN inter i ON i.a = c.a AND i.b = c.b JOIN cnt ca ON ca.doc_id = c.a JOIN cnt cb ON cb.doc_id = c.b WHERE round(i.c * 1.0 / (ca.n + cb.n - i.c), 6) >= 0.5 ORDER BY a, b"""),
+      "E2/§2.4 ext: incremental dedup — delta batch probes the persisted signature index"))
 }
