@@ -170,10 +170,8 @@ object R5Queries {
     QuerySpec(
       "q167_leakage_split",
       (s, d) => {
-        val edges = graft.ops.DedupOps
-          .jaccardForPairs(ScaleQueries.minhashCand(s, d), ScaleQueries.shingleSets(s, d))
-          .where(col("jaccard") >= 0.5).select("a", "b")
-        val clusters = graft.ops.DedupOps.connectedComponents(edges)
+        val edges = ScaleQueries.neardupEdges(s, d)
+        val clusters = ScaleQueries.neardupClusters(s, d)
         val docs = t(s, d, "documents")
         val withCl = docs.join(clusters, docs("doc_id") === clusters("id"), "left")
           .select(col("doc_id"), col("n_chars"),
