@@ -261,5 +261,33 @@ object R5Queries {
           .orderBy("a", "b")
       },
       Some("""WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents), sh AS (SELECT DISTINCT doc_id, s FROM (SELECT doc_id, unnest([concat_ws(' ', tk[i], tk[i+1], tk[i+2], tk[i+3], tk[i+4]) for i in generate_series(1, len(tk) - 4)]) AS s FROM toks) z), sig AS (SELECT doc_id, band, min(substr(md5(s), band * 8 + 1, 8)) AS sig FROM sh, (SELECT unnest(generate_series(0, 3)) AS band) b GROUP BY doc_id, band), cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b FROM sig x JOIN sig y ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id WHERE x.doc_id % 10 >= 8 OR y.doc_id % 10 >= 8), cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1), inter AS (SELECT c.a, c.b, count(*) AS c FROM cand c JOIN sh sa ON sa.doc_id = c.a JOIN sh sb ON sb.doc_id = c.b AND sb.s = sa.s GROUP BY 1, 2) SELECT c.a AS a, c.b AS b, round(i.c * 1.0 / (ca.n + cb.n - i.c), 6) AS jaccard, CAST(c.b % 10 >= 8 AS BIGINT) AS b_is_new FROM cand c JOIN inter i ON i.a = c.a AND i.b = c.b JOIN cnt ca ON ca.doc_id = c.a JOIN cnt cb ON cb.doc_id = c.b WHERE round(i.c * 1.0 / (ca.n + cb.n - i.c), 6) >= 0.5 ORDER BY a, b"""),
-      "E2/§2.4 ext: incremental dedup — delta batch probes the persisted signature index"))
+      "E2/§2.4 ext: incremental dedup — delta batch probes the persisted signature index"),
+
+    // q170 — sliding-window document CHUNKING (40-token windows, stride
+    // 30 → 10-token overlap): the preprocessing step between curation
+    // and embedding in a RAG/pretraining pipeline — q131 packs streams
+    // into contexts, THIS splits long documents into overlapping
+    // embedder-sized pieces. Chunk content is verified by md5 of the
+    // joined token window (portable), not by shipping chunk text. Scale
+    // shape: pure map-side — tokenize once, explode ~n/stride chunk
+    // indexes per doc, slice the in-row token array per chunk; zero
+    // shuffles except the result sort.
+    QuerySpec(
+      "q170_chunk_overlap",
+      (s, d) => {
+        val w = 40
+        val step = 30
+        t(s, d, "documents")
+          .select(col("doc_id"), graft.ops.TextOps.tokens(col("text")).as("tk"))
+          .withColumn("n", size(col("tk")))
+          .withColumn("k",
+            explode(sequence(lit(0), floor((col("n") - 1) / lit(step * 1.0)).cast("int"))))
+          .withColumn("p", col("k") * step + 1)
+          .select(col("doc_id"), col("k").cast("long").as("chunk_idx"),
+            least(lit(w), col("n") - col("p") + 1).cast("long").as("n_tok"),
+            md5(array_join(slice(col("tk"), col("p"), lit(w)), " ")).as("chunk_md5"))
+          .orderBy("doc_id", "chunk_idx")
+      },
+      Some("""WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents), ch AS (SELECT doc_id, tk, len(tk) AS n, unnest(generate_series(0, CAST(floor((len(tk) - 1) / 30.0) AS INT))) AS k FROM toks) SELECT doc_id, CAST(k AS BIGINT) AS chunk_idx, CAST(least(40, n - (k * 30 + 1) + 1) AS BIGINT) AS n_tok, md5(array_to_string(tk[(k * 30 + 1):(k * 30 + 40)], ' ')) AS chunk_md5 FROM ch ORDER BY doc_id, chunk_idx"""),
+      "E4/§2.9 ext: sliding-window chunking with overlap (embedder-sized pieces, map-side)"))
 }
