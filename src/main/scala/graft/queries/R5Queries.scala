@@ -247,8 +247,7 @@ object R5Queries {
     QuerySpec(
       "q169_incr_dedup",
       (s, d) => {
-        val sig = graft.ops.DedupOps
-          .minhashSignatureRows(ScaleQueries.shingleRows(s, d), 4)
+        val sig = ScaleQueries.sigRows(s, d)
         def side(ab: String) = sig.select(col("doc_id").as(ab), col("band"), col("sig"),
           (col("doc_id") % 10 >= 8).as(s"new_$ab"))
         val cand = side("a").join(side("b"), Seq("band", "sig"))

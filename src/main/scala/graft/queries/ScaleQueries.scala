@@ -45,12 +45,18 @@ object ScaleQueries {
     memo(s, d, "shingleSets")(
       shingleRows(s, d).groupBy("doc_id").agg(collect_list(col("s")).as("shs")))
 
+  /** Per-doc 4-band MinHash signature rows — the persisted dedup index
+    * itself, shared between candidate generation (minhashCand) and the
+    * incremental delta probe (q169).
+    */
+  private[queries] def sigRows(s: SparkSession, d: String): DataFrame =
+    memo(s, d, "sigRows")(DedupOps.minhashSignatureRows(shingleRows(s, d), 4))
+
   /** MinHash band-bucket candidate pairs — the shared head of q34/q36/q90,
     * cached so the signature computation runs once per session.
     */
   private[queries] def minhashCand(s: SparkSession, d: String): DataFrame =
-    memo(s, d, "minhashCand")(
-      DedupOps.candidatePairs(DedupOps.minhashSignatureRows(shingleRows(s, d), 4)))
+    memo(s, d, "minhashCand")(DedupOps.candidatePairs(sigRows(s, d)))
 
   /** (doc_id, term, tf) exact term frequencies — the shared base of
     * q29/q30/q35, cached across them.

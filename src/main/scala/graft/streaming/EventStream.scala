@@ -145,9 +145,11 @@ object EventStream {
     * (any-band agreement, q34) needs cross-row candidate joins that
     * streaming can't do one-pass — the right split is this gate on
     * ingest plus the batch pipeline for the periodic deep dedup.
-    * Documents too short to shingle carry null signatures, which
-    * dropDuplicates treats as one group — callers keep-or-drop them
-    * upstream by length (the q124-gate shape).
+    * Documents too short to shingle have no signature; their sig columns
+    * fall back to a per-doc unique sentinel ("short:<doc_id>") so they
+    * ALWAYS pass — without the fallback dropDuplicates would treat every
+    * null-signature doc as one group and silently drop all short docs
+    * after the first.
     */
   def nearDupFilterStream(docs: DataFrame, shingleN: Int = 5): DataFrame = {
     val hs = transform(
@@ -155,7 +157,9 @@ object EventStream {
         graft.ops.TextOps.tokens(col("text")), shingleN)),
       sh => md5(sh))
     val sigCols = (0 until 4).map(b =>
-      array_min(transform(hs, h => substring(h, b * 8 + 1, 8))).as(s"sig$b"))
+      coalesce(
+        array_min(transform(hs, h => substring(h, b * 8 + 1, 8))),
+        concat(lit("short:"), col("doc_id"))).as(s"sig$b"))
     docs
       .select(col("doc_id") +: col("ts") +: col("text") +: sigCols: _*)
       .withWatermark("ts", "2 hours")

@@ -83,10 +83,13 @@ class StreamingSpec extends SparkSpecBase {
     try {
       mem.addData(Doc(1, ts(0), a), Doc(2, ts(1), a))
       q.processAllAvailable()
-      mem.addData(Doc(3, ts(2), a), Doc(4, ts(3), b))
+      // docs 5 and 6 are too short to shingle: BOTH must pass (unique
+      // per-doc sentinel signatures), never collapse into one null group
+      mem.addData(Doc(3, ts(2), a), Doc(4, ts(3), b),
+        Doc(5, ts(4), "too short"), Doc(6, ts(5), "also short"))
       q.processAllAvailable()
       val kept = spark.table("neardup").select("doc_id").as[Long].collect().toSet
-      assert(kept == Set(1L, 4L), s"kept=$kept") // first copy survives, later copies drop
+      assert(kept == Set(1L, 4L, 5L, 6L), s"kept=$kept") // first copy survives, later copies drop
       // the per-row signature construction equals the batch DedupOps path
       val docs = Seq((1L, a), (4L, b)).toDF("doc_id", "text")
       val batch = graft.ops.DedupOps
@@ -94,6 +97,7 @@ class StreamingSpec extends SparkSpecBase {
         .as[(Long, Int, String)].collect()
         .map { case (id, band, sig) => (id, band) -> sig }.toMap
       val stream = spark.table("neardup")
+        .where(col("doc_id").isin(1L, 4L)) // 5/6 carry sentinel sigs, no batch twin
         .select("doc_id", "sig0", "sig1", "sig2", "sig3")
         .as[(Long, String, String, String, String)].collect()
         .flatMap { case (id, s0, s1, s2, s3) =>
