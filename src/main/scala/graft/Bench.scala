@@ -131,10 +131,14 @@ object Bench {
     val short = results.map { case (k, v) => k.takeWhile(_ != '_') -> v }
     val named = if (short.map(_._1).distinct.size == results.size) short else results
     val total = math.rint(results.map(_._2).filter(_ >= 0).sum * 100) / 100
-    // "cold" = pass-1 sum: min-of-two is the steady-state headline, but
-    // alone it makes cold-start regressions invisible by construction —
-    // one extra scalar restores that signal.
-    val cold = math.rint(pass1.values.filter(_ >= 0).sum * 100) / 100
+    // "cold" = pass-1 sum over the SAME query set as "value" (queries
+    // that failed either pass are excluded from both, else a pass-2-only
+    // failure would fabricate a cold-vs-total gap): min-of-two is the
+    // steady-state headline, but alone it makes cold-start regressions
+    // invisible by construction — one extra scalar restores that signal.
+    val resultByName = results.toMap
+    val cold = math.rint(
+      names.filter(resultByName(_) >= 0).map(pass1).sum * 100) / 100
     val sfName = new java.io.File(sfDir).getName
     def line(withSf: Boolean, dpFor: Double => Int): String = {
       val qs = named.map { case (k, v) => "\"" + k + "\":" + f(v, dpFor(v)) }
@@ -153,9 +157,11 @@ object Bench {
       line(withSf = false, v => if (v >= 0.995) 2 else 1),
       line(withSf = false, _ => 1))
     val out = candidates.find(_.length <= budget).getOrElse(candidates.last)
+    // side file carries GENUINE extra precision (4dp), not a copy of the
+    // emitted 2dp line — it exists to resolve sub-0.01s ambiguities
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get(sys.props("java.io.tmpdir"), "graft_bench_full.json"),
-      candidates.head + "\n")
+      line(withSf = true, _ => 4) + "\n")
     catch { case _: Throwable => () }
     println(out)
     spark.stop()

@@ -145,15 +145,19 @@ object R5Queries {
           .jaccardForPairs(R4Queries.prefixCand(s, d), ScaleQueries.shingleSets(s, d))
           .where(col("jaccard") >= 0.5)
           .select("a", "b")
-        val hits = truth.join(cand, Seq("a", "b"), "left_semi")
-        truth.agg(count(lit(1)).as("n_true"))
-          .crossJoin(cand.agg(count(lit(1)).as("n_cand")))
-          .crossJoin(hits.agg(count(lit(1)).as("n_hit")))
+        // ONE consumer of `truth` (the exact-verification join is the
+        // dominant cost and is not cached): the left join marks hits, a
+        // single aggregate counts truths and hits together; only the
+        // cached candidate memo is read twice.
+        truth.join(cand.withColumn("h", lit(1L)), Seq("a", "b"), "left")
+          .agg(count(lit(1)).as("n_true"),
+            coalesce(sum("h"), lit(0L)).as("n_hit"))
+          .crossJoin(broadcast(cand.agg(count(lit(1)).as("n_cand"))))
           .select(col("n_true"), col("n_cand"), col("n_hit"),
             round(col("n_hit") / col("n_true"), 6).as("recall"),
             round(col("n_hit") / col("n_cand"), 6).as("prec"))
       },
-      Some("""WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents), sh AS (SELECT DISTINCT doc_id, s FROM (SELECT doc_id, unnest([concat_ws(' ', tk[i], tk[i+1], tk[i+2], tk[i+3], tk[i+4]) for i in generate_series(1, len(tk) - 4)]) AS s FROM toks) z), sig AS (SELECT doc_id, band, min(substr(md5(s), band * 8 + 1, 8)) AS sig FROM sh, (SELECT unnest(generate_series(0, 3)) AS band) b GROUP BY doc_id, band), cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b FROM sig x JOIN sig y ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id), sz AS (SELECT doc_id, count(*) AS s FROM sh GROUP BY 1), inter AS (SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS ic FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2), exact AS (SELECT i.a, i.b FROM inter i JOIN sz x ON i.a = x.doc_id JOIN sz y ON i.b = y.doc_id WHERE round(ic * 1.0 / (x.s + y.s - ic), 6) >= 0.5), hit AS (SELECT e.a, e.b FROM exact e JOIN cand c ON e.a = c.a AND e.b = c.b) SELECT (SELECT count(*) FROM exact) AS n_true, (SELECT count(*) FROM cand) AS n_cand, (SELECT count(*) FROM hit) AS n_hit, round((SELECT count(*) FROM hit) * 1.0 / (SELECT count(*) FROM exact), 6) AS recall, round((SELECT count(*) FROM hit) * 1.0 / (SELECT count(*) FROM cand), 6) AS prec"""),
+      Some(s"""${ScaleQueries.shingleCte}, sz AS (SELECT doc_id, count(*) AS s FROM sh GROUP BY 1), inter AS (SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS ic FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2), exact AS (SELECT i.a, i.b FROM inter i JOIN sz x ON i.a = x.doc_id JOIN sz y ON i.b = y.doc_id WHERE round(ic * 1.0 / (x.s + y.s - ic), 6) >= 0.5), hit AS (SELECT e.a, e.b FROM exact e JOIN cand c ON e.a = c.a AND e.b = c.b) SELECT (SELECT count(*) FROM exact) AS n_true, (SELECT count(*) FROM cand) AS n_cand, (SELECT count(*) FROM hit) AS n_hit, round((SELECT count(*) FROM hit) * 1.0 / (SELECT count(*) FROM exact), 6) AS recall, round((SELECT count(*) FROM hit) * 1.0 / (SELECT count(*) FROM cand), 6) AS prec"""),
       "E2 ext: MinHash candidate recall/precision vs exact pairs — the dedup quality gate"),
 
     // q167 — LEAKAGE-SAFE train/val/test split: assign whole near-dup
@@ -196,7 +200,7 @@ object R5Queries {
           .crossJoin(broadcast(cross))
           .orderBy("split")
       },
-      Some(s"""${"WITH RECURSIVE toks AS (SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents), sh AS (SELECT DISTINCT doc_id, s FROM (SELECT doc_id, unnest([concat_ws(' ', tk[i], tk[i+1], tk[i+2], tk[i+3], tk[i+4]) for i in generate_series(1, len(tk) - 4)]) AS s FROM toks) z), sig AS (SELECT doc_id, band, min(substr(md5(s), band * 8 + 1, 8)) AS sig FROM sh, (SELECT unnest(generate_series(0, 3)) AS band) b GROUP BY doc_id, band), cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b FROM sig x JOIN sig y ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id)"}, cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1), inter AS (SELECT c.a, c.b, count(*) AS c FROM cand c JOIN sh sa ON sa.doc_id = c.a JOIN sh sb ON sb.doc_id = c.b AND sb.s = sa.s GROUP BY 1, 2), jac AS (SELECT c.a, c.b FROM cand c JOIN inter i ON i.a = c.a AND i.b = c.b JOIN cnt ca ON ca.doc_id = c.a JOIN cnt cb ON cb.doc_id = c.b WHERE round(i.c * 1.0 / (ca.n + cb.n - i.c), 6) >= 0.5), e AS (SELECT a AS src, b AS dst FROM jac UNION SELECT b, a FROM jac), reach AS (SELECT src AS id, src AS r FROM e UNION SELECT re.id, e.dst FROM reach re JOIN e ON e.src = re.r), cl AS (SELECT id, min(r) AS cluster FROM reach GROUP BY 1), wc AS (SELECT doc_id, n_chars, coalesce(cluster, doc_id) AS cl FROM documents LEFT JOIN cl ON id = doc_id), sp AS (SELECT doc_id, n_chars, cl, CASE WHEN u < 0.8 THEN 'train' WHEN u < 0.9 THEN 'val' ELSE 'test' END AS split FROM (SELECT *, (cl % 2147483648 * 2654435761 % 4294967296) / 4294967296.0 AS u FROM wc)) SELECT split, count(*) AS n_docs, count(DISTINCT cl) AS n_clusters, CAST(sum(n_chars) AS BIGINT) AS n_chars, (SELECT CAST(count(*) AS BIGINT) FROM jac JOIN sp x ON jac.a = x.doc_id JOIN sp y ON jac.b = y.doc_id WHERE x.split <> y.split) AS cross_pairs FROM sp GROUP BY 1 ORDER BY 1"""),
+      Some(s"""${ScaleQueries.shingleCte.replaceFirst("WITH ", "WITH RECURSIVE ")}, cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1), inter AS (SELECT c.a, c.b, count(*) AS c FROM cand c JOIN sh sa ON sa.doc_id = c.a JOIN sh sb ON sb.doc_id = c.b AND sb.s = sa.s GROUP BY 1, 2), jac AS (SELECT c.a, c.b FROM cand c JOIN inter i ON i.a = c.a AND i.b = c.b JOIN cnt ca ON ca.doc_id = c.a JOIN cnt cb ON cb.doc_id = c.b WHERE round(i.c * 1.0 / (ca.n + cb.n - i.c), 6) >= 0.5), e AS (SELECT a AS src, b AS dst FROM jac UNION SELECT b, a FROM jac), reach AS (SELECT src AS id, src AS r FROM e UNION SELECT re.id, e.dst FROM reach re JOIN e ON e.src = re.r), cl AS (SELECT id, min(r) AS cluster FROM reach GROUP BY 1), wc AS (SELECT doc_id, n_chars, coalesce(cluster, doc_id) AS cl FROM documents LEFT JOIN cl ON id = doc_id), sp AS (SELECT doc_id, n_chars, cl, CASE WHEN u < 0.8 THEN 'train' WHEN u < 0.9 THEN 'val' ELSE 'test' END AS split FROM (SELECT *, (cl % 2147483648 * 2654435761 % 4294967296) / 4294967296.0 AS u FROM wc)) SELECT split, count(*) AS n_docs, count(DISTINCT cl) AS n_clusters, CAST(sum(n_chars) AS BIGINT) AS n_chars, (SELECT CAST(count(*) AS BIGINT) FROM jac JOIN sp x ON jac.a = x.doc_id JOIN sp y ON jac.b = y.doc_id WHERE x.split <> y.split) AS cross_pairs FROM sp GROUP BY 1 ORDER BY 1"""),
       "E1/E2/§2.8 ext: leakage-safe split — near-dup clusters never straddle train/eval"),
 
     // q168 — ANN index health: occupancy stats for BOTH index families
@@ -259,18 +263,22 @@ object R5Queries {
             (col("b") % 10 >= 8).cast("long").as("b_is_new"))
           .orderBy("a", "b")
       },
-      Some("""WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents), sh AS (SELECT DISTINCT doc_id, s FROM (SELECT doc_id, unnest([concat_ws(' ', tk[i], tk[i+1], tk[i+2], tk[i+3], tk[i+4]) for i in generate_series(1, len(tk) - 4)]) AS s FROM toks) z), sig AS (SELECT doc_id, band, min(substr(md5(s), band * 8 + 1, 8)) AS sig FROM sh, (SELECT unnest(generate_series(0, 3)) AS band) b GROUP BY doc_id, band), cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b FROM sig x JOIN sig y ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id WHERE x.doc_id % 10 >= 8 OR y.doc_id % 10 >= 8), cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1), inter AS (SELECT c.a, c.b, count(*) AS c FROM cand c JOIN sh sa ON sa.doc_id = c.a JOIN sh sb ON sb.doc_id = c.b AND sb.s = sa.s GROUP BY 1, 2) SELECT c.a AS a, c.b AS b, round(i.c * 1.0 / (ca.n + cb.n - i.c), 6) AS jaccard, CAST(c.b % 10 >= 8 AS BIGINT) AS b_is_new FROM cand c JOIN inter i ON i.a = c.a AND i.b = c.b JOIN cnt ca ON ca.doc_id = c.a JOIN cnt cb ON cb.doc_id = c.b WHERE round(i.c * 1.0 / (ca.n + cb.n - i.c), 6) >= 0.5 ORDER BY a, b"""),
+      Some(s"""${ScaleQueries.shingleCte}, candd AS (SELECT a, b FROM cand WHERE a % 10 >= 8 OR b % 10 >= 8), cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1), inter AS (SELECT c.a, c.b, count(*) AS c FROM candd c JOIN sh sa ON sa.doc_id = c.a JOIN sh sb ON sb.doc_id = c.b AND sb.s = sa.s GROUP BY 1, 2) SELECT c.a AS a, c.b AS b, round(i.c * 1.0 / (ca.n + cb.n - i.c), 6) AS jaccard, CAST(c.b % 10 >= 8 AS BIGINT) AS b_is_new FROM candd c JOIN inter i ON i.a = c.a AND i.b = c.b JOIN cnt ca ON ca.doc_id = c.a JOIN cnt cb ON cb.doc_id = c.b WHERE round(i.c * 1.0 / (ca.n + cb.n - i.c), 6) >= 0.5 ORDER BY a, b"""),
       "E2/§2.4 ext: incremental dedup — delta batch probes the persisted signature index"),
 
     // q170 — sliding-window document CHUNKING (40-token windows, stride
     // 30 → 10-token overlap): the preprocessing step between curation
     // and embedding in a RAG/pretraining pipeline — q131 packs streams
     // into contexts, THIS splits long documents into overlapping
-    // embedder-sized pieces. Chunk content is verified by md5 of the
-    // joined token window (portable), not by shipping chunk text. Scale
-    // shape: pure map-side — tokenize once, explode ~n/stride chunk
-    // indexes per doc, slice the in-row token array per chunk; zero
-    // shuffles except the result sort.
+    // embedder-sized pieces. The chunk count is 1 + ceil(max(0, n−W)/S):
+    // chunking STOPS at the first window that reaches the document end,
+    // so no trailing chunk is ever a subset of its predecessor (a naive
+    // start-position loop double-embeds the tail of ~30% of docs).
+    // Chunk content is verified by md5 of the joined token window
+    // (portable), not by shipping chunk text. Scale shape: pure
+    // map-side — tokenize once, explode ~n/stride chunk indexes per
+    // doc, slice the in-row token array per chunk; zero shuffles except
+    // the result sort.
     QuerySpec(
       "q170_chunk_overlap",
       (s, d) => {
@@ -280,13 +288,14 @@ object R5Queries {
           .select(col("doc_id"), graft.ops.TextOps.tokens(col("text")).as("tk"))
           .withColumn("n", size(col("tk")))
           .withColumn("k",
-            explode(sequence(lit(0), floor((col("n") - 1) / lit(step * 1.0)).cast("int"))))
+            explode(sequence(lit(0),
+              ceil(greatest(col("n") - w, lit(0)) / lit(step * 1.0)).cast("int"))))
           .withColumn("p", col("k") * step + 1)
           .select(col("doc_id"), col("k").cast("long").as("chunk_idx"),
             least(lit(w), col("n") - col("p") + 1).cast("long").as("n_tok"),
             md5(array_join(slice(col("tk"), col("p"), lit(w)), " ")).as("chunk_md5"))
           .orderBy("doc_id", "chunk_idx")
       },
-      Some("""WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents), ch AS (SELECT doc_id, tk, len(tk) AS n, unnest(generate_series(0, CAST(floor((len(tk) - 1) / 30.0) AS INT))) AS k FROM toks) SELECT doc_id, CAST(k AS BIGINT) AS chunk_idx, CAST(least(40, n - (k * 30 + 1) + 1) AS BIGINT) AS n_tok, md5(array_to_string(tk[(k * 30 + 1):(k * 30 + 40)], ' ')) AS chunk_md5 FROM ch ORDER BY doc_id, chunk_idx"""),
+      Some("""WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents), ch AS (SELECT doc_id, tk, len(tk) AS n, unnest(generate_series(0, CAST(ceil(greatest(len(tk) - 40, 0) / 30.0) AS INT))) AS k FROM toks) SELECT doc_id, CAST(k AS BIGINT) AS chunk_idx, CAST(least(40, n - (k * 30 + 1) + 1) AS BIGINT) AS n_tok, md5(array_to_string(tk[(k * 30 + 1):(k * 30 + 40)], ' ')) AS chunk_md5 FROM ch ORDER BY doc_id, chunk_idx"""),
       "E4/§2.9 ext: sliding-window chunking with overlap (embedder-sized pieces, map-side)"))
 }

@@ -110,7 +110,7 @@ object ScaleQueries {
   /** Shared DuckDB CTE prefix replaying shingles + 4-band md5-slice
     * MinHash over word 5-grams (band b = min over shingles of substr(md5(s), b*8+1, 8)).
     */
-  private val shingleCte =
+  private[queries] val shingleCte =
     """WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents), sh AS (SELECT DISTINCT doc_id, s FROM (SELECT doc_id, unnest([concat_ws(' ', tk[i], tk[i+1], tk[i+2], tk[i+3], tk[i+4]) for i in generate_series(1, len(tk) - 4)]) AS s FROM toks) z), sig AS (SELECT doc_id, band, min(substr(md5(s), band * 8 + 1, 8)) AS sig FROM sh, (SELECT unnest(generate_series(0, 3)) AS band) b GROUP BY doc_id, band), cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b FROM sig x JOIN sig y ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id)"""
 
   private[queries] val emL2 =

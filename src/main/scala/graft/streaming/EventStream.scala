@@ -145,11 +145,12 @@ object EventStream {
     * (any-band agreement, q34) needs cross-row candidate joins that
     * streaming can't do one-pass — the right split is this gate on
     * ingest plus the batch pipeline for the periodic deep dedup.
-    * Documents too short to shingle have no signature; their sig columns
-    * fall back to a per-doc unique sentinel ("short:<doc_id>") so they
-    * ALWAYS pass — without the fallback dropDuplicates would treat every
-    * null-signature doc as one group and silently drop all short docs
-    * after the first.
+    * Documents too short to shingle have no signature; their sig
+    * columns fall back to a sentinel keyed on the TEXT
+    * ("short:" + md5(text)), so byte-identical short docs still dedup
+    * exactly while distinct short docs always pass — a null signature
+    * would collapse ALL short docs into one group and silently drop
+    * every one after the first.
     */
   def nearDupFilterStream(docs: DataFrame, shingleN: Int = 5): DataFrame = {
     val hs = transform(
@@ -159,7 +160,7 @@ object EventStream {
     val sigCols = (0 until 4).map(b =>
       coalesce(
         array_min(transform(hs, h => substring(h, b * 8 + 1, 8))),
-        concat(lit("short:"), col("doc_id"))).as(s"sig$b"))
+        concat(lit("short:"), md5(col("text")))).as(s"sig$b"))
     docs
       .select(col("doc_id") +: col("ts") +: col("text") +: sigCols: _*)
       .withWatermark("ts", "2 hours")

@@ -145,16 +145,50 @@ class PlanShapeSpec extends SparkSpecBase {
     val allowlist = Set("q25_string_indexer", "q26_index_to_string",
       "q114_quantile_binning", "q148_skew_diag", "q153_weighted_sample",
       "q160_mom_yoy")
+    // balanced-paren extraction: a naive [^)]* capture truncates at the
+    // first ')' inside an ORDER BY expression like round(x, 2), which
+    // would hide its ASC/DESC marker and let a global window through
+    def windowSpecs(p: String): Seq[String] = {
+      val marker = "windowspecdefinition("
+      val out = scala.collection.mutable.Buffer.empty[String]
+      var idx = p.indexOf(marker)
+      while (idx >= 0) {
+        var i = idx + marker.length
+        var depth = 1
+        val sb = new StringBuilder
+        while (depth > 0 && i < p.length) {
+          val c = p.charAt(i)
+          if (c == '(') depth += 1 else if (c == ')') depth -= 1
+          if (depth > 0) sb.append(c)
+          i += 1
+        }
+        out += sb.toString
+        idx = p.indexOf(marker, i)
+      }
+      out.toSeq
+    }
+    def firstTopLevelArg(spec: String): String = {
+      var depth = 0
+      val sb = new StringBuilder
+      var i = 0
+      var done = false
+      while (i < spec.length && !done) {
+        val c = spec.charAt(i)
+        if (c == '(') depth += 1 else if (c == ')') depth -= 1
+        if (c == ',' && depth == 0) done = true else sb.append(c)
+        i += 1
+      }
+      sb.toString
+    }
     def isGlobal(spec: String): Boolean = {
-      val head = spec.split(",").head
+      val head = firstTopLevelArg(spec)
       head.contains("ASC NULLS") || head.contains("DESC NULLS") ||
         head.startsWith("specifiedwindowframe")
     }
     val offenders = graft.queries.AllQueries.specs.flatMap { spec =>
       val p = SparkEntry.queries(spec.name)(spark, sf001).queryExecution
         .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
-      val globals = "windowspecdefinition\\(([^)]*)".r.findAllMatchIn(p)
-        .map(_.group(1)).filter(isGlobal).toSeq
+      val globals = windowSpecs(p).filter(isGlobal)
       if (globals.isEmpty || allowlist.contains(spec.name)) None
       else Some(spec.name -> globals)
     }

@@ -83,10 +83,12 @@ class StreamingSpec extends SparkSpecBase {
     try {
       mem.addData(Doc(1, ts(0), a), Doc(2, ts(1), a))
       q.processAllAvailable()
-      // docs 5 and 6 are too short to shingle: BOTH must pass (unique
-      // per-doc sentinel signatures), never collapse into one null group
+      // docs 5/6 are too short to shingle but DISTINCT: both pass (text-
+      // keyed sentinels, no null-group collapse); doc 7 is a byte-copy of
+      // doc 5 and must dedup exactly even without shingles
       mem.addData(Doc(3, ts(2), a), Doc(4, ts(3), b),
-        Doc(5, ts(4), "too short"), Doc(6, ts(5), "also short"))
+        Doc(5, ts(4), "too short"), Doc(6, ts(5), "also short"),
+        Doc(7, ts(6), "too short"))
       q.processAllAvailable()
       val kept = spark.table("neardup").select("doc_id").as[Long].collect().toSet
       assert(kept == Set(1L, 4L, 5L, 6L), s"kept=$kept") // first copy survives, later copies drop
