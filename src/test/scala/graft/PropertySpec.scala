@@ -226,6 +226,33 @@ class PropertySpec extends SparkSpecBase {
     assert(R4Queries.HubCap >= 100)
   }
 
+  test("chunking covers every token exactly and never emits a subset chunk") {
+    // pins q170's contract: chunk count = 1 + ceil(max(0, n-W)/S), every
+    // token lands in >= 1 chunk, and no chunk's token range is contained
+    // in another's (the naive start-position loop violated the latter)
+    val (w, s) = (40, 30)
+    for (n <- Seq(1, 29, 30, 31, 39, 40, 41, 70, 71, 99, 100, 101, 130)) {
+      val kMax = math.ceil(math.max(0, n - w) / s.toDouble).toInt
+      val ranges = (0 to kMax).map { k =>
+        val p = k * s + 1
+        (p, math.min(p + w - 1, n))
+      }
+      assert(ranges.head._1 == 1 && ranges.last._2 == n, s"n=$n not covered")
+      for (Seq((a1, b1), (a2, b2)) <- ranges.sliding(2) if ranges.size > 1) {
+        assert(a2 > a1 && b2 >= b1, s"n=$n chunk ($a2,$b2) ⊆ ($a1,$b1)")
+        assert(a2 <= b1 + 1, s"n=$n gap between ($a1,$b1) and ($a2,$b2)")
+      }
+    }
+    // and the registered query agrees with the formula on the real corpus
+    val got = SparkEntry.queries("q170_chunk_overlap")(spark, sf001)
+      .groupBy("doc_id").count().as[(Long, Long)].collect().toMap
+    val expected = Tables.load(spark, sf001, "documents")
+      .select(col("doc_id"), size(graft.ops.TextOps.tokens(col("text"))).as("n"))
+      .as[(Long, Int)].collect().toMap
+      .map { case (id, n) => id -> (1L + math.ceil(math.max(0, n - w) / s.toDouble).toLong) }
+    assert(got == expected)
+  }
+
   test("prefix-filter candidates are COMPLETE: every Jaccard>=t pair survives") {
     val t = 0.5
     val docGen = Gen.listOfN(10, Gen.oneOf("a", "b", "c", "d", "e", "f"))
