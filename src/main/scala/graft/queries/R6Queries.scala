@@ -227,5 +227,34 @@ object R6Queries {
           .orderBy("doc_id", "chunk_idx")
       },
       Some("""WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents), pos AS (SELECT doc_id, tk, unnest(generate_series(1, len(tk))) AS p FROM toks), ex AS (SELECT doc_id, p, tk[p] AS tok, CASE WHEN p >= 4 AND CAST(concat('0x', substr(md5(concat_ws(' ', tk[p-3], tk[p-2], tk[p-1], tk[p])), 1, 4)) AS INT) % 16 = 0 THEN 1 ELSE 0 END AS bnd FROM pos), ch AS (SELECT doc_id, p, tok, coalesce(sum(bnd) OVER (PARTITION BY doc_id ORDER BY p ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk FROM ex) SELECT doc_id, CAST(chunk AS BIGINT) AS chunk_idx, count(*) AS n_tok, md5(string_agg(tok, ' ' ORDER BY p)) AS chunk_md5 FROM ch GROUP BY 1, 2 ORDER BY doc_id, chunk_idx"""),
-      "E4 ext: content-defined chunking — edit-stable boundaries vs q170's fixed stride"))
+      "E4 ext: content-defined chunking — edit-stable boundaries vs q170's fixed stride"),
+
+    // q177 — BLOCKED fuzzy matching with the native jaro_winkler
+    // expression (JaroWinkler.scala — the string-similarity primitive
+    // Spark lacks; semantics pinned to DuckDB's implementation): the
+    // record-linkage shape — block on a cheap key (here the name's last
+    // two chars) so the quadratic comparison runs per block, never
+    // corpus×corpus, then aggregate match stats per block. min/max over
+    // ROUNDED similarities and threshold counts only — no group-order-
+    // dependent double sums, so the compare is exact cross-engine.
+    QuerySpec(
+      "q177_fuzzy_block",
+      (s, d) => {
+        graft.functions.JaroWinkler.register(s)
+        val c = t(s, d, "customer")
+          .select(col("c_custkey").as("k"), col("c_name").as("nm"),
+            substring(col("c_name"), -2, 2).as("blk"))
+        val a = c.select(col("k").as("ka"), col("nm").as("na"), col("blk"))
+        val b = c.select(col("k").as("kb"), col("nm").as("nb"), col("blk"))
+        a.join(b, Seq("blk"))
+          .where(col("ka") < col("kb"))
+          .select(col("blk"), round(expr("jaro_winkler(na, nb)"), 6).as("jw"))
+          .groupBy("blk")
+          .agg(count(lit(1)).as("n_pairs"),
+            sum(when(col("jw") >= 0.95, 1L).otherwise(0L)).as("n_match"),
+            max("jw").as("max_jw"), min("jw").as("min_jw"))
+          .orderBy("blk")
+      },
+      Some("""WITH c AS (SELECT c_custkey AS k, c_name AS nm, substr(c_name, length(c_name) - 1, 2) AS blk FROM customer), p AS (SELECT a.blk AS blk, round(jaro_winkler_similarity(a.nm, b.nm), 6) AS jw FROM c a JOIN c b ON a.blk = b.blk AND a.k < b.k) SELECT blk, count(*) AS n_pairs, CAST(sum(CASE WHEN jw >= 0.95 THEN 1 ELSE 0 END) AS BIGINT) AS n_match, max(jw) AS max_jw, min(jw) AS min_jw FROM p GROUP BY 1 ORDER BY blk"""),
+      "§2.13/E1 ext: blocked fuzzy match via the native jaro_winkler expression"))
 }
