@@ -256,5 +256,97 @@ object R6Queries {
           .orderBy("blk")
       },
       Some("""WITH c AS (SELECT c_custkey AS k, c_name AS nm, substr(c_name, length(c_name) - 1, 2) AS blk FROM customer), p AS (SELECT a.blk AS blk, round(jaro_winkler_similarity(a.nm, b.nm), 6) AS jw FROM c a JOIN c b ON a.blk = b.blk AND a.k < b.k) SELECT blk, count(*) AS n_pairs, CAST(sum(CASE WHEN jw >= 0.95 THEN 1 ELSE 0 END) AS BIGINT) AS n_match, max(jw) AS max_jw, min(jw) AS min_jw FROM p GROUP BY 1 ORDER BY blk"""),
-      "§2.13/E1 ext: blocked fuzzy match via the native jaro_winkler expression"))
+      "§2.13/E1 ext: blocked fuzzy match via the native jaro_winkler expression"),
+
+    // q178 — BM25 ranking (k1=1.2, b=0.75): the lexical leg of hybrid
+    // retrieval (q158 fuses rankings; THIS produces the keyword one) over
+    // the shared termFreq base. Scoring subtleties that make the oracle
+    // exact: per-term weights land in fixed COLUMNS (each a sum over the
+    // single (doc, term) row), so the final score is a fixed-order 3-term
+    // add, never a group-order float sum; idf's ln() is bit-identical
+    // JVM-vs-DuckDB on this domain (verified: Math.log == ln on all
+    // idf arguments for N up to 50k). Scale shape: df and avgdl are
+    // broadcast scalars; only rows containing query terms shuffle.
+    QuerySpec(
+      "q178_bm25",
+      (s, d) => {
+        val qts = Seq("data", "stream", "vector")
+        val tf = ScaleQueries.termFreq(s, d)
+        val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
+        val stats = dl.agg(count(lit(1)).as("nd"), avg("dl").as("avgdl"))
+        val dfv = tf.where(col("term").isin(qts: _*))
+          .groupBy("term").agg(count(lit(1)).as("df"))
+        val w = tf.where(col("term").isin(qts: _*))
+          .join(dl, "doc_id").crossJoin(broadcast(stats))
+          .join(broadcast(dfv), "term")
+          .withColumn("w",
+            log(lit(1.0) + (col("nd") - col("df") + 0.5) / (col("df") + 0.5)) *
+              (col("tf") * 2.2) /
+              (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
+        w.groupBy("doc_id")
+          .agg(sum(when(col("term") === qts(0), col("w"))).as("w1"),
+            sum(when(col("term") === qts(1), col("w"))).as("w2"),
+            sum(when(col("term") === qts(2), col("w"))).as("w3"))
+          .select(col("doc_id"),
+            (col("w1").isNotNull.cast("long") + col("w2").isNotNull.cast("long") +
+              col("w3").isNotNull.cast("long")).as("n_hit"),
+            round(coalesce(col("w1"), lit(0.0)) + coalesce(col("w2"), lit(0.0)) +
+              coalesce(col("w3"), lit(0.0)), 4).as("score"))
+          .orderBy(col("score").desc, col("doc_id"))
+          .limit(20)
+      },
+      Some("""WITH tf AS (SELECT doc_id, term, count(*) AS tf FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents) z GROUP BY 1, 2), dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1), st AS (SELECT count(*) AS nd, avg(dl) AS avgdl FROM dl), dfv AS (SELECT term, count(*) AS df FROM tf WHERE term IN ('data', 'stream', 'vector') GROUP BY 1), w AS (SELECT t.doc_id, t.term, ln(1.0 + (st.nd - dfv.df + 0.5) / (dfv.df + 0.5)) * (t.tf * 2.2) / (t.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl)) AS w FROM tf t JOIN dl ON t.doc_id = dl.doc_id CROSS JOIN st JOIN dfv ON t.term = dfv.term), sc AS (SELECT doc_id, sum(CASE WHEN term = 'data' THEN w END) AS w1, sum(CASE WHEN term = 'stream' THEN w END) AS w2, sum(CASE WHEN term = 'vector' THEN w END) AS w3 FROM w GROUP BY 1) SELECT doc_id, CAST((w1 IS NOT NULL)::INT + (w2 IS NOT NULL)::INT + (w3 IS NOT NULL)::INT AS BIGINT) AS n_hit, round(coalesce(w1, 0) + coalesce(w2, 0) + coalesce(w3, 0), 4) AS score FROM sc ORDER BY score DESC, doc_id LIMIT 20"""),
+      "E4/§2.9 ext: BM25 keyword ranking — the lexical leg of hybrid retrieval"),
+
+    // q179 — eval-set CONTAMINATION RATE: for each held-out doc (doc_id
+    // < 10, the same eval set q128 decontaminates against), the fraction
+    // of its 5-gram shingles that appear anywhere in the training corpus
+    // — the per-benchmark overlap number an eval-integrity report quotes
+    // (q128 answers "which TRAIN docs to drop"; this answers "how burned
+    // is my EVAL"). The tiny eval side broadcasts; only matched shingles
+    // shuffle to the per-doc count.
+    QuerySpec(
+      "q179_eval_overlap",
+      (s, d) => {
+        val sh = ScaleQueries.shingleRows(s, d)
+        val ev = sh.where(col("doc_id") < 10)
+        val train = sh.where(col("doc_id") >= 10).select("s").distinct()
+        val hits = train.join(broadcast(ev), Seq("s"))
+          .groupBy("doc_id").agg(count(lit(1)).as("n_hit"))
+        ev.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+          .join(hits, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_sh"),
+            coalesce(col("n_hit"), lit(0L)).as("n_hit"))
+          .withColumn("frac", round(col("n_hit") / col("n_sh"), 4))
+          .orderBy("doc_id")
+      },
+      Some("""WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents), sh AS (SELECT DISTINCT doc_id, s FROM (SELECT doc_id, unnest([concat_ws(' ', tk[i], tk[i+1], tk[i+2], tk[i+3], tk[i+4]) for i in generate_series(1, len(tk) - 4)]) AS s FROM toks) z), ev AS (SELECT doc_id, s FROM sh WHERE doc_id < 10), tr AS (SELECT DISTINCT s FROM sh WHERE doc_id >= 10), h AS (SELECT doc_id, count(*) AS n_hit FROM ev JOIN tr ON ev.s = tr.s GROUP BY 1), t AS (SELECT doc_id, count(*) AS n_sh FROM ev GROUP BY 1) SELECT t.doc_id, t.n_sh, coalesce(h.n_hit, 0) AS n_hit, round(coalesce(h.n_hit, 0) * 1.0 / t.n_sh, 4) AS frac FROM t LEFT JOIN h ON t.doc_id = h.doc_id ORDER BY 1"""),
+      "E2/E4 ext: per-eval-doc contamination rate against the training corpus"),
+
+    // q180 — ROLLING 7-day actives: per calendar day, exact DAU and the
+    // trailing-7-day distinct-user count, plus DAU/WAU stickiness in
+    // basis points via floor (round() can land on the .5 grid for
+    // rational ratios — the q144 rule). The day grid is tiny and
+    // broadcast against distinct user-days (each row lands in ≤ 7 grid
+    // days), so the "rolling distinct" that window frames can't express
+    // becomes a bounded range join + count-distinct — the scale-safe
+    // shape for sliding distinct aggregates.
+    QuerySpec(
+      "q180_rolling_actives",
+      (s, d) => {
+        val du = t(s, d, "events")
+          .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+        val grid = du.select(col("day").as("d")).distinct()
+        val wau = broadcast(grid)
+          .join(du, col("day").between(date_sub(col("d"), 6), col("d")))
+          .groupBy("d").agg(countDistinct("user_id").as("wau7"))
+        val dau = du.groupBy("day").agg(countDistinct("user_id").as("dau"))
+        dau.join(wau, col("day") === col("d"))
+          .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+            col("dau"), col("wau7"),
+            floor(col("dau") * 10000.0 / col("wau7")).cast("long").as("stick_bp"))
+          .orderBy("day")
+      },
+      Some("""WITH du AS (SELECT DISTINCT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, user_id FROM events), grid AS (SELECT DISTINCT day AS d FROM du), w AS (SELECT d, count(DISTINCT user_id) AS wau7 FROM grid JOIN du ON du.day BETWEEN d - 6 AND d GROUP BY 1), a AS (SELECT day, count(DISTINCT user_id) AS dau FROM du GROUP BY 1) SELECT strftime(a.day, '%Y-%m-%d') AS day, a.dau, w.wau7, CAST(floor(a.dau * 10000.0 / w.wau7) AS BIGINT) AS stick_bp FROM a JOIN w ON a.day = w.d ORDER BY day"""),
+      "§2.12/§2.4 ext: rolling 7-day distinct actives — sliding distinct via bounded range join"))
 }
