@@ -348,5 +348,116 @@ object R6Queries {
           .orderBy("day")
       },
       Some("""WITH du AS (SELECT DISTINCT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, user_id FROM events), grid AS (SELECT DISTINCT day AS d FROM du), w AS (SELECT d, count(DISTINCT user_id) AS wau7 FROM grid JOIN du ON du.day BETWEEN d - 6 AND d GROUP BY 1), a AS (SELECT day, count(DISTINCT user_id) AS dau FROM du GROUP BY 1) SELECT strftime(a.day, '%Y-%m-%d') AS day, a.dau, w.wau7, CAST(floor(a.dau * 10000.0 / w.wau7) AS BIGINT) AS stick_bp FROM a JOIN w ON a.day = w.d ORDER BY day"""),
-      "§2.12/§2.4 ext: rolling 7-day distinct actives — sliding distinct via bounded range join"))
+      "§2.12/§2.4 ext: rolling 7-day distinct actives — sliding distinct via bounded range join"),
+
+    // q181 — WATER-FILLING token-budget allocation: split a global
+    // training-token budget (60% of corpus chars) across sources, capping
+    // no source above the common level L where Σ min(tokens_s, L) = B —
+    // the allocator behind "sample proportionally but never above a
+    // source's size" (q132 computes target WEIGHTS; this computes exact
+    // per-source QUOTAS). The classic sorted-prefix-sum closed form: the
+    // first source (ascending) whose uncapped extension covers B fixes
+    // L = (B - prefix) div (remaining sources). All integer arithmetic.
+    // Scale: the windows run over the |sources|-row aggregate (~20 rows,
+    // allowlisted in PlanShapeSpec), never raw documents.
+    QuerySpec(
+      "q181_budget_alloc",
+      (s, d) => {
+        val src = t(s, d, "documents").groupBy("source").agg(sum("n_chars").as("tok"))
+        val tot = src.agg(sum("tok").as("t"), count(lit(1)).as("n"))
+        val w = Window.orderBy(col("tok").asc, col("source").asc)
+        val ranked = src.crossJoin(broadcast(tot))
+          .withColumn("b", floor(col("t") * 0.6).cast("long"))
+          .withColumn("rk", row_number().over(w))
+          .withColumn("pre", coalesce(
+            sum("tok").over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        val lvl = ranked
+          .where(col("tok") * (col("n") - col("rk") + 1) + col("pre") >= col("b"))
+          .orderBy("rk").limit(1)
+          .select(expr("(b - pre) div (n - rk + 1)").as("level"))
+        src.crossJoin(broadcast(lvl))
+          .select(col("source"), col("tok"),
+            least(col("tok"), col("level")).as("alloc"),
+            (col("tok") > col("level")).cast("long").as("capped"),
+            col("level"))
+          .orderBy("source")
+      },
+      Some("""WITH src AS (SELECT source, CAST(sum(n_chars) AS BIGINT) AS tok FROM documents GROUP BY 1), tot AS (SELECT CAST(sum(tok) AS BIGINT) AS t, count(*) AS n FROM src), rkd AS (SELECT source, tok, t, n, CAST(floor(t * 0.6) AS BIGINT) AS b, row_number() OVER (ORDER BY tok, source) AS rk, CAST(coalesce(sum(tok) OVER (ORDER BY tok, source ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS pre FROM src CROSS JOIN tot), lvl AS (SELECT (b - pre) // (n - rk + 1) AS level FROM rkd WHERE tok * (n - rk + 1) + pre >= b ORDER BY rk LIMIT 1) SELECT source, tok, least(tok, level) AS alloc, CAST(tok > level AS BIGINT) AS capped, level FROM src CROSS JOIN lvl ORDER BY source"""),
+      "E4/§2.8 ext: water-filling budget allocation — exact per-source quotas"),
+
+    // q182 — WINSORIZATION at exact-element p01/p99: clip
+    // l_extendedprice to the ceil(q·n)-th smallest VALUE (never the
+    // interpolated percentile — the ADVICE-r3 cross-engine one-ulp
+    // hazard). The global rank is computed WITHOUT a global sort by the
+    // two-level offset scheme: 65536 fixed-width buckets give a bounded
+    // bucket-total table whose cumulative sum (the only global window —
+    // allowlisted, ≤65536 rows at ANY corpus size) yields per-bucket
+    // rank offsets; within-bucket ranks come from a bucket-PARTITIONED
+    // window. Distinct prices are ~|rows| here (583k of 600k at sf0.1),
+    // so a naive cum-over-distinct-values would be a disguised global
+    // sort. Clipped outputs stay on the price grid → min/max round
+    // exactly; avg follows the q01 precedent.
+    QuerySpec(
+      "q182_winsorize",
+      (s, d) => {
+        val li = t(s, d, "lineitem")
+        val mm = li.agg(min("l_extendedprice").as("mn"), max("l_extendedprice").as("mx"),
+          count(lit(1)).as("nt"))
+        val pc = li.groupBy(col("l_extendedprice").as("v")).agg(count(lit(1)).as("c"))
+          .crossJoin(broadcast(mm))
+          .withColumn("bkt", least(lit(65535L),
+            floor((col("v") - col("mn")) * 65536.0 / (col("mx") - col("mn"))).cast("long")))
+        val wb = Window.orderBy("bkt")
+        val off = pc.groupBy("bkt").agg(sum("c").as("bc"))
+          .withColumn("boff", coalesce(
+            sum("bc").over(wb.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .select("bkt", "boff")
+        val wv0 = Window.partitionBy("bkt").orderBy("v")
+        val cum = pc.join(off, "bkt")
+          .withColumn("cum", col("boff") +
+            sum("c").over(wv0.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        val cuts = cum.agg(
+          min(when(col("cum") >= ceil(col("nt") * 0.01), col("v"))).as("lo"),
+          min(when(col("cum") >= ceil(col("nt") * 0.99), col("v"))).as("hi"))
+        li.crossJoin(broadcast(cuts))
+          .select(col("l_returnflag"),
+            greatest(least(col("l_extendedprice"), col("hi")), col("lo")).as("wv"),
+            (col("l_extendedprice") < col("lo")).cast("long").as("is_lo"),
+            (col("l_extendedprice") > col("hi")).cast("long").as("is_hi"))
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n"), sum("is_lo").as("n_lo"), sum("is_hi").as("n_hi"),
+            round(min("wv"), 2).as("min_w"), round(max("wv"), 2).as("max_w"),
+            round(avg("wv"), 4).as("avg_w"))
+          .orderBy("l_returnflag")
+      },
+      Some("""WITH mm AS (SELECT min(l_extendedprice) AS mn, max(l_extendedprice) AS mx, count(*) AS nt FROM lineitem), pc AS (SELECT v, c, least(65535, CAST(floor((v - mn) * 65536.0 / (mx - mn)) AS BIGINT)) AS bkt, nt FROM (SELECT l_extendedprice AS v, count(*) AS c FROM lineitem GROUP BY 1) z CROSS JOIN mm), off AS (SELECT bkt, CAST(coalesce(sum(bc) OVER (ORDER BY bkt ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS boff FROM (SELECT bkt, sum(c) AS bc FROM pc GROUP BY 1) b), cum AS (SELECT pc.v, pc.nt, off.boff + CAST(sum(pc.c) OVER (PARTITION BY pc.bkt ORDER BY pc.v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum FROM pc JOIN off ON pc.bkt = off.bkt), cuts AS (SELECT min(CASE WHEN cum >= ceil(nt * 0.01) THEN v END) AS lo, min(CASE WHEN cum >= ceil(nt * 0.99) THEN v END) AS hi FROM cum), wv AS (SELECT l_returnflag, greatest(least(l_extendedprice, hi), lo) AS wv, CASE WHEN l_extendedprice < lo THEN 1 ELSE 0 END AS is_lo, CASE WHEN l_extendedprice > hi THEN 1 ELSE 0 END AS is_hi FROM lineitem CROSS JOIN cuts) SELECT l_returnflag, count(*) AS n, CAST(sum(is_lo) AS BIGINT) AS n_lo, CAST(sum(is_hi) AS BIGINT) AS n_hi, round(min(wv), 2) AS min_w, round(max(wv), 2) AS max_w, round(avg(wv), 4) AS avg_w FROM wv GROUP BY 1 ORDER BY l_returnflag"""),
+      "§2.4/§2.9 ext: winsorization at exact-element cuts — two-level rank offsets, no global sort"),
+
+    // q183 — repeat-purchase CYCLE analysis: per-customer gaps between
+    // consecutive orders (keyed lag window), aggregated per market
+    // segment — the purchase-frequency profile behind churn/LTV models.
+    // Same-day order ties break on o_orderkey; the gap multiset is
+    // tie-order-invariant anyway. One keyed window + one broadcast dim
+    // join + a 5-group aggregate; integer day arithmetic throughout.
+    QuerySpec(
+      "q183_purchase_gaps",
+      (s, d) => {
+        val o = t(s, d, "orders")
+          .select(col("o_custkey"), to_date(col("o_orderdate")).as("od"), col("o_orderkey"))
+        val w = Window.partitionBy("o_custkey").orderBy("od", "o_orderkey")
+        val g = o.withColumn("gap",
+            datediff(col("od"), lag("od", 1).over(w)).cast("long"))
+          .where(col("gap").isNotNull)
+        g.join(broadcast(t(s, d, "customer")
+            .select(col("c_custkey"), col("c_mktsegment").as("seg"))),
+            col("o_custkey") === col("c_custkey"))
+          .groupBy("seg")
+          .agg(countDistinct("o_custkey").as("n_customers"),
+            count(lit(1)).as("n_gaps"),
+            round(avg("gap"), 4).as("avg_gap"),
+            min("gap").as("min_gap"), max("gap").as("max_gap"))
+          .orderBy("seg")
+      },
+      Some("""WITH o AS (SELECT o_custkey, CAST(o_orderdate AS DATE) AS od, o_orderkey FROM orders), g AS (SELECT o_custkey, datediff('day', lag(od) OVER (PARTITION BY o_custkey ORDER BY od, o_orderkey), od) AS gap FROM o), j AS (SELECT c_mktsegment AS seg, gap, o_custkey FROM g JOIN customer ON o_custkey = c_custkey WHERE gap IS NOT NULL) SELECT seg, count(DISTINCT o_custkey) AS n_customers, count(*) AS n_gaps, round(avg(gap), 4) AS avg_gap, min(gap) AS min_gap, max(gap) AS max_gap FROM j GROUP BY 1 ORDER BY seg"""),
+      "§2.5/§2.4 ext: repeat-purchase gap profile per segment (keyed lag window)"))
 }

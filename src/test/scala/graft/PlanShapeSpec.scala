@@ -142,9 +142,12 @@ class PlanShapeSpec extends SparkSpecBase {
     //   q148 — per-suppkey count table (|keys| ≪ |rows|)
     //   q153 — per-lang count table (|langs| rows)
     //   q160 — per-month aggregate (|months| rows)
+    //   q181 — per-source token-total table (|sources| rows)
+    //   q182 — bucket-total offsets table (≤65536 rows at any corpus
+    //          size; the per-value window is bucket-partitioned)
     val allowlist = Set("q25_string_indexer", "q26_index_to_string",
       "q114_quantile_binning", "q148_skew_diag", "q153_weighted_sample",
-      "q160_mom_yoy")
+      "q160_mom_yoy", "q181_budget_alloc", "q182_winsorize")
     // balanced-paren extraction: a naive [^)]* capture truncates at the
     // first ')' inside an ORDER BY expression like round(x, 2), which
     // would hide its ASC/DESC marker and let a global window through
