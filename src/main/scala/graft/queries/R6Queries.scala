@@ -401,24 +401,9 @@ object R6Queries {
       "q182_winsorize",
       (s, d) => {
         val li = t(s, d, "lineitem")
-        val mm = li.agg(min("l_extendedprice").as("mn"), max("l_extendedprice").as("mx"),
-          count(lit(1)).as("nt"))
-        val pc = li.groupBy(col("l_extendedprice").as("v")).agg(count(lit(1)).as("c"))
-          .crossJoin(broadcast(mm))
-          .withColumn("bkt", least(lit(65535L),
-            floor((col("v") - col("mn")) * 65536.0 / (col("mx") - col("mn"))).cast("long")))
-        val wb = Window.orderBy("bkt")
-        val off = pc.groupBy("bkt").agg(sum("c").as("bc"))
-          .withColumn("boff", coalesce(
-            sum("bc").over(wb.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-          .select("bkt", "boff")
-        val wv0 = Window.partitionBy("bkt").orderBy("v")
-        val cum = pc.join(off, "bkt")
-          .withColumn("cum", col("boff") +
-            sum("c").over(wv0.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-        val cuts = cum.agg(
-          min(when(col("cum") >= ceil(col("nt") * 0.01), col("v"))).as("lo"),
-          min(when(col("cum") >= ceil(col("nt") * 0.99), col("v"))).as("hi"))
+        val cuts = graft.ops.QuantileOps
+          .exactElementQuantiles(li, "l_extendedprice", Seq.empty, Seq(0.01, 0.99))
+          .select(col("cut_1").as("lo"), col("cut_2").as("hi"))
         li.crossJoin(broadcast(cuts))
           .select(col("l_returnflag"),
             greatest(least(col("l_extendedprice"), col("hi")), col("lo")).as("wv"),
@@ -430,7 +415,7 @@ object R6Queries {
             round(avg("wv"), 4).as("avg_w"))
           .orderBy("l_returnflag")
       },
-      Some("""WITH mm AS (SELECT min(l_extendedprice) AS mn, max(l_extendedprice) AS mx, count(*) AS nt FROM lineitem), pc AS (SELECT v, c, least(65535, CAST(floor((v - mn) * 65536.0 / (mx - mn)) AS BIGINT)) AS bkt, nt FROM (SELECT l_extendedprice AS v, count(*) AS c FROM lineitem GROUP BY 1) z CROSS JOIN mm), off AS (SELECT bkt, CAST(coalesce(sum(bc) OVER (ORDER BY bkt ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS boff FROM (SELECT bkt, sum(c) AS bc FROM pc GROUP BY 1) b), cum AS (SELECT pc.v, pc.nt, off.boff + CAST(sum(pc.c) OVER (PARTITION BY pc.bkt ORDER BY pc.v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum FROM pc JOIN off ON pc.bkt = off.bkt), cuts AS (SELECT min(CASE WHEN cum >= ceil(nt * 0.01) THEN v END) AS lo, min(CASE WHEN cum >= ceil(nt * 0.99) THEN v END) AS hi FROM cum), wv AS (SELECT l_returnflag, greatest(least(l_extendedprice, hi), lo) AS wv, CASE WHEN l_extendedprice < lo THEN 1 ELSE 0 END AS is_lo, CASE WHEN l_extendedprice > hi THEN 1 ELSE 0 END AS is_hi FROM lineitem CROSS JOIN cuts) SELECT l_returnflag, count(*) AS n, CAST(sum(is_lo) AS BIGINT) AS n_lo, CAST(sum(is_hi) AS BIGINT) AS n_hi, round(min(wv), 2) AS min_w, round(max(wv), 2) AS max_w, round(avg(wv), 4) AS avg_w FROM wv GROUP BY 1 ORDER BY l_returnflag"""),
+      Some(s"""WITH cuts AS (SELECT cut_1 AS lo, cut_2 AS hi FROM ${graft.ops.QuantileOps.oracleSql("lineitem", "l_extendedprice", Seq.empty, Seq(0.01, 0.99))} qq), wv AS (SELECT l_returnflag, greatest(least(l_extendedprice, hi), lo) AS wv, CASE WHEN l_extendedprice < lo THEN 1 ELSE 0 END AS is_lo, CASE WHEN l_extendedprice > hi THEN 1 ELSE 0 END AS is_hi FROM lineitem CROSS JOIN cuts) SELECT l_returnflag, count(*) AS n, CAST(sum(is_lo) AS BIGINT) AS n_lo, CAST(sum(is_hi) AS BIGINT) AS n_hi, round(min(wv), 2) AS min_w, round(max(wv), 2) AS max_w, round(avg(wv), 4) AS avg_w FROM wv GROUP BY 1 ORDER BY l_returnflag"""),
       "§2.4/§2.9 ext: winsorization at exact-element cuts — two-level rank offsets, no global sort"),
 
     // q183 — repeat-purchase CYCLE analysis: per-customer gaps between
@@ -459,5 +444,100 @@ object R6Queries {
           .orderBy("seg")
       },
       Some("""WITH o AS (SELECT o_custkey, CAST(o_orderdate AS DATE) AS od, o_orderkey FROM orders), g AS (SELECT o_custkey, datediff('day', lag(od) OVER (PARTITION BY o_custkey ORDER BY od, o_orderkey), od) AS gap FROM o), j AS (SELECT c_mktsegment AS seg, gap, o_custkey FROM g JOIN customer ON o_custkey = c_custkey WHERE gap IS NOT NULL) SELECT seg, count(DISTINCT o_custkey) AS n_customers, count(*) AS n_gaps, round(avg(gap), 4) AS avg_gap, min(gap) AS min_gap, max(gap) AS max_gap FROM j GROUP BY 1 ORDER BY seg"""),
-      "§2.5/§2.4 ext: repeat-purchase gap profile per segment (keyed lag window)"))
+      "§2.5/§2.4 ext: repeat-purchase gap profile per segment (keyed lag window)"),
+
+    // q184 — ROBUST z-score outlier report (median/MAD, not mean/stddev —
+    // the outlier detector outliers can't poison): per event type, the
+    // exact-element median, the MAD (median absolute deviation, again an
+    // exact element), and the count beyond the 3σ-equivalent fence
+    // 3·1.4826·MAD. Both medians come from QuantileOps' two-level rank
+    // offsets — every window is (type)- or (type, bucket)-partitioned, so
+    // per-type row counts can grow 100× without a global sort appearing.
+    // Complements q146 (mean/std anomaly gate) and q78 (moments).
+    QuerySpec(
+      "q184_robust_zscore",
+      (s, d) => {
+        val ev = t(s, d, "events").where(col("value").isNotNull)
+          .select(col("event_type"), col("value"))
+        val med = graft.ops.QuantileOps
+          .exactElementQuantile(ev, "value", Seq("event_type"), 0.5)
+          .select(col("event_type"), col("n"), col("cut").as("med"))
+        val dev = ev.join(broadcast(med), "event_type")
+          .withColumn("dev", abs(col("value") - col("med")))
+        val mad = graft.ops.QuantileOps
+          .exactElementQuantile(dev, "dev", Seq("event_type"), 0.5)
+          .select(col("event_type"), col("cut").as("mad"))
+        dev.join(broadcast(mad), "event_type")
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            round(max("med"), 4).as("med"), round(max("mad"), 4).as("mad"),
+            sum(when(col("dev") > col("mad") * 1.4826 * 3, 1L).otherwise(0L)).as("n_out"))
+          .orderBy("event_type")
+      },
+      Some {
+        val medQ = graft.ops.QuantileOps.oracleSql(
+          "(SELECT event_type, value FROM events WHERE value IS NOT NULL) e",
+          "value", Seq("event_type"), Seq(0.5))
+        val madQ = graft.ops.QuantileOps.oracleSql(
+          "(SELECT d.event_type, abs(d.value - m.cut_1) AS dev FROM (SELECT event_type, value FROM events WHERE value IS NOT NULL) d JOIN med m ON d.event_type = m.event_type) x",
+          "dev", Seq("event_type"), Seq(0.5))
+        s"""WITH med AS (SELECT event_type, n, cut_1 FROM $medQ z1), mad AS (SELECT event_type, cut_1 AS mad FROM $madQ z2) SELECT e.event_type, count(*) AS n, round(max(m.cut_1), 4) AS med, round(max(a.mad), 4) AS mad, CAST(sum(CASE WHEN abs(e.value - m.cut_1) > a.mad * 1.4826 * 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_out FROM (SELECT event_type, value FROM events WHERE value IS NOT NULL) e JOIN med m ON e.event_type = m.event_type JOIN mad a ON e.event_type = a.event_type GROUP BY 1 ORDER BY 1"""
+      },
+      "§2.4 ext: robust z-score (median/MAD) outlier report via grouped exact elements"),
+
+    // q185 — GDPR purge-impact audit: for a right-to-be-forgotten request
+    // set (custkey % 97 == 0), the cascade footprint across the FK chain
+    // customer → orders → lineitem — row counts and basis-point share per
+    // entity BEFORE deletion (the report a data-governance run produces
+    // to size the purge). The request set broadcasts into semi-joins;
+    // the order-key cascade stays a keyed semi-join, never a cross.
+    QuerySpec(
+      "q185_purge_audit",
+      (s, d) => {
+        val cust = t(s, d, "customer")
+        val ords = t(s, d, "orders")
+        val li = t(s, d, "lineitem")
+        val del = cust.where(col("c_custkey") % 97 === 0)
+          .select(col("c_custkey").as("k"))
+        val oPurge = ords.join(broadcast(del), col("o_custkey") === col("k"), "left_semi")
+        val liPurge = li.join(oPurge.select(col("o_orderkey").as("ok")),
+          col("l_orderkey") === col("ok"), "left_semi")
+        def row(name: String, purged: DataFrame, total: DataFrame): DataFrame =
+          purged.agg(count(lit(1)).as("n_purge"))
+            .crossJoin(total.agg(count(lit(1)).as("n_total")))
+            .select(lit(name).as("entity"), col("n_purge"), col("n_total"))
+        row("customer", del, cust)
+          .unionByName(row("orders", oPurge, ords))
+          .unionByName(row("lineitem", liPurge, li))
+          .withColumn("purge_bp",
+            floor(col("n_purge") * 10000.0 / col("n_total")).cast("long"))
+          .orderBy("entity")
+      },
+      Some("""WITH del AS (SELECT c_custkey AS k FROM customer WHERE c_custkey % 97 = 0), op AS (SELECT o_orderkey FROM orders WHERE o_custkey IN (SELECT k FROM del)), lp AS (SELECT l_orderkey FROM lineitem WHERE l_orderkey IN (SELECT o_orderkey FROM op)), u AS (SELECT 'customer' AS entity, (SELECT count(*) FROM del) AS n_purge, (SELECT count(*) FROM customer) AS n_total UNION ALL SELECT 'orders', (SELECT count(*) FROM op), (SELECT count(*) FROM orders) UNION ALL SELECT 'lineitem', (SELECT count(*) FROM lp), (SELECT count(*) FROM lineitem)) SELECT entity, CAST(n_purge AS BIGINT) AS n_purge, CAST(n_total AS BIGINT) AS n_total, CAST(floor(n_purge * 10000.0 / n_total) AS BIGINT) AS purge_bp FROM u ORDER BY entity"""),
+      "§2.3/§2.8 ext: GDPR purge cascade audit across the FK chain"),
+
+    // q186 — DETERMINISTIC epoch shuffle: the reproducible training-order
+    // generator — epoch e's order is sort-by-md5(e, doc_id), so any
+    // worker can reconstruct any epoch's sequence from the seed alone
+    // (no materialized permutation table). Per-epoch top-5 here via the
+    // NATIVE TopKPerGroup plan node (q130's heap operator — bounded
+    // memory per group, no per-epoch full sort); the rank window runs
+    // over the 5-row-per-epoch survivors only.
+    QuerySpec(
+      "q186_epoch_shuffle",
+      (s, d) => {
+        import graft.ops.TopKOps
+        val ep = t(s, d, "documents").select(col("doc_id"))
+          .withColumn("epoch", explode(sequence(lit(1), lit(3))))
+          .withColumn("epoch", col("epoch").cast("long"))
+          .withColumn("h", md5(concat_ws("_", col("epoch"), col("doc_id"))))
+        TopKOps.topKPerGroup(ep.select("epoch", "doc_id", "h"),
+            groupCols = Seq("epoch"), orderBy = Seq(("h", false)), k = 5)
+          .withColumn("rank",
+            row_number().over(Window.partitionBy("epoch").orderBy("h")).cast("long"))
+          .select("epoch", "rank", "doc_id", "h")
+          .orderBy("epoch", "rank")
+      },
+      Some("""WITH ep AS (SELECT doc_id, e, md5(concat(e, '_', doc_id)) AS h FROM documents, (SELECT unnest(generate_series(1, 3)) AS e) g), r AS (SELECT e AS epoch, doc_id, h, row_number() OVER (PARTITION BY e ORDER BY h) AS rank FROM ep) SELECT CAST(epoch AS BIGINT) AS epoch, CAST(rank AS BIGINT) AS rank, doc_id, h FROM r WHERE rank <= 5 ORDER BY epoch, rank"""),
+      "§2.8/§2.13 ext: seeded epoch shuffle via hash order + native top-k node"))
 }
