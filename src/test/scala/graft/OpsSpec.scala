@@ -167,4 +167,43 @@ class OpsSpec extends SparkSpecBase {
     val expY = BigDecimal(1 * math.log(3.0 / 2.0)).setScale(6, BigDecimal.RoundingMode.HALF_UP)
     assert(got == Seq(("x", expX.toDouble), ("y", expY.toDouble)))
   }
+
+  test("QuantileOps exact-element cuts match the sort-based reference") {
+    import graft.ops.QuantileOps
+    val rnd = new scala.util.Random(7)
+    // heavy ties + a near-unique group + a singleton group, small bucket
+    // count so multiple values share buckets (exercises the offset path)
+    val rows = (1 to 400).map(i =>
+      ("a", (rnd.nextInt(12) + 1).toDouble)) ++
+      (1 to 37).map(i => ("b", rnd.nextDouble() * 100)) ++
+      Seq(("c", 42.0))
+    val df = rows.toDF("g", "v")
+    for (frac <- Seq(0.01, 0.25, 0.5, 0.99)) {
+      val got = QuantileOps.exactElementQuantile(df, "v", Seq("g"), frac, buckets = 8)
+        .select("g", "cut").as[(String, Double)].collect().toMap
+      val expected = rows.groupBy(_._1).map { case (g, vs) =>
+        val sorted = vs.map(_._2).sorted
+        g -> sorted(math.ceil(frac * sorted.size).toInt - 1)
+      }
+      assert(got == expected, s"frac=$frac")
+    }
+    // global (no group) form agrees too
+    val g0 = QuantileOps.exactElementQuantile(df, "v", Seq.empty, 0.5, buckets = 8)
+      .select("cut").as[Double].head()
+    val all = rows.map(_._2).sorted
+    assert(g0 == all(math.ceil(0.5 * all.size).toInt - 1))
+  }
+
+  test("q181 water-filling allocation satisfies the budget invariants") {
+    val out = SparkEntry.queries("q181_budget_alloc")(spark, sf001)
+      .select("tok", "alloc", "level").as[(Long, Long, Long)].collect()
+    val total = out.map(_._1).sum
+    val budget = math.floor(total * 0.6).toLong
+    val alloc = out.map(_._2).sum
+    val level = out.head._3
+    // feasible, budget-saturating up to integer rounding, and level-capped
+    assert(out.forall { case (tok, a, l) => a == math.min(tok, l) })
+    assert(alloc <= budget, s"allocated $alloc over budget $budget")
+    assert(budget - alloc < out.length, s"left ${budget - alloc} unspent (> n-1)")
+  }
 }
