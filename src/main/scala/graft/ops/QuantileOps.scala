@@ -44,12 +44,16 @@ object QuantileOps {
     val v = col(valueCol).cast("double")
 
     val base = df.select(g :+ v.as("__v"): _*)
-    val mm = base.groupBy(gNames.map(col): _*)
-      .agg(min("__v").as("__mn"), max("__v").as("__mx"), count(lit(1)).as("n"))
-    // distinct-value counts per group, bucketed by fixed-width ranges;
-    // the mn==mx degenerate group collapses into bucket 0
-    val pc = base.groupBy(gNames.map(col) :+ col("__v"): _*).agg(count(lit(1)).as("__c"))
-      .join(mm, gNames)
+    // distinct-value counts per group — the ONE exchange of raw rows;
+    // group min/max/count then derive from this table (min/max are
+    // invariant under dedup, n = Σ counts), so raw rows shuffle once,
+    // not twice
+    val pc0 = base.groupBy(gNames.map(col) :+ col("__v"): _*).agg(count(lit(1)).as("__c"))
+    val mm = pc0.groupBy(gNames.map(col): _*)
+      .agg(min("__v").as("__mn"), max("__v").as("__mx"), sum("__c").as("n"))
+    // bucket by fixed-width ranges; the mn==mx degenerate group
+    // collapses into bucket 0
+    val pc = pc0.join(mm, gNames)
       .withColumn("__bkt", when(col("__mx") === col("__mn"), lit(0L))
         .otherwise(least(lit(buckets - 1L), floor(
           (col("__v") - col("__mn")) * buckets / (col("__mx") - col("__mn"))).cast("long"))))
@@ -96,8 +100,9 @@ object QuantileOps {
     val outCols = (if (groupCols.isEmpty) "" else s"$gList, ") + s"n, ${
       fracs.indices.map(i => s"cut_${i + 1}").mkString(", ")}"
     s"""(WITH qb AS (SELECT $gSel, CAST($valueCol AS DOUBLE) AS __v FROM $from),
-qmm AS (SELECT $gList, min(__v) AS __mn, max(__v) AS __mx, count(*) AS n FROM qb GROUP BY ${gNames.indices.map(_ + 1).mkString(", ")}),
-qpc AS (SELECT z.*, CASE WHEN __mx = __mn THEN 0 ELSE least($buckets - 1, CAST(floor((__v - __mn) * $buckets / (__mx - __mn)) AS BIGINT)) END AS __bkt, n FROM (SELECT $gList, __v, count(*) AS __c FROM qb GROUP BY ${gNames.indices.map(_ + 1).mkString(", ")}, __v) z JOIN qmm USING ($gList)),
+qpc0 AS (SELECT $gList, __v, count(*) AS __c FROM qb GROUP BY ${gNames.indices.map(_ + 1).mkString(", ")}, __v),
+qmm AS (SELECT $gList, min(__v) AS __mn, max(__v) AS __mx, CAST(sum(__c) AS BIGINT) AS n FROM qpc0 GROUP BY ${gNames.indices.map(_ + 1).mkString(", ")}),
+qpc AS (SELECT z.*, CASE WHEN __mx = __mn THEN 0 ELSE least($buckets - 1, CAST(floor((__v - __mn) * $buckets / (__mx - __mn)) AS BIGINT)) END AS __bkt, n FROM qpc0 z JOIN qmm USING ($gList)),
 qoff AS (SELECT $gList, __bkt, CAST(coalesce(sum(__bc) OVER (PARTITION BY $gList ORDER BY __bkt ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS __boff FROM (SELECT $gList, __bkt, sum(__c) AS __bc FROM qpc GROUP BY ${gNames.indices.map(_ + 1).mkString(", ")}, __bkt) b),
 qcum AS (SELECT qpc.__v, qpc.n, ${gNames.map(n => s"qpc.$n").mkString(", ")}, qoff.__boff + CAST(sum(qpc.__c) OVER (PARTITION BY ${gNames.map(n => s"qpc.$n").mkString(", ")}, qpc.__bkt ORDER BY qpc.__v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS __cum FROM qpc JOIN qoff ON ${gNames.map(n => s"qpc.$n = qoff.$n").mkString(" AND ")} AND qpc.__bkt = qoff.__bkt)
 SELECT $outCols FROM (SELECT $gList, max(n) AS n, $cuts FROM qcum GROUP BY ${gNames.indices.map(_ + 1).mkString(", ")}) f)"""

@@ -539,5 +539,106 @@ object R6Queries {
           .orderBy("epoch", "rank")
       },
       Some("""WITH ep AS (SELECT doc_id, e, md5(concat(e, '_', doc_id)) AS h FROM documents, (SELECT unnest(generate_series(1, 3)) AS e) g), r AS (SELECT e AS epoch, doc_id, h, row_number() OVER (PARTITION BY e ORDER BY h) AS rank FROM ep) SELECT CAST(epoch AS BIGINT) AS epoch, CAST(rank AS BIGINT) AS rank, doc_id, h FROM r WHERE rank <= 5 ORDER BY epoch, rank"""),
-      "§2.8/§2.13 ext: seeded epoch shuffle via hash order + native top-k node"))
+      "§2.8/§2.13 ext: seeded epoch shuffle via hash order + native top-k node"),
+
+    // q187 — multi-touch ATTRIBUTION: each purchase credits its LAST and
+    // FIRST prior touch (any non-purchase event) within a 24 h window,
+    // revenue and counts rolled up per channel, unmatched purchases in a
+    // 'none' bucket — the first-vs-last-touch comparison a marketing
+    // pipeline reports (q156 is the single-channel as-of primitive; this
+    // is the windowed multi-channel rollup). The user×day-bucket
+    // prefilter (purchase probes its own and the previous day bucket)
+    // bounds candidates to same-user-same-day activity — never a full
+    // per-user cross; first/last picks are per-purchase windows.
+    QuerySpec(
+      "q187_touch_attribution",
+      (s, d) => {
+        val ev = t(s, d, "events")
+        val pur = ev.where(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts").as("pts"), col("event_id").as("pid"),
+            col("value"))
+        val touch = ev.where(col("event_type") =!= "purchase")
+          .select(col("user_id"), col("ts").as("tts"), col("event_id").as("tid"),
+            col("event_type").as("channel"))
+        val pb = pur.withColumn("bkt", explode(array(
+          floor(unix_timestamp(col("pts")) / 86400),
+          floor(unix_timestamp(col("pts")) / 86400) - 1)))
+        val tb = touch.withColumn("bkt", floor(unix_timestamp(col("tts")) / 86400))
+        val cand = pb.join(tb, Seq("user_id", "bkt"))
+          .where(col("tts") <= col("pts") &&
+            col("tts") >= col("pts") - expr("INTERVAL 24 HOURS"))
+        val wl = Window.partitionBy("pid").orderBy(col("tts").desc, col("tid").desc)
+        val wf = Window.partitionBy("pid").orderBy(col("tts").asc, col("tid").asc)
+        val ranked = cand.withColumn("rl", row_number().over(wl))
+          .withColumn("rf", row_number().over(wf))
+        val la = ranked.where(col("rl") === 1).groupBy("channel")
+          .agg(count(lit(1)).as("n_last"), round(sum("value"), 2).as("rev_last"))
+        val fa = ranked.where(col("rf") === 1).groupBy("channel")
+          .agg(count(lit(1)).as("n_first"), round(sum("value"), 2).as("rev_first"))
+        val none = pur
+          .join(ranked.where(col("rl") === 1).select("pid"), Seq("pid"), "left_anti")
+          .agg(count(lit(1)).as("n"), round(coalesce(sum("value"), lit(0.0)), 2).as("rev"))
+          .select(lit("none").as("channel"), col("n").as("n_last"),
+            col("rev").as("rev_last"), col("n").as("n_first"), col("rev").as("rev_first"))
+        la.join(fa, Seq("channel"), "full")
+          .select(col("channel"),
+            coalesce(col("n_last"), lit(0L)).as("n_last"),
+            coalesce(col("rev_last"), lit(0.0)).as("rev_last"),
+            coalesce(col("n_first"), lit(0L)).as("n_first"),
+            coalesce(col("rev_first"), lit(0.0)).as("rev_first"))
+          .unionByName(none)
+          .orderBy("channel")
+      },
+      Some("""WITH ev AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, event_type, value FROM events), p AS (SELECT user_id, ts AS pts, event_id AS pid, value FROM ev WHERE event_type = 'purchase'), tt AS (SELECT user_id, ts AS tts, event_id AS tid, event_type AS channel FROM ev WHERE event_type <> 'purchase'), cand AS (SELECT p.pid, p.value, tt.channel, tt.tts, tt.tid FROM p JOIN tt ON p.user_id = tt.user_id AND tt.tts <= p.pts AND tt.tts >= p.pts - INTERVAL 24 HOURS), r AS (SELECT *, row_number() OVER (PARTITION BY pid ORDER BY tts DESC, tid DESC) AS rl, row_number() OVER (PARTITION BY pid ORDER BY tts, tid) AS rf FROM cand), la AS (SELECT channel, count(*) AS n_last, round(sum(value), 2) AS rev_last FROM r WHERE rl = 1 GROUP BY 1), fa AS (SELECT channel, count(*) AS n_first, round(sum(value), 2) AS rev_first FROM r WHERE rf = 1 GROUP BY 1), no AS (SELECT 'none' AS channel, count(*) AS n_last, round(coalesce(sum(value), 0), 2) AS rev_last, count(*) AS n_first, round(coalesce(sum(value), 0), 2) AS rev_first FROM p WHERE pid NOT IN (SELECT pid FROM r WHERE rl = 1)), u AS (SELECT coalesce(la.channel, fa.channel) AS channel, coalesce(n_last, 0) AS n_last, coalesce(rev_last, 0) AS rev_last, coalesce(n_first, 0) AS n_first, coalesce(rev_first, 0) AS rev_first FROM la FULL JOIN fa ON la.channel = fa.channel UNION ALL SELECT * FROM no) SELECT channel, CAST(n_last AS BIGINT) AS n_last, rev_last, CAST(n_first AS BIGINT) AS n_first, rev_first FROM u ORDER BY channel"""),
+      "§2.3/§2.5 ext: first-vs-last-touch attribution within a 24h window"),
+
+    // q188 — PMI term collocations: pointwise mutual information
+    // ln(c_ab·N / (c_a·c_b)) over document co-occurrence, the classic
+    // collocation/phrase-mining statistic. Pair space is bounded by
+    // vocabulary² (the presence self-join blocks on doc_id, ~|vocab|²/2
+    // pairs per doc); per-term document frequencies broadcast back. All
+    // counts integer; the single division and ln happen identically in
+    // both engines (min-support 5 keeps the tail stable).
+    QuerySpec(
+      "q188_pmi_collocations",
+      (s, d) => {
+        val pres = ScaleQueries.termFreq(s, d).select(col("doc_id"), col("term"))
+        val nd = pres.agg(countDistinct("doc_id").as("nd"))
+        val ca = pres.groupBy("term").agg(count(lit(1)).as("ct"))
+        val a = pres.select(col("doc_id"), col("term").as("ta"))
+        val b = pres.select(col("doc_id"), col("term").as("tb"))
+        a.join(b, Seq("doc_id")).where(col("ta") < col("tb"))
+          .groupBy("ta", "tb").agg(count(lit(1)).as("cab"))
+          .where(col("cab") >= 5)
+          .join(broadcast(ca.select(col("term").as("ta"), col("ct").as("cta"))), "ta")
+          .join(broadcast(ca.select(col("term").as("tb"), col("ct").as("ctb"))), "tb")
+          .crossJoin(broadcast(nd))
+          .select(col("ta"), col("tb"), col("cab"),
+            round(log(col("cab") * col("nd") / (col("cta") * col("ctb"))), 4).as("pmi"))
+          .orderBy("ta", "tb")
+      },
+      Some("""WITH pres AS (SELECT DISTINCT doc_id, term FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents) z), nd AS (SELECT count(DISTINCT doc_id) AS nd FROM pres), ca AS (SELECT term, count(*) AS ct FROM pres GROUP BY 1), cab AS (SELECT a.term AS ta, b.term AS tb, count(*) AS cab FROM pres a JOIN pres b ON a.doc_id = b.doc_id AND a.term < b.term GROUP BY 1, 2) SELECT ta, tb, cab, round(ln(cab * nd / (x.ct * y.ct)), 4) AS pmi FROM cab JOIN ca x ON cab.ta = x.term JOIN ca y ON cab.tb = y.term CROSS JOIN nd WHERE cab >= 5 ORDER BY ta, tb"""),
+      "E4/A7 ext: PMI collocation mining over document co-occurrence"),
+
+    // q189 — daily QUOTA audit (rate limiting at day granularity): per
+    // calendar day, users exceeding the 5-events/day quota, their worst
+    // burst, and the total excess the limiter would have dropped — the
+    // abuse/quota report an ingestion pipeline runs. One partial-agg
+    // exchange on (user, day); the violation rollup groups ~|days| rows.
+    QuerySpec(
+      "q189_quota_audit",
+      (s, d) => {
+        t(s, d, "events")
+          .groupBy(col("user_id"), to_date(col("ts")).as("d"))
+          .agg(count(lit(1)).as("c"))
+          .where(col("c") > 5)
+          .groupBy("d")
+          .agg(count(lit(1)).as("n_users_over"), max("c").as("max_burst"),
+            sum(col("c") - 5).as("excess"))
+          .select(date_format(col("d"), "yyyy-MM-dd").as("day"),
+            col("n_users_over"), col("max_burst"), col("excess"))
+          .orderBy("day")
+      },
+      Some("""WITH m AS (SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d, count(*) AS c FROM events GROUP BY 1, 2) SELECT strftime(d, '%Y-%m-%d') AS day, count(*) AS n_users_over, CAST(max(c) AS BIGINT) AS max_burst, CAST(sum(c - 5) AS BIGINT) AS excess FROM m WHERE c > 5 GROUP BY 1 ORDER BY day"""),
+      "§2.4/§4 ext: daily quota audit — per-day violators, worst burst, dropped excess"))
 }
