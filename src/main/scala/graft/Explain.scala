@@ -15,7 +15,12 @@ object Explain {
         "q90_neardup_clusters", "q93_bigram_lm", "q95_bloom_semi_join",
         "q107_bucketed_join", "q112_nested_struct", "q117_disjunctive_join",
         "q143_prefix_simjoin", "q145_triangle_count", "q152_incremental_agg",
-        "q155_multi_exists", "q156_asof_tolerance", "q157_centroid_assign")
+        "q155_multi_exists", "q156_asof_tolerance", "q157_centroid_assign",
+        // round-4b plan-critical: cell-blocked pairwise (q171), bounded
+        // range join (q180), two-level rank offsets (q182/q184), bucket
+        // prefilter + double window (q187)
+        "q171_semantic_dedup", "q180_rolling_actives", "q182_winsorize",
+        "q184_robust_zscore", "q187_touch_attribution")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

@@ -168,6 +168,28 @@ object EventStream {
       .select("doc_id", "sig0", "sig1", "sig2", "sig3")
   }
 
+  /** Streaming CHUNKER (E4 on a stream): q170's fixed-stride
+    * sliding-window chunking applied at ingest — tokenize, emit
+    * 1 + ceil(max(0, n−W)/S) chunks per document, md5 the token window.
+    * Everything is per-row array math (tokenize → explode chunk index →
+    * slice), so the operator carries ZERO stream state and no watermark:
+    * the preprocessing step between curation and embedding runs on the
+    * stream at ingest rate instead of as a batch backfill. Chunk
+    * identities (doc_id, chunk_idx, chunk_md5) are identical to the
+    * batch q170 output for the same documents (StreamingSpec pins it).
+    */
+  def chunkStream(docs: DataFrame, window: Int = 40, step: Int = 30): DataFrame = {
+    val tk = graft.ops.TextOps.tokens(col("text"))
+    docs.select(col("doc_id"), col("ts"), tk.as("tk"))
+      .withColumn("n", size(col("tk")))
+      .withColumn("k", explode(sequence(lit(0),
+        ceil(greatest(col("n") - window, lit(0)) / lit(step * 1.0)).cast("int"))))
+      .withColumn("p", col("k") * step + 1)
+      .select(col("doc_id"), col("ts"), col("k").cast("long").as("chunk_idx"),
+        least(lit(window), col("n") - col("p") + 1).cast("long").as("n_tok"),
+        md5(array_join(slice(col("tk"), col("p"), lit(window)), " ")).as("chunk_md5"))
+  }
+
   case class EmaOut(user_id: Long, event_id: Long, ema: Double)
 
   /** Per-user exponential moving average via `transformWithState` —

@@ -48,6 +48,26 @@ class AnnRecallSpec extends SparkSpecBase {
     truthTop3.count { case (q, t) => got.get(q).exists(t.contains) }
       .toDouble / truthTop3.size
 
+  test("q171 semantic dedup: the kept set is pairwise-clean within cells") {
+    // the one-pass first-occurrence rule guarantees more than it looks:
+    // a kept vector has NO earlier same-cell neighbor >= tau (kept or
+    // dropped), so any two KEPT vectors in a cell are < tau apart — the
+    // property a SemDeDup consumer actually relies on
+    graft.functions.CosineSimilarity.register(spark)
+    val dropped = SparkEntry.queries("q171_semantic_dedup")(spark, sf001)
+      .select(col("vec_id")).as[Long](org.apache.spark.sql.Encoders.scalaLong)
+      .collect().toSet
+    val al = graft.ops.AnnOps.ivfAssignFlat(
+      Tables.load(spark, sf001, "embeddings"), 8)
+    val kept = al.where(!col("vec_id").isin(dropped.toSeq: _*))
+    val a = kept.select(col("vec_id").as("aid"), col("embedding").as("ae"), col("cell"))
+    val b = kept.select(col("vec_id").as("bid"), col("embedding").as("be"), col("cell"))
+    val dirty = a.join(b, Seq("cell")).where(col("aid") < col("bid"))
+      .where(round(expr("cosine_sim(ae, be)"), 6) >= 0.4).count()
+    assert(dirty == 0L, s"$dirty kept pairs >= tau survive dedup")
+    assert(dropped.nonEmpty, "degenerate corpus: dedup dropped nothing")
+  }
+
   test("q101 IVF-flat recall@1 >= 0.8 against brute force") {
     val got = top1Of("q101_ivf_flat")
     assert(got.keySet == truthTop3.keySet, "q101 must answer every query")

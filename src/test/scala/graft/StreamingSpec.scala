@@ -71,6 +71,38 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("chunkStream emits exactly the batch q170 chunks, stateless") {
+    import graft.streaming.EventStream.Doc
+    val mem = MemoryStream[Doc](spark)
+    val q = EventStream.chunkStream(mem.toDF())
+      .writeStream.format("memory").queryName("chunks").outputMode("append").start()
+    val docs = Seq(
+      Doc(1, ts(0), (1 to 100).map(i => s"w$i").mkString(" ")), // 3 chunks
+      Doc(2, ts(1), (1 to 40).map(i => s"t$i").mkString(" ")), // exactly one window
+      Doc(3, ts(2), "tiny doc")) // short: single chunk
+    try {
+      mem.addData(docs: _*)
+      q.processAllAvailable()
+      val got = spark.table("chunks")
+        .select("doc_id", "chunk_idx", "n_tok", "chunk_md5")
+        .as[(Long, Long, Long, String)].collect().sortBy(r => (r._1, r._2)).toSeq
+      // batch-equivalence: the same transformation over the same rows as
+      // a plain DataFrame (the stream path must not change chunk math)
+      val batch = EventStream.chunkStream(docs.toDF())
+        .select("doc_id", "chunk_idx", "n_tok", "chunk_md5")
+        .as[(Long, Long, Long, String)].collect().sortBy(r => (r._1, r._2)).toSeq
+      assert(got == batch)
+      // and the chunk-count formula holds: 1 + ceil(max(0, n-40)/30)
+      val counts = got.groupBy(_._1).view.mapValues(_.size).toMap
+      assert(counts == Map(1L -> 3, 2L -> 1, 3L -> 1), s"counts=$counts")
+      // chunk 0 of doc 1 is the md5 of tokens 1..40
+      val exp0 = java.security.MessageDigest.getInstance("MD5")
+        .digest((1 to 40).map(i => s"w$i").mkString(" ").getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      assert(got.find(r => r._1 == 1L && r._2 == 0L).get._4 == exp0)
+    } finally q.stop()
+  }
+
   test("nearDupFilterStream drops signature-identical docs; sigs match the batch path") {
     import graft.streaming.EventStream.Doc
     val mem = MemoryStream[Doc](spark)
