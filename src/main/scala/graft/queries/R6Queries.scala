@@ -567,29 +567,31 @@ object R6Queries {
         val cand = pb.join(tb, Seq("user_id", "bkt"))
           .where(col("tts") <= col("pts") &&
             col("tts") >= col("pts") - expr("INTERVAL 24 HOURS"))
+        // ONE candidate pass: both rank directions share the pid
+        // partitioning (two Window functions, one exchange), and all four
+        // per-channel stats fold into a single conditional aggregate —
+        // no full-outer stitch, no window recompute per output branch
         val wl = Window.partitionBy("pid").orderBy(col("tts").desc, col("tid").desc)
         val wf = Window.partitionBy("pid").orderBy(col("tts").asc, col("tid").asc)
         val ranked = cand.withColumn("rl", row_number().over(wl))
           .withColumn("rf", row_number().over(wf))
-        val la = ranked.where(col("rl") === 1).groupBy("channel")
-          .agg(count(lit(1)).as("n_last"), round(sum("value"), 2).as("rev_last"))
-        val fa = ranked.where(col("rf") === 1).groupBy("channel")
-          .agg(count(lit(1)).as("n_first"), round(sum("value"), 2).as("rev_first"))
+        val byCh = ranked.groupBy("channel").agg(
+          sum(when(col("rl") === 1, 1L).otherwise(0L)).as("n_last"),
+          round(coalesce(sum(when(col("rl") === 1, col("value"))), lit(0.0)), 2)
+            .as("rev_last"),
+          sum(when(col("rf") === 1, 1L).otherwise(0L)).as("n_first"),
+          round(coalesce(sum(when(col("rf") === 1, col("value"))), lit(0.0)), 2)
+            .as("rev_first"))
+        // a purchase is attributed iff it has ANY candidate → the anti
+        // join keys on distinct candidate pids, no rank needed
         val none = pur
-          .join(ranked.where(col("rl") === 1).select("pid"), Seq("pid"), "left_anti")
+          .join(cand.select("pid").distinct(), Seq("pid"), "left_anti")
           .agg(count(lit(1)).as("n"), round(coalesce(sum("value"), lit(0.0)), 2).as("rev"))
           .select(lit("none").as("channel"), col("n").as("n_last"),
             col("rev").as("rev_last"), col("n").as("n_first"), col("rev").as("rev_first"))
-        la.join(fa, Seq("channel"), "full")
-          .select(col("channel"),
-            coalesce(col("n_last"), lit(0L)).as("n_last"),
-            coalesce(col("rev_last"), lit(0.0)).as("rev_last"),
-            coalesce(col("n_first"), lit(0L)).as("n_first"),
-            coalesce(col("rev_first"), lit(0.0)).as("rev_first"))
-          .unionByName(none)
-          .orderBy("channel")
+        byCh.unionByName(none).orderBy("channel")
       },
-      Some("""WITH ev AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, event_type, value FROM events), p AS (SELECT user_id, ts AS pts, event_id AS pid, value FROM ev WHERE event_type = 'purchase'), tt AS (SELECT user_id, ts AS tts, event_id AS tid, event_type AS channel FROM ev WHERE event_type <> 'purchase'), cand AS (SELECT p.pid, p.value, tt.channel, tt.tts, tt.tid FROM p JOIN tt ON p.user_id = tt.user_id AND tt.tts <= p.pts AND tt.tts >= p.pts - INTERVAL 24 HOURS), r AS (SELECT *, row_number() OVER (PARTITION BY pid ORDER BY tts DESC, tid DESC) AS rl, row_number() OVER (PARTITION BY pid ORDER BY tts, tid) AS rf FROM cand), la AS (SELECT channel, count(*) AS n_last, round(sum(value), 2) AS rev_last FROM r WHERE rl = 1 GROUP BY 1), fa AS (SELECT channel, count(*) AS n_first, round(sum(value), 2) AS rev_first FROM r WHERE rf = 1 GROUP BY 1), no AS (SELECT 'none' AS channel, count(*) AS n_last, round(coalesce(sum(value), 0), 2) AS rev_last, count(*) AS n_first, round(coalesce(sum(value), 0), 2) AS rev_first FROM p WHERE pid NOT IN (SELECT pid FROM r WHERE rl = 1)), u AS (SELECT coalesce(la.channel, fa.channel) AS channel, coalesce(n_last, 0) AS n_last, coalesce(rev_last, 0) AS rev_last, coalesce(n_first, 0) AS n_first, coalesce(rev_first, 0) AS rev_first FROM la FULL JOIN fa ON la.channel = fa.channel UNION ALL SELECT * FROM no) SELECT channel, CAST(n_last AS BIGINT) AS n_last, rev_last, CAST(n_first AS BIGINT) AS n_first, rev_first FROM u ORDER BY channel"""),
+      Some("""WITH ev AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, event_type, value FROM events), p AS (SELECT user_id, ts AS pts, event_id AS pid, value FROM ev WHERE event_type = 'purchase'), tt AS (SELECT user_id, ts AS tts, event_id AS tid, event_type AS channel FROM ev WHERE event_type <> 'purchase'), cand AS (SELECT p.pid, p.value, tt.channel, tt.tts, tt.tid FROM p JOIN tt ON p.user_id = tt.user_id AND tt.tts <= p.pts AND tt.tts >= p.pts - INTERVAL 24 HOURS), r AS (SELECT *, row_number() OVER (PARTITION BY pid ORDER BY tts DESC, tid DESC) AS rl, row_number() OVER (PARTITION BY pid ORDER BY tts, tid) AS rf FROM cand), bych AS (SELECT channel, sum(CASE WHEN rl = 1 THEN 1 ELSE 0 END) AS n_last, round(coalesce(sum(CASE WHEN rl = 1 THEN value END), 0), 2) AS rev_last, sum(CASE WHEN rf = 1 THEN 1 ELSE 0 END) AS n_first, round(coalesce(sum(CASE WHEN rf = 1 THEN value END), 0), 2) AS rev_first FROM r GROUP BY 1), no AS (SELECT 'none' AS channel, count(*) AS n_last, round(coalesce(sum(value), 0), 2) AS rev_last, count(*) AS n_first, round(coalesce(sum(value), 0), 2) AS rev_first FROM p WHERE pid NOT IN (SELECT DISTINCT pid FROM cand)), u AS (SELECT * FROM bych UNION ALL SELECT * FROM no) SELECT channel, CAST(n_last AS BIGINT) AS n_last, rev_last, CAST(n_first AS BIGINT) AS n_first, rev_first FROM u ORDER BY channel"""),
       "§2.3/§2.5 ext: first-vs-last-touch attribution within a 24h window"),
 
     // q188 — PMI term collocations: pointwise mutual information
@@ -640,5 +642,86 @@ object R6Queries {
           .orderBy("day")
       },
       Some("""WITH m AS (SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d, count(*) AS c FROM events GROUP BY 1, 2) SELECT strftime(d, '%Y-%m-%d') AS day, count(*) AS n_users_over, CAST(max(c) AS BIGINT) AS max_burst, CAST(sum(c - 5) AS BIGINT) AS excess FROM m WHERE c > 5 GROUP BY 1 ORDER BY day"""),
-      "§2.4/§4 ext: daily quota audit — per-day violators, worst burst, dropped excess"))
+      "§2.4/§4 ext: daily quota audit — per-day violators, worst burst, dropped excess"),
+
+    // q190 — INCREMENTAL ANN index maintenance (q169's idea for the
+    // vector index): treat vec_id % 10 >= 8 as the newly-arrived delta
+    // batch; assign ONLY those vectors against the existing centroids
+    // (the low-id vectors that seeded the base index) and report the
+    // per-cell growth the merged index would see — how a daily embedding
+    // increment joins a persisted IVF without re-quantizing the corpus.
+    // Delta × broadcast-centroids assignment; two |cells|-group aggs.
+    QuerySpec(
+      "q190_incr_ann_index",
+      (s, d) => {
+        graft.functions.CosineSimilarity.register(s)
+        val e = t(s, d, "embeddings")
+        val cents = e.where(col("vec_id") < 8)
+          .select(col("vec_id").as("cent_id"), col("embedding").as("ce"))
+        val w = Window.partitionBy("vec_id").orderBy(col("cos_c").desc, col("cent_id").asc)
+        val delta = e.where(col("vec_id") % 10 >= 8)
+          .crossJoin(broadcast(cents))
+          .select(col("vec_id"), col("cent_id"),
+            round(expr("cosine_sim(embedding, ce)"), 6).as("cos_c"))
+          .withColumn("rn", row_number().over(w))
+          .where(col("rn") === 1)
+          .groupBy(col("cent_id").as("cell")).agg(count(lit(1)).as("n_new"))
+        val base = ScaleQueries.ivfFlat(s, d)
+          .where(col("vec_id") % 10 < 8)
+          .groupBy("cell").agg(count(lit(1)).as("n_base"))
+        base.join(delta, Seq("cell"), "left")
+          .select(col("cell").cast("long").as("cell"), col("n_base"),
+            coalesce(col("n_new"), lit(0L)).as("n_new"),
+            floor(coalesce(col("n_new"), lit(0L)) * 10000.0 / col("n_base"))
+              .cast("long").as("growth_bp"))
+          .orderBy("cell")
+      },
+      Some(s"""WITH e AS (SELECT vec_id, embedding, $emL2 AS nrm FROM embeddings), asg AS (SELECT a.vec_id, b.vec_id AS cell, row_number() OVER (PARTITION BY a.vec_id ORDER BY $dot DESC, b.vec_id) AS rn FROM e a CROSS JOIN (SELECT vec_id, embedding, nrm FROM e WHERE vec_id < 8) b), cells AS (SELECT vec_id, cell FROM asg WHERE rn = 1), delta AS (SELECT cell, count(*) AS n_new FROM cells WHERE vec_id % 10 >= 8 GROUP BY 1), base AS (SELECT cell, count(*) AS n_base FROM cells WHERE vec_id % 10 < 8 GROUP BY 1) SELECT CAST(base.cell AS BIGINT) AS cell, base.n_base, coalesce(delta.n_new, 0) AS n_new, CAST(floor(coalesce(delta.n_new, 0) * 10000.0 / base.n_base) AS BIGINT) AS growth_bp FROM base LEFT JOIN delta ON base.cell = delta.cell ORDER BY cell"""),
+      "E3/§2.4 ext: incremental ANN maintenance — delta vectors probe the persisted cells"),
+
+    // q191 — MATRYOSHKA truncation audit: how much retrieval survives
+    // when embeddings are truncated to their first 16 dims (the
+    // matryoshka/MRL serving trick — cheap prefix search, full-dim
+    // rescoring)? For each query: top-5 under full-dim cosine vs top-5
+    // under 16-dim-prefix cosine, reporting the overlap count and the
+    // prefix share of the vector's energy. Both rankings are broadcast-
+    // query × corpus streaming argmaxes (never corpus×corpus); the
+    // overlap metric joins two 50-row rank tables.
+    QuerySpec(
+      "q191_matryoshka_audit",
+      (s, d) => {
+        graft.functions.CosineSimilarity.register(s)
+        val e = t(s, d, "embeddings")
+          .withColumn("emb16", slice(col("embedding"), 1, 16))
+        val q = e.where(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+            col("emb16").as("qe16"))
+        def top5(scoreCol: String => org.apache.spark.sql.Column, tag: String) = {
+          val w = Window.partitionBy("qid").orderBy(col("cos_r").desc, col("cid").asc)
+          broadcast(q).crossJoin(e)
+            .where(col("vec_id") =!= col("qid"))
+            .select(col("qid"), col("vec_id").as("cid"),
+              round(scoreCol(tag), 6).as("cos_r"))
+            .withColumn("rn", row_number().over(w))
+            .where(col("rn") <= 5)
+            .select(col("qid"), col("cid"))
+        }
+        val full = top5(_ => expr("cosine_sim(qe, embedding)"), "full")
+        val pref = top5(_ => expr("cosine_sim(qe16, emb16)"), "pref")
+        val overlap = full.join(pref, Seq("qid", "cid"))
+          .groupBy("qid").agg(count(lit(1)).as("overlap5"))
+        val energy = q.select(col("qid"),
+          round(graft.ops.VectorOps.l2norm(col("qe16")) /
+            graft.ops.VectorOps.l2norm(col("qe")), 4).as("prefix_energy"))
+        energy.join(overlap, Seq("qid"), "left")
+          .select(col("qid"), coalesce(col("overlap5"), lit(0L)).as("overlap5"),
+            col("prefix_energy"))
+          .orderBy("qid")
+      },
+      Some {
+        val dot16 = "round(list_sum([CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE) for i in generate_series(1, 16)]) / (a.n16 * b.n16), 6)"
+        val l216 = "sqrt(list_sum([CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE) for i in generate_series(1, 16)]))"
+        s"""WITH e AS (SELECT vec_id, embedding, $emL2 AS nrm, $l216 AS n16 FROM embeddings), fullr AS (SELECT qid, cid FROM (SELECT a.vec_id AS qid, b.vec_id AS cid, row_number() OVER (PARTITION BY a.vec_id ORDER BY $dot DESC, b.vec_id) AS rn FROM e a CROSS JOIN e b WHERE a.vec_id < 10 AND b.vec_id <> a.vec_id) z WHERE rn <= 5), prefr AS (SELECT qid, cid FROM (SELECT a.vec_id AS qid, b.vec_id AS cid, row_number() OVER (PARTITION BY a.vec_id ORDER BY $dot16 DESC, b.vec_id) AS rn FROM e a CROSS JOIN e b WHERE a.vec_id < 10 AND b.vec_id <> a.vec_id) z WHERE rn <= 5), ov AS (SELECT fullr.qid, count(*) AS overlap5 FROM fullr JOIN prefr ON fullr.qid = prefr.qid AND fullr.cid = prefr.cid GROUP BY 1), en AS (SELECT vec_id AS qid, round(n16 / nrm, 4) AS prefix_energy FROM e WHERE vec_id < 10) SELECT en.qid, coalesce(ov.overlap5, 0) AS overlap5, en.prefix_energy FROM en LEFT JOIN ov ON en.qid = ov.qid ORDER BY 1"""
+      },
+      "E3 ext: matryoshka truncation audit — prefix-dim retrieval overlap vs full-dim"))
 }
