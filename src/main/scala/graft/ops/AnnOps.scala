@@ -47,13 +47,23 @@ object AnnOps {
     * broadcast pass. No iterations, no MLlib, fully oracle-expressible —
     * the scale path when index-build time matters more than cell balance.
     */
-  def ivfAssignFlat(emb: DataFrame, k: Int): DataFrame = {
-    graft.functions.CosineSimilarity.register(emb.sparkSession)
+  def ivfAssignFlat(emb: DataFrame, k: Int): DataFrame =
+    assignToCells(emb, emb.where(col("vec_id") < k)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("ce")))
+
+  /** Assign arbitrary vectors to EXISTING centroids — the incremental
+    * maintenance path (q190): a delta batch probes the persisted index's
+    * cells without re-deriving the quantizer. One audited implementation
+    * carries the oracle-critical convention (cosine rounded to 6dp,
+    * ties to the lowest cent_id) for both the full build and the delta.
+    *
+    * @param cents (cent_id, ce) centroid table — broadcast-sized
+    */
+  def assignToCells(vectors: DataFrame, cents: DataFrame): DataFrame = {
+    graft.functions.CosineSimilarity.register(vectors.sparkSession)
     import org.apache.spark.sql.expressions.Window
-    val cents = emb.where(col("vec_id") < k)
-      .select(col("vec_id").as("cent_id"), col("embedding").as("ce"))
     val w = Window.partitionBy("vec_id").orderBy(col("cos_c").desc, col("cent_id").asc)
-    emb.crossJoin(broadcast(cents))
+    vectors.crossJoin(broadcast(cents))
       .select(col("vec_id"), col("embedding"), col("cent_id"),
         round(expr("cosine_sim(embedding, ce)"), 6).as("cos_c"))
       .withColumn("rn", row_number().over(w))

@@ -25,7 +25,8 @@ object QuantileOps {
   /** Per-group exact-element quantile cuts.
     *
     * @param df        input rows
-    * @param valueCol  numeric column (cast to double internally)
+    * @param valueCol  numeric column (cast to double internally; null
+    *                  values are excluded from ranks and counts)
     * @param groupCols grouping columns (empty = one global group)
     * @param fracs     quantile fractions, each mapped to rank ceil(frac·n)
     * @param buckets   fixed-width bucket count for the offset level
@@ -43,7 +44,10 @@ object QuantileOps {
     val gNames = if (groupCols.isEmpty) Seq("__g") else groupCols
     val v = col(valueCol).cast("double")
 
-    val base = df.select(g :+ v.as("__v"): _*)
+    // nulls are excluded up front (mirrored in oracleSql): Spark windows
+    // sort nulls FIRST and DuckDB sorts them LAST, so an unfiltered
+    // nullable column would silently shift every rank on one side only
+    val base = df.select(g :+ v.as("__v"): _*).where(col("__v").isNotNull)
     // distinct-value counts per group — the ONE exchange of raw rows;
     // group min/max/count then derive from this table (min/max are
     // invariant under dedup, n = Σ counts), so raw rows shuffle once,
@@ -99,7 +103,7 @@ object QuantileOps {
     }.mkString(", ")
     val outCols = (if (groupCols.isEmpty) "" else s"$gList, ") + s"n, ${
       fracs.indices.map(i => s"cut_${i + 1}").mkString(", ")}"
-    s"""(WITH qb AS (SELECT $gSel, CAST($valueCol AS DOUBLE) AS __v FROM $from),
+    s"""(WITH qb AS (SELECT $gSel, CAST($valueCol AS DOUBLE) AS __v FROM $from WHERE $valueCol IS NOT NULL),
 qpc0 AS (SELECT $gList, __v, count(*) AS __c FROM qb GROUP BY ${gNames.indices.map(_ + 1).mkString(", ")}, __v),
 qmm AS (SELECT $gList, min(__v) AS __mn, max(__v) AS __mx, CAST(sum(__c) AS BIGINT) AS n FROM qpc0 GROUP BY ${gNames.indices.map(_ + 1).mkString(", ")}),
 qpc AS (SELECT z.*, CASE WHEN __mx = __mn THEN 0 ELSE least($buckets - 1, CAST(floor((__v - __mn) * $buckets / (__mx - __mn)) AS BIGINT)) END AS __bkt, n FROM qpc0 z JOIN qmm USING ($gList)),

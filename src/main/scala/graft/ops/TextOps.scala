@@ -54,6 +54,32 @@ object TextOps {
     size(filter(toks, t => array_contains(arr, t))).cast("long")
   }
 
+  /** Sliding-window CHUNK projection (q170's math, shared with the
+    * streaming chunker so batch and stream can never drift): tokenize
+    * `textCol`, emit 1 + ceil(max(0, n−window)/step) chunks per row —
+    * chunk_idx, n_tok, and the md5 of the joined token window. Chunking
+    * STOPS at the first window reaching the document end, so no trailing
+    * chunk is a subset of its predecessor (PropertySpec pins coverage +
+    * no-subset). Pure per-row array math: no shuffle, no state.
+    *
+    * @param df        input rows
+    * @param textCol   text column name
+    * @param carryCols columns to carry through unchanged (e.g. doc_id, ts)
+    */
+  def slidingChunks(df: org.apache.spark.sql.DataFrame, textCol: String,
+      carryCols: Seq[String], window: Int = 40, step: Int = 30)
+      : org.apache.spark.sql.DataFrame = {
+    val carry = carryCols.map(col)
+    df.select(carry :+ tokens(col(textCol)).as("tk"): _*)
+      .withColumn("n", size(col("tk")))
+      .withColumn("k", explode(sequence(lit(0),
+        ceil(greatest(col("n") - window, lit(0)) / lit(step * 1.0)).cast("int"))))
+      .withColumn("p", col("k") * step + 1)
+      .select(carry :+ col("k").cast("long").as("chunk_idx") :+
+        least(lit(window), col("n") - col("p") + 1).cast("long").as("n_tok") :+
+        md5(array_join(slice(col("tk"), col("p"), lit(window)), " ")).as("chunk_md5"): _*)
+  }
+
   /** Polynomial rolling hash (Rabin-Karp shape) of a string:
     * h = Σ h·31 + code(c) (mod 2³¹−1) — the streaming-friendly document
     * fingerprint (vs md5 content hashes in q42). Stays a pure column

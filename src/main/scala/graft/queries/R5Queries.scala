@@ -281,21 +281,9 @@ object R5Queries {
     // the result sort.
     QuerySpec(
       "q170_chunk_overlap",
-      (s, d) => {
-        val w = 40
-        val step = 30
-        t(s, d, "documents")
-          .select(col("doc_id"), graft.ops.TextOps.tokens(col("text")).as("tk"))
-          .withColumn("n", size(col("tk")))
-          .withColumn("k",
-            explode(sequence(lit(0),
-              ceil(greatest(col("n") - w, lit(0)) / lit(step * 1.0)).cast("int"))))
-          .withColumn("p", col("k") * step + 1)
-          .select(col("doc_id"), col("k").cast("long").as("chunk_idx"),
-            least(lit(w), col("n") - col("p") + 1).cast("long").as("n_tok"),
-            md5(array_join(slice(col("tk"), col("p"), lit(w)), " ")).as("chunk_md5"))
-          .orderBy("doc_id", "chunk_idx")
-      },
+      (s, d) => graft.ops.TextOps
+        .slidingChunks(t(s, d, "documents"), "text", Seq("doc_id"))
+        .orderBy("doc_id", "chunk_idx"),
       Some("""WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents), ch AS (SELECT doc_id, tk, len(tk) AS n, unnest(generate_series(0, CAST(ceil(greatest(len(tk) - 40, 0) / 30.0) AS INT))) AS k FROM toks) SELECT doc_id, CAST(k AS BIGINT) AS chunk_idx, CAST(least(40, n - (k * 30 + 1) + 1) AS BIGINT) AS n_tok, md5(array_to_string(tk[(k * 30 + 1):(k * 30 + 40)], ' ')) AS chunk_md5 FROM ch ORDER BY doc_id, chunk_idx"""),
       "E4/§2.9 ext: sliding-window chunking with overlap (embedder-sized pieces, map-side)"))
 }

@@ -654,18 +654,12 @@ object R6Queries {
     QuerySpec(
       "q190_incr_ann_index",
       (s, d) => {
-        graft.functions.CosineSimilarity.register(s)
         val e = t(s, d, "embeddings")
         val cents = e.where(col("vec_id") < 8)
           .select(col("vec_id").as("cent_id"), col("embedding").as("ce"))
-        val w = Window.partitionBy("vec_id").orderBy(col("cos_c").desc, col("cent_id").asc)
-        val delta = e.where(col("vec_id") % 10 >= 8)
-          .crossJoin(broadcast(cents))
-          .select(col("vec_id"), col("cent_id"),
-            round(expr("cosine_sim(embedding, ce)"), 6).as("cos_c"))
-          .withColumn("rn", row_number().over(w))
-          .where(col("rn") === 1)
-          .groupBy(col("cent_id").as("cell")).agg(count(lit(1)).as("n_new"))
+        val delta = graft.ops.AnnOps
+          .assignToCells(e.where(col("vec_id") % 10 >= 8), cents)
+          .groupBy("cell").agg(count(lit(1)).as("n_new"))
         val base = ScaleQueries.ivfFlat(s, d)
           .where(col("vec_id") % 10 < 8)
           .groupBy("cell").agg(count(lit(1)).as("n_base"))
@@ -696,18 +690,17 @@ object R6Queries {
         val q = e.where(col("vec_id") < 10)
           .select(col("vec_id").as("qid"), col("embedding").as("qe"),
             col("emb16").as("qe16"))
-        def top5(scoreCol: String => org.apache.spark.sql.Column, tag: String) = {
+        def top5(score: org.apache.spark.sql.Column) = {
           val w = Window.partitionBy("qid").orderBy(col("cos_r").desc, col("cid").asc)
           broadcast(q).crossJoin(e)
             .where(col("vec_id") =!= col("qid"))
-            .select(col("qid"), col("vec_id").as("cid"),
-              round(scoreCol(tag), 6).as("cos_r"))
+            .select(col("qid"), col("vec_id").as("cid"), round(score, 6).as("cos_r"))
             .withColumn("rn", row_number().over(w))
             .where(col("rn") <= 5)
             .select(col("qid"), col("cid"))
         }
-        val full = top5(_ => expr("cosine_sim(qe, embedding)"), "full")
-        val pref = top5(_ => expr("cosine_sim(qe16, emb16)"), "pref")
+        val full = top5(expr("cosine_sim(qe, embedding)"))
+        val pref = top5(expr("cosine_sim(qe16, emb16)"))
         val overlap = full.join(pref, Seq("qid", "cid"))
           .groupBy("qid").agg(count(lit(1)).as("overlap5"))
         val energy = q.select(col("qid"),

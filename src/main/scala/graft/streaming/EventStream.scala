@@ -178,17 +178,8 @@ object EventStream {
     * identities (doc_id, chunk_idx, chunk_md5) are identical to the
     * batch q170 output for the same documents (StreamingSpec pins it).
     */
-  def chunkStream(docs: DataFrame, window: Int = 40, step: Int = 30): DataFrame = {
-    val tk = graft.ops.TextOps.tokens(col("text"))
-    docs.select(col("doc_id"), col("ts"), tk.as("tk"))
-      .withColumn("n", size(col("tk")))
-      .withColumn("k", explode(sequence(lit(0),
-        ceil(greatest(col("n") - window, lit(0)) / lit(step * 1.0)).cast("int"))))
-      .withColumn("p", col("k") * step + 1)
-      .select(col("doc_id"), col("ts"), col("k").cast("long").as("chunk_idx"),
-        least(lit(window), col("n") - col("p") + 1).cast("long").as("n_tok"),
-        md5(array_join(slice(col("tk"), col("p"), lit(window)), " ")).as("chunk_md5"))
-  }
+  def chunkStream(docs: DataFrame, window: Int = 40, step: Int = 30): DataFrame =
+    graft.ops.TextOps.slidingChunks(docs, "text", Seq("doc_id", "ts"), window, step)
 
   case class EmaOut(user_id: Long, event_id: Long, ema: Double)
 

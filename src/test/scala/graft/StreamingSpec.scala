@@ -86,9 +86,14 @@ class StreamingSpec extends SparkSpecBase {
       val got = spark.table("chunks")
         .select("doc_id", "chunk_idx", "n_tok", "chunk_md5")
         .as[(Long, Long, Long, String)].collect().sortBy(r => (r._1, r._2)).toSeq
-      // batch-equivalence: the same transformation over the same rows as
-      // a plain DataFrame (the stream path must not change chunk math)
-      val batch = EventStream.chunkStream(docs.toDF())
+      // batch-equivalence against the REGISTERED q170 query (the
+      // independent oracle-checked path, not chunkStream itself): write
+      // the same docs as a documents table and run q170 over it
+      val dir = java.nio.file.Files.createTempDirectory("chunkstream").toString
+      docs.map(dc => (dc.doc_id, dc.text, "en", "s", dc.text.length.toLong))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val batch = SparkEntry.queries("q170_chunk_overlap")(spark, dir)
         .select("doc_id", "chunk_idx", "n_tok", "chunk_md5")
         .as[(Long, Long, Long, String)].collect().sortBy(r => (r._1, r._2)).toSeq
       assert(got == batch)
