@@ -716,5 +716,97 @@ object R6Queries {
         val l216 = "sqrt(list_sum([CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE) for i in generate_series(1, 16)]))"
         s"""WITH e AS (SELECT vec_id, embedding, $emL2 AS nrm, $l216 AS n16 FROM embeddings), fullr AS (SELECT qid, cid FROM (SELECT a.vec_id AS qid, b.vec_id AS cid, row_number() OVER (PARTITION BY a.vec_id ORDER BY $dot DESC, b.vec_id) AS rn FROM e a CROSS JOIN e b WHERE a.vec_id < 10 AND b.vec_id <> a.vec_id) z WHERE rn <= 5), prefr AS (SELECT qid, cid FROM (SELECT a.vec_id AS qid, b.vec_id AS cid, row_number() OVER (PARTITION BY a.vec_id ORDER BY $dot16 DESC, b.vec_id) AS rn FROM e a CROSS JOIN e b WHERE a.vec_id < 10 AND b.vec_id <> a.vec_id) z WHERE rn <= 5), ov AS (SELECT fullr.qid, count(*) AS overlap5 FROM fullr JOIN prefr ON fullr.qid = prefr.qid AND fullr.cid = prefr.cid GROUP BY 1), en AS (SELECT vec_id AS qid, round(n16 / nrm, 4) AS prefix_energy FROM e WHERE vec_id < 10) SELECT en.qid, coalesce(ov.overlap5, 0) AS overlap5, en.prefix_energy FROM en LEFT JOIN ov ON en.qid = ov.qid ORDER BY 1"""
       },
-      "E3 ext: matryoshka truncation audit — prefix-dim retrieval overlap vs full-dim"))
+      "E3 ext: matryoshka truncation audit — prefix-dim retrieval overlap vs full-dim"),
+
+    // q192 — MARKET-BASKET association rules at brand granularity:
+    // support / confidence / lift for brand pairs co-purchased in one
+    // order. Brands (not parts) keep the pair space dense and bounded
+    // (≤ |brands|²/2 at ANY corpus size); the per-order pair fan-out is
+    // C(brands-per-order, 2) ≤ C(7, 2). All counts integer; lift and
+    // confidence are single divisions rounded 4dp. The itemset shape
+    // behind recommendation candidates and co-occurrence features.
+    QuerySpec(
+      "q192_brand_basket",
+      (s, d) => {
+        val ob = t(s, d, "lineitem")
+          .join(broadcast(t(s, d, "part").select(col("p_partkey"), col("p_brand"))),
+            col("l_partkey") === col("p_partkey"))
+          .select(col("l_orderkey").as("ok"), col("p_brand").as("brand"))
+          .distinct()
+        val n = ob.agg(countDistinct("ok").as("n_orders"))
+        val supp1 = ob.groupBy("brand").agg(count(lit(1)).as("s1"))
+        val a = ob.select(col("ok"), col("brand").as("ba"))
+        val b = ob.select(col("ok"), col("brand").as("bb"))
+        a.join(b, Seq("ok")).where(col("ba") < col("bb"))
+          .groupBy("ba", "bb").agg(count(lit(1)).as("supp"))
+          .where(col("supp") >= 10)
+          .join(broadcast(supp1.select(col("brand").as("ba"), col("s1").as("sa"))), "ba")
+          .join(broadcast(supp1.select(col("brand").as("bb"), col("s1").as("sb"))), "bb")
+          .crossJoin(broadcast(n))
+          .select(col("ba"), col("bb"), col("supp"),
+            round(col("supp") / col("sa"), 4).as("conf_a_b"),
+            round(col("supp") * col("n_orders") / (col("sa") * col("sb")), 4).as("lift"))
+          .orderBy("ba", "bb")
+      },
+      Some("""WITH ob AS (SELECT DISTINCT l_orderkey AS ok, p_brand AS brand FROM lineitem JOIN part ON l_partkey = p_partkey), n AS (SELECT count(DISTINCT ok) AS n_orders FROM ob), s1 AS (SELECT brand, count(*) AS s1 FROM ob GROUP BY 1), pr AS (SELECT a.brand AS ba, b.brand AS bb, count(*) AS supp FROM ob a JOIN ob b ON a.ok = b.ok AND a.brand < b.brand GROUP BY 1, 2) SELECT ba, bb, supp, round(supp * 1.0 / x.s1, 4) AS conf_a_b, round(supp * n_orders * 1.0 / (x.s1 * y.s1), 4) AS lift FROM pr JOIN s1 x ON pr.ba = x.brand JOIN s1 y ON pr.bb = y.brand CROSS JOIN n WHERE supp >= 10 ORDER BY ba, bb"""),
+      "§2.3/§2.4 ext: market-basket support/confidence/lift at brand granularity"),
+
+    // q193 — event-type TRANSITION matrix (first-order Markov): per user,
+    // consecutive event pairs by time (lead window keyed by user), counts
+    // and row-conditional probabilities P(next | current) in floor basis
+    // points (the q180 rule — a rational can land exactly on the round
+    // grid). The session-flow fingerprint behind funnel design and
+    // anomaly detection. One keyed window + a |types|²-row aggregate.
+    QuerySpec(
+      "q193_transition_matrix",
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val pairs = t(s, d, "events")
+          .select(col("user_id"), col("ts"), col("event_id"),
+            col("event_type").as("cur"))
+          .withColumn("nxt", lead("cur", 1).over(w))
+          .where(col("nxt").isNotNull)
+          .groupBy("cur", "nxt").agg(count(lit(1)).as("c"))
+        val tot = pairs.groupBy("cur").agg(sum("c").as("rt"))
+        pairs.join(broadcast(tot), "cur")
+          .select(col("cur"), col("nxt"), col("c"),
+            floor(col("c") * 10000.0 / col("rt")).cast("long").as("p_bp"))
+          .orderBy("cur", "nxt")
+      },
+      Some("""WITH ev AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, event_type AS cur FROM events), p AS (SELECT cur, lead(cur) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt FROM ev), c AS (SELECT cur, nxt, count(*) AS c FROM p WHERE nxt IS NOT NULL GROUP BY 1, 2), t2 AS (SELECT cur, CAST(sum(c) AS BIGINT) AS rt FROM c GROUP BY 1) SELECT c.cur, c.nxt, c.c, CAST(floor(c.c * 10000.0 / t2.rt) AS BIGINT) AS p_bp FROM c JOIN t2 ON c.cur = t2.cur ORDER BY 1, 2"""),
+      "§2.5/§2.4 ext: first-order event-transition matrix with conditional probabilities"),
+
+    // q194 — INTER-ARRIVAL burst profile: per event type, the exact p50
+    // and p95 of the seconds-gap between a user's consecutive events
+    // (gap belongs to the LATER event) plus the sub-10s burst count —
+    // the arrival-process profile a capacity planner or bot detector
+    // reads. Gaps are integer seconds from a user-keyed lag window;
+    // quantiles are exact elements via QuantileOps (type- and
+    // bucket-partitioned windows only).
+    QuerySpec(
+      "q194_burst_profile",
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val gaps = t(s, d, "events")
+          .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+          .withColumn("gap",
+            (unix_timestamp(col("ts")) - unix_timestamp(lag("ts", 1).over(w))).cast("long"))
+          .where(col("gap").isNotNull)
+        val q = graft.ops.QuantileOps
+          .exactElementQuantiles(gaps, "gap", Seq("event_type"), Seq(0.5, 0.95))
+          .select(col("event_type"), col("cut_1").cast("long").as("p50_s"),
+            col("cut_2").cast("long").as("p95_s"))
+        gaps.groupBy("event_type")
+          .agg(count(lit(1)).as("n_gaps"),
+            sum(when(col("gap") < 10, 1L).otherwise(0L)).as("n_bursts"))
+          .join(broadcast(q), "event_type")
+          .orderBy("event_type")
+      },
+      Some {
+        val gapsFrom = "(SELECT event_type, CAST(floor(epoch(CAST(ts AS TIMESTAMP))) - floor(epoch(lag(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id))) AS BIGINT) AS gap FROM events) g WHERE gap IS NOT NULL"
+        val qSql = graft.ops.QuantileOps.oracleSql(
+          s"(SELECT event_type, gap FROM $gapsFrom) gg", "gap", Seq("event_type"), Seq(0.5, 0.95))
+        s"""WITH gaps AS (SELECT event_type, gap FROM $gapsFrom), qq AS (SELECT event_type, CAST(cut_1 AS BIGINT) AS p50_s, CAST(cut_2 AS BIGINT) AS p95_s FROM $qSql z) SELECT g2.event_type, count(*) AS n_gaps, CAST(sum(CASE WHEN gap < 10 THEN 1 ELSE 0 END) AS BIGINT) AS n_bursts, max(qq.p50_s) AS p50_s, max(qq.p95_s) AS p95_s FROM gaps g2 JOIN qq ON g2.event_type = qq.event_type GROUP BY 1 ORDER BY 1"""
+      },
+      "§2.5/§2.4 ext: inter-arrival burst profile — exact gap quantiles per event type"))
 }
