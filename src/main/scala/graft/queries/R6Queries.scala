@@ -808,5 +808,66 @@ object R6Queries {
           s"(SELECT event_type, gap FROM $gapsFrom) gg", "gap", Seq("event_type"), Seq(0.5, 0.95))
         s"""WITH gaps AS (SELECT event_type, gap FROM $gapsFrom), qq AS (SELECT event_type, CAST(cut_1 AS BIGINT) AS p50_s, CAST(cut_2 AS BIGINT) AS p95_s FROM $qSql z) SELECT g2.event_type, count(*) AS n_gaps, CAST(sum(CASE WHEN gap < 10 THEN 1 ELSE 0 END) AS BIGINT) AS n_bursts, max(qq.p50_s) AS p50_s, max(qq.p95_s) AS p95_s FROM gaps g2 JOIN qq ON g2.event_type = qq.event_type GROUP BY 1 ORDER BY 1"""
       },
-      "§2.5/§2.4 ext: inter-arrival burst profile — exact gap quantiles per event type"))
+      "§2.5/§2.4 ext: inter-arrival burst profile — exact gap quantiles per event type"),
+
+    // q195 — DATASET-VERSION diff: the release regression report between
+    // corpus v1 (documents as shipped) and a deterministically-derived
+    // v2 (doc_id % 13 == 0 dropped, doc_id % 17 == 0 re-texted) — per
+    // source: rows added / removed / changed / unchanged, keyed by
+    // doc_id with md5(text) as the change detector. The full-outer join
+    // on the primary key IS the diff; at 100 TB both sides shuffle once
+    // on the key and the report groups |sources| rows. The check a data
+    // team runs before promoting a new corpus snapshot.
+    QuerySpec(
+      "q195_dataset_diff",
+      (s, d) => {
+        val v1 = t(s, d, "documents")
+          .select(col("doc_id"), col("source"), md5(col("text")).as("h1"))
+        val v2 = t(s, d, "documents")
+          .where(col("doc_id") % 13 =!= 0)
+          .select(col("doc_id"), col("source"),
+            md5(when(col("doc_id") % 17 === 0, concat(col("text"), lit(" v2")))
+              .otherwise(col("text"))).as("h2"))
+        v1.join(v2.select(col("doc_id"), col("h2")), Seq("doc_id"), "full")
+          .select(col("source"), col("h1"), col("h2"))
+          .groupBy("source")
+          .agg(sum(when(col("h1").isNull, 1L).otherwise(0L)).as("n_added"),
+            sum(when(col("h2").isNull, 1L).otherwise(0L)).as("n_removed"),
+            sum(when(col("h1").isNotNull && col("h2").isNotNull &&
+              col("h1") =!= col("h2"), 1L).otherwise(0L)).as("n_changed"),
+            sum(when(col("h1") === col("h2"), 1L).otherwise(0L)).as("n_unchanged"))
+          .orderBy("source")
+      },
+      Some("""WITH v1 AS (SELECT doc_id, source, md5(text) AS h1 FROM documents), v2 AS (SELECT doc_id, md5(CASE WHEN doc_id % 17 = 0 THEN concat(text, ' v2') ELSE text END) AS h2 FROM documents WHERE doc_id % 13 <> 0), j AS (SELECT v1.source, v1.h1, v2.h2 FROM v1 FULL JOIN v2 ON v1.doc_id = v2.doc_id) SELECT source, CAST(sum(CASE WHEN h1 IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_added, CAST(sum(CASE WHEN h2 IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_removed, CAST(sum(CASE WHEN h1 IS NOT NULL AND h2 IS NOT NULL AND h1 <> h2 THEN 1 ELSE 0 END) AS BIGINT) AS n_changed, CAST(sum(CASE WHEN h1 = h2 THEN 1 ELSE 0 END) AS BIGINT) AS n_unchanged FROM j GROUP BY 1 ORDER BY source"""),
+      "§2.1/§2.8 ext: dataset-version diff — keyed full-outer with content-hash change detection"),
+
+    // q196 — one-round LABEL PROPAGATION (semi-supervised bootstrap):
+    // mask the label of every vec_id % 5 == 0 vector, then predict it as
+    // the majority label among LABELED vectors in the same IVF cell
+    // (ties to the lowest label), and report per-cell accuracy against
+    // the held-out truth. The cheap first iteration of a label-prop
+    // loop, blocked by the shared coarse quantizer — candidates are
+    // cell-mates, never the corpus. Output is |cells| rows.
+    QuerySpec(
+      "q196_label_prop",
+      (s, d) => {
+        val al = ScaleQueries.ivfFlat(s, d)
+          .join(t(s, d, "embeddings").select(col("vec_id"), col("label")), "vec_id")
+        val unlabeled = al.where(col("vec_id") % 5 === 0)
+          .select(col("vec_id").as("uid"), col("cell"),
+            col("label").cast("long").as("truth"))
+        val votes = al.where(col("vec_id") % 5 =!= 0)
+          .groupBy(col("cell"), col("label").cast("long").as("lab"))
+          .agg(count(lit(1)).as("c"))
+        val w = Window.partitionBy("cell").orderBy(col("c").desc, col("lab").asc)
+        val winner = votes.withColumn("rn", row_number().over(w))
+          .where(col("rn") === 1).select(col("cell"), col("lab").as("pred"))
+        unlabeled.join(winner, Seq("cell"))
+          .groupBy(col("cell").cast("long").as("cell"))
+          .agg(count(lit(1)).as("n_unlabeled"), max("pred").as("pred"),
+            sum(when(col("truth") === col("pred"), 1L).otherwise(0L)).as("n_correct"))
+          .orderBy("cell")
+      },
+      Some(s"""WITH e AS (SELECT vec_id, label, embedding, $emL2 AS nrm FROM embeddings), asg AS (SELECT a.vec_id, a.label, b.vec_id AS cell, row_number() OVER (PARTITION BY a.vec_id ORDER BY $dot DESC, b.vec_id) AS rn FROM e a CROSS JOIN (SELECT vec_id, embedding, nrm FROM e WHERE vec_id < 8) b), cells AS (SELECT vec_id, label, cell FROM asg WHERE rn = 1), votes AS (SELECT cell, CAST(label AS BIGINT) AS lab, count(*) AS c FROM cells WHERE vec_id % 5 <> 0 GROUP BY 1, 2), win AS (SELECT cell, lab AS pred FROM (SELECT cell, lab, row_number() OVER (PARTITION BY cell ORDER BY c DESC, lab) AS rn FROM votes) z WHERE rn = 1), u AS (SELECT vec_id, cell, CAST(label AS BIGINT) AS truth FROM cells WHERE vec_id % 5 = 0) SELECT CAST(u.cell AS BIGINT) AS cell, count(*) AS n_unlabeled, max(win.pred) AS pred, CAST(sum(CASE WHEN u.truth = win.pred THEN 1 ELSE 0 END) AS BIGINT) AS n_correct FROM u JOIN win ON u.cell = win.cell GROUP BY 1 ORDER BY cell"""),
+      "E3/§2.10 ext: one-round label propagation over the shared IVF cells"))
 }
