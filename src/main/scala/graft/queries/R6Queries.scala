@@ -869,5 +869,33 @@ object R6Queries {
           .orderBy("cell")
       },
       Some(s"""WITH e AS (SELECT vec_id, label, embedding, $emL2 AS nrm FROM embeddings), asg AS (SELECT a.vec_id, a.label, b.vec_id AS cell, row_number() OVER (PARTITION BY a.vec_id ORDER BY $dot DESC, b.vec_id) AS rn FROM e a CROSS JOIN (SELECT vec_id, embedding, nrm FROM e WHERE vec_id < 8) b), cells AS (SELECT vec_id, label, cell FROM asg WHERE rn = 1), votes AS (SELECT cell, CAST(label AS BIGINT) AS lab, count(*) AS c FROM cells WHERE vec_id % 5 <> 0 GROUP BY 1, 2), win AS (SELECT cell, lab AS pred FROM (SELECT cell, lab, row_number() OVER (PARTITION BY cell ORDER BY c DESC, lab) AS rn FROM votes) z WHERE rn = 1), u AS (SELECT vec_id, cell, CAST(label AS BIGINT) AS truth FROM cells WHERE vec_id % 5 = 0) SELECT CAST(u.cell AS BIGINT) AS cell, count(*) AS n_unlabeled, max(win.pred) AS pred, CAST(sum(CASE WHEN u.truth = win.pred THEN 1 ELSE 0 END) AS BIGINT) AS n_correct FROM u JOIN win ON u.cell = win.cell GROUP BY 1 ORDER BY cell"""),
-      "E3/§2.10 ext: one-round label propagation over the shared IVF cells"))
+      "E3/§2.10 ext: one-round label propagation over the shared IVF cells"),
+
+    // q197 — EMBEDDING drift monitor: q154's PSI applied to the vector
+    // column — the norm distribution of the incremental batch (q190's
+    // delta, vec_id % 10 >= 8) against the indexed base, over fixed
+    // 0.1-wide L2-norm bins. The alarm that tells an index maintainer
+    // the new embeddings come from a different model/preprocessing
+    // BEFORE they pollute the cells (pairs with q190's growth report and
+    // q168's occupancy audit). One histogram pass per side, PSI over the
+    // both-sides-populated bins (standard ln-0 guard), 1-row report.
+    QuerySpec(
+      "q197_embedding_drift",
+      (s, d) => {
+        val e = t(s, d, "embeddings")
+          .withColumn("bin",
+            floor(graft.ops.VectorOps.l2norm(col("embedding")) / 0.1).cast("long"))
+          .withColumn("is_new", col("vec_id") % 10 >= 8)
+        val base = e.where(!col("is_new")).groupBy("bin").agg(count(lit(1)).as("cq"))
+          .crossJoin(broadcast(e.where(!col("is_new")).agg(count(lit(1)).as("nq"))))
+        val delta = e.where(col("is_new")).groupBy("bin").agg(count(lit(1)).as("cp"))
+          .crossJoin(broadcast(e.where(col("is_new")).agg(count(lit(1)).as("np"))))
+        delta.join(base, "bin")
+          .agg(count(lit(1)).as("n_bins"),
+            max("nq").as("n_base"), max("np").as("n_delta"),
+            round(sum((col("cp") / col("np") - col("cq") / col("nq")) *
+              log((col("cp") / col("np")) / (col("cq") / col("nq")))), 6).as("psi"))
+      },
+      Some(s"""WITH e AS (SELECT vec_id, CAST(floor($emL2 / 0.1) AS BIGINT) AS bin, vec_id % 10 >= 8 AS is_new FROM embeddings), base AS (SELECT bin, count(*) AS cq FROM e WHERE NOT is_new GROUP BY 1), nqt AS (SELECT count(*) AS nq FROM e WHERE NOT is_new), delta AS (SELECT bin, count(*) AS cp FROM e WHERE is_new GROUP BY 1), npt AS (SELECT count(*) AS np FROM e WHERE is_new) SELECT count(*) AS n_bins, CAST(max(nq) AS BIGINT) AS n_base, CAST(max(np) AS BIGINT) AS n_delta, round(sum((cp * 1.0 / np - cq * 1.0 / nq) * ln((cp * 1.0 / np) / (cq * 1.0 / nq))), 6) AS psi FROM delta JOIN base USING (bin) CROSS JOIN nqt CROSS JOIN npt"""),
+      "E3/E4 ext: embedding-norm PSI drift — delta batch vs indexed base"))
 }
