@@ -743,12 +743,16 @@ object R6Queries {
           .join(broadcast(supp1.select(col("brand").as("ba"), col("s1").as("sa"))), "ba")
           .join(broadcast(supp1.select(col("brand").as("bb"), col("s1").as("sb"))), "bb")
           .crossJoin(broadcast(n))
+          // floor quantization, not round: conf = supp/sa is a small-
+          // denominator rational that CAN land exactly on a round grid
+          // (supp=10, sa=320 → 0.03125) — the q144/q180 rule
           .select(col("ba"), col("bb"), col("supp"),
-            round(col("supp") / col("sa"), 4).as("conf_a_b"),
-            round(col("supp") * col("n_orders") / (col("sa") * col("sb")), 4).as("lift"))
+            floor(col("supp") * 10000.0 / col("sa")).cast("long").as("conf_bp"),
+            floor(col("supp") * col("n_orders") * 1000.0 / (col("sa") * col("sb")))
+              .cast("long").as("lift_pm"))
           .orderBy("ba", "bb")
       },
-      Some("""WITH ob AS (SELECT DISTINCT l_orderkey AS ok, p_brand AS brand FROM lineitem JOIN part ON l_partkey = p_partkey), n AS (SELECT count(DISTINCT ok) AS n_orders FROM ob), s1 AS (SELECT brand, count(*) AS s1 FROM ob GROUP BY 1), pr AS (SELECT a.brand AS ba, b.brand AS bb, count(*) AS supp FROM ob a JOIN ob b ON a.ok = b.ok AND a.brand < b.brand GROUP BY 1, 2) SELECT ba, bb, supp, round(supp * 1.0 / x.s1, 4) AS conf_a_b, round(supp * n_orders * 1.0 / (x.s1 * y.s1), 4) AS lift FROM pr JOIN s1 x ON pr.ba = x.brand JOIN s1 y ON pr.bb = y.brand CROSS JOIN n WHERE supp >= 10 ORDER BY ba, bb"""),
+      Some("""WITH ob AS (SELECT DISTINCT l_orderkey AS ok, p_brand AS brand FROM lineitem JOIN part ON l_partkey = p_partkey), n AS (SELECT count(DISTINCT ok) AS n_orders FROM ob), s1 AS (SELECT brand, count(*) AS s1 FROM ob GROUP BY 1), pr AS (SELECT a.brand AS ba, b.brand AS bb, count(*) AS supp FROM ob a JOIN ob b ON a.ok = b.ok AND a.brand < b.brand GROUP BY 1, 2) SELECT ba, bb, supp, CAST(floor(supp * 10000.0 / x.s1) AS BIGINT) AS conf_bp, CAST(floor(supp * n_orders * 1000.0 / (x.s1 * y.s1)) AS BIGINT) AS lift_pm FROM pr JOIN s1 x ON pr.ba = x.brand JOIN s1 y ON pr.bb = y.brand CROSS JOIN n WHERE supp >= 10 ORDER BY ba, bb"""),
       "§2.3/§2.4 ext: market-basket support/confidence/lift at brand granularity"),
 
     // q193 — event-type TRANSITION matrix (first-order Markov): per user,
@@ -821,15 +825,20 @@ object R6Queries {
     QuerySpec(
       "q195_dataset_diff",
       (s, d) => {
-        val v1 = t(s, d, "documents")
-          .select(col("doc_id"), col("source"), md5(col("text")).as("h1"))
-        val v2 = t(s, d, "documents")
-          .where(col("doc_id") % 13 =!= 0)
-          .select(col("doc_id"), col("source"),
+        val docs = t(s, d, "documents")
+        val v1 = docs.select(col("doc_id"), col("source").as("s1"), md5(col("text")).as("h1"))
+        // v2 = v1 minus every 13th doc, every 17th re-texted, PLUS newly
+        // ingested docs (shifted ids so the added leg of the diff is
+        // genuinely exercised — a subset-only v2 makes n_added dead code)
+        val v2 = docs.where(col("doc_id") % 13 =!= 0)
+          .select(col("doc_id"), col("source").as("s2"),
             md5(when(col("doc_id") % 17 === 0, concat(col("text"), lit(" v2")))
               .otherwise(col("text"))).as("h2"))
-        v1.join(v2.select(col("doc_id"), col("h2")), Seq("doc_id"), "full")
-          .select(col("source"), col("h1"), col("h2"))
+          .unionByName(docs.where(col("doc_id") % 19 === 0)
+            .select((col("doc_id") + 1000000L).as("doc_id"), col("source").as("s2"),
+              md5(concat(col("text"), lit(" new"))).as("h2")))
+        v1.join(v2, Seq("doc_id"), "full")
+          .select(coalesce(col("s1"), col("s2")).as("source"), col("h1"), col("h2"))
           .groupBy("source")
           .agg(sum(when(col("h1").isNull, 1L).otherwise(0L)).as("n_added"),
             sum(when(col("h2").isNull, 1L).otherwise(0L)).as("n_removed"),
@@ -838,7 +847,7 @@ object R6Queries {
             sum(when(col("h1") === col("h2"), 1L).otherwise(0L)).as("n_unchanged"))
           .orderBy("source")
       },
-      Some("""WITH v1 AS (SELECT doc_id, source, md5(text) AS h1 FROM documents), v2 AS (SELECT doc_id, md5(CASE WHEN doc_id % 17 = 0 THEN concat(text, ' v2') ELSE text END) AS h2 FROM documents WHERE doc_id % 13 <> 0), j AS (SELECT v1.source, v1.h1, v2.h2 FROM v1 FULL JOIN v2 ON v1.doc_id = v2.doc_id) SELECT source, CAST(sum(CASE WHEN h1 IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_added, CAST(sum(CASE WHEN h2 IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_removed, CAST(sum(CASE WHEN h1 IS NOT NULL AND h2 IS NOT NULL AND h1 <> h2 THEN 1 ELSE 0 END) AS BIGINT) AS n_changed, CAST(sum(CASE WHEN h1 = h2 THEN 1 ELSE 0 END) AS BIGINT) AS n_unchanged FROM j GROUP BY 1 ORDER BY source"""),
+      Some("""WITH v1 AS (SELECT doc_id, source AS s1, md5(text) AS h1 FROM documents), v2 AS (SELECT doc_id, source AS s2, md5(CASE WHEN doc_id % 17 = 0 THEN concat(text, ' v2') ELSE text END) AS h2 FROM documents WHERE doc_id % 13 <> 0 UNION ALL SELECT doc_id + 1000000, source, md5(concat(text, ' new')) FROM documents WHERE doc_id % 19 = 0), j AS (SELECT coalesce(v1.s1, v2.s2) AS source, v1.h1, v2.h2 FROM v1 FULL JOIN v2 ON v1.doc_id = v2.doc_id) SELECT source, CAST(sum(CASE WHEN h1 IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_added, CAST(sum(CASE WHEN h2 IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_removed, CAST(sum(CASE WHEN h1 IS NOT NULL AND h2 IS NOT NULL AND h1 <> h2 THEN 1 ELSE 0 END) AS BIGINT) AS n_changed, CAST(sum(CASE WHEN h1 = h2 THEN 1 ELSE 0 END) AS BIGINT) AS n_unchanged FROM j GROUP BY 1 ORDER BY source"""),
       "§2.1/§2.8 ext: dataset-version diff — keyed full-outer with content-hash change detection"),
 
     // q196 — one-round LABEL PROPAGATION (semi-supervised bootstrap):
@@ -877,25 +886,32 @@ object R6Queries {
     // 0.1-wide L2-norm bins. The alarm that tells an index maintainer
     // the new embeddings come from a different model/preprocessing
     // BEFORE they pollute the cells (pairs with q190's growth report and
-    // q168's occupancy audit). One histogram pass per side, PSI over the
-    // both-sides-populated bins (standard ln-0 guard), 1-row report.
+    // q168's occupancy audit). ONE conditional-histogram scan builds
+    // both sides; proportions are Laplace-smoothed (+0.5 per bin) so a
+    // bin populated on only ONE side still contributes — an inner-join
+    // ln-0 guard would silence the alarm exactly when drift is largest
+    // (disjoint norm ranges → zero shared bins → psi NULL). 1-row report
+    // with the one-sided bin count alongside.
     QuerySpec(
       "q197_embedding_drift",
       (s, d) => {
-        val e = t(s, d, "embeddings")
+        val hist = t(s, d, "embeddings")
           .withColumn("bin",
             floor(graft.ops.VectorOps.l2norm(col("embedding")) / 0.1).cast("long"))
-          .withColumn("is_new", col("vec_id") % 10 >= 8)
-        val base = e.where(!col("is_new")).groupBy("bin").agg(count(lit(1)).as("cq"))
-          .crossJoin(broadcast(e.where(!col("is_new")).agg(count(lit(1)).as("nq"))))
-        val delta = e.where(col("is_new")).groupBy("bin").agg(count(lit(1)).as("cp"))
-          .crossJoin(broadcast(e.where(col("is_new")).agg(count(lit(1)).as("np"))))
-        delta.join(base, "bin")
+          .groupBy("bin")
+          .agg(sum(when(col("vec_id") % 10 >= 8, 1L).otherwise(0L)).as("cp"),
+            sum(when(col("vec_id") % 10 < 8, 1L).otherwise(0L)).as("cq"))
+        val tot = hist.agg(sum("cp").as("np"), sum("cq").as("nq"),
+          count(lit(1)).as("nb"))
+        val p = (col("cp") + 0.5) / (col("np") + lit(0.5) * col("nb"))
+        val q = (col("cq") + 0.5) / (col("nq") + lit(0.5) * col("nb"))
+        hist.crossJoin(broadcast(tot))
           .agg(count(lit(1)).as("n_bins"),
+            sum(when(col("cp") === 0 || col("cq") === 0, 1L).otherwise(0L))
+              .as("n_one_sided"),
             max("nq").as("n_base"), max("np").as("n_delta"),
-            round(sum((col("cp") / col("np") - col("cq") / col("nq")) *
-              log((col("cp") / col("np")) / (col("cq") / col("nq")))), 6).as("psi"))
+            round(sum((p - q) * log(p / q)), 6).as("psi"))
       },
-      Some(s"""WITH e AS (SELECT vec_id, CAST(floor($emL2 / 0.1) AS BIGINT) AS bin, vec_id % 10 >= 8 AS is_new FROM embeddings), base AS (SELECT bin, count(*) AS cq FROM e WHERE NOT is_new GROUP BY 1), nqt AS (SELECT count(*) AS nq FROM e WHERE NOT is_new), delta AS (SELECT bin, count(*) AS cp FROM e WHERE is_new GROUP BY 1), npt AS (SELECT count(*) AS np FROM e WHERE is_new) SELECT count(*) AS n_bins, CAST(max(nq) AS BIGINT) AS n_base, CAST(max(np) AS BIGINT) AS n_delta, round(sum((cp * 1.0 / np - cq * 1.0 / nq) * ln((cp * 1.0 / np) / (cq * 1.0 / nq))), 6) AS psi FROM delta JOIN base USING (bin) CROSS JOIN nqt CROSS JOIN npt"""),
-      "E3/E4 ext: embedding-norm PSI drift — delta batch vs indexed base"))
+      Some(s"""WITH hist AS (SELECT CAST(floor($emL2 / 0.1) AS BIGINT) AS bin, CAST(sum(CASE WHEN vec_id % 10 >= 8 THEN 1 ELSE 0 END) AS BIGINT) AS cp, CAST(sum(CASE WHEN vec_id % 10 < 8 THEN 1 ELSE 0 END) AS BIGINT) AS cq FROM embeddings GROUP BY 1), tot AS (SELECT CAST(sum(cp) AS BIGINT) AS np, CAST(sum(cq) AS BIGINT) AS nq, count(*) AS nb FROM hist) SELECT count(*) AS n_bins, CAST(sum(CASE WHEN cp = 0 OR cq = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_one_sided, max(nq) AS n_base, max(np) AS n_delta, round(sum(((cp + 0.5) / (np + 0.5 * nb) - (cq + 0.5) / (nq + 0.5 * nb)) * ln(((cp + 0.5) / (np + 0.5 * nb)) / ((cq + 0.5) / (nq + 0.5 * nb)))), 6) AS psi FROM hist CROSS JOIN tot"""),
+      "E3/E4 ext: embedding-norm PSI drift — delta batch vs indexed base, smoothed one-sided bins"))
 }
