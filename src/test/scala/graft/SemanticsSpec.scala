@@ -88,4 +88,40 @@ class SemanticsSpec extends SparkSpecBase {
     // observed BEFORE the filter: metrics see every scanned row
     assert(m("rows_seen") == 1000L && m("centuries") == 10L, s"got $m")
   }
+
+  test("q197 PSI alarms on fully disjoint norm bins (smoothing regression)") {
+    // base vectors (vec_id 0-7, one norm bin) and delta vectors (8-9, a
+    // FAR bin): zero shared bins. The pre-fix inner-join PSI returned
+    // n_bins=0 / psi NULL here — silence at maximum drift; the smoothed
+    // version must report both bins, both one-sided, and a LARGE psi.
+    val dir = Files.createTempDirectory("psi").toString
+    def vec(scale: Float): Seq[Float] = Seq.fill(4)(scale)
+    ((0L to 7L).map(i => (i, vec(0.5f), 0)) ++
+      Seq((8L, vec(4.5f), 1), (9L, vec(4.5f), 1)))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val row = SparkEntry.queries("q197_embedding_drift")(spark, dir).head()
+    val (nBins, oneSided) = (row.getLong(0), row.getLong(1))
+    val psi = row.getDouble(4)
+    assert(nBins == 2 && oneSided == 2, s"bins=$nBins oneSided=$oneSided")
+    assert(!psi.isNaN && psi > 1.0, s"psi=$psi must alarm loudly on disjoint bins")
+  }
+
+  test("q192 confidence quantizes by floor at an exact grid boundary") {
+    // 320 orders all contain brand A; 10 of them also brand B →
+    // conf(B→A appears as pair(A,B)/supp(A)) = 10/320 = 0.03125 EXACTLY.
+    // floor bp must give 312 (round's half-up would give 313 — the
+    // engine-specific tie the q144/q180 rule exists to avoid).
+    val dir = Files.createTempDirectory("basket").toString
+    Seq((1L, "Brand#A"), (2L, "Brand#B")).toDF("p_partkey", "p_brand")
+      .write.mode("overwrite").parquet(s"$dir/part.parquet")
+    val li = (1L to 320L).map(ok => (ok, 1L)) ++ (1L to 10L).map(ok => (ok, 2L))
+    li.toDF("l_orderkey", "l_partkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val out = SparkEntry.queries("q192_brand_basket")(spark, dir)
+      .select("ba", "bb", "supp", "conf_bp", "lift_pm")
+      .as[(String, String, Long, Long, Long)].collect().toSeq
+    // conf_bp = floor(10 * 10000 / 320) = 312; lift = 10*320/(320*10) = 1
+    assert(out == Seq(("Brand#A", "Brand#B", 10L, 312L, 1000L)), s"got $out")
+  }
 }
