@@ -71,6 +71,70 @@ object AnnOps {
       .select(col("vec_id"), col("embedding"), col("cent_id").as("cell"))
   }
 
+  /** The k ≈ √n cell-count rule for coarse quantizers whose cells feed
+    * PAIRWISE consumers (semantic dedup, cell-local all-pairs): with
+    * k = √n cells the expected cell size is √n, so total pair work is
+    * k · (n/k)² = n^1.5 — the SemDeDup operating point (tens of
+    * thousands of clusters at 10⁹ vectors), vs O(n²/k) at any constant
+    * k. Clamped below by `minK` (tiny corpora keep enough cells to be an
+    * index at all) and above by `maxK` (the centroid table must stay
+    * broadcast-sized: assignment is a crossJoin(broadcast(cents))).
+    */
+  def sqrtCells(n: Long, minK: Int = 8, maxK: Int = 65536): Int = {
+    require(n >= 0, s"vector count must be >= 0, got $n")
+    math.min(maxK.toLong, math.max(minK.toLong, math.ceil(math.sqrt(n.toDouble)).toLong)).toInt
+  }
+
+  /** Enforce — not just document — the pair budget of a cell-local
+    * pairwise consumer: computes Σ_cells |cell|·(|cell|−1)/2 over the
+    * assignment (one tiny agg over the cached index: |cells| rows after
+    * the groupBy) and raises when it exceeds `maxPairs`, naming the
+    * offending occupancy. The connectedComponents precedent: a config
+    * that would silently go quadratic must fail loudly with the fix
+    * (raise k toward [[sqrtCells]]) instead of grinding. Returns the
+    * actual pair count so callers/tests can report it.
+    */
+  def requireCellPairBudget(assigned: DataFrame, maxPairs: Long): Long = {
+    val (pairs, maxCell, k, _) = cellPairStats(assigned)
+    if (pairs > maxPairs) throw new IllegalStateException(
+      s"cell-local pairwise budget exceeded: $pairs pairs > $maxPairs budget " +
+        s"(k=$k cells, largest cell $maxCell). Raise the quantizer cell count " +
+        s"toward AnnOps.sqrtCells(n) so E|cell| ~ sqrt(n) keeps pair work ~ n^1.5.")
+    pairs
+  }
+
+  /** [[requireCellPairBudget]] with the budget derived from the data
+    * itself: maxPairs = `c` · n^1.5 — the pair count a [[sqrtCells]]-
+    * sized quantizer produces, with slack factor `c` for cell imbalance.
+    * A constant-k index stays under this only while n ≤ (c·k)², so the
+    * guard converts "we should have scaled k" from a forgotten config
+    * review into a hard failure at exactly the corpus size where the
+    * quadratic term starts to dominate.
+    */
+  def requireSqrtPairBudget(assigned: DataFrame, c: Double = 4.0): Long = {
+    val (pairs, maxCell, k, n) = cellPairStats(assigned)
+    val budget = (c * math.pow(n.toDouble, 1.5)).toLong
+    if (pairs > budget) throw new IllegalStateException(
+      s"cell-local pairwise budget exceeded: $pairs pairs > $budget (= $c*n^1.5, n=$n) " +
+        s"(k=$k cells, largest cell $maxCell). Raise the quantizer cell count " +
+        s"toward AnnOps.sqrtCells(n)=${sqrtCells(n)} so pair work stays ~ n^1.5.")
+    pairs
+  }
+
+  /** (Σ pairs, max cell size, cell count, vector count) — one small agg
+    * over the (cached) assignment: |cells| rows after the groupBy, a
+    * 1-row driver fetch after, the same cost class as
+    * connectedComponents' convergence count.
+    */
+  def cellPairStats(assigned: DataFrame): (Long, Long, Long, Long) = {
+    val row = assigned.groupBy("cell").agg(count(lit(1)).as("c"))
+      .agg(sum(col("c") * (col("c") - 1) / 2).cast("long").as("pairs"),
+        max("c").as("maxCell"), count(lit(1)).as("k"),
+        sum("c").cast("long").as("n"))
+      .head()
+    (row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3))
+  }
+
   /** Top-1 same-cell neighbor per query vector, ranked by the fused
     * cosine_sim expression (rounded, id-tiebroken → deterministic).
     */

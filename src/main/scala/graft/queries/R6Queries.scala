@@ -34,16 +34,23 @@ object R6Queries {
     // near-dup (q34): cluster first so the pairwise check is cell-local,
     // never corpus×corpus. Output: each dropped vector with its earliest
     // same-cell killer and the max within-cell cosine that doomed it.
-    // Scale shape: the cell equi-join is the indexed candidate generator
-    // (|cell|² pairs per cell, cells bounded by the quantizer); one
-    // groupBy on the dropped id. τ=0.4 sits above the within-cell
-    // cosine p99 (~0.32 at sf0.01) so drops are real near-dups, not mass
-    // deletion: 19 drops at sf0.01, 235 at sf0.1.
+    // Scale shape: the cell equi-join is the indexed candidate generator,
+    // Σ|cell|·(|cell|−1)/2 pairs total — bounded to ≈ n^1.5 ONLY while
+    // the quantizer's k tracks √n (AnnOps.sqrtCells; testdata pins k=8
+    // for oracle replay, within budget at every shipped SF). That bound
+    // is ENFORCED, not assumed: requireSqrtPairBudget raises with the
+    // measured occupancy the moment a constant-k config would go
+    // quadratic (n > (4k)² ≈ 1024 vectors/cell at k=8), instead of
+    // silently grinding at 100 TB. One groupBy on the dropped id.
+    // τ=0.4 sits above the within-cell cosine p99 (~0.32 at sf0.01) so
+    // drops are real near-dups, not mass deletion: 19 drops at sf0.01,
+    // 235 at sf0.1.
     QuerySpec(
       "q171_semantic_dedup",
       (s, d) => {
         graft.functions.CosineSimilarity.register(s)
         val al = ScaleQueries.ivfFlat(s, d)
+        graft.ops.AnnOps.requireSqrtPairBudget(al)
         val a = al.select(col("vec_id").as("aid"), col("embedding").as("ae"), col("cell"))
         val b = al.select(col("vec_id").as("bid"), col("embedding").as("be"), col("cell"))
         a.join(b, Seq("cell"))
@@ -828,14 +835,18 @@ object R6Queries {
         val docs = t(s, d, "documents")
         val v1 = docs.select(col("doc_id"), col("source").as("s1"), md5(col("text")).as("h1"))
         // v2 = v1 minus every 13th doc, every 17th re-texted, PLUS newly
-        // ingested docs (shifted ids so the added leg of the diff is
-        // genuinely exercised — a subset-only v2 makes n_added dead code)
+        // ingested docs (synthetic ids so the added leg of the diff is
+        // genuinely exercised — a subset-only v2 makes n_added dead code).
+        // Added-leg keys live OUTSIDE the id domain (-(id+1) < 0 for any
+        // doc_id >= 0) so no corpus size can collide them with real ids —
+        // a fixed positive offset would silently reclassify added rows as
+        // changed/unchanged once the corpus passes the offset.
         val v2 = docs.where(col("doc_id") % 13 =!= 0)
           .select(col("doc_id"), col("source").as("s2"),
             md5(when(col("doc_id") % 17 === 0, concat(col("text"), lit(" v2")))
               .otherwise(col("text"))).as("h2"))
           .unionByName(docs.where(col("doc_id") % 19 === 0)
-            .select((col("doc_id") + 1000000L).as("doc_id"), col("source").as("s2"),
+            .select((-(col("doc_id") + 1L)).as("doc_id"), col("source").as("s2"),
               md5(concat(col("text"), lit(" new"))).as("h2")))
         v1.join(v2, Seq("doc_id"), "full")
           .select(coalesce(col("s1"), col("s2")).as("source"), col("h1"), col("h2"))
@@ -847,7 +858,7 @@ object R6Queries {
             sum(when(col("h1") === col("h2"), 1L).otherwise(0L)).as("n_unchanged"))
           .orderBy("source")
       },
-      Some("""WITH v1 AS (SELECT doc_id, source AS s1, md5(text) AS h1 FROM documents), v2 AS (SELECT doc_id, source AS s2, md5(CASE WHEN doc_id % 17 = 0 THEN concat(text, ' v2') ELSE text END) AS h2 FROM documents WHERE doc_id % 13 <> 0 UNION ALL SELECT doc_id + 1000000, source, md5(concat(text, ' new')) FROM documents WHERE doc_id % 19 = 0), j AS (SELECT coalesce(v1.s1, v2.s2) AS source, v1.h1, v2.h2 FROM v1 FULL JOIN v2 ON v1.doc_id = v2.doc_id) SELECT source, CAST(sum(CASE WHEN h1 IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_added, CAST(sum(CASE WHEN h2 IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_removed, CAST(sum(CASE WHEN h1 IS NOT NULL AND h2 IS NOT NULL AND h1 <> h2 THEN 1 ELSE 0 END) AS BIGINT) AS n_changed, CAST(sum(CASE WHEN h1 = h2 THEN 1 ELSE 0 END) AS BIGINT) AS n_unchanged FROM j GROUP BY 1 ORDER BY source"""),
+      Some("""WITH v1 AS (SELECT doc_id, source AS s1, md5(text) AS h1 FROM documents), v2 AS (SELECT doc_id, source AS s2, md5(CASE WHEN doc_id % 17 = 0 THEN concat(text, ' v2') ELSE text END) AS h2 FROM documents WHERE doc_id % 13 <> 0 UNION ALL SELECT -(doc_id + 1), source, md5(concat(text, ' new')) FROM documents WHERE doc_id % 19 = 0), j AS (SELECT coalesce(v1.s1, v2.s2) AS source, v1.h1, v2.h2 FROM v1 FULL JOIN v2 ON v1.doc_id = v2.doc_id) SELECT source, CAST(sum(CASE WHEN h1 IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_added, CAST(sum(CASE WHEN h2 IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_removed, CAST(sum(CASE WHEN h1 IS NOT NULL AND h2 IS NOT NULL AND h1 <> h2 THEN 1 ELSE 0 END) AS BIGINT) AS n_changed, CAST(sum(CASE WHEN h1 = h2 THEN 1 ELSE 0 END) AS BIGINT) AS n_unchanged FROM j GROUP BY 1 ORDER BY source"""),
       "§2.1/§2.8 ext: dataset-version diff — keyed full-outer with content-hash change detection"),
 
     // q196 — one-round LABEL PROPAGATION (semi-supervised bootstrap):

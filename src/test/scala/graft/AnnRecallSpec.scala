@@ -68,6 +68,34 @@ class AnnRecallSpec extends SparkSpecBase {
     assert(dropped.nonEmpty, "degenerate corpus: dedup dropped nothing")
   }
 
+  test("q171 pair budget: shared-index occupancy stays under 4*n^1.5, overflow raises") {
+    // the ENFORCED version of q171's scale claim (VERDICT r4 #1): the
+    // pair count derived from the index's occupancy (q168's report) must
+    // sit under the sqrt-rule budget — and a quantizer collapse must
+    // raise with the measured occupancy, not silently go quadratic
+    val al = graft.ops.AnnOps.ivfAssignFlat(
+      Tables.load(spark, sf001, "embeddings"), 8)
+    val (pairs, maxCell, k, n) = graft.ops.AnnOps.cellPairStats(al)
+    assert(k == 8 && n == 500, s"index shape drifted: k=$k n=$n")
+    val budget = (4.0 * math.pow(n.toDouble, 1.5)).toLong
+    assert(pairs <= budget, s"pairs=$pairs over budget=$budget (maxCell=$maxCell)")
+    // requireSqrtPairBudget must agree (no throw) and report the same count
+    assert(graft.ops.AnnOps.requireSqrtPairBudget(al) == pairs)
+    // degenerate single-cell assignment: n²/2 pairs >> 4*n^1.5 at n=500
+    val collapsed = al.withColumn("cell", lit(0))
+    val ex = intercept[IllegalStateException] {
+      graft.ops.AnnOps.requireSqrtPairBudget(collapsed)
+    }
+    assert(ex.getMessage.contains("sqrtCells"), s"unhelpful overflow message: ${ex.getMessage}")
+  }
+
+  test("sqrtCells follows the k~sqrt(n) rule with broadcastable clamps") {
+    import graft.ops.AnnOps.sqrtCells
+    assert(sqrtCells(0) == 8 && sqrtCells(500) == 23 && sqrtCells(1000000) == 1000)
+    assert(sqrtCells(1000000000L) == 31623, "1e9 vectors -> ~31.6k cells (SemDeDup scale)")
+    assert(sqrtCells(Long.MaxValue / 4) == 65536, "max clamp keeps centroids broadcastable")
+  }
+
   test("q101 IVF-flat recall@1 >= 0.8 against brute force") {
     val got = top1Of("q101_ivf_flat")
     assert(got.keySet == truthTop3.keySet, "q101 must answer every query")

@@ -14,6 +14,20 @@ class QueriesSmokeSpec extends SparkSpecBase {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
   }
 
+  // The declared rows-only set: queries whose semantics are NOT oracle-
+  // expressible (MLlib KMeans) and are instead pinned by ScalaTest floors
+  // (AnnRecallSpec). Anything else missing an oracle is a query that
+  // would silently ship value-unchecked — fail structurally, not in
+  // round-review archaeology.
+  test("every registered query carries oracleSql except the declared rows-only set") {
+    val declaredRowsOnly = Set("q60_ivf_ann")
+    val unoracled = graft.queries.AllQueries.specs
+      .filter(_.oracle.isEmpty).map(_.name).toSet
+    assert(unoracled == declaredRowsOnly,
+      s"undeclared oracle-less queries: ${(unoracled -- declaredRowsOnly).toSeq.sorted.mkString(", ")}" +
+        s"; stale declarations: ${(declaredRowsOnly -- unoracled).toSeq.sorted.mkString(", ")}")
+  }
+
   // q12 legitimately returns 0 rows at sf0.001 (every customer has orders)
   private val mayBeEmpty = Set("q12_join_anti")
 
