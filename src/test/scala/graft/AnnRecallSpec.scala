@@ -89,6 +89,20 @@ class AnnRecallSpec extends SparkSpecBase {
     assert(ex.getMessage.contains("sqrtCells"), s"unhelpful overflow message: ${ex.getMessage}")
   }
 
+  test("q198 IVF-PQ recall@1 >= 0.9 and reconstruction beats the zero-codebook bound") {
+    // deterministic at this fixture (fixed Lloyd unroll, rounded grids):
+    // measured 0.9 at sf0.01 AND sf0.1 — the floor pins the ADC+re-rank
+    // serving path against a silently degrading codebook/shortlist change
+    val row = SparkEntry.queries("q198_ivf_pq")(spark, sf001).head()
+    assert(row.getAs[Long]("n_vecs") == 500, "PQ must code every corpus vector")
+    assert(row.getAs[Double]("recall_1") >= 0.9,
+      s"PQ recall@1 degraded: ${row.getAs[Double]("recall_1")}")
+    // mse sanity: far below the variance of the raw dims (~a zero-info
+    // codebook) — i.e. the codebooks actually learned the subspaces
+    assert(row.getAs[Double]("mse_u") > 0 && row.getAs[Double]("mse_u") < 20000,
+      s"PQ reconstruction error out of range: ${row.getAs[Double]("mse_u")}")
+  }
+
   test("sqrtCells follows the k~sqrt(n) rule with broadcastable clamps") {
     import graft.ops.AnnOps.sqrtCells
     assert(sqrtCells(0) == 8 && sqrtCells(500) == 23 && sqrtCells(1000000) == 1000)
