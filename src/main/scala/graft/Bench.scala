@@ -169,8 +169,20 @@ object Bench {
       line(withSf = false, mixed, floor = 0.05),
       line(withSf = false, mixed, floor = 0.15),
       line(withSf = false, mixed, floor = 0.25),
-      line(withSf = false, mixed, floor = 0.45))
-    val out = candidates.find(_.length <= budget).getOrElse(candidates.last)
+      line(withSf = false, mixed, floor = 0.45)) ++
+      // Dynamic escalation: as the query count grows, keep raising the
+      // floor until the line fits — each tier sheds the cheapest entries
+      // first, so the expensive (regression-relevant) ones survive
+      // longest. Terminal fallback drops the per-query map entirely: the
+      // headline total/cold scalars must ALWAYS parse (a silently
+      // over-budget line records "parsed": null driver-side — the exact
+      // failure this ladder exists to prevent; full detail is in the 4dp
+      // side file regardless).
+      Iterator.iterate(0.65)(_ + 0.25).take(12)
+        .map(fl => line(withSf = false, mixed, floor = fl)).toSeq ++
+      Seq(s"""{"metric":"total","value":${f(total, 2)},"unit":"sec","cold":${f(cold, 2)},"queries":{}}""")
+    val out = candidates.find(_.length <= budget)
+      .getOrElse(candidates.last)
     // side file carries GENUINE extra precision (4dp), not a copy of the
     // emitted 2dp line — it exists to resolve sub-0.01s ambiguities
     try java.nio.file.Files.writeString(

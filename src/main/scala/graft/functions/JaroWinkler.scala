@@ -48,12 +48,16 @@ case class JaroWinklerSimilarity(left: Expression, right: Expression)
 object JaroWinkler {
 
   /** Static entry point shared by the interpreted and generated paths.
-    * Operates on UTF-16 chars — identical to byte-wise comparison for
-    * ASCII inputs, and consistent per-code-unit matching otherwise.
+    * Operates on UTF-8 BYTES — the unit DuckDB's rapidfuzz-backed
+    * `jaro_winkler_similarity` matches on (verified on non-ASCII
+    * fixtures: lengths, match windows, and prefix boosts all count
+    * bytes, so e.g. jw('café','cafe') = 0.8483̅ from l1=5, m=3, p=3).
+    * Matching per byte also skips the per-row toString allocation the
+    * previous char-based version paid in the codegen hot path.
     */
   def sim(a: UTF8String, b: UTF8String): Double = {
-    val s1 = a.toString
-    val s2 = b.toString
+    val s1 = a.getBytes
+    val s2 = b.getBytes
     val l1 = s1.length
     val l2 = s2.length
     if (l1 == 0 || l2 == 0) return 0.0
@@ -68,7 +72,7 @@ object JaroWinkler {
       var j = lo
       var done = false
       while (j < hi && !done) {
-        if (!m2(j) && s1.charAt(i) == s2.charAt(j)) {
+        if (!m2(j) && s1(i) == s2(j)) {
           m1(i) = true; m2(j) = true; m += 1; done = true
         }
         j += 1
@@ -82,7 +86,7 @@ object JaroWinkler {
     while (i < l1) {
       if (m1(i)) {
         while (!m2(k)) k += 1
-        if (s1.charAt(i) != s2.charAt(k)) t += 1
+        if (s1(i) != s2(k)) t += 1
         k += 1
       }
       i += 1
@@ -92,7 +96,7 @@ object JaroWinkler {
     if (jaro > 0.7) {
       var p = 0
       val pMax = math.min(4, math.min(l1, l2))
-      while (p < pMax && s1.charAt(p) == s2.charAt(p)) p += 1
+      while (p < pMax && s1(p) == s2(p)) p += 1
       jaro += p * 0.1 * (1.0 - jaro)
     }
     jaro

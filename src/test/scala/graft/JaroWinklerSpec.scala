@@ -32,6 +32,26 @@ class JaroWinklerSpec extends SparkSpecBase {
       assert(JaroWinkler.sim(u(a), u(b)) == expected, s"($a, $b)")
   }
 
+  // DuckDB (rapidfuzz) matches UTF-8 BYTES, not characters: 'café' is a
+  // 5-byte string whose accent contributes two unmatched bytes. A
+  // char-based implementation scores these differently (e.g. café/cafe:
+  // chars → l1=4, bytes → l1=5), so this fixture pins the byte contract —
+  // the ADVICE-flagged latent divergence on any non-ASCII corpus.
+  private val pinnedNonAscii = Seq(
+    ("café", "cafe", 0.8483333333333334),
+    ("über", "uber", 0.7833333333333333),
+    ("naïve", "naive", 0.8577777777777779),
+    ("日本語テキスト", "日本語テスト", 0.9603174603174603),
+    ("résumé", "resume", 0.75),
+    ("Müller", "Mueller", 0.8285714285714287),
+    ("日本", "にほん", 0.0), // disjoint byte sets despite CJK neighborhood
+    ("αβγδε", "αβγδ", 0.96))
+
+  test("non-ASCII inputs match DuckDB's UTF-8 byte semantics") {
+    for ((a, b, expected) <- pinnedNonAscii)
+      assert(math.abs(JaroWinkler.sim(u(a), u(b)) - expected) < 1e-12, s"($a, $b)")
+  }
+
   test("codegen path agrees with the static helper and handles nulls") {
     JaroWinkler.register(spark)
     val df = pinned.map { case (a, b, _) => (a, b) }.toDF("a", "b")

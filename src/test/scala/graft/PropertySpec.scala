@@ -330,4 +330,68 @@ class PropertySpec extends SparkSpecBase {
       assert(truth.subsetOf(cand), s"iter=$i missing=${truth -- cand}")
     }
   }
+
+  // ---- QuantileOps adversarial cases (VERDICT r4 #7): the degenerate
+  // distributions of the two-level bucket-offset scheme. The mn==mx
+  // collapse is handled explicitly in the code; these prove the REST —
+  // every case asserts exact-element agreement (cut = ceil(frac·n)-th
+  // smallest, the sorted-local oracle) per group, never interpolation.
+
+  /** Sorted-local exact-element oracle: the ceil(frac·n)-th smallest. */
+  private def localCut(vs: Seq[Double], frac: Double): Double =
+    vs.sorted.apply(math.ceil(vs.size * frac).toInt.max(1) - 1)
+
+  private def checkQuantiles(rows: Seq[(String, Double)], fracs: Seq[Double],
+      buckets: Int, tag: String): Unit = {
+    val got = graft.ops.QuantileOps
+      .exactElementQuantiles(rows.toDF("g", "v"), "v", Seq("g"), fracs, buckets)
+      .collect().map(r => r.getString(0) ->
+        fracs.indices.map(i => r.getDouble(r.fieldIndex(s"cut_${i + 1}")))).toMap
+    val byG = rows.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    for ((g, vs) <- byG; (f, i) <- fracs.zipWithIndex)
+      assert(got(g)(i) == localCut(vs, f),
+        s"$tag g=$g frac=$f: got ${got(g)(i)}, want ${localCut(vs, f)} of ${vs.sorted}")
+  }
+
+  test("quantiles: all-equal values (every bucket empty but one) hit the single element") {
+    val rows = (1 to 37).map(_ => ("a", 5.5)) ++ (1 to 3).map(_ => ("b", -2.0))
+    checkQuantiles(rows, Seq(0.01, 0.5, 0.99), buckets = 16, tag = "all-equal")
+  }
+
+  test("quantiles: two-point distributions respect the exact rank boundary") {
+    // 9 lows + 1 high: p90 must be the 9th element (low), p91+ the high —
+    // an interpolating implementation would fabricate a value between
+    for (hi <- Seq(1.0, 1e9, 1.0000001)) {
+      val rows = (1 to 9).map(_ => ("a", 0.0)) ++ Seq(("a", hi)) ++
+        // second group with the opposite mix, same keys — exercises
+        // per-group min/max isolation
+        (1 to 2).map(_ => ("b", hi)) ++ Seq(("b", 0.0))
+      checkQuantiles(rows, Seq(0.5, 0.9, 0.91, 1.0), buckets = 8, tag = s"two-point hi=$hi")
+    }
+  }
+
+  test("quantiles: all values in ONE interior bucket (offset level degenerate)") {
+    // min 0 and max 1000 pin the range; everything else clusters in
+    // [500, 500.1] — with 8 buckets the cluster lands in a single bucket
+    // and the within-bucket window must produce every rank alone
+    val cluster = (0 until 20).map(i => ("a", 500.0 + i * 0.005))
+    val rows = Seq(("a", 0.0), ("a", 1000.0)) ++ cluster
+    checkQuantiles(rows, Seq(0.05, 0.5, 0.95, 1.0), buckets = 8, tag = "one-bucket")
+  }
+
+  test("quantiles: duplicates straddling a bucket edge keep multiplicity-correct ranks") {
+    // value 500.0 repeated lands exactly on the bucket-4-of-8 edge of
+    // [0,1000]; duplicates must count once per OCCURRENCE in the rank
+    // (the distinct-value pre-agg carries __c), not once per value
+    val rows = (1 to 5).map(_ => ("a", 500.0)) ++
+      Seq(("a", 0.0), ("a", 1000.0), ("a", 499.999), ("a", 500.001))
+    checkQuantiles(rows, Seq(0.25, 0.5, 0.75), buckets = 8, tag = "edge-dups")
+  }
+
+  test("quantiles: random groups agree with the sorted-local oracle (property sweep)") {
+    val gen = Gen.listOfN(30, Gen.zip(Gen.oneOf("a", "b", "c"),
+      Gen.oneOf(Gen.chooseNum(-100.0, 100.0), Gen.oneOf(0.0, 1.0, -1.0))))
+    for (rows <- samples(gen, 4))
+      checkQuantiles(rows, Seq(0.1, 0.5, 0.9), buckets = 16, tag = "random")
+  }
 }
