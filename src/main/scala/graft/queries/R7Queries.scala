@@ -147,5 +147,272 @@ object R7Queries {
           .orderBy("a", "b")
       },
       Some("""WITH s AS (SELECT doc_id, [unicode(substr(text, CAST(floor(j * strlen(text) / 64) AS INT) + 1, 1)) for j in generate_series(0, 63)] AS c FROM documents), ph AS (SELECT doc_id, list_sum([CASE WHEN 64 * c[j+1] > list_sum(c) THEN CAST(power(2, j) AS HUGEINT) ELSE 0 END for j in generate_series(0, 63)]) AS h FROM s), hashes AS (SELECT doc_id, CAST(h - CASE WHEN h >= 9223372036854775808 THEN 18446744073709551616 ELSE 0 END AS BIGINT) AS phash FROM ph), bb AS (SELECT doc_id, phash, band, (phash >> CAST(16 * band AS INT)) & 65535 AS bits FROM (SELECT doc_id, phash, unnest(generate_series(0, 3)) AS band FROM hashes) z), cand AS (SELECT DISTINCT a.doc_id AS a, b.doc_id AS b, a.phash AS pha, b.phash AS phb FROM bb a JOIN bb b ON a.band = b.band AND a.bits = b.bits AND a.doc_id < b.doc_id) SELECT a, b, CAST(bit_count(xor(pha, phb)) AS BIGINT) AS hamming FROM cand WHERE bit_count(xor(pha, phb)) <= 8 ORDER BY a, b"""),
-      "E2/E5 ext: perceptual-hash dedup of binary payloads (band-bucketed Hamming)"))
+      "E2/E5 ext: perceptual-hash dedup of binary payloads (band-bucketed Hamming)"),
+
+    // q200 — PCA top principal component by TWO UNROLLED POWER-ITERATION
+    // rounds (the q161/q137 fixed-iteration trick applied to the third
+    // classic iterative kernel): v ← normalize(Xᶜᵀ(Xᶜ v)) from the
+    // deterministic all-ones unit init. The d×d covariance matrix is
+    // NEVER materialized — each iteration is two keyed aggregations over
+    // the (n·d) element rows (project per vector, re-weight per
+    // dimension), which is the only shape that survives d in the
+    // thousands at 10⁹ rows; μ and v are d-row broadcasts. Every
+    // intermediate (μ, projections, weights, v) is rounded to 6dp so
+    // both engines iterate on the same value grid. Output: per-label
+    // projection stats along the top component + the variance it
+    // explains — the embedding-health readout (a collapsed embedder
+    // shows var_explained → 1).
+    QuerySpec(
+      "q200_pca_power",
+      (s, d) => {
+        val ex = t(s, d, "embeddings")
+          .select(col("vec_id"), col("label"),
+            posexplode(col("embedding")).as(Seq("pos", "xf")))
+          .withColumn("x", col("xf").cast("double"))
+        val mu = ex.groupBy("pos").agg(round(avg("x"), 6).as("m"))
+        val cx = ex.join(broadcast(mu), "pos")
+          .select(col("vec_id"), col("label"), col("pos"),
+            (col("x") - col("m")).as("xc"))
+        def iterate(v: DataFrame): DataFrame = {
+          val p = cx.join(broadcast(v), "pos")
+            .groupBy("vec_id").agg(round(sum(col("xc") * col("v")), 6).as("p"))
+          val w = cx.join(p, "vec_id")
+            .groupBy("pos").agg(round(sum(col("xc") * col("p")), 6).as("w"))
+          w.crossJoin(w.agg(sqrt(sum(col("w") * col("w"))).as("nrm")))
+            .select(col("pos"), round(col("w") / col("nrm"), 6).as("v"))
+        }
+        val v0 = ex.select(col("pos")).distinct().select(col("pos"), lit(0.125).as("v"))
+        val v2 = iterate(iterate(v0))
+        val pf = cx.join(broadcast(v2), "pos")
+          .groupBy("vec_id", "label").agg(round(sum(col("xc") * col("v")), 6).as("p"))
+        val tv = ex.groupBy("pos").agg(var_pop(col("x")).as("vr"))
+          .agg(sum("vr").as("totvar"))
+        val pv = pf.agg(var_pop(col("p")).as("pcvar"))
+        pf.groupBy("label")
+          .agg(count(lit(1)).as("n"), round(avg("p"), 6).as("avg_proj"),
+            round(stddev_pop(col("p")), 6).as("sd_proj"))
+          .crossJoin(pv).crossJoin(tv)
+          .select(col("label"), col("n"), col("avg_proj"), col("sd_proj"),
+            round(col("pcvar") / col("totvar"), 6).as("var_explained"))
+          .orderBy("label")
+      },
+      Some("""WITH ex AS (SELECT vec_id, label, u['p'] AS pos, CAST(u['x'] AS DOUBLE) AS x FROM (SELECT vec_id, label, unnest([{'p': i, 'x': embedding[i]} for i in generate_series(1, len(embedding))]) AS u FROM embeddings)), mu AS (SELECT pos, round(avg(x), 6) AS m FROM ex GROUP BY 1), cx AS (SELECT vec_id, label, ex.pos, ex.x - m AS xc FROM ex JOIN mu USING (pos)), p1 AS (SELECT vec_id, round(sum(xc * 0.125), 6) AS p FROM cx GROUP BY 1), w1 AS (SELECT pos, round(sum(xc * p), 6) AS w FROM cx JOIN p1 USING (vec_id) GROUP BY 1), v1 AS (SELECT pos, round(w / sqrt((SELECT sum(w * w) FROM w1)), 6) AS v FROM w1), p2 AS (SELECT vec_id, round(sum(xc * v), 6) AS p FROM cx JOIN v1 USING (pos) GROUP BY 1), w2 AS (SELECT pos, round(sum(xc * p), 6) AS w FROM cx JOIN p2 USING (vec_id) GROUP BY 1), v2 AS (SELECT pos, round(w / sqrt((SELECT sum(w * w) FROM w2)), 6) AS v FROM w2), pf AS (SELECT vec_id, label, round(sum(xc * v), 6) AS p FROM cx JOIN v2 USING (pos) GROUP BY 1, 2), tv AS (SELECT sum(vr) AS totvar FROM (SELECT var_pop(x) AS vr FROM ex GROUP BY pos) z), pv AS (SELECT var_pop(p) AS pcvar FROM pf) SELECT label, CAST(count(*) AS BIGINT) AS n, round(avg(p), 6) AS avg_proj, round(stddev_pop(p), 6) AS sd_proj, round((SELECT pcvar FROM pv) / (SELECT totvar FROM tv), 6) AS var_explained FROM pf GROUP BY 1 ORDER BY 1"""),
+      "E3/ML ext: PCA top component via two unrolled power-iteration rounds"),
+
+    // q201 — repeated-passage mining (the tractable projection of exact
+    // SUBSTRING dedup, Lee et al.'s suffix-array pass): every 8-token
+    // window (stride 1) of every doc, grouped corpus-wide; a doc's
+    // contamination score is the fraction of its windows whose passage
+    // also appears in some OTHER doc. This catches verbatim copied spans
+    // that 5-gram shingle Jaccard dilutes below threshold (a 30-token
+    // quote inside a 500-token doc moves Jaccard ~6% but lights up 23
+    // consecutive windows here). Scale: window rows ≈ token rows (the
+    // shingleRows cost class, map-side generate); one shuffle groups by
+    // passage, one joins the (passage → spread) table back — no pairwise
+    // anything. Docs under 8 tokens have no windows and are absent, as
+    // in the shingle family.
+    QuerySpec(
+      "q201_passage_mining",
+      (s, d) => {
+        val tk = t(s, d, "documents").repartition(col("doc_id"))
+          .select(col("doc_id"), graft.ops.TextOps.tokens(col("text")).as("tk"))
+        val w = tk.where(size(col("tk")) >= 8)
+          .select(col("doc_id"), explode(expr(
+            "transform(sequence(0, size(tk) - 8), i -> concat_ws(' ', slice(tk, i + 1, 8)))"))
+            .as("p"))
+        val g = w.groupBy("p")
+          .agg(countDistinct("doc_id").as("n_docs"), count(lit(1)).as("n_occ"))
+        w.join(g, "p")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_windows"),
+            sum(when(col("n_docs") >= 2, 1L).otherwise(0L)).as("n_shared"),
+            max(when(col("n_docs") >= 2, col("n_occ")).otherwise(0L)).as("max_spread"))
+          .withColumn("shared_frac", round(col("n_shared") / col("n_windows"), 6))
+          .orderBy("doc_id")
+      },
+      Some("""WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents), w AS (SELECT doc_id, unnest([concat_ws(' ', tk[i], tk[i+1], tk[i+2], tk[i+3], tk[i+4], tk[i+5], tk[i+6], tk[i+7]) for i in generate_series(1, len(tk) - 7)]) AS p FROM toks WHERE len(tk) >= 8), g AS (SELECT p, count(DISTINCT doc_id) AS n_docs, count(*) AS n_occ FROM w GROUP BY 1) SELECT doc_id, count(*) AS n_windows, CAST(sum(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared, CAST(max(CASE WHEN n_docs >= 2 THEN n_occ ELSE 0 END) AS BIGINT) AS max_spread, round(sum(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) * 1.0 / count(*), 6) AS shared_frac FROM w JOIN g USING (p) GROUP BY 1 ORDER BY 1"""),
+      "E1/E4 ext: repeated-passage mining (verbatim-span contamination per doc)"),
+
+    // q202 — dedup aggressiveness curve: for each candidate threshold θ,
+    // how many verified pairs survive and how many docs a keep-lowest-id
+    // policy would drop. THE tuning artifact of a dedup deployment — θ is
+    // the single knob, and this is its dose-response curve, computed in
+    // ONE pass over the already-verified pair table (explode pairs × 5
+    // thresholds, conditional aggs so every θ row survives even when no
+    // pair does) — the pair table is the expensive build and it is the
+    // shared minhashCand/shingleSets artifact, reused cached.
+    QuerySpec(
+      "q202_dedup_sweep",
+      (s, d) => {
+        val jac = graft.ops.DedupOps.jaccardForPairs(
+          ScaleQueries.minhashCand(s, d), ScaleQueries.shingleSets(s, d))
+        jac.withColumn("threshold",
+            explode(array(Seq(0.5, 0.6, 0.7, 0.8, 0.9).map(lit): _*)))
+          .groupBy("threshold")
+          .agg(
+            sum(when(col("jaccard") >= col("threshold"), 1L).otherwise(0L)).as("n_pairs"),
+            countDistinct(when(col("jaccard") >= col("threshold"), col("b")))
+              .as("n_docs_dropped"))
+          .crossJoin(t(s, d, "documents").agg(count(lit(1)).as("n_docs")))
+          .select(col("threshold"), col("n_pairs"), col("n_docs_dropped"),
+            round(col("n_docs_dropped") / col("n_docs"), 6).as("drop_frac"))
+          .orderBy("threshold")
+      },
+      Some(s"""${ScaleQueries.shingleCte}, cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1), inter AS (SELECT c.a, c.b, count(*) AS c FROM cand c JOIN sh sa ON sa.doc_id = c.a JOIN sh sb ON sb.doc_id = c.b AND sb.s = sa.s GROUP BY 1, 2), jac AS (SELECT c.a, c.b, round(coalesce(i.c, 0) * 1.0 / (ca.n + cb.n - coalesce(i.c, 0)), 6) AS jaccard FROM cand c LEFT JOIN inter i ON i.a = c.a AND i.b = c.b JOIN cnt ca ON ca.doc_id = c.a JOIN cnt cb ON cb.doc_id = c.b), th AS (SELECT unnest([0.5, 0.6, 0.7, 0.8, 0.9]) AS threshold) SELECT threshold, CAST(sum(CASE WHEN jaccard >= threshold THEN 1 ELSE 0 END) AS BIGINT) AS n_pairs, CAST(count(DISTINCT CASE WHEN jaccard >= threshold THEN b END) AS BIGINT) AS n_docs_dropped, round(count(DISTINCT CASE WHEN jaccard >= threshold THEN b END) * 1.0 / (SELECT count(*) FROM documents), 6) AS drop_frac FROM jac CROSS JOIN th GROUP BY 1 ORDER BY 1"""),
+      "E2 ext: dedup threshold dose-response curve over the verified pair table"),
+
+    // q203 — near-dup cluster CANONICALIZATION: the step that turns the
+    // cluster map into an actual dataset edit. Per cluster, keep the
+    // richest doc (max n_chars, doc_id as the deterministic tie-break)
+    // and account for what the edit saves. One window over each cluster's
+    // members (bounded by cluster size — near-dup clusters are small by
+    // construction; the q142-style per-source cap is the guard upstream)
+    // plus a broadcast-size doc-metadata join. Reads the cached cluster
+    // map; never recomputes candidates/verify/CC.
+    QuerySpec(
+      "q203_cluster_canon",
+      (s, d) => {
+        val members = ScaleQueries.neardupClusters(s, d)
+          .select(col("id").as("doc_id"), col("cluster"))
+          .join(t(s, d, "documents").select(col("doc_id"), col("n_chars")), "doc_id")
+        val w = Window.partitionBy("cluster")
+          .orderBy(col("n_chars").desc, col("doc_id").asc)
+        members.withColumn("rn", row_number().over(w))
+          .groupBy("cluster")
+          .agg(count(lit(1)).as("n_members"),
+            min(when(col("rn") === 1, col("doc_id"))).as("kept_doc"),
+            max(when(col("rn") === 1, col("n_chars"))).as("kept_chars"),
+            sum(when(col("rn") =!= 1, col("n_chars")).otherwise(0L)).as("chars_dropped"))
+          .orderBy("cluster")
+      },
+      Some(s"""${ScaleQueries.shingleCte.replaceFirst("WITH ", "WITH RECURSIVE ")}, cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1), inter AS (SELECT c.a, c.b, count(*) AS c FROM cand c JOIN sh sa ON sa.doc_id = c.a JOIN sh sb ON sb.doc_id = c.b AND sb.s = sa.s GROUP BY 1, 2), jacp AS (SELECT c.a, c.b FROM cand c JOIN inter i ON i.a = c.a AND i.b = c.b JOIN cnt ca ON ca.doc_id = c.a JOIN cnt cb ON cb.doc_id = c.b WHERE round(i.c * 1.0 / (ca.n + cb.n - i.c), 6) >= 0.5), e AS (SELECT a AS src, b AS dst FROM jacp UNION SELECT b, a FROM jacp), reach AS (SELECT src AS id, src AS r FROM e UNION SELECT re.id, e.dst FROM reach re JOIN e ON e.src = re.r), comp AS (SELECT id AS doc_id, min(r) AS cluster FROM reach GROUP BY 1), m AS (SELECT comp.doc_id, comp.cluster, d.n_chars, row_number() OVER (PARTITION BY comp.cluster ORDER BY d.n_chars DESC, comp.doc_id) AS rn FROM comp JOIN documents d USING (doc_id)) SELECT cluster, CAST(count(*) AS BIGINT) AS n_members, CAST(min(CASE WHEN rn = 1 THEN doc_id END) AS BIGINT) AS kept_doc, CAST(max(CASE WHEN rn = 1 THEN n_chars END) AS BIGINT) AS kept_chars, CAST(sum(CASE WHEN rn <> 1 THEN n_chars ELSE 0 END) AS BIGINT) AS chars_dropped FROM m GROUP BY 1 ORDER BY 1"""),
+      "E2 ext: cluster canonicalization — keep-richest representative + savings accounting"),
+
+    // q204 — ordered event FUNNEL with per-step time windows (view →
+    // click within 6h → purchase within 6h): the canonical product-
+    // analytics query, decorrelated into three keyed min-aggs — each
+    // step is one equi-join on user_id against the previous step's
+    // (user, ts) table, never a self-cross. Scale: step tables shrink
+    // monotonically (150 → 19 → 1 at sf0.01), so each later join is
+    // against an ever-smaller broadcastable side; timestamps compare
+    // exactly (micros both engines).
+    QuerySpec(
+      "q204_event_funnel",
+      (s, d) => {
+        val ev = t(s, d, "events").select(col("user_id"), col("event_type"), col("ts"))
+        val s1 = ev.where(col("event_type") === "view")
+          .groupBy("user_id").agg(min("ts").as("t1"))
+        val s2 = ev.where(col("event_type") === "click").join(s1, "user_id")
+          .where(col("ts") > col("t1") &&
+            col("ts") <= col("t1") + expr("INTERVAL 6 HOURS"))
+          .groupBy("user_id").agg(min("ts").as("t2"))
+        val s3 = ev.where(col("event_type") === "purchase").join(s2, "user_id")
+          .where(col("ts") > col("t2") &&
+            col("ts") <= col("t2") + expr("INTERVAL 6 HOURS"))
+          .groupBy("user_id").agg(min("ts").as("t3"))
+        ev.agg(countDistinct("user_id").as("n_users"))
+          .crossJoin(s1.agg(count(lit(1)).as("n_view")))
+          .crossJoin(s2.agg(count(lit(1)).as("n_click")))
+          .crossJoin(s3.agg(count(lit(1)).as("n_purchase")))
+          .select(col("n_users"), col("n_view"), col("n_click"), col("n_purchase"),
+            round(col("n_click") / col("n_view"), 6).as("view_to_click"),
+            round(col("n_purchase") / col("n_click"), 6).as("click_to_purchase"))
+      },
+      Some("""WITH ev AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events), s1 AS (SELECT user_id, min(ts) AS t1 FROM ev WHERE event_type = 'view' GROUP BY 1), s2 AS (SELECT e.user_id, min(ts) AS t2 FROM ev e JOIN s1 ON s1.user_id = e.user_id AND e.ts > s1.t1 AND e.ts <= s1.t1 + INTERVAL '6 hours' WHERE event_type = 'click' GROUP BY 1), s3 AS (SELECT e.user_id, min(ts) AS t3 FROM ev e JOIN s2 ON s2.user_id = e.user_id AND e.ts > s2.t2 AND e.ts <= s2.t2 + INTERVAL '6 hours' WHERE event_type = 'purchase' GROUP BY 1) SELECT (SELECT count(DISTINCT user_id) FROM ev) AS n_users, (SELECT count(*) FROM s1) AS n_view, (SELECT count(*) FROM s2) AS n_click, (SELECT count(*) FROM s3) AS n_purchase, round((SELECT count(*) FROM s2) * 1.0 / (SELECT count(*) FROM s1), 6) AS view_to_click, round((SELECT count(*) FROM s3) * 1.0 / (SELECT count(*) FROM s2), 6) AS click_to_purchase"""),
+      "§2.12 ext: time-bounded ordered funnel via cascading keyed min-aggs"),
+
+    // q205 — first-order Markov transition matrix over each user's
+    // event-type sequence (the behavior model behind session simulators
+    // and anomaly scorers): lag() per user ordered by (ts, event_id) —
+    // the deterministic tie-break matters, ts collisions exist — then
+    // one count agg and a broadcast row-normalization join. Windows are
+    // user-partitioned (bounded by events-per-user); the transition
+    // table itself is |types|² ≤ 25 rows.
+    QuerySpec(
+      "q205_markov_transitions",
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+        val pairs = t(s, d, "events")
+          .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+          .withColumn("prev_type", lag("event_type", 1).over(w))
+          .where(col("prev_type").isNotNull)
+          .groupBy(col("prev_type"), col("event_type").as("next_type"))
+          .agg(count(lit(1)).as("n"))
+        val tot = pairs.groupBy("prev_type").agg(sum("n").as("tot"))
+        pairs.join(broadcast(tot), "prev_type")
+          .select(col("prev_type"), col("next_type"), col("n"),
+            round(col("n") / col("tot"), 6).as("p"))
+          .orderBy("prev_type", "next_type")
+      },
+      Some("""WITH o AS (SELECT user_id, event_type, lag(event_type) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev_type FROM events), pr AS (SELECT prev_type, event_type AS next_type, count(*) AS n FROM o WHERE prev_type IS NOT NULL GROUP BY 1, 2), tot AS (SELECT prev_type, sum(n) AS tot FROM pr GROUP BY 1) SELECT pr.prev_type, pr.next_type, CAST(pr.n AS BIGINT) AS n, round(pr.n * 1.0 / tot.tot, 6) AS p FROM pr JOIN tot USING (prev_type) ORDER BY 1, 2"""),
+      "§2.12 ext: per-user Markov transition matrix (lag + row-normalized counts)"),
+
+    // q206 — Zipf fit: OLS of ln(freq) on ln(rank) over the corpus term-
+    // frequency table — the one-line corpus-health check (natural text
+    // slopes ≈ −1; a synthetic or template-heavy corpus flattens). The
+    // only global window ranks the per-term TOTAL table (|vocab| rows —
+    // bounded like q141's heavy-hitters input, allowlisted with that
+    // bound); the regression is closed-form sums over ≤100 ranked rows.
+    QuerySpec(
+      "q206_zipf_fit",
+      (s, d) => {
+        val tot = ScaleQueries.termFreq(s, d)
+          .groupBy("term").agg(sum("tf").as("c"))
+        val ranked = tot
+          .withColumn("rn", row_number().over(
+            Window.orderBy(col("c").desc, col("term").asc)))
+          .where(col("rn") <= 100)
+          .select(log(col("rn")).as("x"), log(col("c")).as("y"))
+        ranked.agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+            sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"),
+            sum(col("y") * col("y")).as("syy"))
+          .select(col("n").cast("long").as("n_terms"),
+            round((col("n") * col("sxy") - col("sx") * col("sy")) /
+              (col("n") * col("sxx") - col("sx") * col("sx")), 6).as("slope"),
+            round((col("sy") - (col("n") * col("sxy") - col("sx") * col("sy")) /
+              (col("n") * col("sxx") - col("sx") * col("sx")) * col("sx")) / col("n"), 6)
+              .as("intercept"),
+            round(pow(col("n") * col("sxy") - col("sx") * col("sy"), 2) /
+              ((col("n") * col("sxx") - col("sx") * col("sx")) *
+               (col("n") * col("syy") - col("sy") * col("sy"))), 6).as("r2"))
+      },
+      Some("""WITH tok AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents), tot AS (SELECT term, count(*) AS c FROM tok GROUP BY 1), ranked AS (SELECT ln(rn) AS x, ln(c) AS y FROM (SELECT c, row_number() OVER (ORDER BY c DESC, term) AS rn FROM tot) z WHERE rn <= 100), s AS (SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy FROM ranked) SELECT CAST(n AS BIGINT) AS n_terms, round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope, round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6) AS intercept, round(pow(n * sxy - sx * sy, 2) / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2 FROM s"""),
+      "E4 ext: Zipf law fit (closed-form OLS over the ranked term totals)"),
+
+    // q207 — DSIR-style importance weights: score every doc by the
+    // log-likelihood ratio of its unigrams under the TARGET domain's
+    // (lang='en') smoothed LM vs the whole-corpus LM — the
+    // importance-resampling signal for steering a 100-TB crawl toward a
+    // target distribution without training anything. All inputs are
+    // aggregates of the shared termFreq cache: two |vocab|-row LM tables
+    // (broadcast), scalar totals, one join back over the (doc, term)
+    // rows. Laplace smoothing keeps out-of-target terms finite, the
+    // q197/PSI stance.
+    QuerySpec(
+      "q207_dsir_weights",
+      (s, d) => {
+        val tf = ScaleQueries.termFreq(s, d)
+        val docs = t(s, d, "documents").select(col("doc_id"), col("lang"))
+        val tgt = tf.join(docs.where(col("lang") === "en"), "doc_id")
+          .groupBy("term").agg(sum("tf").as("ct"))
+        val all = tf.groupBy("term").agg(sum("tf").as("cg"))
+        val lm = all.join(tgt, Seq("term"), "left")
+          .na.fill(0L, Seq("ct"))
+          .crossJoin(all.agg(sum("cg").as("ng"), count(lit(1)).as("v")))
+          .crossJoin(tgt.agg(sum("ct").as("nt")))
+          .select(col("term"),
+            (log((col("ct") + 1) / (col("nt") + col("v"))) -
+             log((col("cg") + 1) / (col("ng") + col("v")))).as("lr"))
+        val wdoc = tf.join(broadcast(lm), "term")
+          .groupBy("doc_id")
+          .agg(round(sum(col("tf") * col("lr")) / sum("tf"), 6).as("w"))
+        wdoc.join(docs, "doc_id")
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"), round(avg("w"), 6).as("avg_w"),
+            round(sum(when(col("w") > 0, 1L).otherwise(0L)) / count(lit(1)), 6)
+              .as("upsample_frac"))
+          .orderBy("lang")
+      },
+      Some("""WITH tok AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents), tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2), tgt AS (SELECT term, sum(tf.tf) AS ct FROM tf JOIN documents d USING (doc_id) WHERE d.lang = 'en' GROUP BY 1), allt AS (SELECT term, sum(tf) AS cg FROM tf GROUP BY 1), tots AS (SELECT (SELECT sum(cg) FROM allt) AS ng, (SELECT count(*) FROM allt) AS v, (SELECT sum(ct) FROM tgt) AS nt), lm AS (SELECT a.term, ln((coalesce(t.ct, 0) + 1) * 1.0 / (tots.nt + tots.v)) - ln((a.cg + 1) * 1.0 / (tots.ng + tots.v)) AS lr FROM allt a LEFT JOIN tgt t USING (term) CROSS JOIN tots), wdoc AS (SELECT doc_id, round(sum(tf.tf * lm.lr) / sum(tf.tf), 6) AS w FROM tf JOIN lm USING (term) GROUP BY 1) SELECT d.lang, CAST(count(*) AS BIGINT) AS n_docs, round(avg(w), 6) AS avg_w, round(sum(CASE WHEN w > 0 THEN 1 ELSE 0 END) * 1.0 / count(*), 6) AS upsample_frac FROM wdoc JOIN documents d USING (doc_id) GROUP BY 1 ORDER BY 1"""),
+      "E4 ext: DSIR-style importance weights (target-vs-corpus unigram LLR)"))
 }

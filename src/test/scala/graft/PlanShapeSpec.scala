@@ -145,9 +145,11 @@ class PlanShapeSpec extends SparkSpecBase {
     //   q181 — per-source token-total table (|sources| rows)
     //   q182 — bucket-total offsets table (≤65536 rows at any corpus
     //          size; the per-value window is bucket-partitioned)
+    //   q206 — per-term TOTAL table (|vocab| rows, the q141 heavy-hitters
+    //          input class; raw token rows never enter the window)
     val allowlist = Set("q25_string_indexer", "q26_index_to_string",
       "q114_quantile_binning", "q148_skew_diag", "q153_weighted_sample",
-      "q160_mom_yoy", "q181_budget_alloc", "q182_winsorize")
+      "q160_mom_yoy", "q181_budget_alloc", "q182_winsorize", "q206_zipf_fit")
     // balanced-paren extraction: a naive [^)]* capture truncates at the
     // first ')' inside an ORDER BY expression like round(x, 2), which
     // would hide its ASC/DESC marker and let a global window through
