@@ -141,6 +141,7 @@ object ScaleQueries {
     truthTop3(s, d).count()
     neardupClusters(s, d).count()
     R3Queries.warmGraph(s, d)
+    R7Queries.warmPq(s, d)
   }
 
   /** Shared DuckDB CTE prefix replaying shingles + 4-band md5-slice
