@@ -502,5 +502,129 @@ object R7Queries {
           .orderBy("a", "b")
       },
       Some("""WITH s AS (SELECT doc_id, [unicode(substr(text, CAST(floor(j * strlen(text) / 64) AS INT) + 1, 1)) for j in generate_series(0, 63)] AS c FROM documents), ph AS (SELECT doc_id, list_sum([CASE WHEN 64 * c[j+1] > list_sum(c) THEN CAST(power(2, j) AS HUGEINT) ELSE 0 END for j in generate_series(0, 63)]) AS h FROM s), hashes AS (SELECT doc_id, CAST(h - CASE WHEN h >= 9223372036854775808 THEN 18446744073709551616 ELSE 0 END AS BIGINT) AS phash FROM ph), bb AS (SELECT doc_id, phash, band, (phash >> CAST(16 * band AS INT)) & 65535 AS bits FROM (SELECT doc_id, phash, unnest(generate_series(0, 3)) AS band FROM hashes) z), cand AS (SELECT DISTINCT a.doc_id AS a, b.doc_id AS b, a.phash AS pha, b.phash AS phb FROM bb a JOIN bb b ON a.band = b.band AND a.bits = b.bits AND a.doc_id < b.doc_id WHERE a.doc_id % 10 >= 8 OR b.doc_id % 10 >= 8) SELECT a, b, CAST(bit_count(xor(pha, phb)) AS BIGINT) AS hamming, CAST(b % 10 >= 8 AS BIGINT) AS b_is_new FROM cand WHERE bit_count(xor(pha, phb)) <= 8 ORDER BY a, b"""),
-      "E2/E5 ext: incremental media dedup — delta probes the persisted phash band index"))
+      "E2/E5 ext: incremental media dedup — delta probes the persisted phash band index"),
+
+    // q209 — the FULL IVF-PQ serving stack, coarse stage included (q198
+    // is flat ADC: it scores every code row; real serving first prunes
+    // with the coarse quantizer): queries probe their top-2 IVF cells
+    // (the shared ivfFlat index), ADC scores ONLY the probed cells'
+    // code rows via the per-query LUT, the top-20 shortlist gets the
+    // exact re-rank. Measured here: the stack scans ~24% of the corpus
+    // for recall@1 0.8-0.9 vs flat ADC's 100%/0.9 — the cost/recall
+    // trade the nprobe knob (q210) tunes. Every component is a shared
+    // memoized artifact (ivfFlat, pqCodebook, pqCodes, truthTop3); the
+    // query itself is the cell equi-join + code-row joins + 10×20
+    // full-vector re-rank.
+    QuerySpec(
+      "q209_ivf_adc",
+      (s, d) => {
+        graft.functions.CosineSimilarity.register(s)
+        val e = t(s, d, "embeddings")
+        val cents = e.where(col("vec_id") < 8)
+          .select(col("vec_id").as("cent_id"), col("embedding").as("ce"))
+        val wq = Window.partitionBy("qid").orderBy(col("cos_c").desc, col("cent_id").asc)
+        val probes = e.where(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+          .crossJoin(broadcast(cents))
+          .select(col("qid"), col("cent_id"),
+            round(expr("cosine_sim(qe, ce)"), 6).as("cos_c"))
+          .withColumn("pn", row_number().over(wq))
+          .where(col("pn") <= 2)
+          .select(col("qid"), col("cent_id").as("cell"))
+        val cand = probes
+          .join(ScaleQueries.ivfFlat(s, d).select(col("vec_id").as("cid"), col("cell")), "cell")
+          .where(col("cid") =!= col("qid"))
+          .select("qid", "cid")
+        val ex = pqElems(s, d)
+        val c1 = pqCodebook(s, d)
+        val a2 = pqCodes(s, d)
+        val qx = ex.where(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("sub"), col("pos"), col("x"))
+        val qn = qx.groupBy("qid").agg(sqrt(sum(col("x") * col("x"))).as("nv"))
+        val lut = qx.join(broadcast(c1), Seq("sub", "pos"))
+          .groupBy("qid", "sub", "code").agg(sum(col("x") * col("cx")).as("pdot"))
+        val cn2 = c1.groupBy("sub", "code").agg(sum(col("cx") * col("cx")).as("n2"))
+        val ws = Window.partitionBy("qid").orderBy(col("cos_a").desc, col("cid").asc)
+        val short = cand
+          .join(a2.select(col("vec_id").as("cid"), col("sub"), col("code")), "cid")
+          .join(broadcast(lut), Seq("qid", "sub", "code"))
+          .join(broadcast(cn2), Seq("sub", "code"))
+          .groupBy("qid", "cid")
+          .agg(sum("pdot").as("dot"), sqrt(sum("n2")).as("nc"))
+          .join(broadcast(qn), "qid")
+          .select(col("qid"), col("cid"),
+            round(col("dot") / (col("nv") * col("nc")), 6).as("cos_a"))
+          .withColumn("rn", row_number().over(ws))
+          .where(col("rn") <= 20)
+        val wr = Window.partitionBy("qid").orderBy(col("cos_r").desc, col("cid").asc)
+        val best = short
+          .join(e.select(col("vec_id").as("qid"), col("embedding").as("qe")), "qid")
+          .join(e.select(col("vec_id").as("cid"), col("embedding").as("ce")), "cid")
+          .select(col("qid"), col("cid"),
+            round(expr("cosine_sim(qe, ce)"), 6).as("cos_r"))
+          .withColumn("rn", row_number().over(wr))
+          .where(col("rn") === 1)
+        val truth = ScaleQueries.truthTop3(s, d)
+          .where(col("rn") === 1).select(col("qid"), col("cid").as("true_cid"))
+        val scanned = cand.agg(count(lit(1)).as("n_scanned"))
+          .crossJoin(e.agg((count(lit(1)) - 1).as("npc")))
+          .select(col("n_scanned"),
+            round(col("n_scanned") / (col("npc") * 10), 6).as("scan_frac"))
+        scanned.crossJoin(
+          best.join(truth, "qid")
+            .agg(sum(when(col("cid") === col("true_cid"), 1L).otherwise(0L)).as("hits"),
+              round(sum(when(col("cid") === col("true_cid"), 1L).otherwise(0L)) /
+                count(lit(1)), 6).as("recall_1")))
+      },
+      Some("""WITH e AS (SELECT vec_id, embedding, sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE) for x in embedding])) AS nrm FROM embeddings), asg AS (SELECT a.vec_id, a.embedding, a.nrm, b.vec_id AS cell, row_number() OVER (PARTITION BY a.vec_id ORDER BY round(list_sum([CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE) for i in generate_series(1, len(a.embedding))]) / (a.nrm * b.nrm), 6) DESC, b.vec_id) AS rn FROM e a CROSS JOIN (SELECT vec_id, embedding, nrm FROM e WHERE vec_id < 8) b), cells AS (SELECT vec_id, cell FROM asg WHERE rn = 1), probes AS (SELECT vec_id AS qid, cell FROM asg WHERE rn <= 2 AND vec_id < 10), candd AS (SELECT p.qid, c.vec_id AS cid FROM probes p JOIN cells c USING (cell) WHERE c.vec_id <> p.qid), ex AS (SELECT vec_id, u['p'] AS pos, CAST(floor((u['p'] - 1) / 4) AS INT) AS sub, CAST(u['x'] AS DOUBLE) AS x FROM (SELECT vec_id, unnest([{'p': i, 'x': embedding[i]} for i in generate_series(1, len(embedding))]) AS u FROM embeddings)), c0 AS (SELECT sub, vec_id AS code, pos, round(x, 6) AS cx FROM ex WHERE vec_id < 32), d1 AS (SELECT ex.vec_id, ex.sub, c0.code, round(sum(pow(ex.x - c0.cx, 2)), 6) AS d2 FROM ex JOIN c0 ON ex.pos = c0.pos GROUP BY 1, 2, 3), a1 AS (SELECT vec_id, sub, code FROM (SELECT vec_id, sub, code, row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2, code) AS rn FROM d1) WHERE rn = 1), c1 AS (SELECT a1.sub, a1.code, ex.pos, round(avg(ex.x), 6) AS cx FROM ex JOIN a1 ON ex.vec_id = a1.vec_id AND ex.sub = a1.sub GROUP BY 1, 2, 3), d2t AS (SELECT ex.vec_id, ex.sub, c1.code, round(sum(pow(ex.x - c1.cx, 2)), 6) AS d2 FROM ex JOIN c1 ON ex.pos = c1.pos AND ex.sub = c1.sub GROUP BY 1, 2, 3), a2 AS (SELECT vec_id, sub, code FROM (SELECT vec_id, sub, code, row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2, code) AS rn FROM d2t) WHERE rn = 1), qx AS (SELECT vec_id AS qid, pos, sub, x FROM ex WHERE vec_id < 10), qn AS (SELECT qid, sqrt(sum(x * x)) AS nv FROM qx GROUP BY 1), lut AS (SELECT qx.qid, c1.sub, c1.code, sum(qx.x * c1.cx) AS pdot FROM qx JOIN c1 ON qx.pos = c1.pos AND qx.sub = c1.sub GROUP BY 1, 2, 3), cn2 AS (SELECT sub, code, sum(cx * cx) AS n2 FROM c1 GROUP BY 1, 2), score AS (SELECT cd.qid, cd.cid, sum(l.pdot) AS dot, sqrt(sum(cn2.n2)) AS nc FROM candd cd JOIN a2 ON a2.vec_id = cd.cid JOIN lut l ON l.qid = cd.qid AND l.sub = a2.sub AND l.code = a2.code JOIN cn2 ON cn2.sub = a2.sub AND cn2.code = a2.code GROUP BY 1, 2), short AS (SELECT qid, cid FROM (SELECT s.qid, s.cid, row_number() OVER (PARTITION BY s.qid ORDER BY round(s.dot / (qn.nv * s.nc), 6) DESC, s.cid) AS rn FROM score s JOIN qn USING (qid)) WHERE rn <= 20), rr AS (SELECT sh.qid, sh.cid, round(list_sum([CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE) for i in generate_series(1, len(q.embedding))]) / (q.nrm * c.nrm), 6) AS cos_r FROM short sh JOIN e q ON q.vec_id = sh.qid JOIN e c ON c.vec_id = sh.cid), best AS (SELECT qid, cid FROM (SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY cos_r DESC, cid) AS rn FROM rr) WHERE rn = 1), p AS (SELECT a.vec_id AS qid, b.vec_id AS cid, round(list_sum([CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE) for i in generate_series(1, len(a.embedding))]) / (a.nrm * b.nrm), 6) AS cos_r FROM e a CROSS JOIN e b WHERE a.vec_id < 10 AND b.vec_id <> a.vec_id), tr AS (SELECT qid, cid AS true_cid FROM (SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY cos_r DESC, cid) AS rn FROM p) WHERE rn = 1) SELECT CAST((SELECT count(*) FROM candd) AS BIGINT) AS n_scanned, round((SELECT count(*) FROM candd) * 1.0 / (10 * (SELECT count(*) - 1 FROM e)), 6) AS scan_frac, CAST(sum(CASE WHEN b.cid = tr.true_cid THEN 1 ELSE 0 END) AS BIGINT) AS hits, round(sum(CASE WHEN b.cid = tr.true_cid THEN 1 ELSE 0 END) * 1.0 / count(*), 6) AS recall_1 FROM best b JOIN tr USING (qid)"""),
+      "E3 ext: full IVF-PQ serving stack — coarse probe, cell-local ADC, exact re-rank"),
+
+    // q210 — the NPROBE TUNING CURVE on the shared IVF index: recall@1
+    // and vectors-scanned for nprobe 1..4, in ONE pass — each candidate's
+    // exact cosine is computed once (tagged with its cell's probe rank),
+    // then the 4 configurations are explode-replays over that table
+    // (q202's dose-response pattern applied to the ANN knob). Measured:
+    // 0.8→1.0 recall for 12%→50% of the corpus scanned — the printed
+    // trade an index operator actually tunes against. Windows partition
+    // by (nprobe, qid); nothing global.
+    QuerySpec(
+      "q210_nprobe_sweep",
+      (s, d) => {
+        graft.functions.CosineSimilarity.register(s)
+        val e = t(s, d, "embeddings")
+        val cents = e.where(col("vec_id") < 8)
+          .select(col("vec_id").as("cent_id"), col("embedding").as("ce"))
+        val wq = Window.partitionBy("qid").orderBy(col("cos_c").desc, col("cent_id").asc)
+        val probes = e.where(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+          .crossJoin(broadcast(cents))
+          .select(col("qid"), col("qe"), col("cent_id"),
+            round(expr("cosine_sim(qe, ce)"), 6).as("cos_c"))
+          .withColumn("pn", row_number().over(wq))
+          .where(col("pn") <= 4)
+          .select(col("qid"), col("qe"), col("cent_id").as("cell"), col("pn"))
+        val sc = probes.join(ScaleQueries.ivfFlat(s, d), Seq("cell"))
+          .where(col("vec_id") =!= col("qid"))
+          .select(col("qid"), col("vec_id").as("cid"), col("pn"),
+            round(expr("cosine_sim(qe, embedding)"), 6).as("cos_r"))
+        val wn = Window.partitionBy("nprobe", "qid")
+          .orderBy(col("cos_r").desc, col("cid").asc)
+        val truth = ScaleQueries.truthTop3(s, d)
+          .where(col("rn") === 1).select(col("qid"), col("cid").as("true_cid"))
+        sc.withColumn("nprobe", explode(array((1 to 4).map(i => lit(i.toLong)): _*)))
+          .where(col("pn") <= col("nprobe"))
+          .withColumn("rn", row_number().over(wn))
+          .withColumn("ncand", count(lit(1)).over(
+            Window.partitionBy("nprobe", "qid")))
+          .where(col("rn") === 1)
+          .join(truth, "qid")
+          .groupBy("nprobe")
+          .agg(sum("ncand").as("n_scanned"),
+            sum(when(col("cid") === col("true_cid"), 1L).otherwise(0L)).as("hits"),
+            round(sum(when(col("cid") === col("true_cid"), 1L).otherwise(0L)) /
+              count(lit(1)), 6).as("recall_1"))
+          .orderBy("nprobe")
+      },
+      Some("""WITH e AS (SELECT vec_id, embedding, sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE) for x in embedding])) AS nrm FROM embeddings), asg AS (SELECT a.vec_id, a.embedding, a.nrm, b.vec_id AS cell, row_number() OVER (PARTITION BY a.vec_id ORDER BY round(list_sum([CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE) for i in generate_series(1, len(a.embedding))]) / (a.nrm * b.nrm), 6) DESC, b.vec_id) AS rn FROM e a CROSS JOIN (SELECT vec_id, embedding, nrm FROM e WHERE vec_id < 8) b), cells AS (SELECT vec_id, embedding, nrm, cell FROM asg WHERE rn = 1), probes AS (SELECT vec_id AS qid, embedding, nrm, cell, rn AS pn FROM asg WHERE rn <= 4 AND vec_id < 10), sc AS (SELECT a.qid, b.vec_id AS cid, a.pn, round(list_sum([CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE) for i in generate_series(1, len(a.embedding))]) / (a.nrm * b.nrm), 6) AS cos_r FROM (SELECT qid, embedding, nrm, cell, pn FROM probes) a JOIN cells b ON a.cell = b.cell AND b.vec_id <> a.qid), np AS (SELECT unnest(generate_series(1, 4)) AS nprobe), r AS (SELECT np.nprobe, sc.qid, sc.cid, row_number() OVER (PARTITION BY np.nprobe, sc.qid ORDER BY sc.cos_r DESC, sc.cid) AS rn, count(*) OVER (PARTITION BY np.nprobe, sc.qid) AS ncand FROM sc JOIN np ON sc.pn <= np.nprobe), best AS (SELECT nprobe, qid, cid, ncand FROM r WHERE rn = 1), p AS (SELECT a.vec_id AS qid, b.vec_id AS cid, round(list_sum([CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE) for i in generate_series(1, len(a.embedding))]) / (a.nrm * b.nrm), 6) AS cos_r FROM e a CROSS JOIN e b WHERE a.vec_id < 10 AND b.vec_id <> a.vec_id), tr AS (SELECT qid, cid AS true_cid FROM (SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY cos_r DESC, cid) AS rn FROM p) WHERE rn = 1) SELECT CAST(b.nprobe AS BIGINT) AS nprobe, CAST(sum(b.ncand) AS BIGINT) AS n_scanned, CAST(sum(CASE WHEN b.cid = tr.true_cid THEN 1 ELSE 0 END) AS BIGINT) AS hits, round(sum(CASE WHEN b.cid = tr.true_cid THEN 1 ELSE 0 END) * 1.0 / count(*), 6) AS recall_1 FROM best b JOIN tr USING (qid) GROUP BY 1 ORDER BY 1"""),
+      "E3 ext: nprobe recall/cost tuning curve over the shared IVF index (one-pass sweep)"))
 }

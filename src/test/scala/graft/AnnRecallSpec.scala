@@ -103,6 +103,27 @@ class AnnRecallSpec extends SparkSpecBase {
       s"PQ reconstruction error out of range: ${row.getAs[Double]("mse_u")}")
   }
 
+  test("q209 IVF-ADC stack: recall@1 >= 0.8 while scanning under half the corpus") {
+    val row = SparkEntry.queries("q209_ivf_adc")(spark, sf001).head()
+    assert(row.getAs[Double]("recall_1") >= 0.8,
+      s"combined-stack recall degraded: ${row.getAs[Double]("recall_1")}")
+    assert(row.getAs[Double]("scan_frac") < 0.5,
+      s"coarse stage stopped pruning: scan_frac=${row.getAs[Double]("scan_frac")}")
+  }
+
+  test("q210 nprobe sweep: recall non-decreasing in nprobe, floor 0.8 at nprobe=1") {
+    val rows = SparkEntry.queries("q210_nprobe_sweep")(spark, sf001)
+      .orderBy("nprobe").collect()
+    assert(rows.length == 4)
+    val rec = rows.map(_.getAs[Double]("recall_1"))
+    assert(rec.head >= 0.8, s"nprobe=1 recall degraded: ${rec.head}")
+    assert(rec.zip(rec.tail).forall { case (a, b) => b >= a },
+      s"recall must be monotone in nprobe: ${rec.toSeq}")
+    val scanned = rows.map(_.getAs[Long]("n_scanned"))
+    assert(scanned.zip(scanned.tail).forall { case (a, b) => b > a },
+      s"scan cost must grow with nprobe: ${scanned.toSeq}")
+  }
+
   test("sqrtCells follows the k~sqrt(n) rule with broadcastable clamps") {
     import graft.ops.AnnOps.sqrtCells
     assert(sqrtCells(0) == 8 && sqrtCells(500) == 23 && sqrtCells(1000000) == 1000)
