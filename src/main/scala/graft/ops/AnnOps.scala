@@ -95,12 +95,9 @@ object AnnOps {
     * actual pair count so callers/tests can report it.
     */
   def requireCellPairBudget(assigned: DataFrame, maxPairs: Long): Long = {
-    val (pairs, maxCell, k, _) = cellPairStats(assigned)
-    if (pairs > maxPairs) throw new IllegalStateException(
-      s"cell-local pairwise budget exceeded: $pairs pairs > $maxPairs budget " +
-        s"(k=$k cells, largest cell $maxCell). Raise the quantizer cell count " +
-        s"toward AnnOps.sqrtCells(n) so E|cell| ~ sqrt(n) keeps pair work ~ n^1.5.")
-    pairs
+    val stats = cellPairStats(assigned)
+    raiseIfOverBudget(stats, maxPairs, s"$maxPairs budget")
+    stats._1
   }
 
   /** [[requireCellPairBudget]] with the budget derived from the data
@@ -112,25 +109,43 @@ object AnnOps {
     * quadratic term starts to dominate.
     */
   def requireSqrtPairBudget(assigned: DataFrame, c: Double = 4.0): Long = {
-    val (pairs, maxCell, k, n) = cellPairStats(assigned)
+    val stats @ (pairs, _, _, n) = cellPairStats(assigned)
     val budget = (c * math.pow(n.toDouble, 1.5)).toLong
+    raiseIfOverBudget(stats, budget, s"$budget (= $c*n^1.5, n=$n)")
+    pairs
+  }
+
+  /** Shared raise path of the two budget entry points — one exception
+    * text naming the measured occupancy and the sqrtCells fix.
+    */
+  private def raiseIfOverBudget(
+      stats: (Long, Long, Long, Long), budget: Long, budgetDesc: String): Unit = {
+    val (pairs, maxCell, k, n) = stats
     if (pairs > budget) throw new IllegalStateException(
-      s"cell-local pairwise budget exceeded: $pairs pairs > $budget (= $c*n^1.5, n=$n) " +
+      s"cell-local pairwise budget exceeded: $pairs pairs > $budgetDesc " +
         s"(k=$k cells, largest cell $maxCell). Raise the quantizer cell count " +
         s"toward AnnOps.sqrtCells(n)=${sqrtCells(n)} so pair work stays ~ n^1.5.")
-    pairs
   }
 
   /** (Σ pairs, max cell size, cell count, vector count) — one small agg
     * over the (cached) assignment: |cells| rows after the groupBy, a
     * 1-row driver fetch after, the same cost class as
-    * connectedComponents' convergence count.
+    * connectedComponents' convergence count. The pair sum is computed in
+    * decimal and saturated at Long.MaxValue: a collapsed cell in the
+    * 10⁹+-vector regime overflows c·(c−1) in Long arithmetic, which
+    * would wrap negative and silently PASS the budget guard in exactly
+    * the scenario it exists to catch (any real budget sits far below
+    * Long.MaxValue, so saturation still raises).
     */
   def cellPairStats(assigned: DataFrame): (Long, Long, Long, Long) = {
+    val cDec = col("c").cast("decimal(38,0)")
     val row = assigned.groupBy("cell").agg(count(lit(1)).as("c"))
-      .agg(sum(col("c") * (col("c") - 1) / 2).cast("long").as("pairs"),
-        max("c").as("maxCell"), count(lit(1)).as("k"),
-        sum("c").cast("long").as("n"))
+      .agg(
+        least(
+          coalesce(sum(cDec * (cDec - 1) / 2), lit(0).cast("decimal(38,0)")),
+          lit(Long.MaxValue).cast("decimal(38,0)")).cast("long").as("pairs"),
+        coalesce(max("c"), lit(0L)).as("maxCell"), count(lit(1)).as("k"),
+        coalesce(sum("c"), lit(0L)).cast("long").as("n"))
       .head()
     (row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3))
   }

@@ -239,17 +239,24 @@ object R5Queries {
     // exact-verifies at 0.5 — the q152 partial-state idea applied to
     // dedup: a daily crawl increment joins its signatures against the
     // persisted index instead of recomputing the corpus×corpus candidate
-    // set. Shuffle: |delta| × bands signature rows probe the index
+    // set. The delta filter sits on the probing side BEFORE the join
+    // (pairs least/greatest-normalized after) — an (new_a || new_b)
+    // post-filter references both sides, cannot be pushed below the
+    // join, and would materialize every base×base signature collision
+    // first. Shuffle: |delta| × bands signature rows probe the index
     // equi-join; the base signature table is the amortized artifact.
     QuerySpec(
       "q169_incr_dedup",
       (s, d) => {
         val sig = ScaleQueries.sigRows(s, d)
-        def side(ab: String) = sig.select(col("doc_id").as(ab), col("band"), col("sig"),
-          (col("doc_id") % 10 >= 8).as(s"new_$ab"))
-        val cand = side("a").join(side("b"), Seq("band", "sig"))
-          .where(col("a") < col("b") && (col("new_a") || col("new_b")))
-          .select("a", "b").distinct()
+        val cand = sig.where(col("doc_id") % 10 >= 8)
+          .select(col("doc_id").as("x"), col("band"), col("sig"))
+          .join(sig.select(col("doc_id").as("y"), col("band"), col("sig")),
+            Seq("band", "sig"))
+          .where(col("x") =!= col("y"))
+          .select(least(col("x"), col("y")).as("a"),
+            greatest(col("x"), col("y")).as("b"))
+          .distinct()
         graft.ops.DedupOps.jaccardForPairs(cand, ScaleQueries.shingleSets(s, d))
           .where(col("jaccard") >= 0.5)
           .select(col("a"), col("b"), col("jaccard"),

@@ -38,8 +38,9 @@ object R6Queries {
     // Σ|cell|·(|cell|−1)/2 pairs total — bounded to ≈ n^1.5 ONLY while
     // the quantizer's k tracks √n (AnnOps.sqrtCells; testdata pins k=8
     // for oracle replay, within budget at every shipped SF). That bound
-    // is ENFORCED, not assumed: requireSqrtPairBudget raises with the
-    // measured occupancy the moment a constant-k config would go
+    // is ENFORCED, not assumed: requireSqrtPairBudget (run once per
+    // corpus at ivfFlat index access, not per query build) raises with
+    // the measured occupancy the moment a constant-k config would go
     // quadratic (n > (4k)² ≈ 1024 vectors/cell at k=8), instead of
     // silently grinding at 100 TB. One groupBy on the dropped id.
     // τ=0.4 sits above the within-cell cosine p99 (~0.32 at sf0.01) so
@@ -49,8 +50,8 @@ object R6Queries {
       "q171_semantic_dedup",
       (s, d) => {
         graft.functions.CosineSimilarity.register(s)
+        // pair budget enforced at index access (ScaleQueries.ivfFlat)
         val al = ScaleQueries.ivfFlat(s, d)
-        graft.ops.AnnOps.requireSqrtPairBudget(al)
         val a = al.select(col("vec_id").as("aid"), col("embedding").as("ae"), col("cell"))
         val b = al.select(col("vec_id").as("bid"), col("embedding").as("be"), col("cell"))
         a.join(b, Seq("cell"))

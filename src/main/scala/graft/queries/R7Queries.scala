@@ -67,10 +67,100 @@ object R7Queries {
     ScaleQueries.memo(s, d, "pqCodes")(
       pqAssign(pqElems(s, d), pqCodebook(s, d)))
 
-  /** Materialize the PQ memo family (ScaleQueries.warmCaches hook). */
+  /** The persisted phash band index (doc_id, phash, band, bits): 4×16-bit
+    * Hamming band buckets over MultimodalOps.perceptualHash64, shared by
+    * q199 (full media dedup) and q208 (incremental probe). Memoized like
+    * every once-per-corpus index artifact — before the memo each
+    * consumer re-ran the full-corpus decode+hash on every invocation.
+    */
+  private def phashBands(s: SparkSession, d: String): DataFrame =
+    ScaleQueries.memo(s, d, "phashBands") {
+      graft.ops.MultimodalOps.perceptualHash64(
+          graft.ops.MultimodalOps.mediaFromDocuments(t(s, d, "documents")))
+        .select(col("doc_id"), col("phash"),
+          explode(array((0 until 4).map(lit): _*)).as("band"))
+        .withColumn("bits",
+          expr("shiftright(phash, 16 * band)").bitwiseAND(lit(65535L)))
+    }
+
+  /** ADC shortlist (qid, cid): per-query LUT of partial dots against the
+    * PQ codebook, scored over ONLY the code rows — restricted to the
+    * `cand` (qid, cid) pairs when given (the coarse-pruned path, q209),
+    * else the whole codes table (flat ADC, q198). Top-20 by rounded
+    * approximate cosine, id-tiebroken. ONE copy of the ADC convention
+    * (pdot LUT, additive codebook-norm nc approximation, 6dp rounding)
+    * so the serving queries and their oracles cannot drift apart.
+    */
+  private def adcShortlist(s: SparkSession, d: String, cand: Option[DataFrame]): DataFrame = {
+    val ex = pqElems(s, d)
+    val c1 = pqCodebook(s, d)
+    val qx = ex.where(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("sub"), col("pos"), col("x"))
+    val qn = qx.groupBy("qid").agg(sqrt(sum(col("x") * col("x"))).as("nv"))
+    val lut = qx.join(broadcast(c1), Seq("sub", "pos"))
+      .groupBy("qid", "sub", "code").agg(sum(col("x") * col("cx")).as("pdot"))
+    val cn2 = c1.groupBy("sub", "code").agg(sum(col("cx") * col("cx")).as("n2"))
+    val codes = pqCodes(s, d).select(col("vec_id").as("cid"), col("sub"), col("code"))
+    val scored = cand match {
+      case Some(cd) => cd.join(codes, "cid")
+        .join(broadcast(lut), Seq("qid", "sub", "code"))
+      case None => codes.join(broadcast(lut), Seq("sub", "code"))
+        .where(col("cid") =!= col("qid"))
+    }
+    val wq = Window.partitionBy("qid").orderBy(col("cos_a").desc, col("cid").asc)
+    scored.join(broadcast(cn2), Seq("sub", "code"))
+      .groupBy("qid", "cid")
+      .agg(sum("pdot").as("dot"), sqrt(sum("n2")).as("nc"))
+      .join(broadcast(qn), "qid")
+      .select(col("qid"), col("cid"),
+        round(col("dot") / (col("nv") * col("nc")), 6).as("cos_a"))
+      .withColumn("rn", row_number().over(wq))
+      .where(col("rn") <= 20)
+      .select("qid", "cid")
+  }
+
+  /** Exact-cosine re-rank of an ADC shortlist — full-vector reads for
+    * the (query × ≤20 candidate) rows only, top-1 per query.
+    */
+  private def exactRerankTop1(s: SparkSession, d: String, short: DataFrame): DataFrame = {
+    graft.functions.CosineSimilarity.register(s)
+    val e = t(s, d, "embeddings")
+    val wr = Window.partitionBy("qid").orderBy(col("cos_r").desc, col("cid").asc)
+    short
+      .join(e.select(col("vec_id").as("qid"), col("embedding").as("qe")), "qid")
+      .join(e.select(col("vec_id").as("cid"), col("embedding").as("ce")), "cid")
+      .select(col("qid"), col("cid"),
+        round(expr("cosine_sim(qe, ce)"), 6).as("cos_r"))
+      .withColumn("rn", row_number().over(wr))
+      .where(col("rn") === 1)
+      .select("qid", "cid")
+  }
+
+  /** Coarse-quantizer probe ranks of the shared 10-query set against
+    * the ivfFlat centroid convention (vec_id < 8 init): (qid, qe, cell,
+    * pn), pn = probe rank by rounded cosine, id-tiebroken. q209 consumes
+    * pn ≤ 2, q210 sweeps pn ≤ 4 — one copy of the probe construction.
+    */
+  private def coarseProbes(s: SparkSession, d: String): DataFrame = {
+    graft.functions.CosineSimilarity.register(s)
+    val e = t(s, d, "embeddings")
+    val cents = e.where(col("vec_id") < 8)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("ce"))
+    val wq = Window.partitionBy("qid").orderBy(col("cos_c").desc, col("cent_id").asc)
+    e.where(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      .crossJoin(broadcast(cents))
+      .select(col("qid"), col("qe"), col("cent_id"),
+        round(expr("cosine_sim(qe, ce)"), 6).as("cos_c"))
+      .withColumn("pn", row_number().over(wq))
+      .select(col("qid"), col("qe"), col("cent_id").as("cell"), col("pn"))
+  }
+
+  /** Materialize the round-5 memo family (ScaleQueries.warmCaches hook). */
   private[queries] def warmPq(s: SparkSession, d: String): Unit = {
     pqCodebook(s, d).count()
     pqCodes(s, d).count()
+    phashBands(s, d).count()
   }
 
   val specs: Seq[QuerySpec] = Seq(
@@ -106,35 +196,9 @@ object R7Queries {
           .join(broadcast(c1), Seq("sub", "code", "pos"))
           .agg(round(avg(pow(col("x") - col("cx"), 2)) * 1e6, 4).as("mse_u"))
         val nRow = a2.agg(countDistinct("vec_id").as("n_vecs"))
-        // ADC: per-query LUT of partial dots + codebook partial norms;
-        // scoring touches only the (vec, sub, code) rows
-        val qx = ex.where(col("vec_id") < 10)
-          .select(col("vec_id").as("qid"), col("sub"), col("pos"), col("x"))
-        val qn = qx.groupBy("qid").agg(sqrt(sum(col("x") * col("x"))).as("nv"))
-        val lut = qx.join(broadcast(c1), Seq("sub", "pos"))
-          .groupBy("qid", "sub", "code").agg(sum(col("x") * col("cx")).as("pdot"))
-        val cn2 = c1.groupBy("sub", "code").agg(sum(col("cx") * col("cx")).as("n2"))
-        val wq = Window.partitionBy("qid").orderBy(col("cos_a").desc, col("cid").asc)
-        val short = a2.join(broadcast(lut), Seq("sub", "code"))
-          .join(broadcast(cn2), Seq("sub", "code"))
-          .where(col("vec_id") =!= col("qid"))
-          .groupBy("qid", "vec_id")
-          .agg(sum("pdot").as("dot"), sqrt(sum("n2")).as("nc"))
-          .join(broadcast(qn), "qid")
-          .select(col("qid"), col("vec_id").as("cid"),
-            round(col("dot") / (col("nv") * col("nc")), 6).as("cos_a"))
-          .withColumn("rn", row_number().over(wq))
-          .where(col("rn") <= 20)
-        // exact re-rank of the shortlist (full-vector reads: 10×10 rows)
-        val e = t(s, d, "embeddings")
-        val wr = Window.partitionBy("qid").orderBy(col("cos_r").desc, col("cid").asc)
-        val best = short
-          .join(e.select(col("vec_id").as("qid"), col("embedding").as("qe")), "qid")
-          .join(e.select(col("vec_id").as("cid"), col("embedding").as("ce")), "cid")
-          .select(col("qid"), col("cid"),
-            round(expr("cosine_sim(qe, ce)"), 6).as("cos_r"))
-          .withColumn("rn", row_number().over(wr))
-          .where(col("rn") === 1)
+        // ADC over ALL code rows (cand = None), then the exact re-rank
+        // of the top-20 shortlist (full-vector reads: 10×20 rows)
+        val best = exactRerankTop1(s, d, adcShortlist(s, d, None))
         val truth = ScaleQueries.truthTop3(s, d)
           .where(col("rn") === 1)
           .select(col("qid"), col("cid").as("true_cid"))
@@ -164,13 +228,7 @@ object R7Queries {
     QuerySpec(
       "q199_phash_dedup",
       (s, d) => {
-        import graft.ops.{DedupOps, MultimodalOps}
-        val hashes = MultimodalOps.perceptualHash64(
-          MultimodalOps.mediaFromDocuments(t(s, d, "documents")))
-        val bands = hashes.select(col("doc_id"), col("phash"),
-            explode(array((0 until 4).map(lit): _*)).as("band"))
-          .withColumn("bits",
-            expr("shiftright(phash, 16 * band)").bitwiseAND(lit(65535L)))
+        val bands = phashBands(s, d)
         val cand = bands.select(col("doc_id").as("a"), col("phash").as("pha"),
             col("band"), col("bits"))
           .join(bands.select(col("doc_id").as("b"), col("phash").as("phb"),
@@ -179,7 +237,8 @@ object R7Queries {
           .select("a", "b", "pha", "phb").distinct()
         cand
           .select(col("a"), col("b"),
-            DedupOps.hamming(col("pha"), col("phb")).cast("long").as("hamming"))
+            graft.ops.DedupOps.hamming(col("pha"), col("phb"))
+              .cast("long").as("hamming"))
           .where(col("hamming") <= 8)
           .orderBy("a", "b")
       },
@@ -193,9 +252,13 @@ object R7Queries {
     // NEVER materialized — each iteration is two keyed aggregations over
     // the (n·d) element rows (project per vector, re-weight per
     // dimension), which is the only shape that survives d in the
-    // thousands at 10⁹ rows; μ and v are d-row broadcasts. Every
-    // intermediate (μ, projections, weights, v) is rounded to 6dp so
-    // both engines iterate on the same value grid. Output: per-label
+    // thousands at 10⁹ rows; μ and v are d-row broadcasts. Every BOUNDED
+    // intermediate (μ, per-vector projections, the normalized v) is
+    // rounded to 6dp so both engines iterate on the same value grid; the
+    // unnormalized weight sums w are deliberately NOT rounded — their
+    // magnitude grows ~sqrt(n), so a fixed grid's noise margin shrinks
+    // with corpus size, while rounding only O(1) values keeps the grid
+    // spacing ten orders above cross-engine summation noise at any n. Output: per-label
     // projection stats along the top component + the variance it
     // explains — the embedding-health readout (a collapsed embedder
     // shows var_explained → 1).
@@ -213,8 +276,12 @@ object R7Queries {
         def iterate(v: DataFrame): DataFrame = {
           val p = cx.join(broadcast(v), "pos")
             .groupBy("vec_id").agg(round(sum(col("xc") * col("v")), 6).as("p"))
+          // w is NOT rounded: it is an unnormalized corpus-wide sum whose
+          // magnitude grows ~sqrt(n), so a fixed 6dp grid loses its
+          // noise margin as the corpus grows; the O(1) normalized v below
+          // is where the cross-engine grid snap happens.
           val w = cx.join(p, "vec_id")
-            .groupBy("pos").agg(round(sum(col("xc") * col("p")), 6).as("w"))
+            .groupBy("pos").agg(sum(col("xc") * col("p")).as("w"))
           w.crossJoin(w.agg(sqrt(sum(col("w") * col("w"))).as("nrm")))
             .select(col("pos"), round(col("w") / col("nrm"), 6).as("v"))
         }
@@ -233,7 +300,7 @@ object R7Queries {
             round(col("pcvar") / col("totvar"), 6).as("var_explained"))
           .orderBy("label")
       },
-      Some("""WITH ex AS (SELECT vec_id, label, u['p'] AS pos, CAST(u['x'] AS DOUBLE) AS x FROM (SELECT vec_id, label, unnest([{'p': i, 'x': embedding[i]} for i in generate_series(1, len(embedding))]) AS u FROM embeddings)), mu AS (SELECT pos, round(avg(x), 6) AS m FROM ex GROUP BY 1), cx AS (SELECT vec_id, label, ex.pos, ex.x - m AS xc FROM ex JOIN mu USING (pos)), p1 AS (SELECT vec_id, round(sum(xc * 0.125), 6) AS p FROM cx GROUP BY 1), w1 AS (SELECT pos, round(sum(xc * p), 6) AS w FROM cx JOIN p1 USING (vec_id) GROUP BY 1), v1 AS (SELECT pos, round(w / sqrt((SELECT sum(w * w) FROM w1)), 6) AS v FROM w1), p2 AS (SELECT vec_id, round(sum(xc * v), 6) AS p FROM cx JOIN v1 USING (pos) GROUP BY 1), w2 AS (SELECT pos, round(sum(xc * p), 6) AS w FROM cx JOIN p2 USING (vec_id) GROUP BY 1), v2 AS (SELECT pos, round(w / sqrt((SELECT sum(w * w) FROM w2)), 6) AS v FROM w2), pf AS (SELECT vec_id, label, round(sum(xc * v), 6) AS p FROM cx JOIN v2 USING (pos) GROUP BY 1, 2), tv AS (SELECT sum(vr) AS totvar FROM (SELECT var_pop(x) AS vr FROM ex GROUP BY pos) z), pv AS (SELECT var_pop(p) AS pcvar FROM pf) SELECT label, CAST(count(*) AS BIGINT) AS n, round(avg(p), 6) AS avg_proj, round(stddev_pop(p), 6) AS sd_proj, round((SELECT pcvar FROM pv) / (SELECT totvar FROM tv), 6) AS var_explained FROM pf GROUP BY 1 ORDER BY 1"""),
+      Some("""WITH ex AS (SELECT vec_id, label, u['p'] AS pos, CAST(u['x'] AS DOUBLE) AS x FROM (SELECT vec_id, label, unnest([{'p': i, 'x': embedding[i]} for i in generate_series(1, len(embedding))]) AS u FROM embeddings)), mu AS (SELECT pos, round(avg(x), 6) AS m FROM ex GROUP BY 1), cx AS (SELECT vec_id, label, ex.pos, ex.x - m AS xc FROM ex JOIN mu USING (pos)), p1 AS (SELECT vec_id, round(sum(xc * 0.125), 6) AS p FROM cx GROUP BY 1), w1 AS (SELECT pos, sum(xc * p) AS w FROM cx JOIN p1 USING (vec_id) GROUP BY 1), v1 AS (SELECT pos, round(w / sqrt((SELECT sum(w * w) FROM w1)), 6) AS v FROM w1), p2 AS (SELECT vec_id, round(sum(xc * v), 6) AS p FROM cx JOIN v1 USING (pos) GROUP BY 1), w2 AS (SELECT pos, sum(xc * p) AS w FROM cx JOIN p2 USING (vec_id) GROUP BY 1), v2 AS (SELECT pos, round(w / sqrt((SELECT sum(w * w) FROM w2)), 6) AS v FROM w2), pf AS (SELECT vec_id, label, round(sum(xc * v), 6) AS p FROM cx JOIN v2 USING (pos) GROUP BY 1, 2), tv AS (SELECT sum(vr) AS totvar FROM (SELECT var_pop(x) AS vr FROM ex GROUP BY pos) z), pv AS (SELECT var_pop(p) AS pcvar FROM pf) SELECT label, CAST(count(*) AS BIGINT) AS n, round(avg(p), 6) AS avg_proj, round(stddev_pop(p), 6) AS sd_proj, round((SELECT pcvar FROM pv) / (SELECT totvar FROM tv), 6) AS var_explained FROM pf GROUP BY 1 ORDER BY 1"""),
       "E3/ML ext: PCA top component via two unrolled power-iteration rounds"),
 
     // q201 — repeated-passage mining (the tractable projection of exact
@@ -275,9 +342,12 @@ object R7Queries {
     // policy would drop. THE tuning artifact of a dedup deployment — θ is
     // the single knob, and this is its dose-response curve, computed in
     // ONE pass over the already-verified pair table (explode pairs × 5
-    // thresholds, conditional aggs so every θ row survives even when no
-    // pair does) — the pair table is the expensive build and it is the
-    // shared minhashCand/shingleSets artifact, reused cached.
+    // thresholds; conditional aggs keep every θ row when pairs exist but
+    // none pass a threshold — a corpus with NO candidate pairs at all
+    // yields an empty curve, identically in both engines, since the
+    // explode has nothing to fan out) — the pair table is the expensive
+    // build and it is the shared minhashCand/shingleSets artifact,
+    // reused cached.
     QuerySpec(
       "q202_dedup_sweep",
       (s, d) => {
@@ -475,29 +545,34 @@ object R7Queries {
     // (text signatures) and q190 (embedding cells), completing the
     // incremental trio — a crawl increment (doc_id % 10 >= 8 plays the
     // "new batch") probes the persisted phash band index instead of
-    // recomputing base×base. Shuffle: |delta|×4 band rows equi-join the
-    // index; every emitted pair touches the delta. Same radius-8 verify
-    // as q199.
+    // recomputing base×base. The delta filter is applied to the probing
+    // side BEFORE the join (then pairs are least/greatest-normalized),
+    // not as an (new_a || new_b) post-filter — a disjunction referencing
+    // both sides cannot be pushed below the join, which would quietly
+    // materialize every base×base band collision and turn the claimed
+    // incremental cost into full-recompute cost. Shuffle: |delta|×4 band
+    // rows equi-join the index; every emitted pair touches the delta.
+    // Same radius-8 verify as q199.
     QuerySpec(
       "q208_incr_phash",
       (s, d) => {
-        import graft.ops.{DedupOps, MultimodalOps}
-        val hashes = MultimodalOps.perceptualHash64(
-          MultimodalOps.mediaFromDocuments(t(s, d, "documents")))
-        val bands = hashes.select(col("doc_id"), col("phash"),
-            explode(array((0 until 4).map(lit): _*)).as("band"))
-          .withColumn("bits",
-            expr("shiftright(phash, 16 * band)").bitwiseAND(lit(65535L)))
-        def side(ab: String) = bands.select(col("doc_id").as(ab),
-          col("phash").as(s"ph_$ab"), col("band"), col("bits"),
-          (col("doc_id") % 10 >= 8).as(s"new_$ab"))
-        side("a").join(side("b"), Seq("band", "bits"))
-          .where(col("a") < col("b") && (col("new_a") || col("new_b")))
-          .select(col("a"), col("b"), col("ph_a"), col("ph_b"), col("new_b"))
+        val bands = phashBands(s, d)
+        val delta = bands.where(col("doc_id") % 10 >= 8)
+        val cand = delta.select(col("doc_id").as("x"), col("phash").as("ph_x"),
+            col("band"), col("bits"))
+          .join(bands.select(col("doc_id").as("y"), col("phash").as("ph_y"),
+            col("band"), col("bits")), Seq("band", "bits"))
+          .where(col("x") =!= col("y"))
+          .select(least(col("x"), col("y")).as("a"),
+            greatest(col("x"), col("y")).as("b"),
+            when(col("x") < col("y"), col("ph_x")).otherwise(col("ph_y")).as("ph_a"),
+            when(col("x") < col("y"), col("ph_y")).otherwise(col("ph_x")).as("ph_b"))
           .distinct()
+        cand
           .select(col("a"), col("b"),
-            DedupOps.hamming(col("ph_a"), col("ph_b")).cast("long").as("hamming"),
-            col("new_b").cast("long").as("b_is_new"))
+            graft.ops.DedupOps.hamming(col("ph_a"), col("ph_b"))
+              .cast("long").as("hamming"),
+            (col("b") % 10 >= 8).cast("long").as("b_is_new"))
           .where(col("hamming") <= 8)
           .orderBy("a", "b")
       },
@@ -518,52 +593,14 @@ object R7Queries {
     QuerySpec(
       "q209_ivf_adc",
       (s, d) => {
-        graft.functions.CosineSimilarity.register(s)
         val e = t(s, d, "embeddings")
-        val cents = e.where(col("vec_id") < 8)
-          .select(col("vec_id").as("cent_id"), col("embedding").as("ce"))
-        val wq = Window.partitionBy("qid").orderBy(col("cos_c").desc, col("cent_id").asc)
-        val probes = e.where(col("vec_id") < 10)
-          .select(col("vec_id").as("qid"), col("embedding").as("qe"))
-          .crossJoin(broadcast(cents))
-          .select(col("qid"), col("cent_id"),
-            round(expr("cosine_sim(qe, ce)"), 6).as("cos_c"))
-          .withColumn("pn", row_number().over(wq))
-          .where(col("pn") <= 2)
-          .select(col("qid"), col("cent_id").as("cell"))
+        val probes = coarseProbes(s, d)
+          .where(col("pn") <= 2).select("qid", "cell")
         val cand = probes
           .join(ScaleQueries.ivfFlat(s, d).select(col("vec_id").as("cid"), col("cell")), "cell")
           .where(col("cid") =!= col("qid"))
           .select("qid", "cid")
-        val ex = pqElems(s, d)
-        val c1 = pqCodebook(s, d)
-        val a2 = pqCodes(s, d)
-        val qx = ex.where(col("vec_id") < 10)
-          .select(col("vec_id").as("qid"), col("sub"), col("pos"), col("x"))
-        val qn = qx.groupBy("qid").agg(sqrt(sum(col("x") * col("x"))).as("nv"))
-        val lut = qx.join(broadcast(c1), Seq("sub", "pos"))
-          .groupBy("qid", "sub", "code").agg(sum(col("x") * col("cx")).as("pdot"))
-        val cn2 = c1.groupBy("sub", "code").agg(sum(col("cx") * col("cx")).as("n2"))
-        val ws = Window.partitionBy("qid").orderBy(col("cos_a").desc, col("cid").asc)
-        val short = cand
-          .join(a2.select(col("vec_id").as("cid"), col("sub"), col("code")), "cid")
-          .join(broadcast(lut), Seq("qid", "sub", "code"))
-          .join(broadcast(cn2), Seq("sub", "code"))
-          .groupBy("qid", "cid")
-          .agg(sum("pdot").as("dot"), sqrt(sum("n2")).as("nc"))
-          .join(broadcast(qn), "qid")
-          .select(col("qid"), col("cid"),
-            round(col("dot") / (col("nv") * col("nc")), 6).as("cos_a"))
-          .withColumn("rn", row_number().over(ws))
-          .where(col("rn") <= 20)
-        val wr = Window.partitionBy("qid").orderBy(col("cos_r").desc, col("cid").asc)
-        val best = short
-          .join(e.select(col("vec_id").as("qid"), col("embedding").as("qe")), "qid")
-          .join(e.select(col("vec_id").as("cid"), col("embedding").as("ce")), "cid")
-          .select(col("qid"), col("cid"),
-            round(expr("cosine_sim(qe, ce)"), 6).as("cos_r"))
-          .withColumn("rn", row_number().over(wr))
-          .where(col("rn") === 1)
+        val best = exactRerankTop1(s, d, adcShortlist(s, d, Some(cand)))
         val truth = ScaleQueries.truthTop3(s, d)
           .where(col("rn") === 1).select(col("qid"), col("cid").as("true_cid"))
         val scanned = cand.agg(count(lit(1)).as("n_scanned"))
@@ -590,19 +627,7 @@ object R7Queries {
     QuerySpec(
       "q210_nprobe_sweep",
       (s, d) => {
-        graft.functions.CosineSimilarity.register(s)
-        val e = t(s, d, "embeddings")
-        val cents = e.where(col("vec_id") < 8)
-          .select(col("vec_id").as("cent_id"), col("embedding").as("ce"))
-        val wq = Window.partitionBy("qid").orderBy(col("cos_c").desc, col("cent_id").asc)
-        val probes = e.where(col("vec_id") < 10)
-          .select(col("vec_id").as("qid"), col("embedding").as("qe"))
-          .crossJoin(broadcast(cents))
-          .select(col("qid"), col("qe"), col("cent_id"),
-            round(expr("cosine_sim(qe, ce)"), 6).as("cos_c"))
-          .withColumn("pn", row_number().over(wq))
-          .where(col("pn") <= 4)
-          .select(col("qid"), col("qe"), col("cent_id").as("cell"), col("pn"))
+        val probes = coarseProbes(s, d).where(col("pn") <= 4)
         val sc = probes.join(ScaleQueries.ivfFlat(s, d), Seq("cell"))
           .where(col("vec_id") =!= col("qid"))
           .select(col("qid"), col("vec_id").as("cid"), col("pn"),

@@ -101,11 +101,24 @@ object ScaleQueries {
   /** Deterministic IVF-flat cell assignment (AnnOps.ivfAssignFlat,
     * k = [[ivfCells]]) — the shared index of the ANN family
     * (q101/q163/q164/q165/q171/q190/q196), cached like every other
-    * once-per-corpus build artifact.
+    * once-per-corpus build artifact. The cell-pairwise budget
+    * (AnnOps.requireSqrtPairBudget — the q171 scale invariant) is a
+    * property of this index, so it is enforced HERE, once per corpus at
+    * first access, not inside each consumer's query builder where the
+    * guard's aggregation job would re-run on every plan construction
+    * and bench pass.
     */
-  private[queries] def ivfFlat(s: SparkSession, d: String): DataFrame =
-    memo(s, d, "ivfFlat")(
+  private val pairBudgetChecked =
+    scala.collection.concurrent.TrieMap.empty[String, Boolean]
+
+  private[queries] def ivfFlat(s: SparkSession, d: String): DataFrame = {
+    val al = memo(s, d, "ivfFlat")(
       graft.ops.AnnOps.ivfAssignFlat(t(s, d, "embeddings"), ivfCells))
+    pairBudgetChecked.getOrElseUpdate(d, {
+      graft.ops.AnnOps.requireSqrtPairBudget(al); true
+    })
+    al
+  }
 
   /** Brute-force rounded-cosine top-3 for the shared 10-query set — the
     * GROUND TRUTH table of the ANN family, memoized because it is read by

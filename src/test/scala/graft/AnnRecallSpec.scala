@@ -81,12 +81,18 @@ class AnnRecallSpec extends SparkSpecBase {
     assert(pairs <= budget, s"pairs=$pairs over budget=$budget (maxCell=$maxCell)")
     // requireSqrtPairBudget must agree (no throw) and report the same count
     assert(graft.ops.AnnOps.requireSqrtPairBudget(al) == pairs)
+    // the fixed-budget entry point shares the same raise path
+    assert(graft.ops.AnnOps.requireCellPairBudget(al, budget) == pairs)
     // degenerate single-cell assignment: n²/2 pairs >> 4*n^1.5 at n=500
     val collapsed = al.withColumn("cell", lit(0))
     val ex = intercept[IllegalStateException] {
       graft.ops.AnnOps.requireSqrtPairBudget(collapsed)
     }
     assert(ex.getMessage.contains("sqrtCells"), s"unhelpful overflow message: ${ex.getMessage}")
+    val ex2 = intercept[IllegalStateException] {
+      graft.ops.AnnOps.requireCellPairBudget(collapsed, pairs)
+    }
+    assert(ex2.getMessage.contains("sqrtCells"), s"unhelpful overflow message: ${ex2.getMessage}")
   }
 
   test("q198 IVF-PQ recall@1 >= 0.9 and reconstruction beats the zero-codebook bound") {
