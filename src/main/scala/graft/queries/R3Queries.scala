@@ -46,7 +46,7 @@ object R3Queries {
     * once-per-corpus artifact — the same index-build stance as the dedup
     * bases — while q137's three PageRank iterations stay live per query.
     */
-  private def tradeEdges(s: SparkSession, d: String): DataFrame =
+  private[queries] def tradeEdges(s: SparkSession, d: String): DataFrame =
     ScaleQueries.memo(s, d, "tradeEdges") {
       val pairs = t(s, d, "orders")
         .join(t(s, d, "lineitem"), col("o_orderkey") === col("l_orderkey"))

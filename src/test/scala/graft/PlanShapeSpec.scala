@@ -147,9 +147,14 @@ class PlanShapeSpec extends SparkSpecBase {
     //          size; the per-value window is bucket-partitioned)
     //   q206 — per-term TOTAL table (|vocab| rows, the q141 heavy-hitters
     //          input class; raw token rows never enter the window)
+    //   q213 — ungrouped QuantileOps global grid (same ≤65536-row
+    //          bucket-offset table as q182; per-row work is type-partitioned)
+    //   q214 — cumulative reach over the per-hop count table (≤ 4 rows —
+    //          one per unrolled BFS hop)
     val allowlist = Set("q25_string_indexer", "q26_index_to_string",
       "q114_quantile_binning", "q148_skew_diag", "q153_weighted_sample",
-      "q160_mom_yoy", "q181_budget_alloc", "q182_winsorize", "q206_zipf_fit")
+      "q160_mom_yoy", "q181_budget_alloc", "q182_winsorize", "q206_zipf_fit",
+      "q213_quantile_norm", "q214_khop_reach")
     // balanced-paren extraction: a naive [^)]* capture truncates at the
     // first ')' inside an ORDER BY expression like round(x, 2), which
     // would hide its ASC/DESC marker and let a global window through
