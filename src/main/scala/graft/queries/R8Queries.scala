@@ -22,7 +22,7 @@ object R8Queries {
     * the house cross-engine hash (md5 is the one hash both engines
     * share; conv(hex,16,10) == DuckDB CAST('0x…' AS BIGINT)).
     */
-  private def h60(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+  private[queries] def h60(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
   val specs: Seq[QuerySpec] = Seq(

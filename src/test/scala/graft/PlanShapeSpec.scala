@@ -151,10 +151,12 @@ class PlanShapeSpec extends SparkSpecBase {
     //          bucket-offset table as q182; per-row work is type-partitioned)
     //   q214 — cumulative reach over the per-hop count table (≤ 4 rows —
     //          one per unrolled BFS hop)
+    //   q220 — per-leg rank windows over the ≤50-row TakeOrdered leg
+    //          results (the legs' heavy lifting is top-k, not the window)
     val allowlist = Set("q25_string_indexer", "q26_index_to_string",
       "q114_quantile_binning", "q148_skew_diag", "q153_weighted_sample",
       "q160_mom_yoy", "q181_budget_alloc", "q182_winsorize", "q206_zipf_fit",
-      "q213_quantile_norm", "q214_khop_reach")
+      "q213_quantile_norm", "q214_khop_reach", "q220_rrf_hybrid")
     // balanced-paren extraction: a naive [^)]* capture truncates at the
     // first ')' inside an ORDER BY expression like round(x, 2), which
     // would hide its ASC/DESC marker and let a global window through
