@@ -31,20 +31,15 @@ object R10Queries {
     QuerySpec(
       "q221_levenshtein_block",
       (s, d) => {
-        val c = t(s, d, "customer")
-          .select(col("c_custkey").as("k"), col("c_name").as("nm"),
-            substring(col("c_name"), -2, 2).as("blk"))
-        val a = c.select(col("blk"), col("k").as("ka"), col("nm").as("na"))
-        val b = c.select(col("blk"), col("k").as("kb"), col("nm").as("nb"))
-        a.join(b, Seq("blk")).where(col("ka") < col("kb"))
-          .select(col("blk"), levenshtein(col("na"), col("nb")).cast("long").as("lev"))
+        R6Queries.nameBlockPairs(s, d)
+          .select(col("blk"), levenshtein(col("na"), col("nb")).cast("long").as("m"))
           .groupBy("blk")
           .agg(count(lit(1)).as("n_pairs"),
-            sum((col("lev") <= 2).cast("long")).as("n_close"),
-            min("lev").as("min_lev"), max("lev").as("max_lev"))
+            sum((col("m") <= 2).cast("long")).as("n_close"),
+            min("m").as("min_lev"), max("m").as("max_lev"))
           .orderBy("blk")
       },
-      Some("""WITH c AS (SELECT c_custkey AS k, c_name AS nm, substr(c_name, length(c_name) - 1, 2) AS blk FROM customer), p AS (SELECT a.blk AS blk, CAST(levenshtein(a.nm, b.nm) AS BIGINT) AS lev FROM c a JOIN c b ON a.blk = b.blk AND a.k < b.k) SELECT blk, count(*) AS n_pairs, CAST(sum(CASE WHEN lev <= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_close, min(lev) AS min_lev, max(lev) AS max_lev FROM p GROUP BY 1 ORDER BY blk"""),
+      Some(s"""${R6Queries.nameBlockPairSql("CAST(levenshtein(a.nm, b.nm) AS BIGINT)")} SELECT blk, count(*) AS n_pairs, CAST(sum(CASE WHEN m <= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_close, min(m) AS min_lev, max(m) AS max_lev FROM p GROUP BY 1 ORDER BY blk"""),
       "§2.9/E1 ext: blocked Levenshtein matching — integer edit distance, zero float risk"),
 
     // q222 — zone-map file-skipping audit (the planner-side half of the
@@ -61,9 +56,8 @@ object R10Queries {
       "q222_zonemap_skip",
       (s, d) => {
         import s.implicits._
-        val files = t(s, d, "documents")
-          .groupBy(col("source"), (col("doc_id") % 64).as("file_id"))
-          .agg(max("n_chars").as("mx"), count(lit(1)).as("rows"))
+        val files = ScaleQueries.fileManifest(s, d)
+          .select("source", "file_id", "mx", "rows")
         val probes = Seq(200L, 500L, 1000L, 2000L).toDF("theta")
         files.crossJoin(broadcast(probes))
           .groupBy("theta")
@@ -181,14 +175,19 @@ object R10Queries {
           .withColumn("out_bal",
             when(col("op") === "update", col("bal") + col("delta"))
               .otherwise(col("bal")))
+        // Insert balances stay ON the 2-decimal grid (o_totalprice as-is):
+        // a *0.1 here would create 3-decimal true values whose group sum
+        // can land exactly on the half-cent rounding tie — the one case
+        // where Spark's and DuckDB's round() diverge (house rule: never
+        // round a value that can sit on the .5 grid).
         val ins = win.where(col("o_custkey") % 89 === 0)
           .select((-col("o_orderkey")).as("k"),
-            lit("insert").as("op"), (col("o_totalprice") * 0.1).as("out_bal"))
+            lit("insert").as("op"), col("o_totalprice").as("out_bal"))
         merged.select("k", "op", "out_bal").unionByName(ins)
           .groupBy("op")
           .agg(count(lit(1)).as("n_rows"), round(sum("out_bal"), 2).as("bal_mass"))
           .orderBy("op")
       },
-      Some("""WITH win AS (SELECT * FROM orders WHERE o_orderdate >= DATE '1998-01-01'), upd AS (SELECT o_custkey AS k, round(sum(o_totalprice), 2) AS delta FROM win GROUP BY 1), base AS (SELECT c_custkey AS k, c_acctbal AS bal FROM customer), m AS (SELECT base.k, CASE WHEN base.k % 97 = 0 THEN 'delete' WHEN delta IS NOT NULL THEN 'update' ELSE 'unchanged' END AS op, CASE WHEN base.k % 97 <> 0 AND delta IS NOT NULL THEN bal + delta ELSE bal END AS out_bal FROM base LEFT JOIN upd ON base.k = upd.k), i AS (SELECT -o_orderkey AS k, 'insert' AS op, o_totalprice * 0.1 AS out_bal FROM win WHERE o_custkey % 89 = 0), u AS (SELECT * FROM m UNION ALL SELECT * FROM i) SELECT op, count(*) AS n_rows, round(sum(out_bal), 2) AS bal_mass FROM u GROUP BY 1 ORDER BY op"""),
+      Some("""WITH win AS (SELECT * FROM orders WHERE o_orderdate >= DATE '1998-01-01'), upd AS (SELECT o_custkey AS k, round(sum(o_totalprice), 2) AS delta FROM win GROUP BY 1), base AS (SELECT c_custkey AS k, c_acctbal AS bal FROM customer), m AS (SELECT base.k, CASE WHEN base.k % 97 = 0 THEN 'delete' WHEN delta IS NOT NULL THEN 'update' ELSE 'unchanged' END AS op, CASE WHEN base.k % 97 <> 0 AND delta IS NOT NULL THEN bal + delta ELSE bal END AS out_bal FROM base LEFT JOIN upd ON base.k = upd.k), i AS (SELECT -o_orderkey AS k, 'insert' AS op, o_totalprice AS out_bal FROM win WHERE o_custkey % 89 = 0), u AS (SELECT * FROM m UNION ALL SELECT * FROM i) SELECT op, count(*) AS n_rows, round(sum(out_bal), 2) AS bal_mass FROM u GROUP BY 1 ORDER BY op"""),
       "§2.1/§2.8 ext: CDC merge apply — upsert/delete/insert with per-op reconciliation"))
 }

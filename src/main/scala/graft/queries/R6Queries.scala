@@ -23,6 +23,66 @@ object R6Queries {
   private val dot =
     "round(list_sum([CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE) for i in generate_series(1, len(a.embedding))]) / (a.nrm * b.nrm), 6)"
 
+  /** Last-2-char blocked customer-name pairs (blk, ka, kb, na, nb) — the
+    * shared record-linkage scaffold of q177 (Jaro-Winkler) and q221
+    * (Levenshtein): block on a cheap key so the quadratic comparison
+    * runs per block, never corpus×corpus. One scaffold, two metrics —
+    * a blocking-key change can't drift between them.
+    */
+  private[queries] def nameBlockPairs(s: SparkSession, d: String): DataFrame = {
+    val c = t(s, d, "customer")
+      .select(col("c_custkey").as("k"), col("c_name").as("nm"),
+        substring(col("c_name"), -2, 2).as("blk"))
+    val a = c.select(col("k").as("ka"), col("nm").as("na"), col("blk"))
+    val b = c.select(col("k").as("kb"), col("nm").as("nb"), col("blk"))
+    a.join(b, Seq("blk")).where(col("ka") < col("kb"))
+  }
+
+  /** Oracle CTE prefix mirroring [[nameBlockPairs]]: `p` holds one row
+    * per blocked pair with the given pair metric as column `m`.
+    */
+  private[queries] def nameBlockPairSql(metric: String): String =
+    s"""WITH c AS (SELECT c_custkey AS k, c_name AS nm, substr(c_name, length(c_name) - 1, 2) AS blk FROM customer), p AS (SELECT a.blk AS blk, $metric AS m FROM c a JOIN c b ON a.blk = b.blk AND a.k < b.k)"""
+
+  /** Query-term constants and the shared BM25 (k1=1.2, b=0.75) per-term
+    * weight columns (doc_id, w1, w2, w3) — the lexical-scoring base of
+    * q178 (standalone ranking) and q220 (the RRF lexical leg). The
+    * determinism subtleties live HERE once: per-term weights land in
+    * fixed COLUMNS (each a sum over the single (doc, term) row), so any
+    * downstream score is a fixed-order add, never a group-order float
+    * sum; idf's ln() is bit-identical JVM-vs-DuckDB on this domain
+    * (verified: Math.log == ln on all idf arguments for N up to 50k).
+    * Scale: df and avgdl are broadcast scalars; only rows containing
+    * query terms shuffle.
+    */
+  private[queries] val bm25QueryTerms: Seq[String] = Seq("data", "stream", "vector")
+
+  private[queries] def bm25TermCols(s: SparkSession, d: String): DataFrame = {
+    val qts = bm25QueryTerms
+    val tf = ScaleQueries.termFreq(s, d)
+    val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
+    val stats = dl.agg(count(lit(1)).as("nd"), avg("dl").as("avgdl"))
+    val dfv = tf.where(col("term").isin(qts: _*))
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    tf.where(col("term").isin(qts: _*))
+      .join(dl, "doc_id").crossJoin(broadcast(stats))
+      .join(broadcast(dfv), "term")
+      .withColumn("w",
+        log(lit(1.0) + (col("nd") - col("df") + 0.5) / (col("df") + 0.5)) *
+          (col("tf") * 2.2) /
+          (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
+      .groupBy("doc_id")
+      .agg(sum(when(col("term") === qts(0), col("w"))).as("w1"),
+        sum(when(col("term") === qts(1), col("w"))).as("w2"),
+        sum(when(col("term") === qts(2), col("w"))).as("w3"))
+  }
+
+  /** Oracle CTE chain mirroring [[bm25TermCols]], ending in
+    * `sc(doc_id, w1, w2, w3)`. Compose as `WITH $bm25Cte, ...`.
+    */
+  private[queries] val bm25Cte: String =
+    """tf AS (SELECT doc_id, term, count(*) AS tf FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents) z GROUP BY 1, 2), dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1), st AS (SELECT count(*) AS nd, avg(dl) AS avgdl FROM dl), dfv AS (SELECT term, count(*) AS df FROM tf WHERE term IN ('data', 'stream', 'vector') GROUP BY 1), w AS (SELECT t.doc_id, t.term, ln(1.0 + (st.nd - dfv.df + 0.5) / (dfv.df + 0.5)) * (t.tf * 2.2) / (t.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl)) AS w FROM tf t JOIN dl ON t.doc_id = dl.doc_id CROSS JOIN st JOIN dfv ON t.term = dfv.term), sc AS (SELECT doc_id, sum(CASE WHEN term = 'data' THEN w END) AS w1, sum(CASE WHEN term = 'stream' THEN w END) AS w2, sum(CASE WHEN term = 'vector' THEN w END) AS w3 FROM w GROUP BY 1)"""
+
   val specs: Seq[QuerySpec] = Seq(
 
     // q171 — SEMANTIC dedup (SemDeDup-style): inside each IVF cell of the
@@ -241,60 +301,35 @@ object R6Queries {
     // expression (JaroWinkler.scala — the string-similarity primitive
     // Spark lacks; semantics pinned to DuckDB's implementation): the
     // record-linkage shape — block on a cheap key (here the name's last
-    // two chars) so the quadratic comparison runs per block, never
-    // corpus×corpus, then aggregate match stats per block. min/max over
-    // ROUNDED similarities and threshold counts only — no group-order-
-    // dependent double sums, so the compare is exact cross-engine.
+    // two chars, via the shared nameBlockPairs scaffold q221 also uses)
+    // so the quadratic comparison runs per block, never corpus×corpus,
+    // then aggregate match stats per block. min/max over ROUNDED
+    // similarities and threshold counts only — no group-order-dependent
+    // double sums, so the compare is exact cross-engine.
     QuerySpec(
       "q177_fuzzy_block",
       (s, d) => {
         graft.functions.JaroWinkler.register(s)
-        val c = t(s, d, "customer")
-          .select(col("c_custkey").as("k"), col("c_name").as("nm"),
-            substring(col("c_name"), -2, 2).as("blk"))
-        val a = c.select(col("k").as("ka"), col("nm").as("na"), col("blk"))
-        val b = c.select(col("k").as("kb"), col("nm").as("nb"), col("blk"))
-        a.join(b, Seq("blk"))
-          .where(col("ka") < col("kb"))
-          .select(col("blk"), round(expr("jaro_winkler(na, nb)"), 6).as("jw"))
+        R6Queries.nameBlockPairs(s, d)
+          .select(col("blk"), round(expr("jaro_winkler(na, nb)"), 6).as("m"))
           .groupBy("blk")
           .agg(count(lit(1)).as("n_pairs"),
-            sum(when(col("jw") >= 0.95, 1L).otherwise(0L)).as("n_match"),
-            max("jw").as("max_jw"), min("jw").as("min_jw"))
+            sum(when(col("m") >= 0.95, 1L).otherwise(0L)).as("n_match"),
+            max("m").as("max_jw"), min("m").as("min_jw"))
           .orderBy("blk")
       },
-      Some("""WITH c AS (SELECT c_custkey AS k, c_name AS nm, substr(c_name, length(c_name) - 1, 2) AS blk FROM customer), p AS (SELECT a.blk AS blk, round(jaro_winkler_similarity(a.nm, b.nm), 6) AS jw FROM c a JOIN c b ON a.blk = b.blk AND a.k < b.k) SELECT blk, count(*) AS n_pairs, CAST(sum(CASE WHEN jw >= 0.95 THEN 1 ELSE 0 END) AS BIGINT) AS n_match, max(jw) AS max_jw, min(jw) AS min_jw FROM p GROUP BY 1 ORDER BY blk"""),
+      Some(s"""${R6Queries.nameBlockPairSql("round(jaro_winkler_similarity(a.nm, b.nm), 6)")} SELECT blk, count(*) AS n_pairs, CAST(sum(CASE WHEN m >= 0.95 THEN 1 ELSE 0 END) AS BIGINT) AS n_match, max(m) AS max_jw, min(m) AS min_jw FROM p GROUP BY 1 ORDER BY blk"""),
       "§2.13/E1 ext: blocked fuzzy match via the native jaro_winkler expression"),
 
-    // q178 — BM25 ranking (k1=1.2, b=0.75): the lexical leg of hybrid
-    // retrieval (q158 fuses rankings; THIS produces the keyword one) over
-    // the shared termFreq base. Scoring subtleties that make the oracle
-    // exact: per-term weights land in fixed COLUMNS (each a sum over the
-    // single (doc, term) row), so the final score is a fixed-order 3-term
-    // add, never a group-order float sum; idf's ln() is bit-identical
-    // JVM-vs-DuckDB on this domain (verified: Math.log == ln on all
-    // idf arguments for N up to 50k). Scale shape: df and avgdl are
-    // broadcast scalars; only rows containing query terms shuffle.
+    // q178 — BM25 ranking: the lexical leg of hybrid retrieval (q158
+    // fuses rankings; q220 fuses THIS leg with the vector leg). The
+    // scoring pipeline and its determinism guarantees live in the shared
+    // bm25TermCols base (see its doc comment); this query adds only the
+    // hit count and the fixed-order rounded total.
     QuerySpec(
       "q178_bm25",
       (s, d) => {
-        val qts = Seq("data", "stream", "vector")
-        val tf = ScaleQueries.termFreq(s, d)
-        val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
-        val stats = dl.agg(count(lit(1)).as("nd"), avg("dl").as("avgdl"))
-        val dfv = tf.where(col("term").isin(qts: _*))
-          .groupBy("term").agg(count(lit(1)).as("df"))
-        val w = tf.where(col("term").isin(qts: _*))
-          .join(dl, "doc_id").crossJoin(broadcast(stats))
-          .join(broadcast(dfv), "term")
-          .withColumn("w",
-            log(lit(1.0) + (col("nd") - col("df") + 0.5) / (col("df") + 0.5)) *
-              (col("tf") * 2.2) /
-              (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
-        w.groupBy("doc_id")
-          .agg(sum(when(col("term") === qts(0), col("w"))).as("w1"),
-            sum(when(col("term") === qts(1), col("w"))).as("w2"),
-            sum(when(col("term") === qts(2), col("w"))).as("w3"))
+        R6Queries.bm25TermCols(s, d)
           .select(col("doc_id"),
             (col("w1").isNotNull.cast("long") + col("w2").isNotNull.cast("long") +
               col("w3").isNotNull.cast("long")).as("n_hit"),
@@ -303,7 +338,7 @@ object R6Queries {
           .orderBy(col("score").desc, col("doc_id"))
           .limit(20)
       },
-      Some("""WITH tf AS (SELECT doc_id, term, count(*) AS tf FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents) z GROUP BY 1, 2), dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1), st AS (SELECT count(*) AS nd, avg(dl) AS avgdl FROM dl), dfv AS (SELECT term, count(*) AS df FROM tf WHERE term IN ('data', 'stream', 'vector') GROUP BY 1), w AS (SELECT t.doc_id, t.term, ln(1.0 + (st.nd - dfv.df + 0.5) / (dfv.df + 0.5)) * (t.tf * 2.2) / (t.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl)) AS w FROM tf t JOIN dl ON t.doc_id = dl.doc_id CROSS JOIN st JOIN dfv ON t.term = dfv.term), sc AS (SELECT doc_id, sum(CASE WHEN term = 'data' THEN w END) AS w1, sum(CASE WHEN term = 'stream' THEN w END) AS w2, sum(CASE WHEN term = 'vector' THEN w END) AS w3 FROM w GROUP BY 1) SELECT doc_id, CAST((w1 IS NOT NULL)::INT + (w2 IS NOT NULL)::INT + (w3 IS NOT NULL)::INT AS BIGINT) AS n_hit, round(coalesce(w1, 0) + coalesce(w2, 0) + coalesce(w3, 0), 4) AS score FROM sc ORDER BY score DESC, doc_id LIMIT 20"""),
+      Some(s"""WITH $bm25Cte SELECT doc_id, CAST((w1 IS NOT NULL)::INT + (w2 IS NOT NULL)::INT + (w3 IS NOT NULL)::INT AS BIGINT) AS n_hit, round(coalesce(w1, 0) + coalesce(w2, 0) + coalesce(w3, 0), 4) AS score FROM sc ORDER BY score DESC, doc_id LIMIT 20"""),
       "E4/§2.9 ext: BM25 keyword ranking — the lexical leg of hybrid retrieval"),
 
     // q179 — eval-set CONTAMINATION RATE: for each held-out doc (doc_id

