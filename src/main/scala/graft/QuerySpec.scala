@@ -21,15 +21,23 @@ object Tables {
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     if (name == "events") events(spark, sfDir) else spark.read.parquet(s"$sfDir/$name.parquet")
 
-  /** events.ts is TIMESTAMP(NANOS) parquet, which Spark's vectorized reader
-    * rejects. Read nanos as long and convert with exact integer division to
-    * a microsecond timestamp (`div`, not `/` — the nano count overflows
-    * double precision). DuckDB oracles mirror this with CAST(ts AS
-    * TIMESTAMP), which also truncates ns → us.
+  /** events.ts has shipped as TIMESTAMP(NANOS) (earlier testdata drops) and
+    * as plain TIMESTAMP micros (current drop). Adapt on the read schema:
+    * nanos arrive as long under `nanosAsLong` and need exact integer
+    * division (`div`, not `/` — the nano count overflows double precision);
+    * micros arrive as TIMESTAMP_NTZ and only need the NTZ→LTZ cast, which
+    * is wall-clock-identity under the UTC session timezone every entry
+    * point sets. DuckDB oracles mirror both with CAST(ts AS TIMESTAMP).
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$sfDir/events.parquet")
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    raw.schema("ts").dataType match {
+      case LongType         => raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _                => raw
+    }
   }
 }
