@@ -528,17 +528,25 @@ object R7Queries {
           .select(col("term"),
             (log((col("ct") + 1) / (col("nt") + col("v"))) -
              log((col("cg") + 1) / (col("ng") + col("v")))).as("lr"))
+        // Per-doc weights are floor-quantized to integer MICRO-units
+        // before the language rollup: rounded-double weights sit on a
+        // 1e-6 grid, so their float average can land exactly on a
+        // round-half boundary where engine summation order decides the
+        // 6th decimal (observed at sf0.001). With BIGINT micro sums the
+        // final division runs on identical exact inputs in both engines.
         val wdoc = tf.join(broadcast(lm), "term")
           .groupBy("doc_id")
-          .agg(round(sum(col("tf") * col("lr")) / sum("tf"), 6).as("w"))
+          .agg(floor(sum(col("tf") * col("lr")) / sum("tf") * 1000000.0 + 0.5)
+            .cast("long").as("wu"))
         wdoc.join(docs, "doc_id")
           .groupBy("lang")
-          .agg(count(lit(1)).as("n_docs"), round(avg("w"), 6).as("avg_w"),
-            round(sum(when(col("w") > 0, 1L).otherwise(0L)) / count(lit(1)), 6)
+          .agg(count(lit(1)).as("n_docs"),
+            round(sum("wu").cast("double") / count(lit(1)) / 1000000.0, 6).as("avg_w"),
+            round(sum(when(col("wu") > 0, 1L).otherwise(0L)) / count(lit(1)), 6)
               .as("upsample_frac"))
           .orderBy("lang")
       },
-      Some("""WITH tok AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents), tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2), tgt AS (SELECT term, sum(tf.tf) AS ct FROM tf JOIN documents d USING (doc_id) WHERE d.lang = 'en' GROUP BY 1), allt AS (SELECT term, sum(tf) AS cg FROM tf GROUP BY 1), tots AS (SELECT (SELECT sum(cg) FROM allt) AS ng, (SELECT count(*) FROM allt) AS v, (SELECT sum(ct) FROM tgt) AS nt), lm AS (SELECT a.term, ln((coalesce(t.ct, 0) + 1) * 1.0 / (tots.nt + tots.v)) - ln((a.cg + 1) * 1.0 / (tots.ng + tots.v)) AS lr FROM allt a LEFT JOIN tgt t USING (term) CROSS JOIN tots), wdoc AS (SELECT doc_id, round(sum(tf.tf * lm.lr) / sum(tf.tf), 6) AS w FROM tf JOIN lm USING (term) GROUP BY 1) SELECT d.lang, CAST(count(*) AS BIGINT) AS n_docs, round(avg(w), 6) AS avg_w, round(sum(CASE WHEN w > 0 THEN 1 ELSE 0 END) * 1.0 / count(*), 6) AS upsample_frac FROM wdoc JOIN documents d USING (doc_id) GROUP BY 1 ORDER BY 1"""),
+      Some("""WITH tok AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents), tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2), tgt AS (SELECT term, sum(tf.tf) AS ct FROM tf JOIN documents d USING (doc_id) WHERE d.lang = 'en' GROUP BY 1), allt AS (SELECT term, sum(tf) AS cg FROM tf GROUP BY 1), tots AS (SELECT (SELECT sum(cg) FROM allt) AS ng, (SELECT count(*) FROM allt) AS v, (SELECT sum(ct) FROM tgt) AS nt), lm AS (SELECT a.term, ln((coalesce(t.ct, 0) + 1) * 1.0 / (tots.nt + tots.v)) - ln((a.cg + 1) * 1.0 / (tots.ng + tots.v)) AS lr FROM allt a LEFT JOIN tgt t USING (term) CROSS JOIN tots), wdoc AS (SELECT doc_id, CAST(floor(sum(tf.tf * lm.lr) / sum(tf.tf) * 1000000.0 + 0.5) AS BIGINT) AS wu FROM tf JOIN lm USING (term) GROUP BY 1) SELECT d.lang, CAST(count(*) AS BIGINT) AS n_docs, round(CAST(sum(wu) AS DOUBLE) / count(*) / 1000000.0, 6) AS avg_w, round(sum(CASE WHEN wu > 0 THEN 1 ELSE 0 END) * 1.0 / count(*), 6) AS upsample_frac FROM wdoc JOIN documents d USING (doc_id) GROUP BY 1 ORDER BY 1"""),
       "E4 ext: DSIR-style importance weights (target-vs-corpus unigram LLR)"),
 
     // q208 — INCREMENTAL perceptual-hash dedup: the media twin of q169
