@@ -500,13 +500,21 @@ object R6Queries {
     QuerySpec(
       "q184_robust_zscore",
       (s, d) => {
+        // Both quantile passes and the final fence count re-read the
+        // projected event rows (and the med-joined deviations) — three
+        // scans each without a lineage cut. localCheckpoint materializes
+        // the 2-column projection once (the q214 stance: it is a
+        // fraction of the raw table and becomes shuffle-file-sized
+        // state, not a cached raw corpus).
         val ev = t(s, d, "events").where(col("value").isNotNull)
           .select(col("event_type"), col("value"))
+          .localCheckpoint(false)
         val med = graft.ops.QuantileOps
           .exactElementQuantile(ev, "value", Seq("event_type"), 0.5)
           .select(col("event_type"), col("n"), col("cut").as("med"))
         val dev = ev.join(broadcast(med), "event_type")
           .withColumn("dev", abs(col("value") - col("med")))
+          .localCheckpoint(false)
         val mad = graft.ops.QuantileOps
           .exactElementQuantile(dev, "dev", Seq("event_type"), 0.5)
           .select(col("event_type"), col("cut").as("mad"))
@@ -771,11 +779,18 @@ object R6Queries {
     QuerySpec(
       "q192_brand_basket",
       (s, d) => {
+        // The distinct (order, brand) table feeds FOUR consumers (the
+        // scalar, per-brand supports, and both self-join legs); without
+        // a lineage cut each consumer re-runs the lineitem join +
+        // distinct. localCheckpoint materializes it once — the same
+        // q214 semi-naive stance: it is orders-of-magnitude smaller
+        // than lineitem and would be a shuffle file anyway.
         val ob = t(s, d, "lineitem")
           .join(broadcast(t(s, d, "part").select(col("p_partkey"), col("p_brand"))),
             col("l_partkey") === col("p_partkey"))
           .select(col("l_orderkey").as("ok"), col("p_brand").as("brand"))
           .distinct()
+          .localCheckpoint(false)
         val n = ob.agg(countDistinct("ok").as("n_orders"))
         val supp1 = ob.groupBy("brand").agg(count(lit(1)).as("s1"))
         val a = ob.select(col("ok"), col("brand").as("ba"))

@@ -324,13 +324,22 @@ object R7Queries {
           .select(col("doc_id"), explode(expr(
             "transform(sequence(0, size(tk) - 8), i -> concat_ws(' ', slice(tk, i + 1, 8)))"))
             .as("p"))
-        val g = w.groupBy("p")
+        // Only the SHARED passages (n_docs >= 2 — the rare duplicated
+        // spans) flow back to the per-doc rollup, as a broadcast left
+        // join: the unfiltered spread table is ~|windows| rows and
+        // Catalyst would otherwise broadcast the whole exploded window
+        // set (observed: a ~100 MB BroadcastExchange of the Generate
+        // output at sf0.1). The probe side keeps its doc_id
+        // partitioning from the repartition, so the final groupBy adds
+        // no exchange — the one big shuffle left is the passage groupBy.
+        val shared = w.groupBy("p")
           .agg(countDistinct("doc_id").as("n_docs"), count(lit(1)).as("n_occ"))
-        w.join(g, "p")
+          .where(col("n_docs") >= 2)
+        w.join(broadcast(shared), Seq("p"), "left")
           .groupBy("doc_id")
           .agg(count(lit(1)).as("n_windows"),
-            sum(when(col("n_docs") >= 2, 1L).otherwise(0L)).as("n_shared"),
-            max(when(col("n_docs") >= 2, col("n_occ")).otherwise(0L)).as("max_spread"))
+            sum(when(col("n_docs").isNotNull, 1L).otherwise(0L)).as("n_shared"),
+            coalesce(max("n_occ"), lit(0L)).as("max_spread"))
           .withColumn("shared_frac", round(col("n_shared") / col("n_windows"), 6))
           .orderBy("doc_id")
       },
