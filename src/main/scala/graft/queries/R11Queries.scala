@@ -280,7 +280,9 @@ object R11Queries {
 
     // q235 — KMV pairwise source similarity: each source's vocabulary is
     // sketched as its 32 smallest 60-bit term hashes; a pair's Jaccard
-    // estimate is |A∩B| within the bottom-32 of A∪B, over 32 — computed
+    // estimate is |A∩B| within the bottom-min(32, |union sketch|) of
+    // A∪B, over that same kept count (exact when both vocabularies fit
+    // in the sketch — the adaptive-k KMV estimator) — computed
     // entirely from 20 sketches of 32 rows, while the exact Jaccard
     // (audited alongside) needs the term-level self-join. THE reason
     // sketches win at 100 TB: the estimate's input is KB per source and
@@ -307,9 +309,15 @@ object R11Queries {
         val u = ua.unionByName(ub).groupBy("sa", "sb", "hv")
           .agg(max("ia").as("ina"), max("ib").as("inb"))
         val wu = Window.partitionBy("sa", "sb").orderBy("hv")
+        // denominator = kept union-sketch rows, NOT the nominal k: when
+        // the merged sketch holds the ENTIRE union (both vocabularies
+        // fit in k), dividing by k would bias the estimate low — with
+        // the adaptive k_used the small-union regime is exact, the
+        // standard KMV estimator (pinned by WideningInvariantSpec)
         val est = u.withColumn("rn", row_number().over(wu)).where(col("rn") <= 32)
           .groupBy("sa", "sb")
-          .agg(sum(when(col("ina") === 1 && col("inb") === 1, 1L).otherwise(0L)).as("k_int"))
+          .agg(sum(when(col("ina") === 1 && col("inb") === 1, 1L).otherwise(0L)).as("k_int"),
+            count(lit(1)).as("k_used"))
         val cnt = st.groupBy("source").agg(count(lit(1)).as("n"))
         val intr = st.as("x")
           .join(st.as("y"), col("x.term") === col("y.term") && col("x.source") < col("y.source"))
@@ -319,14 +327,14 @@ object R11Queries {
           .join(intr, Seq("sa", "sb"), "left")
           .join(broadcast(cnt.select(col("source").as("sa"), col("n").as("na"))), "sa")
           .join(broadcast(cnt.select(col("source").as("sb"), col("n").as("nb"))), "sb")
-          .select(col("sa"), col("sb"), col("k_int"),
-            expr("k_int * 10000 div 32").as("est_bp"),
+          .select(col("sa"), col("sb"), col("k_int"), col("k_used"),
+            expr("k_int * 10000 div k_used").as("est_bp"),
             coalesce(col("n_inter"), lit(0L)).as("n_inter"),
             (col("na") + col("nb") - coalesce(col("n_inter"), lit(0L))).as("n_union"))
           .withColumn("exact_bp", expr("n_inter * 10000 div n_union"))
           .orderBy("sa", "sb")
       },
-      Some("""WITH st AS (SELECT DISTINCT source, unnest(string_split(lower(text), ' ')) AS term FROM documents), h AS (SELECT source, term, CAST(concat('0x', substr(md5(term), 1, 15)) AS BIGINT) AS hv FROM st), sk AS (SELECT source, hv FROM (SELECT source, hv, row_number() OVER (PARTITION BY source ORDER BY hv, term) AS rn FROM h) z WHERE rn <= 32), srcs AS (SELECT DISTINCT source FROM documents), pr AS (SELECT a.source AS sa, b.source AS sb FROM srcs a JOIN srcs b ON a.source < b.source), u AS (SELECT sa, sb, hv, max(ia) AS ina, max(ib) AS inb FROM (SELECT pr.sa, pr.sb, sk.hv, 1 AS ia, 0 AS ib FROM pr JOIN sk ON sk.source = pr.sa UNION ALL SELECT pr.sa, pr.sb, sk.hv, 0, 1 FROM pr JOIN sk ON sk.source = pr.sb) q GROUP BY 1, 2, 3), ku AS (SELECT sa, sb, ina, inb, row_number() OVER (PARTITION BY sa, sb ORDER BY hv) AS rn FROM u), est AS (SELECT sa, sb, CAST(sum(CASE WHEN ina = 1 AND inb = 1 THEN 1 ELSE 0 END) AS BIGINT) AS k_int FROM ku WHERE rn <= 32 GROUP BY 1, 2), cnt AS (SELECT source, count(*) AS n FROM st GROUP BY 1), intr AS (SELECT x.source AS sa, y.source AS sb, count(*) AS n_inter FROM st x JOIN st y ON x.term = y.term AND x.source < y.source GROUP BY 1, 2) SELECT est.sa, est.sb, est.k_int, est.k_int * 10000 // 32 AS est_bp, coalesce(intr.n_inter, 0) AS n_inter, na.n + nb.n - coalesce(intr.n_inter, 0) AS n_union, coalesce(intr.n_inter, 0) * 10000 // (na.n + nb.n - coalesce(intr.n_inter, 0)) AS exact_bp FROM est LEFT JOIN intr ON est.sa = intr.sa AND est.sb = intr.sb JOIN cnt na ON est.sa = na.source JOIN cnt nb ON est.sb = nb.source ORDER BY est.sa, est.sb"""),
+      Some("""WITH st AS (SELECT DISTINCT source, unnest(string_split(lower(text), ' ')) AS term FROM documents), h AS (SELECT source, term, CAST(concat('0x', substr(md5(term), 1, 15)) AS BIGINT) AS hv FROM st), sk AS (SELECT source, hv FROM (SELECT source, hv, row_number() OVER (PARTITION BY source ORDER BY hv, term) AS rn FROM h) z WHERE rn <= 32), srcs AS (SELECT DISTINCT source FROM documents), pr AS (SELECT a.source AS sa, b.source AS sb FROM srcs a JOIN srcs b ON a.source < b.source), u AS (SELECT sa, sb, hv, max(ia) AS ina, max(ib) AS inb FROM (SELECT pr.sa, pr.sb, sk.hv, 1 AS ia, 0 AS ib FROM pr JOIN sk ON sk.source = pr.sa UNION ALL SELECT pr.sa, pr.sb, sk.hv, 0, 1 FROM pr JOIN sk ON sk.source = pr.sb) q GROUP BY 1, 2, 3), ku AS (SELECT sa, sb, ina, inb, row_number() OVER (PARTITION BY sa, sb ORDER BY hv) AS rn FROM u), est AS (SELECT sa, sb, CAST(sum(CASE WHEN ina = 1 AND inb = 1 THEN 1 ELSE 0 END) AS BIGINT) AS k_int, count(*) AS k_used FROM ku WHERE rn <= 32 GROUP BY 1, 2), cnt AS (SELECT source, count(*) AS n FROM st GROUP BY 1), intr AS (SELECT x.source AS sa, y.source AS sb, count(*) AS n_inter FROM st x JOIN st y ON x.term = y.term AND x.source < y.source GROUP BY 1, 2) SELECT est.sa, est.sb, est.k_int, est.k_used, est.k_int * 10000 // est.k_used AS est_bp, coalesce(intr.n_inter, 0) AS n_inter, na.n + nb.n - coalesce(intr.n_inter, 0) AS n_union, coalesce(intr.n_inter, 0) * 10000 // (na.n + nb.n - coalesce(intr.n_inter, 0)) AS exact_bp FROM est LEFT JOIN intr ON est.sa = intr.sa AND est.sb = intr.sb JOIN cnt na ON est.sa = na.source JOIN cnt nb ON est.sb = nb.source ORDER BY est.sa, est.sb"""),
       "§2.4-note/E2 ext: KMV bottom-32 sketches — pairwise source Jaccard without a corpus join"),
 
     // q236 — lexical-diversity audit: per source, token count, type

@@ -1,0 +1,178 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Semantic invariants of the round-6 widening (q226–q237) that the
+  * value-equality oracle cannot express: the TPC-H-shape algebraic
+  * guarantees (threshold semantics, share budgets, argmin minimality),
+  * the adaptive-k KMV exactness regime, OLS normal-equation identities,
+  * and the audit-family bounds. All run the REGISTERED queries against
+  * sf0.001, so the pinned behavior is exactly what the driver verifies.
+  */
+class R11InvariantSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def run(name: String) = SparkEntry.queries(name)(spark, sf001)
+
+  test("q226 small-qty: every qualifying quantity is under 0.2·avg ≤ 10, so qty_small ≤ 10·n_small") {
+    val rows = run("q226_small_qty_rev")
+      .select("n_small", "qty_small", "rev_cents").as[(Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (n, q, rev) =>
+      // l_quantity ∈ [1, 50] ⇒ 0.2·avg ≤ 10, and each small row is
+      // strictly below it
+      assert(q < n * 10)
+      assert(rev > 0)
+    }
+  }
+
+  test("q227 big orders: threshold respected, orderkeys unique, matches direct recount") {
+    val df = run("q227_big_orders").cache()
+    try {
+      assert(df.count() > 0)
+      assert(df.where(col("sum_qty") <= 300).count() == 0)
+      assert(df.select("o_orderkey").distinct().count() == df.count())
+      val want = Tables.load(spark, sf001, "lineitem")
+        .groupBy("l_orderkey").agg(sum("l_quantity").as("sq"))
+        .where(col("sq") > 300).count()
+      assert(df.count() == want)
+    } finally df.unpersist()
+  }
+
+  test("q228 HHI: averages within the [uniform, monopoly] band, counters bounded") {
+    val rows = run("q228_supply_hhi")
+      .select("n_parts", "avg_hhi_bp", "max_top_bp", "n_concentrated")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (np, hhi, top, conc) =>
+      // HHI of any share vector lies in (0, 10000]; a top share is a
+      // valid basis-point fraction; the concentrated count is a subset
+      assert(hhi > 0 && hhi <= 10000)
+      assert(top > 0 && top <= 10000)
+      assert(conc >= 0 && conc <= np)
+    }
+  }
+
+  test("q229 dormant rich: totals match an independently computed dormant set") {
+    val df = run("q229_dormant_rich")
+    val got = df.agg(sum("n_cust")).as[Long].head()
+    // independent recount with the same cents quantization
+    val c = Tables.load(spark, sf001, "customer")
+      .select(col("c_custkey"), floor(col("c_acctbal") * 100.0 + 0.5).cast("long").as("cts"))
+      .where(col("cts") > 0)
+    val stats = c.agg(sum("cts").as("t"), count(lit(1)).as("n")).head()
+    val (t, n) = (stats.getLong(0), stats.getLong(1))
+    val rich = c.where(col("cts") * n > t)
+    val active = Tables.load(spark, sf001, "orders")
+      .where(col("o_orderdate").cast("date") >= lit("2000-08-01").cast("date"))
+      .select(col("o_custkey")).distinct()
+    val want = rich.join(active, rich("c_custkey") === active("o_custkey"), "left_anti").count()
+    assert(got == want && want > 0)
+  }
+
+  test("q230 vital brands: every share above threshold; selected shares fit the 10000 bp budget") {
+    val rows = run("q230_vital_brands").select("share_bp").as[Long].collect()
+    assert(rows.nonEmpty)
+    rows.foreach(bp => assert(bp >= 300 && bp <= 10000))
+    assert(rows.sum <= 10000)
+  }
+
+  test("q231 best supplier: one winner per traded part, and it is truly minimal") {
+    val df = run("q231_best_supplier").cache()
+    try {
+      val li = Tables.load(spark, sf001, "lineitem")
+      assert(df.count() == li.select("l_partkey").distinct().count())
+      assert(df.select("l_partkey").distinct().count() == df.count())
+      // the winner's floor-bp unit price must not exceed any other
+      // supplier's best offer for the same part
+      val offers = li.groupBy("l_partkey", "l_suppkey")
+        .agg(min(col("l_extendedprice") / col("l_quantity")).as("bo"))
+        .select(col("l_partkey"), floor(col("bo") * 10000.0).cast("long").as("obp"))
+      val beaten = df.join(offers, "l_partkey")
+        .where(col("unit_bp") > col("obp")).count()
+      assert(beaten == 0)
+    } finally df.unpersist()
+  }
+
+  test("q232 OLS: regression line passes through the centroid of each group") {
+    val rows = run("q232_trend_ols")
+      .select("event_type", "slope_cents", "icept_cents")
+      .as[(String, Double, Double)].collect()
+    assert(rows.length == 5)
+    val cents = Tables.events(spark, sf001).where(col("value").isNotNull)
+      .select(col("event_type"),
+        expr("unix_timestamp(ts) div 86400 - 19723").as("x"),
+        floor(col("value") * 100.0 + 0.5).cast("long").as("vc"))
+      .groupBy("event_type").agg(avg("x").as("mx"), avg("vc").as("my"))
+      .as[(String, Double, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    rows.foreach { case (et, slope, icept) =>
+      val (mx, my) = cents(et)
+      // ŷ(mean x) == mean y is the normal-equation identity; outputs are
+      // rounded 4dp so allow the rounding envelope scaled by |mx|
+      assert(math.abs(slope * mx + icept - my) < 1e-4 * (math.abs(mx) + 1) + 1e-4)
+    }
+  }
+
+  test("q233 hourly audit: shares are valid fractions and user counts are consistent") {
+    val df = run("q233_hourly_hotkeys").cache()
+    try {
+      assert(df.count() > 0)
+      assert(df.where(col("n_users") > col("n")).count() == 0)
+      assert(df.where(col("max_user_n") > col("n")).count() == 0)
+      assert(df.where(col("user_bp") > lit(10000) || col("type_bp") > lit(10000)).count() == 0)
+      val total = df.agg(sum("n")).as[Long].head()
+      assert(total == Tables.events(spark, sf001).count())
+    } finally df.unpersist()
+  }
+
+  test("q234 blowup: pairs = n² and the top-20 share budget holds") {
+    val rows = run("q234_join_blowup")
+      .select("n", "pairs", "share_bp").as[(Long, Long, Long)].collect()
+    assert(rows.length == 20)
+    rows.foreach { case (n, p, bp) => assert(p == n * n && bp >= 0 && bp <= 10000) }
+    assert(rows.map(_._3).sum <= 10000)
+    // ordered by n desc
+    assert(rows.map(_._1).toSeq == rows.map(_._1).sortBy(-_).toSeq)
+  }
+
+  test("q235 KMV: exact in the small-union regime, bounded error elsewhere") {
+    val rows = run("q235_kmv_jaccard")
+      .select("k_used", "n_union", "est_bp", "exact_bp")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (kUsed, nUnion, est, exact) =>
+      assert(kUsed <= 32 && kUsed > 0)
+      // when the merged sketch holds the whole union, the adaptive-k
+      // estimator IS the exact Jaccard
+      if (nUnion <= 32) assert(est == exact)
+      // KMV k=32 standard error ≈ 1/√32 ≈ 17.7%; 3500 bp is a ~2σ band
+      assert(math.abs(est - exact) <= 3500)
+    }
+  }
+
+  test("q236 lexical diversity: type/token/hapax ordering and bp bounds") {
+    val rows = run("q236_lexical_diversity")
+      .select("n_tokens", "n_types", "n_hapax", "ttr_bp", "hapax_bp")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (tok, typ, hap, ttr, hbp) =>
+      assert(hap <= typ && typ <= tok)
+      assert(ttr <= 10000 && hbp <= 10000)
+    }
+  }
+
+  test("q237 weekday baseline: counts match the independent daily aggregate") {
+    val df = run("q237_weekday_baseline").cache()
+    try {
+      assert(df.count() > 0)
+      val daily = Tables.events(spark, sf001)
+        .select(col("event_type"), expr("unix_timestamp(ts) div 86400").as("day"))
+        .groupBy("event_type", "day").agg(count(lit(1)).as("want_n"))
+      val mismatched = df.join(daily, Seq("event_type", "day"))
+        .where(col("n") =!= col("want_n")).count()
+      assert(mismatched == 0)
+      // deviation floor: n ≥ 1 and base ≥ 2 ⇒ dev_bp ≥ -10000 + something
+      assert(df.where(col("dev_bp") < -10000).count() == 0)
+    } finally df.unpersist()
+  }
+}
