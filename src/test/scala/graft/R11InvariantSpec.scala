@@ -161,6 +161,67 @@ class R11InvariantSpec extends SparkSpecBase {
     }
   }
 
+  test("q238 copy matrix: pair counts dominate cluster counts, pairs ordered") {
+    val rows = run("q238_copy_matrix")
+      .select("sa", "sb", "n_pairs", "n_clusters").as[(String, String, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (sa, sb, np, nc) =>
+      assert(sa < sb)
+      // every shared cluster contributes at least one cross-source pair
+      assert(np >= nc && nc >= 1)
+    }
+  }
+
+  test("q239 power law: point count bounded by node count, slope finite") {
+    val r = run("q239_degree_powerlaw")
+      .select("n_points", "n_nodes", "max_deg", "slope")
+      .as[(Long, Long, Long, Double)].head()
+    assert(r._1 > 0 && r._1 <= r._2)
+    assert(r._3 >= 1)
+    assert(!r._4.isNaN && !r._4.isInfinite)
+  }
+
+  test("q240 conversion lag: rate is a valid fraction, quantiles ordered and non-negative") {
+    val r = run("q240_conversion_lag")
+      .select("n_viewers", "n_converted", "conv_bp", "p50_lag_s", "p90_lag_s")
+      .as[(Long, Long, Long, Long, Long)].head()
+    assert(r._2 <= r._1 && r._3 <= 10000)
+    assert(r._4 >= 0 && r._4 <= r._5)
+  }
+
+  test("q241 parent share: nation revenues sum EXACTLY to their region total") {
+    val df = run("q241_parent_share").cache()
+    try {
+      assert(df.count() > 0)
+      val broken = df.groupBy("r_name")
+        .agg(sum("rev_cents").as("s"), max("region_cents").as("rc"),
+          sum("share_bp").as("sbp"))
+        .where(col("s") =!= col("rc") || col("sbp") > 10000)
+        .count()
+      assert(broken == 0)
+    } finally df.unpersist()
+  }
+
+  test("q242 priority drift: L1 bounded by 2 (20000 bp), totals match orders") {
+    val df = run("q242_priority_drift").cache()
+    try {
+      assert(df.count() > 0)
+      assert(df.where(col("l1_bp") > 20000).count() == 0)
+      val total = df.agg(sum("n_orders")).as[Long].head()
+      assert(total == Tables.load(spark, sf001, "orders").count())
+    } finally df.unpersist()
+  }
+
+  test("q243 pareto: the 80% prefix is a non-empty subset of the brand's parts") {
+    val rows = run("q243_brand_pareto")
+      .select("n_parts", "n_parts_80", "top_share_bp").as[(Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (np, n80, top) =>
+      assert(n80 >= 1 && n80 <= np)
+      assert(top >= 1 && top <= 10000)
+    }
+  }
+
   test("q237 weekday baseline: counts match the independent daily aggregate") {
     val df = run("q237_weekday_baseline").cache()
     try {
