@@ -445,18 +445,21 @@ object R4Queries {
     QuerySpec(
       "q155_multi_exists",
       (s, d) => {
-        val li = t(s, d, "lineitem")
-          .select(col("l_orderkey"), col("l_suppkey"), col("l_quantity"))
-        val pairs = li.select("l_orderkey", "l_suppkey").distinct()
-        val flagged = li.where(col("l_quantity") > 45)
-          .select("l_orderkey", "l_suppkey").distinct()
-        val hasOther = flagged.as("c").join(pairs.as("o"),
-          col("c.l_orderkey") === col("o.l_orderkey") &&
-            col("c.l_suppkey") =!= col("o.l_suppkey"), "left_semi")
-        val soleFlagged = hasOther.as("c").join(flagged.as("f"),
-          col("c.l_orderkey") === col("f.l_orderkey") &&
-            col("c.l_suppkey") =!= col("f.l_suppkey"), "left_anti")
-        soleFlagged.groupBy(col("l_suppkey").as("s_suppkey"))
+        // Both correlated EXISTS collapse into per-order counts over the
+        // distinct (order, supplier) pairs: "some other supplier touched
+        // the order" ⇔ n_supp ≥ 2, "no OTHER flagged supplier" (for a
+        // flagged row) ⇔ n_flg = 1. One (order, supplier) aggregate +
+        // one order-keyed window replaces the former two distincts plus
+        // semi- and anti-join — four orderkey shuffles of pair-scale
+        // data become two, with identical semantics.
+        val grp = t(s, d, "lineitem")
+          .groupBy("l_orderkey", "l_suppkey")
+          .agg(max((col("l_quantity") > 45).cast("long")).as("flg"))
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("l_orderkey")
+        grp.withColumn("n_supp", count(lit(1)).over(w))
+          .withColumn("n_flg", sum("flg").over(w))
+          .where(col("flg") === 1 && col("n_flg") === 1 && col("n_supp") >= 2)
+          .groupBy(col("l_suppkey").as("s_suppkey"))
           .agg(count(lit(1)).as("numwait"))
           .orderBy(col("numwait").desc, col("s_suppkey"))
           .limit(10)

@@ -793,10 +793,17 @@ object R6Queries {
           .localCheckpoint(false)
         val n = ob.agg(countDistinct("ok").as("n_orders"))
         val supp1 = ob.groupBy("brand").agg(count(lit(1)).as("s1"))
-        val a = ob.select(col("ok"), col("brand").as("ba"))
-        val b = ob.select(col("ok"), col("brand").as("bb"))
-        a.join(b, Seq("ok")).where(col("ba") < col("bb"))
-          .groupBy("ba", "bb").agg(count(lit(1)).as("supp"))
+        // pair generation is map-side: collect each order's brand set
+        // (≤ |brands| elements) and emit its C(k,2) ordered pairs from
+        // one generator expression — replaces the ok-keyed self-join
+        // (two sorted shuffles of the full table) with a single groupBy
+        // whose fan-out is bounded by the per-order basket size
+        val pairs = ob.groupBy("ok").agg(sort_array(collect_set("brand")).as("bs"))
+          .select(explode(expr(
+            "flatten(transform(bs, (x, i) -> transform(slice(bs, i + 2, size(bs)), y -> struct(x AS ba, y AS bb))))"))
+            .as("pr"))
+          .select(col("pr.ba"), col("pr.bb"))
+        pairs.groupBy("ba", "bb").agg(count(lit(1)).as("supp"))
           .where(col("supp") >= 10)
           .join(broadcast(supp1.select(col("brand").as("ba"), col("s1").as("sa"))), "ba")
           .join(broadcast(supp1.select(col("brand").as("bb"), col("s1").as("sb"))), "bb")
