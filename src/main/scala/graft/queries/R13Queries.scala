@@ -1,0 +1,122 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.QuerySpec
+import graft.Tables
+import graft.ops.QuantileOps
+
+/** Round-6 widening, third batch: the WEIGHTED exact-element quantile
+  * operator (QuantileOps.weightedElementQuantiles — same two-level
+  * bucket-offset scheme, cumulative weights instead of counts), a
+  * Merkle-style replica diff (bucket digests first, row drill-down only
+  * into mismatched buckets — the anti-entropy pattern that reconciles
+  * two 100-TB copies without comparing rows), and a log2-banded
+  * inter-event latency histogram whose band index comes from the binary
+  * string length (integer-exact — never floor(ln/ln 2), which flips at
+  * exact powers of two).
+  */
+object R13Queries {
+
+  private def t(s: SparkSession, d: String, n: String): DataFrame = Tables.load(s, d, n)
+
+  val specs: Seq[QuerySpec] = Seq(
+
+    // q244 — weighted median/p90 unit price per return flag, weighted by
+    // quantity: the "median price a unit actually sold at" — price
+    // percentiles weighted by volume, not by line count (a 1-unit line
+    // and a 50-unit line are NOT the same evidence). First registered
+    // user of the weighted QuantileOps variant; quantity weights are
+    // integer-valued so cumulative weights are BIGINT-exact and the
+    // cut selection inherits the element rule's determinism.
+    QuerySpec(
+      "q244_weighted_median",
+      (s, d) => {
+        val li = t(s, d, "lineitem").select(col("l_returnflag"),
+          (col("l_extendedprice") / col("l_quantity")).as("unit"),
+          col("l_quantity").cast("long").as("w"))
+        QuantileOps.weightedElementQuantiles(
+            li, "unit", "w", Seq("l_returnflag"), Seq(0.5, 0.9))
+          .select(col("l_returnflag"), col("w_total"),
+            floor(col("cut_1") * 10000.0).cast("long").as("p50_unit_bp"),
+            floor(col("cut_2") * 10000.0).cast("long").as("p90_unit_bp"))
+          .orderBy("l_returnflag")
+      },
+      Some {
+        val qSql = QuantileOps.weightedOracleSql(
+          "(SELECT l_returnflag, l_extendedprice / l_quantity AS unit, CAST(l_quantity AS BIGINT) AS w FROM lineitem) u",
+          "unit", "w", Seq("l_returnflag"), Seq(0.5, 0.9))
+        s"""SELECT l_returnflag, w_total, CAST(floor(cut_1 * 10000.0) AS BIGINT) AS p50_unit_bp, CAST(floor(cut_2 * 10000.0) AS BIGINT) AS p90_unit_bp FROM $qSql z ORDER BY l_returnflag"""
+      },
+      "§2.4 ext: volume-weighted exact-element price quantiles (weighted QuantileOps)"),
+
+    // q245 — Merkle-style replica diff: replica A is documents as
+    // shipped; replica B deterministically drops doc_id % 97 == 0 and
+    // corrupts doc_id % 101 == 0. Both sides fold into per-bucket
+    // (doc_id ÷ 64) digests — an ORDER-INDEPENDENT BIGINT sum of
+    // truncated row hashes, so the digest aggregates map-side with no
+    // sort — and only the mismatched buckets get the row-level
+    // drill-down join. THE anti-entropy shape: at 100 TB the first pass
+    // moves |buckets| rows and the second touches only damaged buckets;
+    // the naive row-compare full-outer join never runs.
+    QuerySpec(
+      "q245_merkle_diff",
+      (s, d) => {
+        def rowHash(h: org.apache.spark.sql.Column) =
+          conv(substring(md5(concat(col("doc_id").cast("string"), lit(":"), h)), 1, 10),
+            16, 10).cast("long")
+        val docs = t(s, d, "documents")
+        val a = docs.select(col("doc_id"), md5(col("text")).as("h"),
+          expr("doc_id div 64").as("bkt"))
+        val b = docs.where(col("doc_id") % 97 =!= 0)
+          .select(col("doc_id"),
+            md5(when(col("doc_id") % 101 === 0, concat(col("text"), lit(" corrupted")))
+              .otherwise(col("text"))).as("h"),
+            expr("doc_id div 64").as("bkt"))
+        val da = a.groupBy("bkt").agg(count(lit(1)).as("n_a"), sum(rowHash(col("h"))).as("dig_a"))
+        val db = b.groupBy("bkt").agg(count(lit(1)).as("n_b"), sum(rowHash(col("h"))).as("dig_b"))
+        val cmp = da.join(db, Seq("bkt"), "left")
+          .select(col("bkt"),
+            when(col("dig_b").isNotNull && col("dig_a") === col("dig_b"), 1L)
+              .otherwise(0L).as("ok"))
+        val bad = cmp.where(col("ok") === 0).select("bkt")
+        val drill = a.join(broadcast(bad), "bkt")
+          .join(b.withColumnRenamed("h", "hb").drop("bkt"), Seq("doc_id"), "left")
+          .agg(sum(when(col("hb").isNull, 1L).otherwise(0L)).as("n_missing"),
+            sum(when(col("hb").isNotNull && col("h") =!= col("hb"), 1L).otherwise(0L))
+              .as("n_corrupt"))
+        cmp.agg(count(lit(1)).as("n_buckets"),
+            sum(lit(1L) - col("ok")).as("n_diff_buckets"))
+          .crossJoin(drill)
+      },
+      Some("""WITH a AS (SELECT doc_id, md5(text) AS h, doc_id // 64 AS bkt FROM documents), b AS (SELECT doc_id, md5(CASE WHEN doc_id % 101 = 0 THEN concat(text, ' corrupted') ELSE text END) AS h, doc_id // 64 AS bkt FROM documents WHERE doc_id % 97 <> 0), da AS (SELECT bkt, count(*) AS n_a, CAST(sum(CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR), ':', h)), 1, 10)) AS BIGINT)) AS BIGINT) AS dig_a FROM a GROUP BY 1), db AS (SELECT bkt, count(*) AS n_b, CAST(sum(CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR), ':', h)), 1, 10)) AS BIGINT)) AS BIGINT) AS dig_b FROM b GROUP BY 1), cmp AS (SELECT da.bkt, CASE WHEN db.bkt IS NOT NULL AND da.dig_a = db.dig_b THEN 1 ELSE 0 END AS ok FROM da LEFT JOIN db USING (bkt)), bad AS (SELECT bkt FROM cmp WHERE ok = 0), drill AS (SELECT CAST(sum(CASE WHEN b2.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_missing, CAST(sum(CASE WHEN b2.doc_id IS NOT NULL AND a2.h <> b2.h THEN 1 ELSE 0 END) AS BIGINT) AS n_corrupt FROM a a2 JOIN bad ON a2.bkt = bad.bkt LEFT JOIN b b2 ON a2.doc_id = b2.doc_id) SELECT CAST((SELECT count(*) FROM cmp) AS BIGINT) AS n_buckets, CAST((SELECT sum(1 - ok) FROM cmp) AS BIGINT) AS n_diff_buckets, drill.n_missing, drill.n_corrupt FROM drill"""),
+      "E1/§2.8 ext: Merkle-style replica diff — bucket digests, drill only into mismatches"),
+
+    // q246 — log2-banded inter-event latency histogram: per event type,
+    // the user-consecutive gap seconds bucketed by binary magnitude —
+    // band = length(bin(gap)) (the bit count of the integer, so band b
+    // covers [2^(b-1), 2^b)), gap 0 in band 0. Integer-exact banding:
+    // floor(ln(gap)/ln(2)) would misplace exact powers of two on
+    // whichever side the engine's log ulps fall. The fixed-cost
+    // histogram view of q194's gap quantiles — a latency SLO dashboard
+    // reads this, and the band count is ≤ 64 per type at any scale.
+    QuerySpec(
+      "q246_log2_latency",
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val gaps = Tables.events(s, d)
+          .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+          .withColumn("gap",
+            (unix_timestamp(col("ts")) - unix_timestamp(lag("ts", 1).over(w))).cast("long"))
+          .where(col("gap").isNotNull)
+        gaps.withColumn("band",
+            when(col("gap") === 0, 0L).otherwise(length(bin(col("gap"))).cast("long")))
+          .groupBy("event_type", "band")
+          .agg(count(lit(1)).as("n"), min("gap").as("min_gap"), max("gap").as("max_gap"))
+          .orderBy("event_type", "band")
+      },
+      Some("""WITH g AS (SELECT event_type, CAST(floor(epoch(CAST(ts AS TIMESTAMP))) - floor(epoch(lag(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id))) AS BIGINT) AS gap FROM events), b AS (SELECT event_type, CASE WHEN gap = 0 THEN 0 ELSE length(bin(gap)) END AS band, gap FROM g WHERE gap IS NOT NULL) SELECT event_type, CAST(band AS BIGINT) AS band, count(*) AS n, min(gap) AS min_gap, max(gap) AS max_gap FROM b GROUP BY 1, 2 ORDER BY 1, 2"""),
+      "§2.5/§2.4 ext: log2-magnitude latency histogram — bit-length banding, no float log"))
+}

@@ -222,6 +222,62 @@ class R11InvariantSpec extends SparkSpecBase {
     }
   }
 
+  test("q244 weighted median: cuts match the brute-force weighted element rule") {
+    val got = run("q244_weighted_median")
+      .select("l_returnflag", "w_total", "p50_unit_bp", "p90_unit_bp")
+      .as[(String, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(got.nonEmpty)
+    // brute force: sort each flag's (unit, weight) rows, walk the
+    // cumulative weight to ceil(f·W) — the definition, O(n log n) per
+    // group, fine at sf0.001
+    val rows = Tables.load(spark, sf001, "lineitem")
+      .select(col("l_returnflag"),
+        (col("l_extendedprice") / col("l_quantity")).as("unit"),
+        col("l_quantity").cast("long").as("w"))
+      .as[(String, Double, Long)].collect()
+    rows.groupBy(_._1).foreach { case (flag, rs) =>
+      val sorted = rs.map(r => (r._2, r._3)).sortBy(_._1)
+      val total = sorted.map(_._2).sum
+      def cutBp(f: Double): Long = {
+        val target = math.ceil(total * f).toLong
+        var cum = 0L
+        val hit = sorted.find { case (_, w) => cum += w; cum >= target }.get._1
+        math.floor(hit * 10000.0).toLong
+      }
+      val (_, wt, p50, p90) = got(flag)
+      assert(wt == total)
+      assert(p50 == cutBp(0.5) && p90 == cutBp(0.9))
+    }
+  }
+
+  test("q245 merkle diff: damage counts equal the injected damage exactly") {
+    val r = run("q245_merkle_diff")
+      .select("n_buckets", "n_diff_buckets", "n_missing", "n_corrupt")
+      .as[(Long, Long, Long, Long)].head()
+    val docs = Tables.load(spark, sf001, "documents").select("doc_id").as[Long].collect()
+    val missing = docs.count(_ % 97 == 0)
+    val corrupt = docs.count(id => id % 101 == 0 && id % 97 != 0)
+    assert(r._3 == missing && r._4 == corrupt)
+    assert(r._2 <= r._1)
+    // every damaged doc's bucket must have been flagged (digest sums
+    // collide with ~2^-40 probability — deterministic fixture here)
+    assert(r._2 >= 1 || (missing == 0 && corrupt == 0))
+  }
+
+  test("q246 log2 bands: every band's gap range lies inside [2^(b-1), 2^b)") {
+    val rows = run("q246_log2_latency")
+      .select("band", "min_gap", "max_gap").as[(Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (b, mn, mx) =>
+      assert(mn <= mx)
+      if (b == 0) assert(mn == 0 && mx == 0)
+      else {
+        assert(mn >= (1L << (b - 1).toInt))
+        assert(mx < (1L << b.toInt))
+      }
+    }
+  }
+
   test("q237 weekday baseline: counts match the independent daily aggregate") {
     val df = run("q237_weekday_baseline").cache()
     try {
