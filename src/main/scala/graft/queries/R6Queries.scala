@@ -856,11 +856,15 @@ object R6Queries {
       "q194_burst_profile",
       (s, d) => {
         val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        // consumed by both the quantile pass and the burst aggregate —
+        // materialize the windowed gaps once (q184's stance)
         val gaps = t(s, d, "events")
           .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
           .withColumn("gap",
             (unix_timestamp(col("ts")) - unix_timestamp(lag("ts", 1).over(w))).cast("long"))
           .where(col("gap").isNotNull)
+          .select("event_type", "gap")
+          .localCheckpoint(false)
         val q = graft.ops.QuantileOps
           .exactElementQuantiles(gaps, "gap", Seq("event_type"), Seq(0.5, 0.95))
           .select(col("event_type"), col("cut_1").cast("long").as("p50_s"),

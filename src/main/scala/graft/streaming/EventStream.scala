@@ -281,4 +281,59 @@ object EventStream {
       }
   }
 
+  case class TypedEvent(event_id: Long, ts: Timestamp, user_id: Long, event_type: String)
+  case class ConvOut(user_id: Long, lag_s: Long)
+
+  /** Per-user first-view → first-purchase conversion lag as a streaming
+    * operator — the q240 batch query's online twin. State is three
+    * longs per user (first-view epoch s, first-purchase epoch s,
+    * sealed flag; −1 = unset): each micro-batch folds its rows in
+    * (ts, event_id) order, pins the FIRST view and FIRST purchase ever
+    * seen, and the moment both exist the user is sealed — emitting the
+    * lag once iff the purchase did not precede the view (q240's
+    * non-conversion rule). Like [[EmaProcessor]], per-batch ordering is
+    * explicit; cross-batch order is the source's append order, which is
+    * the contract of every first-touch stream.
+    */
+  class ConversionProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, TypedEvent, ConvOut] {
+    @transient private var st: org.apache.spark.sql.streaming.ValueState[(Long, Long)] = _
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      st = getHandle.getValueState[(Long, Long)]("conv",
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaLong),
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(user: Long, rows: Iterator[TypedEvent],
+        timers: org.apache.spark.sql.streaming.TimerValues): Iterator[ConvOut] = {
+      var (fv, fp) = if (st.exists()) st.get() else (-1L, -1L)
+      val sealedAtStart = fv >= 0 && fp >= 0
+      val sorted = rows.toSeq.sortWith { (a, b) =>
+        val c = a.ts.compareTo(b.ts)
+        c < 0 || (c == 0 && a.event_id < b.event_id)
+      }
+      sorted.foreach { e =>
+        val s = e.ts.getTime / 1000
+        if (e.event_type == "view" && fv < 0) fv = s
+        if (e.event_type == "purchase" && fp < 0) fp = s
+      }
+      st.update((fv, fp))
+      if (!sealedAtStart && fv >= 0 && fp >= 0 && fp >= fv)
+        Iterator.single(ConvOut(user, fp - fv))
+      else Iterator.empty
+    }
+  }
+
+  /** The conversion-lag stream: group by user, seal on first (view,
+    * purchase) pair through [[ConversionProcessor]].
+    */
+  def conversionLagStream(events: Dataset[TypedEvent]): Dataset[ConvOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new ConversionProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append())
+  }
+
 }
