@@ -118,5 +118,47 @@ object R13Queries {
           .orderBy("event_type", "band")
       },
       Some("""WITH g AS (SELECT event_type, CAST(floor(epoch(CAST(ts AS TIMESTAMP))) - floor(epoch(lag(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id))) AS BIGINT) AS gap FROM events), b AS (SELECT event_type, CASE WHEN gap = 0 THEN 0 ELSE length(bin(gap)) END AS band, gap FROM g WHERE gap IS NOT NULL) SELECT event_type, CAST(band AS BIGINT) AS band, count(*) AS n, min(gap) AS min_gap, max(gap) AS max_gap FROM b GROUP BY 1, 2 ORDER BY 1, 2"""),
-      "§2.5/§2.4 ext: log2-magnitude latency histogram — bit-length banding, no float log"))
+      "§2.5/§2.4 ext: log2-magnitude latency histogram — bit-length banding, no float log"),
+
+    // q247 — point-in-time join against the SCD2 dimension: each order
+    // (custkey < 100, the q217 audit slice) looks up the priority
+    // VERSION that was valid 30 days before the order date — the
+    // feature-store PIT lookup that guards against label leakage
+    // (training features must come from the version live at
+    // observation time, not the current one). The join is custkey-equi
+    // with the interval predicate as a residual filter — per-customer
+    // version chains are short, so the equi-join carries the work and
+    // the interval test never becomes a range join. Probes earlier than
+    // the customer's first version stay unmatched (left join → 'none'),
+    // exactly the cold-start a feature store must surface rather than
+    // silently backfill.
+    QuerySpec(
+      "q247_pit_join",
+      (s, d) => {
+        val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+        val odrs = t(s, d, "orders").where(col("o_custkey") < 100)
+        val chg = odrs
+          .withColumn("prev", lag("o_orderpriority", 1).over(w))
+          .withColumn("is_chg",
+            when(col("prev").isNull || col("prev") =!= col("o_orderpriority"), 1L)
+              .otherwise(0L))
+          .withColumn("ver", sum("is_chg").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        val vers = chg.groupBy(col("o_custkey").as("v_custkey"), col("ver"))
+          .agg(max("o_orderpriority").as("prio"),
+            min(col("o_orderdate").cast("date")).as("from_d"))
+        val w2 = Window.partitionBy("v_custkey").orderBy("ver")
+        val iv = vers.withColumn("to_d", lead("from_d", 1).over(w2))
+        val probes = odrs.select(col("o_custkey"), col("o_orderkey"),
+          date_sub(col("o_orderdate").cast("date"), 30).as("pd"))
+        probes.join(iv,
+            probes("o_custkey") === iv("v_custkey") &&
+              probes("pd") >= iv("from_d") &&
+              (iv("to_d").isNull || probes("pd") < iv("to_d")), "left")
+          .groupBy(coalesce(col("prio"), lit("none")).as("prio_30d_prior"))
+          .agg(count(lit(1)).as("n_orders"))
+          .orderBy("prio_30d_prior")
+      },
+      Some("""WITH o AS (SELECT o_custkey, o_orderkey, o_orderdate, o_orderpriority, lag(o_orderpriority, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev FROM orders WHERE o_custkey < 100), c AS (SELECT *, CASE WHEN prev IS NULL OR prev <> o_orderpriority THEN 1 ELSE 0 END AS is_chg FROM o), v AS (SELECT *, sum(is_chg) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ver FROM c), g AS (SELECT o_custkey AS v_custkey, ver, max(o_orderpriority) AS prio, min(CAST(o_orderdate AS DATE)) AS from_d FROM v GROUP BY 1, 2), iv AS (SELECT *, lead(from_d, 1) OVER (PARTITION BY v_custkey ORDER BY ver) AS to_d FROM g), p AS (SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) - INTERVAL 30 DAY AS pd FROM orders WHERE o_custkey < 100) SELECT coalesce(iv.prio, 'none') AS prio_30d_prior, count(*) AS n_orders FROM p LEFT JOIN iv ON p.o_custkey = iv.v_custkey AND p.pd >= iv.from_d AND (iv.to_d IS NULL OR p.pd < iv.to_d) GROUP BY 1 ORDER BY 1"""),
+      "§2.3/§2.5 ext: point-in-time SCD2 lookup — leakage-safe feature-version join"))
 }

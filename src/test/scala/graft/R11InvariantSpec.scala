@@ -278,6 +278,16 @@ class R11InvariantSpec extends SparkSpecBase {
     }
   }
 
+  test("q247 PIT join: every probe lands in exactly one bucket (match or none)") {
+    val df = run("q247_pit_join")
+    val total = df.agg(sum("n_orders")).as[Long].head()
+    val probes = Tables.load(spark, sf001, "orders").where(col("o_custkey") < 100).count()
+    // left join against non-overlapping contiguous intervals: exactly
+    // one version (or none) per probe — no duplication, no loss
+    assert(total == probes)
+    assert(df.where(col("prio_30d_prior") === "none").count() == 1)
+  }
+
   test("q237 weekday baseline: counts match the independent daily aggregate") {
     val df = run("q237_weekday_baseline").cache()
     try {
