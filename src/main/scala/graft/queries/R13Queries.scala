@@ -160,5 +160,61 @@ object R13Queries {
           .orderBy("prio_30d_prior")
       },
       Some("""WITH o AS (SELECT o_custkey, o_orderkey, o_orderdate, o_orderpriority, lag(o_orderpriority, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev FROM orders WHERE o_custkey < 100), c AS (SELECT *, CASE WHEN prev IS NULL OR prev <> o_orderpriority THEN 1 ELSE 0 END AS is_chg FROM o), v AS (SELECT *, sum(is_chg) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ver FROM c), g AS (SELECT o_custkey AS v_custkey, ver, max(o_orderpriority) AS prio, min(CAST(o_orderdate AS DATE)) AS from_d FROM v GROUP BY 1, 2), iv AS (SELECT *, lead(from_d, 1) OVER (PARTITION BY v_custkey ORDER BY ver) AS to_d FROM g), p AS (SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) - INTERVAL 30 DAY AS pd FROM orders WHERE o_custkey < 100) SELECT coalesce(iv.prio, 'none') AS prio_30d_prior, count(*) AS n_orders FROM p LEFT JOIN iv ON p.o_custkey = iv.v_custkey AND p.pd >= iv.from_d AND (iv.to_d IS NULL OR p.pd < iv.to_d) GROUP BY 1 ORDER BY 1"""),
-      "§2.3/§2.5 ext: point-in-time SCD2 lookup — leakage-safe feature-version join"))
+      "§2.3/§2.5 ext: point-in-time SCD2 lookup — leakage-safe feature-version join"),
+
+    // q248 — per-brand SKYLINE (Pareto-optimal parts on price ↓ / size ↑):
+    // a part is dominated iff some part is strictly cheaper with size at
+    // least as large, or same-priced with strictly larger size. Rather
+    // than the O(n²) dominance self-join, one brand-partitioned RANGE
+    // window gives max(size) over all STRICTLY cheaper parts and a
+    // (brand, price) partition handles the tie group — the standard
+    // sort-based skyline sweep expressed declaratively. Money is floor
+    // cents, sizes integer: zero float risk in the dominance test.
+    QuerySpec(
+      "q248_brand_skyline",
+      (s, d) => {
+        val pc = t(s, d, "part").select(col("p_brand"), col("p_partkey"),
+          floor(col("p_retailprice") * 100.0 + 0.5).cast("long").as("price_c"),
+          col("p_size").cast("long").as("sz"))
+        val wStrict = Window.partitionBy("p_brand").orderBy("price_c")
+          .rangeBetween(Window.unboundedPreceding, -1)
+        val wSame = Window.partitionBy("p_brand", "price_c")
+        pc.withColumn("m_strict", max("sz").over(wStrict))
+          .withColumn("m_same", max("sz").over(wSame))
+          .withColumn("is_sky",
+            when((col("m_strict").isNull || col("m_strict") < col("sz")) &&
+              col("m_same") === col("sz"), 1L).otherwise(0L))
+          .groupBy("p_brand")
+          .agg(count(lit(1)).as("n_parts"), sum("is_sky").as("n_skyline"),
+            min(when(col("is_sky") === 1, col("price_c"))).as("cheapest_sky_c"),
+            max(when(col("is_sky") === 1, col("sz"))).as("biggest_sky"))
+          .orderBy("p_brand")
+      },
+      Some("""WITH pc AS (SELECT p_brand, p_partkey, CAST(floor(p_retailprice * 100.0 + 0.5) AS BIGINT) AS price_c, CAST(p_size AS BIGINT) AS sz FROM part), w AS (SELECT p_brand, price_c, sz, max(sz) OVER (PARTITION BY p_brand ORDER BY price_c RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS m_strict, max(sz) OVER (PARTITION BY p_brand, price_c) AS m_same FROM pc), sk AS (SELECT p_brand, CASE WHEN (m_strict IS NULL OR m_strict < sz) AND m_same = sz THEN 1 ELSE 0 END AS is_sky, price_c, sz FROM w) SELECT p_brand, count(*) AS n_parts, CAST(sum(is_sky) AS BIGINT) AS n_skyline, min(CASE WHEN is_sky = 1 THEN price_c END) AS cheapest_sky_c, max(CASE WHEN is_sky = 1 THEN sz END) AS biggest_sky FROM sk GROUP BY 1 ORDER BY 1"""),
+      "§2.5 ext: per-brand Pareto skyline via one RANGE-window sweep, no dominance self-join"),
+
+    // q249 — integer-exact time-decay score: each event's cents are
+    // halved per elapsed week (vc ÷ 2^(age÷7), a bit shift — NEVER
+    // pow(2.0, -age/λ), whose libm ulps differ across engines), summed
+    // per user; top-20 decayed spenders with their raw totals for
+    // contrast. The staircase decay a leaderboard/recency ranker uses
+    // when it must be replayable bit-for-bit; the anchor day (19753 =
+    // the day after the fixed corpus window) is part of the contract.
+    // One keyed aggregate + TakeOrdered(20).
+    QuerySpec(
+      "q249_decay_score",
+      (s, d) => {
+        val e = Tables.events(s, d).where(col("value").isNotNull)
+          .select(col("user_id"),
+            floor(col("value") * 100.0 + 0.5).cast("long").as("vc"),
+            expr("least(40, (19753 - unix_timestamp(ts) div 86400) div 7)").as("k"))
+        e.groupBy("user_id")
+          .agg(sum("vc").as("raw_cents"),
+            sum(expr("vc div shiftleft(cast(1 as bigint), cast(k as int))"))
+              .as("decayed_cents"))
+          .orderBy(col("decayed_cents").desc, col("user_id"))
+          .limit(20)
+      },
+      Some("""WITH e AS (SELECT user_id, CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS vc, least(40, (19753 - CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) // 86400) // 7) AS k FROM events WHERE value IS NOT NULL) SELECT user_id, CAST(sum(vc) AS BIGINT) AS raw_cents, CAST(sum(vc // (1 << k)) AS BIGINT) AS decayed_cents FROM e GROUP BY 1 ORDER BY decayed_cents DESC, user_id LIMIT 20"""),
+      "§2.4 ext: staircase time-decay scoring — bit-shift halving, bit-for-bit replayable"))
 }

@@ -288,6 +288,34 @@ class R11InvariantSpec extends SparkSpecBase {
     assert(df.where(col("prio_30d_prior") === "none").count() == 1)
   }
 
+  test("q248 skyline: counts match the brute-force dominance check per brand") {
+    val got = run("q248_brand_skyline")
+      .select("p_brand", "n_skyline").as[(String, Long)].collect().toMap
+    assert(got.nonEmpty)
+    val parts = Tables.load(spark, sf001, "part")
+      .select(col("p_brand"),
+        floor(col("p_retailprice") * 100.0 + 0.5).cast("long").as("pc"),
+        col("p_size").cast("long").as("sz"))
+      .as[(String, Long, Long)].collect()
+    parts.groupBy(_._1).foreach { case (brand, ps) =>
+      val pts = ps.map(p => (p._2, p._3))
+      val skyline = pts.count { case (pc, sz) =>
+        !pts.exists { case (oc, os) =>
+          (oc < pc && os >= sz) || (oc == pc && os > sz)
+        }
+      }
+      assert(got(brand) == skyline, s"brand $brand")
+    }
+  }
+
+  test("q249 decay: decayed never exceeds raw, ranking is by decayed score") {
+    val rows = run("q249_decay_score")
+      .select("raw_cents", "decayed_cents").as[(Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (raw, dec) => assert(dec <= raw && dec >= 0) }
+    assert(rows.map(_._2).toSeq == rows.map(_._2).sortBy(-_).toSeq)
+  }
+
   test("q237 weekday baseline: counts match the independent daily aggregate") {
     val df = run("q237_weekday_baseline").cache()
     try {
