@@ -216,5 +216,52 @@ object R13Queries {
           .limit(20)
       },
       Some("""WITH e AS (SELECT user_id, CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS vc, least(40, (19753 - CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) // 86400) // 7) AS k FROM events WHERE value IS NOT NULL) SELECT user_id, CAST(sum(vc) AS BIGINT) AS raw_cents, CAST(sum(vc // (1 << k)) AS BIGINT) AS decayed_cents FROM e GROUP BY 1 ORDER BY decayed_cents DESC, user_id LIMIT 20"""),
-      "§2.4 ext: staircase time-decay scoring — bit-shift halving, bit-for-bit replayable"))
+      "§2.4 ext: staircase time-decay scoring — bit-shift halving, bit-for-bit replayable"),
+
+    // q250 — the corpus-curation YIELD FUNNEL, the engine's capstone
+    // report: raw → length/language gate → exact dedup (min-id per
+    // text) → near-dup dedup (min-id survivor per cluster, via the
+    // shared cluster map) → deterministic train split, with per-stage
+    // in/out counts and floor-bp drop rates. This is the one-page
+    // artifact a data team reads after every curation run — each stage
+    // is an operator family the suite verifies individually
+    // (q124-gates, q33, q90, q16), composed in survivor order: a
+    // cluster's representative is the smallest id among the docs that
+    // SURVIVED the earlier stages, so an upstream gate can never
+    // silently resurrect a dropped doc. The stage table is 5 rows; its
+    // lag window is the allowlisted bounded kind.
+    QuerySpec(
+      "q250_curation_funnel",
+      (s, d) => {
+        val s1 = t(s, d, "documents").select("doc_id", "text", "lang", "n_chars")
+        val s2 = s1.where(col("n_chars") >= 150 && col("lang") =!= "zh")
+        val wT = Window.partitionBy("text")
+        val s3 = s2.withColumn("mid", min("doc_id").over(wT))
+          .where(col("doc_id") === col("mid")).drop("mid")
+        val mem = ScaleQueries.neardupClusters(s, d)
+          .select(col("id").as("doc_id"), col("cluster"))
+        val sv = s3.select("doc_id").join(mem, Seq("doc_id"), "left")
+        val rep = sv.where(col("cluster").isNotNull)
+          .groupBy("cluster").agg(min("doc_id").as("keep"))
+        val s4 = sv.join(rep, Seq("cluster"), "left")
+          .where(col("cluster").isNull || col("doc_id") === col("keep"))
+          .select("doc_id")
+        val s5 = s4.where(col("doc_id") % 10 < 8)
+        def stage(df: DataFrame, i: Long, name: String) =
+          df.agg(count(lit(1)).as("n_out"))
+            .select(lit(i).as("stage"), lit(name).as("name"), col("n_out"))
+        val st = stage(s1, 1, "raw")
+          .unionByName(stage(s2, 2, "length_lang_gate"))
+          .unionByName(stage(s3, 3, "exact_dedup"))
+          .unionByName(stage(s4, 4, "neardup_dedup"))
+          .unionByName(stage(s5, 5, "train_split"))
+        val w = Window.orderBy("stage")
+        st.withColumn("n_in", coalesce(lag("n_out", 1).over(w), col("n_out")))
+          .withColumn("drop_bp",
+            expr("(n_in - n_out) * 10000 div greatest(n_in, 1)"))
+          .select("stage", "name", "n_in", "n_out", "drop_bp")
+          .orderBy("stage")
+      },
+      Some(s"""${ScaleQueries.shingleCte.replaceFirst("WITH ", "WITH RECURSIVE ")}, cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1), inter AS (SELECT c.a, c.b, count(*) AS c FROM cand c JOIN sh sa ON sa.doc_id = c.a JOIN sh sb ON sb.doc_id = c.b AND sb.s = sa.s GROUP BY 1, 2), jac AS (SELECT c.a, c.b FROM cand c JOIN inter i ON i.a = c.a AND i.b = c.b JOIN cnt ca ON ca.doc_id = c.a JOIN cnt cb ON cb.doc_id = c.b WHERE round(i.c * 1.0 / (ca.n + cb.n - i.c), 6) >= 0.5), e AS (SELECT a AS src, b AS dst FROM jac UNION SELECT b, a FROM jac), reach AS (SELECT src AS id, src AS r FROM e UNION SELECT re.id, e.dst FROM reach re JOIN e ON e.src = re.r), mem AS (SELECT id AS doc_id, min(r) AS cluster FROM reach GROUP BY 1), s1 AS (SELECT doc_id, text, lang, n_chars FROM documents), s2 AS (SELECT * FROM s1 WHERE n_chars >= 150 AND lang <> 'zh'), s3 AS (SELECT * FROM s2 WHERE doc_id IN (SELECT min(doc_id) FROM s2 GROUP BY text)), sv AS (SELECT s3.doc_id, mem.cluster FROM s3 LEFT JOIN mem USING (doc_id)), rep AS (SELECT cluster, min(doc_id) AS keep FROM sv WHERE cluster IS NOT NULL GROUP BY 1), s4 AS (SELECT sv.doc_id FROM sv LEFT JOIN rep USING (cluster) WHERE sv.cluster IS NULL OR sv.doc_id = rep.keep), s5 AS (SELECT doc_id FROM s4 WHERE doc_id % 10 < 8), st AS (SELECT 1 AS stage, 'raw' AS name, (SELECT count(*) FROM s1) AS n_out UNION ALL SELECT 2, 'length_lang_gate', (SELECT count(*) FROM s2) UNION ALL SELECT 3, 'exact_dedup', (SELECT count(*) FROM s3) UNION ALL SELECT 4, 'neardup_dedup', (SELECT count(*) FROM s4) UNION ALL SELECT 5, 'train_split', (SELECT count(*) FROM s5)) SELECT CAST(stage AS BIGINT) AS stage, name, CAST(lag(n_out, 1, n_out) OVER (ORDER BY stage) AS BIGINT) AS n_in, CAST(n_out AS BIGINT) AS n_out, CAST((lag(n_out, 1, n_out) OVER (ORDER BY stage) - n_out) * 10000 // greatest(lag(n_out, 1, n_out) OVER (ORDER BY stage), 1) AS BIGINT) AS drop_bp FROM st ORDER BY stage"""),
+      "E1-E4 capstone: the curation yield funnel — gates, both dedups, split, per-stage drop rates"))
 }

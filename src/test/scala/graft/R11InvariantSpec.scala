@@ -316,6 +316,20 @@ class R11InvariantSpec extends SparkSpecBase {
     assert(rows.map(_._2).toSeq == rows.map(_._2).sortBy(-_).toSeq)
   }
 
+  test("q250 funnel: stages chain (n_in = previous n_out) and only ever shrink") {
+    val rows = run("q250_curation_funnel")
+      .orderBy("stage").select("stage", "n_in", "n_out", "drop_bp")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(rows.map(_._1).toSeq == Seq(1L, 2L, 3L, 4L, 5L))
+    rows.foreach { case (_, nIn, nOut, bp) =>
+      assert(nOut <= nIn)
+      assert(bp == (nIn - nOut) * 10000 / math.max(nIn, 1))
+    }
+    rows.sliding(2).foreach { case Array(prev, cur) => assert(cur._2 == prev._3)
+                              case _ => () }
+    assert(rows.head._2 == Tables.load(spark, sf001, "documents").count())
+  }
+
   test("q237 weekday baseline: counts match the independent daily aggregate") {
     val df = run("q237_weekday_baseline").cache()
     try {
