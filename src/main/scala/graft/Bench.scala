@@ -93,10 +93,15 @@ object Bench {
       graft.queries.ScaleQueries.warmCaches(spark, sfDir)
     } catch { case _: Throwable => () }
     // Deterministic order (Map iteration order scrambled cross-round
-    // comparisons in r2) and TWO timed passes, reporting the per-query
-    // min: pass 1 absorbs first-use JIT/codegen/page-cache noise, pass 2
-    // is steady state — the number a long-running cluster job would see.
-    // A query that throws in either pass is recorded as -1.
+    // comparisons in r2) and FOUR timed passes: pass 1 absorbs first-use
+    // JIT/codegen/page-cache noise (and supplies the "cold" scalar),
+    // then THREE warm passes whose per-query MEDIAN is the reported
+    // number. Median-of-3, not min-of-2: the two full-res maps committed
+    // in r5 disagreed by ±20% on identical code (shared-JVM/GC drift),
+    // so a single-shot wall cannot adjudicate a real regression — the
+    // median rejects one outlier pass per query, making a cross-round
+    // per-query delta a signal instead of noise (VERDICT r5 #1). A query
+    // that throws in any pass is recorded as -1.
     val names = SparkEntry.queries.keys.toSeq.sorted
     def timeOne(name: String): Double = {
       val t0 = System.nanoTime()
@@ -105,10 +110,10 @@ object Bench {
         System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1.0 }
     }
     val pass1 = names.map(n => n -> timeOne(n)).toMap
-    val pass2 = names.map(n => n -> timeOne(n)).toMap
+    val warm = (1 to 3).map(_ => names.map(n => n -> timeOne(n)).toMap)
     val results = names.map { n =>
-      val (a, b) = (pass1(n), pass2(n))
-      n -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
+      val ws = warm.map(_(n))
+      n -> (if (pass1(n) < 0 || ws.exists(_ < 0)) -1.0 else ws.sorted.apply(1))
     }
     // The driver's output-tail capture is EXACTLY 2000 chars and sbt's
     // trailing "[success] Total time: …" line (~75 chars) sits after this
@@ -132,10 +137,11 @@ object Bench {
     val named = if (short.map(_._1).distinct.size == results.size) short else results
     val total = math.rint(results.map(_._2).filter(_ >= 0).sum * 100) / 100
     // "cold" = pass-1 sum over the SAME query set as "value" (queries
-    // that failed either pass are excluded from both, else a pass-2-only
-    // failure would fabricate a cold-vs-total gap): min-of-two is the
-    // steady-state headline, but alone it makes cold-start regressions
-    // invisible by construction — one extra scalar restores that signal.
+    // that failed any pass are excluded from both, else a warm-only
+    // failure would fabricate a cold-vs-total gap): the warm median is
+    // the steady-state headline, but alone it makes cold-start
+    // regressions invisible by construction — one extra scalar restores
+    // that signal.
     val resultByName = results.toMap
     val cold = math.rint(
       names.filter(resultByName(_) >= 0).map(pass1).sum * 100) / 100

@@ -14,10 +14,17 @@ object DedupOps {
 
   /** Exact dedup keeping the smallest id per identical key column.
     * Deterministic alternative to `dropDuplicates` (which keeps an
-    * arbitrary row). One shuffle on the dedup key.
+    * arbitrary row). One shuffle — ON md5 OF THE KEY, not the key
+    * itself: for document dedup the key IS the document, so grouping on
+    * the raw column would make every shuffle row carry kilobytes of
+    * text where the 16-byte digest groups identically (the q195/q245
+    * house convention). The raw key is deliberately NOT re-emitted
+    * (that would put the text right back in the aggregation buffer);
+    * callers needing it join back on keep_id — the survivor row carries
+    * the key. Output: (key_md5, keep_id, n_copies).
     */
   def exactDedup(df: DataFrame, keyCol: String, idCol: String): DataFrame =
-    df.groupBy(keyCol)
+    df.groupBy(md5(col(keyCol).cast("string")).as("key_md5"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
   /** Per-doc distinct shingle SETS as array columns: (doc_id, shs).

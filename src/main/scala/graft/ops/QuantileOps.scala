@@ -100,8 +100,16 @@ object QuantileOps {
     val g = if (groupCols.isEmpty) Seq(lit(1L).as("__g")) else groupCols.map(col)
     val gNames = if (groupCols.isEmpty) Seq("__g") else groupCols
     val v = col(valueCol).cast("double")
+    // Enforce — not just document — the positive-integer-weight
+    // precondition: the cast("long") TRUNCATES fractional weights toward
+    // zero (quantize upstream if that matters), and any row left with
+    // __w <= 0 after truncation is dropped here. Zero/negative weights
+    // would otherwise corrupt the cumulative-weight ranks silently (a
+    // negative weight makes __cum non-monotone within its bucket); the
+    // filter makes the contract hold by construction, mirroring the
+    // `WHERE __w > 0` in weightedOracleSql.
     val base = df.select(g :+ v.as("__v") :+ col(weightCol).cast("long").as("__w"): _*)
-      .where(col("__v").isNotNull)
+      .where(col("__v").isNotNull && col("__w") > 0)
     val pc0 = base.groupBy(gNames.map(col) :+ col("__v"): _*).agg(sum("__w").as("__c"))
     val mm = pc0.groupBy(gNames.map(col): _*)
       .agg(min("__v").as("__mn"), max("__v").as("__mx"), sum("__c").as("w_total"))
@@ -140,7 +148,7 @@ object QuantileOps {
     }.mkString(", ")
     val outCols = (if (groupCols.isEmpty) "" else s"$gList, ") + s"w_total, ${
       fracs.indices.map(i => s"cut_${i + 1}").mkString(", ")}"
-    s"""(WITH qb AS (SELECT $gSel, CAST($valueCol AS DOUBLE) AS __v, CAST($weightCol AS BIGINT) AS __w FROM $from WHERE $valueCol IS NOT NULL),
+    s"""(WITH qb AS (SELECT $gSel, CAST($valueCol AS DOUBLE) AS __v, CAST($weightCol AS BIGINT) AS __w FROM $from WHERE $valueCol IS NOT NULL AND CAST($weightCol AS BIGINT) > 0),
 qpc0 AS (SELECT $gList, __v, CAST(sum(__w) AS BIGINT) AS __c FROM qb GROUP BY ${gNames.indices.map(_ + 1).mkString(", ")}, __v),
 qmm AS (SELECT $gList, min(__v) AS __mn, max(__v) AS __mx, CAST(sum(__c) AS BIGINT) AS w_total FROM qpc0 GROUP BY ${gNames.indices.map(_ + 1).mkString(", ")}),
 qpc AS (SELECT z.*, CASE WHEN __mx = __mn THEN 0 ELSE least($buckets - 1, CAST(floor((__v - __mn) * $buckets / (__mx - __mn)) AS BIGINT)) END AS __bkt, w_total FROM qpc0 z JOIN qmm USING ($gList)),

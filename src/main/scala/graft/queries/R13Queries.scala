@@ -84,14 +84,17 @@ object R13Queries {
         val bad = cmp.where(col("ok") === 0).select("bkt")
         val drill = a.join(broadcast(bad), "bkt")
           .join(b.withColumnRenamed("h", "hb").drop("bkt"), Seq("doc_id"), "left")
-          .agg(sum(when(col("hb").isNull, 1L).otherwise(0L)).as("n_missing"),
-            sum(when(col("hb").isNotNull && col("h") =!= col("hb"), 1L).otherwise(0L))
-              .as("n_corrupt"))
+          // coalesce(…, 0): on a HEALTHY replica the drill join is empty
+          // and both sums would return NULL — the report's schema must
+          // say 0/0 for a clean replica, not switch to nulls.
+          .agg(coalesce(sum(when(col("hb").isNull, 1L).otherwise(0L)), lit(0L)).as("n_missing"),
+            coalesce(sum(when(col("hb").isNotNull && col("h") =!= col("hb"), 1L).otherwise(0L)),
+              lit(0L)).as("n_corrupt"))
         cmp.agg(count(lit(1)).as("n_buckets"),
             sum(lit(1L) - col("ok")).as("n_diff_buckets"))
           .crossJoin(drill)
       },
-      Some("""WITH a AS (SELECT doc_id, md5(text) AS h, doc_id // 64 AS bkt FROM documents), b AS (SELECT doc_id, md5(CASE WHEN doc_id % 101 = 0 THEN concat(text, ' corrupted') ELSE text END) AS h, doc_id // 64 AS bkt FROM documents WHERE doc_id % 97 <> 0), da AS (SELECT bkt, count(*) AS n_a, CAST(sum(CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR), ':', h)), 1, 10)) AS BIGINT)) AS BIGINT) AS dig_a FROM a GROUP BY 1), db AS (SELECT bkt, count(*) AS n_b, CAST(sum(CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR), ':', h)), 1, 10)) AS BIGINT)) AS BIGINT) AS dig_b FROM b GROUP BY 1), cmp AS (SELECT da.bkt, CASE WHEN db.bkt IS NOT NULL AND da.dig_a = db.dig_b THEN 1 ELSE 0 END AS ok FROM da LEFT JOIN db USING (bkt)), bad AS (SELECT bkt FROM cmp WHERE ok = 0), drill AS (SELECT CAST(sum(CASE WHEN b2.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_missing, CAST(sum(CASE WHEN b2.doc_id IS NOT NULL AND a2.h <> b2.h THEN 1 ELSE 0 END) AS BIGINT) AS n_corrupt FROM a a2 JOIN bad ON a2.bkt = bad.bkt LEFT JOIN b b2 ON a2.doc_id = b2.doc_id) SELECT CAST((SELECT count(*) FROM cmp) AS BIGINT) AS n_buckets, CAST((SELECT sum(1 - ok) FROM cmp) AS BIGINT) AS n_diff_buckets, drill.n_missing, drill.n_corrupt FROM drill"""),
+      Some("""WITH a AS (SELECT doc_id, md5(text) AS h, doc_id // 64 AS bkt FROM documents), b AS (SELECT doc_id, md5(CASE WHEN doc_id % 101 = 0 THEN concat(text, ' corrupted') ELSE text END) AS h, doc_id // 64 AS bkt FROM documents WHERE doc_id % 97 <> 0), da AS (SELECT bkt, count(*) AS n_a, CAST(sum(CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR), ':', h)), 1, 10)) AS BIGINT)) AS BIGINT) AS dig_a FROM a GROUP BY 1), db AS (SELECT bkt, count(*) AS n_b, CAST(sum(CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR), ':', h)), 1, 10)) AS BIGINT)) AS BIGINT) AS dig_b FROM b GROUP BY 1), cmp AS (SELECT da.bkt, CASE WHEN db.bkt IS NOT NULL AND da.dig_a = db.dig_b THEN 1 ELSE 0 END AS ok FROM da LEFT JOIN db USING (bkt)), bad AS (SELECT bkt FROM cmp WHERE ok = 0), drill AS (SELECT CAST(coalesce(sum(CASE WHEN b2.doc_id IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_missing, CAST(coalesce(sum(CASE WHEN b2.doc_id IS NOT NULL AND a2.h <> b2.h THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_corrupt FROM a a2 JOIN bad ON a2.bkt = bad.bkt LEFT JOIN b b2 ON a2.doc_id = b2.doc_id) SELECT CAST((SELECT count(*) FROM cmp) AS BIGINT) AS n_buckets, CAST((SELECT sum(1 - ok) FROM cmp) AS BIGINT) AS n_diff_buckets, drill.n_missing, drill.n_corrupt FROM drill"""),
       "E1/§2.8 ext: Merkle-style replica diff — bucket digests, drill only into mismatches"),
 
     // q246 — log2-banded inter-event latency histogram: per event type,
@@ -207,7 +210,13 @@ object R13Queries {
         val e = Tables.events(s, d).where(col("value").isNotNull)
           .select(col("user_id"),
             floor(col("value") * 100.0 + 0.5).cast("long").as("vc"),
-            expr("least(40, (19753 - unix_timestamp(ts) div 86400) div 7)").as("k"))
+            // greatest(0, …): an event on/after the anchor day would
+            // otherwise produce a negative shift count, which Spark's
+            // shiftleft masks mod 64 while DuckDB's 1 << k does not —
+            // clamping on BOTH sides makes out-of-window timestamps
+            // fail loudly into the k=0 band instead of silently
+            // diverging between engines.
+            expr("greatest(0, least(40, (19753 - unix_timestamp(ts) div 86400) div 7))").as("k"))
         e.groupBy("user_id")
           .agg(sum("vc").as("raw_cents"),
             sum(expr("vc div shiftleft(cast(1 as bigint), cast(k as int))"))
@@ -215,7 +224,7 @@ object R13Queries {
           .orderBy(col("decayed_cents").desc, col("user_id"))
           .limit(20)
       },
-      Some("""WITH e AS (SELECT user_id, CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS vc, least(40, (19753 - CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) // 86400) // 7) AS k FROM events WHERE value IS NOT NULL) SELECT user_id, CAST(sum(vc) AS BIGINT) AS raw_cents, CAST(sum(vc // (1 << k)) AS BIGINT) AS decayed_cents FROM e GROUP BY 1 ORDER BY decayed_cents DESC, user_id LIMIT 20"""),
+      Some("""WITH e AS (SELECT user_id, CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS vc, greatest(0, least(40, (19753 - CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) // 86400) // 7)) AS k FROM events WHERE value IS NOT NULL) SELECT user_id, CAST(sum(vc) AS BIGINT) AS raw_cents, CAST(sum(vc // (1 << k)) AS BIGINT) AS decayed_cents FROM e GROUP BY 1 ORDER BY decayed_cents DESC, user_id LIMIT 20"""),
       "§2.4 ext: staircase time-decay scoring — bit-shift halving, bit-for-bit replayable"),
 
     // q250 — the corpus-curation YIELD FUNNEL, the engine's capstone
@@ -235,7 +244,10 @@ object R13Queries {
       (s, d) => {
         val s1 = t(s, d, "documents").select("doc_id", "text", "lang", "n_chars")
         val s2 = s1.where(col("n_chars") >= 150 && col("lang") =!= "zh")
-        val wT = Window.partitionBy("text")
+        // partition on md5(text), never raw text: the window's shuffle
+        // key would otherwise BE the document (kilobytes per row where
+        // 16 bytes group identically) — the q33/q195/q245 convention
+        val wT = Window.partitionBy(md5(col("text")))
         val s3 = s2.withColumn("mid", min("doc_id").over(wT))
           .where(col("doc_id") === col("mid")).drop("mid")
         val mem = ScaleQueries.neardupClusters(s, d)
@@ -262,6 +274,6 @@ object R13Queries {
           .select("stage", "name", "n_in", "n_out", "drop_bp")
           .orderBy("stage")
       },
-      Some(s"""${ScaleQueries.shingleCte.replaceFirst("WITH ", "WITH RECURSIVE ")}, cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1), inter AS (SELECT c.a, c.b, count(*) AS c FROM cand c JOIN sh sa ON sa.doc_id = c.a JOIN sh sb ON sb.doc_id = c.b AND sb.s = sa.s GROUP BY 1, 2), jac AS (SELECT c.a, c.b FROM cand c JOIN inter i ON i.a = c.a AND i.b = c.b JOIN cnt ca ON ca.doc_id = c.a JOIN cnt cb ON cb.doc_id = c.b WHERE round(i.c * 1.0 / (ca.n + cb.n - i.c), 6) >= 0.5), e AS (SELECT a AS src, b AS dst FROM jac UNION SELECT b, a FROM jac), reach AS (SELECT src AS id, src AS r FROM e UNION SELECT re.id, e.dst FROM reach re JOIN e ON e.src = re.r), mem AS (SELECT id AS doc_id, min(r) AS cluster FROM reach GROUP BY 1), s1 AS (SELECT doc_id, text, lang, n_chars FROM documents), s2 AS (SELECT * FROM s1 WHERE n_chars >= 150 AND lang <> 'zh'), s3 AS (SELECT * FROM s2 WHERE doc_id IN (SELECT min(doc_id) FROM s2 GROUP BY text)), sv AS (SELECT s3.doc_id, mem.cluster FROM s3 LEFT JOIN mem USING (doc_id)), rep AS (SELECT cluster, min(doc_id) AS keep FROM sv WHERE cluster IS NOT NULL GROUP BY 1), s4 AS (SELECT sv.doc_id FROM sv LEFT JOIN rep USING (cluster) WHERE sv.cluster IS NULL OR sv.doc_id = rep.keep), s5 AS (SELECT doc_id FROM s4 WHERE doc_id % 10 < 8), st AS (SELECT 1 AS stage, 'raw' AS name, (SELECT count(*) FROM s1) AS n_out UNION ALL SELECT 2, 'length_lang_gate', (SELECT count(*) FROM s2) UNION ALL SELECT 3, 'exact_dedup', (SELECT count(*) FROM s3) UNION ALL SELECT 4, 'neardup_dedup', (SELECT count(*) FROM s4) UNION ALL SELECT 5, 'train_split', (SELECT count(*) FROM s5)) SELECT CAST(stage AS BIGINT) AS stage, name, CAST(lag(n_out, 1, n_out) OVER (ORDER BY stage) AS BIGINT) AS n_in, CAST(n_out AS BIGINT) AS n_out, CAST((lag(n_out, 1, n_out) OVER (ORDER BY stage) - n_out) * 10000 // greatest(lag(n_out, 1, n_out) OVER (ORDER BY stage), 1) AS BIGINT) AS drop_bp FROM st ORDER BY stage"""),
+      Some(s"""${ScaleQueries.shingleCte.replaceFirst("WITH ", "WITH RECURSIVE ")}, cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1), inter AS (SELECT c.a, c.b, count(*) AS c FROM cand c JOIN sh sa ON sa.doc_id = c.a JOIN sh sb ON sb.doc_id = c.b AND sb.s = sa.s GROUP BY 1, 2), jac AS (SELECT c.a, c.b FROM cand c JOIN inter i ON i.a = c.a AND i.b = c.b JOIN cnt ca ON ca.doc_id = c.a JOIN cnt cb ON cb.doc_id = c.b WHERE round(i.c * 1.0 / (ca.n + cb.n - i.c), 6) >= 0.5), e AS (SELECT a AS src, b AS dst FROM jac UNION SELECT b, a FROM jac), reach AS (SELECT src AS id, src AS r FROM e UNION SELECT re.id, e.dst FROM reach re JOIN e ON e.src = re.r), mem AS (SELECT id AS doc_id, min(r) AS cluster FROM reach GROUP BY 1), s1 AS (SELECT doc_id, text, lang, n_chars FROM documents), s2 AS (SELECT * FROM s1 WHERE n_chars >= 150 AND lang <> 'zh'), s3 AS (SELECT * FROM s2 WHERE doc_id IN (SELECT min(doc_id) FROM s2 GROUP BY md5(text))), sv AS (SELECT s3.doc_id, mem.cluster FROM s3 LEFT JOIN mem USING (doc_id)), rep AS (SELECT cluster, min(doc_id) AS keep FROM sv WHERE cluster IS NOT NULL GROUP BY 1), s4 AS (SELECT sv.doc_id FROM sv LEFT JOIN rep USING (cluster) WHERE sv.cluster IS NULL OR sv.doc_id = rep.keep), s5 AS (SELECT doc_id FROM s4 WHERE doc_id % 10 < 8), st AS (SELECT 1 AS stage, 'raw' AS name, (SELECT count(*) FROM s1) AS n_out UNION ALL SELECT 2, 'length_lang_gate', (SELECT count(*) FROM s2) UNION ALL SELECT 3, 'exact_dedup', (SELECT count(*) FROM s3) UNION ALL SELECT 4, 'neardup_dedup', (SELECT count(*) FROM s4) UNION ALL SELECT 5, 'train_split', (SELECT count(*) FROM s5)) SELECT CAST(stage AS BIGINT) AS stage, name, CAST(lag(n_out, 1, n_out) OVER (ORDER BY stage) AS BIGINT) AS n_in, CAST(n_out AS BIGINT) AS n_out, CAST((lag(n_out, 1, n_out) OVER (ORDER BY stage) - n_out) * 10000 // greatest(lag(n_out, 1, n_out) OVER (ORDER BY stage), 1) AS BIGINT) AS drop_bp FROM st ORDER BY stage"""),
       "E1-E4 capstone: the curation yield funnel — gates, both dedups, split, per-stage drop rates"))
 }

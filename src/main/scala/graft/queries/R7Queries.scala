@@ -325,17 +325,18 @@ object R7Queries {
             "transform(sequence(0, size(tk) - 8), i -> concat_ws(' ', slice(tk, i + 1, 8)))"))
             .as("p"))
         // Only the SHARED passages (n_docs >= 2 — the rare duplicated
-        // spans) flow back to the per-doc rollup, as a broadcast left
-        // join: the unfiltered spread table is ~|windows| rows and
-        // Catalyst would otherwise broadcast the whole exploded window
-        // set (observed: a ~100 MB BroadcastExchange of the Generate
-        // output at sf0.1). The probe side keeps its doc_id
-        // partitioning from the repartition, so the final groupBy adds
-        // no exchange — the one big shuffle left is the passage groupBy.
+        // spans) flow back to the per-doc rollup. The n_docs >= 2
+        // pre-filter is the real win (the unfiltered spread table is
+        // ~|windows| rows); the join strategy is left to AQE, which
+        // sees the filtered aggregate's ACTUAL runtime size — a forced
+        // broadcast hint here would ship a data-dependent table (all
+        // duplicated passages) to every executor even on a boilerplate-
+        // heavy corpus where it is no longer small, where the shuffle
+        // join degrades gracefully instead.
         val shared = w.groupBy("p")
           .agg(countDistinct("doc_id").as("n_docs"), count(lit(1)).as("n_occ"))
           .where(col("n_docs") >= 2)
-        w.join(broadcast(shared), Seq("p"), "left")
+        w.join(shared, Seq("p"), "left")
           .groupBy("doc_id")
           .agg(count(lit(1)).as("n_windows"),
             sum(when(col("n_docs").isNotNull, 1L).otherwise(0L)).as("n_shared"),

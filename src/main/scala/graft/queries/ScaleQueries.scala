@@ -191,13 +191,16 @@ object ScaleQueries {
   val specs: Seq[QuerySpec] = Seq(
 
     // q33 — E1 exact dedup: smallest doc_id survives per identical text.
+    // The shuffle key is md5(text), not text (DedupOps.exactDedup): at
+    // 100 TB the raw key IS the document, and a 16-byte digest groups
+    // identically — the oracle mirrors the hashed GROUP BY.
     QuerySpec(
       "q33_dedup_exact",
       (s, d) => DedupOps.exactDedup(t(s, d, "documents"), "text", "doc_id")
         .select("keep_id", "n_copies")
         .orderBy("keep_id"),
-      Some("""SELECT min(doc_id) AS keep_id, count(*) AS n_copies FROM documents GROUP BY text ORDER BY keep_id"""),
-      "E1: exact dedup via hash groupBy on text"),
+      Some("""SELECT min(doc_id) AS keep_id, count(*) AS n_copies FROM documents GROUP BY md5(text) ORDER BY keep_id"""),
+      "E1: exact dedup via hash groupBy on md5(text)"),
 
     // q34 — E2 MinHash near-dup candidates: 4-band md5 MinHash over word
     // 5-grams (selective enough that bucket collisions ~= real near-dups); pairs agreeing on any band. Fully portable (md5 + hex

@@ -285,13 +285,14 @@ object EventStream {
   case class ConvOut(user_id: Long, lag_s: Long)
 
   /** Per-user first-view → first-purchase conversion lag as a streaming
-    * operator — the q240 batch query's online twin. State is three
-    * longs per user (first-view epoch s, first-purchase epoch s,
-    * sealed flag; −1 = unset): each micro-batch folds its rows in
-    * (ts, event_id) order, pins the FIRST view and FIRST purchase ever
-    * seen, and the moment both exist the user is sealed — emitting the
-    * lag once iff the purchase did not precede the view (q240's
-    * non-conversion rule). Like [[EmaProcessor]], per-batch ordering is
+    * operator — the q240 batch query's online twin. State is a 2-tuple
+    * of longs per user — (first-view epoch s, first-purchase epoch s),
+    * −1 = unset; "sealed" is DERIVED (both fields set), not stored, so
+    * the checkpoint layout is exactly the two longs: each micro-batch
+    * folds its rows in (ts, event_id) order, pins the FIRST view and
+    * FIRST purchase ever seen, and the moment both exist the user is
+    * sealed — emitting the lag once iff the purchase did not precede
+    * the view (q240's non-conversion rule). Like [[EmaProcessor]], per-batch ordering is
     * explicit; cross-batch order is the source's append order, which is
     * the contract of every first-touch stream.
     */

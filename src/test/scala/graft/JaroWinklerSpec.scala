@@ -45,6 +45,8 @@ class JaroWinklerSpec extends SparkSpecBase {
     ("résumé", "resume", 0.75),
     ("Müller", "Mueller", 0.8285714285714287),
     ("日本", "にほん", 0.0), // disjoint byte sets despite CJK neighborhood
+    ("straße", "strasse", 0.885714285714286), // ß = 2 bytes vs ss = 2 bytes
+    ("数据库", "数据分析", 0.872222222222222), // 9-byte vs 12-byte CJK
     ("αβγδε", "αβγδ", 0.96))
 
   test("non-ASCII inputs match DuckDB's UTF-8 byte semantics") {

@@ -45,11 +45,16 @@ class OpsSpec extends SparkSpecBase {
     assert(df.select(VectorOps.srpBucket(col("v"), 4)).as[Long].head() == 5L)
   }
 
-  test("exactDedup keeps min id and counts copies") {
+  test("exactDedup keeps min id and counts copies, keyed on md5") {
     val df = Seq((1L, "x"), (2L, "x"), (3L, "y")).toDF("doc_id", "text")
     val got = DedupOps.exactDedup(df, "text", "doc_id")
+      .select("key_md5", "keep_id", "n_copies")
       .orderBy("keep_id").as[(String, Long, Long)].collect().toSeq
-    assert(got == Seq(("x", 1L, 2L), ("y", 3L, 1L)))
+    assert(got.map(r => (r._2, r._3)) == Seq((1L, 2L), (3L, 1L)))
+    // the shuffle key is the 32-hex digest of the key, not the raw key
+    assert(got.map(_._1) == Seq("x", "y").map(t =>
+      java.security.MessageDigest.getInstance("MD5").digest(t.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString))
   }
 
   test("minhash: identical docs collide on every band, disjoint docs on none") {

@@ -50,8 +50,11 @@ class PropertySpec extends SparkSpecBase {
     for (ts <- samples(Gen.listOfN(12, Gen.oneOf("x", "y", "z", "w")), 6)) {
       val df = ts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
       val once = DedupOps.exactDedup(df, "text", "doc_id")
-        .select(col("keep_id").as("doc_id"), col("text"))
-      val twice = DedupOps.exactDedup(once, "text", "doc_id")
+      // the hashed-key output drops the raw key by design; the survivor
+      // rows (join-back on keep_id) carry it for the second pass
+      val survivors = df.join(
+        once.select(col("keep_id").as("doc_id")), "doc_id")
+      val twice = DedupOps.exactDedup(survivors, "text", "doc_id")
       assert(once.count() == twice.count())
     }
   }
