@@ -330,6 +330,58 @@ class R11InvariantSpec extends SparkSpecBase {
     assert(rows.head._2 == Tables.load(spark, sf001, "documents").count())
   }
 
+  test("q251 incremental funnel: stages chain, only shrink, every stage works") {
+    val rows = run("q251_incr_funnel")
+      .orderBy("stage").select("stage", "n_in", "n_out", "drop_bp")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(rows.map(_._1).toSeq == Seq(1L, 2L, 3L, 4L, 5L))
+    rows.foreach { case (_, nIn, nOut, bp) =>
+      assert(nOut <= nIn, "a funnel stage can only shrink")
+      assert(bp == (nIn - nOut) * 10000 / math.max(nIn, 1))
+    }
+    rows.sliding(2).foreach { case Array(prev, cur) => assert(cur._2 == prev._3)
+                              case _ => () }
+    // stage-1 input is exactly the three delta classes
+    val docs = Tables.load(spark, sf001, "documents")
+    val want = Seq(13, 17, 19)
+      .map(m => docs.where(col("doc_id") % m === 0).count()).sum
+    assert(rows.head._2 == want)
+    // each class exercises its own stage on this fixture: gates,
+    // exact-vs-base (re-ingests), near-dup-vs-base (re-crawls), split
+    assert(rows.map(r => r._2 - r._3).drop(1).forall(_ > 0),
+      "each post-raw stage should drop at least one doc at sf0.001")
+  }
+
+  test("q251 chain invariant: no funnel survivor collides with base, exactly or near-dup") {
+    import graft.ops.DedupOps
+    val docs = Tables.load(spark, sf001, "documents")
+    val surv = graft.queries.R14Queries.incrFunnelStages(spark, sf001)
+      .toMap.apply("train_split").cache()
+    try {
+      assert(surv.count() > 0, "the fresh (reversed) class should survive")
+      // all survivors carry delta (negative) ids
+      assert(surv.where(col("doc_id") >= 0).count() == 0)
+      // exact: no survivor's text digest appears in the base corpus
+      val baseMd5 = docs.select(md5(col("text")).as("h")).distinct()
+      assert(surv.select(md5(col("text")).as("h"))
+        .join(baseMd5, Seq("h"), "left_semi").count() == 0)
+      // near-dup: re-derive signatures/sets INDEPENDENTLY of the funnel's
+      // cached index and verify zero survivor×base pairs at Jaccard>=0.5
+      val bsh = DedupOps.shingleRows(docs, "text", 5)
+      val ssh = DedupOps.shingleRows(surv, "text", 5)
+      val cand = DedupOps.minhashSignatureRows(ssh, 4)
+        .select(col("doc_id").as("a"), col("band"), col("sig"))
+        .join(DedupOps.minhashSignatureRows(bsh, 4)
+          .select(col("doc_id").as("b"), col("band"), col("sig")), Seq("band", "sig"))
+        .select("a", "b").distinct()
+      val sets = bsh.groupBy("doc_id").agg(collect_list(col("s")).as("shs"))
+        .unionByName(ssh.groupBy("doc_id").agg(collect_list(col("s")).as("shs")))
+      assert(DedupOps.jaccardForPairs(cand, sets)
+        .where(col("jaccard") >= 0.5).count() == 0,
+        "a funnel survivor still near-duplicates a base doc")
+    } finally surv.unpersist()
+  }
+
   test("q237 weekday baseline: counts match the independent daily aggregate") {
     val df = run("q237_weekday_baseline").cache()
     try {
