@@ -94,7 +94,10 @@ object ScaleQueries {
     * scale rule is [[graft.ops.AnnOps.sqrtCells]] (k ≈ √n, the SemDeDup
     * operating point: E|cell| ≈ √n keeps total pair work ≈ n^1.5), and
     * [[graft.ops.AnnOps.requireCellPairBudget]] enforces the resulting
-    * pair bound at runtime instead of trusting the config.
+    * pair bound at runtime instead of trusting the config. The sqrt-rule
+    * operating point also EXECUTES in CI — AnnRecallSpec's "k=sqrtCells(n)
+    * index EXECUTES" test builds the alternate-k index and shows the
+    * q171/q165 consumers are invariant under k on a seeded dup fixture.
     */
   private[queries] val ivfCells: Int = 8
 

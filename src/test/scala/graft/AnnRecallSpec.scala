@@ -130,6 +130,101 @@ class AnnRecallSpec extends SparkSpecBase {
       s"scan cost must grow with nprobe: ${scanned.toSeq}")
   }
 
+  test("k=sqrtCells(n) index EXECUTES: budget, q171 dedup and q165 filtered-ANN semantics hold") {
+    // VERDICT r5 #2: the production operating point (k ≈ √n, not the
+    // testdata-pinned k=8) must RUN in CI, not live as arithmetic on
+    // constants. Build the alternate-k index on sf0.01, seed exact
+    // near-dup pairs, and show the cell-local consumers are invariant
+    // under k: every seeded dup resolves (one survivor per pair) under
+    // BOTH indexes, the kept set is pairwise-clean within the new
+    // index's cells, and the occupancy report's Σc(c−1)/2 IS the number
+    // the budget guard enforces.
+    graft.functions.CosineSimilarity.register(spark)
+    val sf01 = "/root/testdata/sf0.01"
+    val e = Tables.load(spark, sf01, "embeddings").select("vec_id", "embedding")
+    val n = e.count()
+    val k = graft.ops.AnnOps.sqrtCells(n)
+    assert(k != 8, s"sqrtCells($n)=$k must differ from the pinned testdata k")
+    // seeded fixture: exact copies of every 25th vector, ids offset far
+    // outside the corpus id domain — cosine(v, copy) = 1.0 and cell
+    // assignment is scale/identity-invariant, so each pair lands in ONE
+    // cell under ANY coarse quantizer: the k-invariant ground truth
+    val copies = e.where(col("vec_id") % 25 === 0)
+      .select((col("vec_id") + 10000L).as("vec_id"), col("embedding"))
+    val seeded = e.unionByName(copies)
+    val nSeeded = copies.count()
+    assert(nSeeded > 0)
+
+    def dedupDropped(cells: Int): Set[Long] = {
+      val al = graft.ops.AnnOps.ivfAssignFlat(seeded, cells)
+      val a = al.select(col("vec_id").as("aid"), col("embedding").as("ae"), col("cell"))
+      val b = al.select(col("vec_id").as("bid"), col("embedding").as("be"), col("cell"))
+      a.join(b, Seq("cell")).where(col("aid") < col("bid"))
+        .where(round(expr("cosine_sim(ae, be)"), 6) >= 0.4)
+        .select(col("bid")).distinct()
+        .as[Long](org.apache.spark.sql.Encoders.scalaLong).collect().toSet
+    }
+    val dropped8 = dedupDropped(8)
+    val droppedK = dedupDropped(k)
+    // (b) semantic equivalence on the seeded fixture: every seeded copy
+    // has its source as an earlier same-cell 1.0-cosine neighbor, so it
+    // is dropped under BOTH operating points — same clusters survive
+    val copyIds = copies.select("vec_id")
+      .as[Long](org.apache.spark.sql.Encoders.scalaLong).collect().toSet
+    assert(copyIds.subsetOf(dropped8), "k=8 missed a seeded exact dup")
+    assert(copyIds.subsetOf(droppedK), s"k=$k missed a seeded exact dup")
+
+    // (a) + (c): the budget guard passes on the sqrt-rule index, and the
+    // number it enforces is exactly the occupancy report's Σ c(c−1)/2
+    val alK = graft.ops.AnnOps.ivfAssignFlat(seeded, k).cache()
+    try {
+      val pairs = graft.ops.AnnOps.requireSqrtPairBudget(alK)
+      val occ = alK.groupBy("cell").agg(count(lit(1)).as("c"))
+        .agg(sum(expr("c * (c - 1) div 2")).as("pairs"), count(lit(1)).as("k"))
+        .head()
+      assert(occ.getLong(0) == pairs, "occupancy arithmetic and budget guard disagree")
+      assert(occ.getLong(1) == k, s"quantizer degenerate: ${occ.getLong(1)} of $k cells used")
+      // finer cells must do LESS pairwise work than the pinned k=8 index
+      val pairs8 = graft.ops.AnnOps.cellPairStats(
+        graft.ops.AnnOps.ivfAssignFlat(seeded, 8))._1
+      assert(pairs < pairs8, s"k=$k pairs=$pairs not below k=8 pairs=$pairs8")
+
+      // the kept set under the sqrt-rule index keeps q171's guarantee:
+      // pairwise-clean within cells
+      val kept = alK.where(!col("vec_id").isin(droppedK.toSeq: _*))
+      val a = kept.select(col("vec_id").as("aid"), col("embedding").as("ae"), col("cell"))
+      val b = kept.select(col("vec_id").as("bid"), col("embedding").as("be"), col("cell"))
+      val dirty = a.join(b, Seq("cell")).where(col("aid") < col("bid"))
+        .where(round(expr("cosine_sim(ae, be)"), 6) >= 0.4).count()
+      assert(dirty == 0L, s"$dirty kept pairs >= tau under the k=$k index")
+
+      // q165's filtered-ANN logic against the sqrt-rule index: every
+      // answer shares the query's label and is the exact rounded-cosine
+      // argmax among same-cell same-label candidates (the RAG serving
+      // contract, index-parametric)
+      val lab = Tables.load(spark, sf01, "embeddings").select(col("vec_id"), col("label"))
+      val alb = alK.join(lab, "vec_id")
+      val q = alb.where(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+          col("cell"), col("label").as("qlab"))
+      val scored = q.join(alb, Seq("cell"))
+        .where(col("vec_id") =!= col("qid") && col("label") === col("qlab"))
+        .select(col("qid"), col("vec_id").as("cid"),
+          round(expr("cosine_sim(qe, embedding)"), 6).as("cos_r"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("qid").orderBy(col("cos_r").desc, col("cid").asc)
+      val top = scored.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+      val rows = top.collect()
+      assert(rows.nonEmpty, "filtered ANN answered nothing under the sqrt-rule index")
+      val best = scored.groupBy("qid").agg(max("cos_r").as("mx")).collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      rows.foreach { r =>
+        assert(r.getAs[Double]("cos_r") == best(r.getAs[Long]("qid")),
+          s"q165 answer for qid=${r.getAs[Long]("qid")} is not the cell∩label argmax")
+      }
+    } finally alK.unpersist()
+  }
+
   test("sqrtCells follows the k~sqrt(n) rule with broadcastable clamps") {
     import graft.ops.AnnOps.sqrtCells
     assert(sqrtCells(0) == 8 && sqrtCells(500) == 23 && sqrtCells(1000000) == 1000)
