@@ -1,0 +1,270 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.QuerySpec
+import graft.Tables
+import graft.ops.TextOps
+
+/** Round-6 widening, second batch: the two remaining classic
+  * decision-support join topologies (TPC-H Q7's bi-directional
+  * nation-pair flow and Q8's market-share ratio — both re-expressed
+  * over the driver schema), plus three LLM-pipeline eval/planning
+  * operators the curation stack still lacked (language-model surprisal
+  * scoring of documents, temperature-scaled token-budget allocation,
+  * exact AUC from a bounded score histogram) and a degree-capped
+  * common-neighbor link-prediction score (Adamic–Adar) — the
+  * candidate-generation shape behind "customers who bought X also…"
+  * at a fan-out the cluster can afford.
+  *
+  * Cross-engine determinism follows the house rules (R11Queries
+  * preamble): money is floor-quantized to cents per row BEFORE
+  * summing; shares are floor basis points via integer division; the
+  * transcendental weights (1/ln d, −ln p, √n) are quantized to an
+  * integer grid ONCE per distinct input value — every downstream
+  * aggregation is then exact integer arithmetic, so engine summation
+  * order cannot flip a result. The quantized values are irrational
+  * (never ON a grid boundary), so the ≤1-ulp libm disagreement between
+  * JVM and DuckDB sits ~10 orders of magnitude below the grid spacing.
+  */
+object R15Queries {
+
+  private def t(s: SparkSession, d: String, n: String): DataFrame = Tables.load(s, d, n)
+
+  /** floor-to-cents quantizer (R11Queries convention). */
+  private def cents(c: Column): Column = floor(c * 100.0 + 0.5).cast("long")
+
+  val specs: Seq[QuerySpec] = Seq(
+
+    // q253 — TPC-H Q7 shape (VOLUME SHIPPING): revenue flowing between
+    // every ordered (supplier-nation → customer-nation) pair by ship
+    // year, two-year window. The topology is the interesting part: ONE
+    // fact scan feeds two independent dimension chains (lineitem→
+    // supplier→nation and lineitem→orders→customer→nation). nation and
+    // supplier are true broadcast dims; orders and customer are fact-
+    // sized at 100 TB, so those two joins shuffle on their natural keys
+    // and AQE picks the strategy — forcing a broadcast there is the
+    // q201/q203 anti-pattern. The shipdate range predicate is pushed to
+    // the parquet scan. Revenue is per-row floor-cents, summed as
+    // BIGINT: exact under any order.
+    QuerySpec(
+      "q253_nation_trade",
+      (s, d) => {
+        val sn = t(s, d, "nation")
+          .select(col("n_nationkey").as("snk"), col("n_name").as("supp_nation"))
+        val cn = t(s, d, "nation")
+          .select(col("n_nationkey").as("cnk"), col("n_name").as("cust_nation"))
+        t(s, d, "lineitem")
+          .where(col("l_shipdate") >= lit("1995-01-01") &&
+            col("l_shipdate") < lit("1997-01-01"))
+          .select(col("l_orderkey"), col("l_suppkey"),
+            cents(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rc"))
+          .join(t(s, d, "orders").select(col("o_orderkey"), col("o_custkey")),
+            col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(t(s, d, "supplier").select(col("s_suppkey"), col("s_nationkey"))),
+            col("l_suppkey") === col("s_suppkey"))
+          .join(t(s, d, "customer").select(col("c_custkey"), col("c_nationkey")),
+            col("o_custkey") === col("c_custkey"))
+          .join(broadcast(sn), col("s_nationkey") === col("snk"))
+          .join(broadcast(cn), col("c_nationkey") === col("cnk"))
+          .where(col("supp_nation") =!= col("cust_nation"))
+          .groupBy(col("supp_nation"), col("cust_nation"))
+          .agg(count(lit(1)).as("n_rows"), sum("rc").as("rev_cents"))
+          .orderBy("supp_nation", "cust_nation")
+      },
+      Some("""SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation, count(*) AS n_rows, CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS rev_cents FROM lineitem JOIN orders ON l_orderkey = o_orderkey JOIN supplier ON l_suppkey = s_suppkey JOIN customer ON o_custkey = c_custkey JOIN nation sn ON s_nationkey = sn.n_nationkey JOIN nation cn ON c_nationkey = cn.n_nationkey WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1997-01-01' AND sn.n_name <> cn.n_name GROUP BY 1, 2 ORDER BY 1, 2"""),
+      "§2.3 ext: TPC-H Q7 shape — nation-pair trade flow, dual dimension chains off one fact scan"),
+
+    // q254 — TPC-H Q8 shape (MARKET SHARE): of all PROMO-part revenue
+    // sold into ASIA-region customers, what fraction came from
+    // suppliers in each ASIA nation, by order year? The share is a
+    // ratio of two conditional sums over the SAME joined row set — one
+    // pass, conditional aggregation, never two scans. Share in floor
+    // basis points from integer cent sums (exact). The region
+    // restriction arrives as a broadcast nation-key filter; part's
+    // type predicate prunes the broadcast build side.
+    QuerySpec(
+      "q254_market_share",
+      (s, d) => {
+        val asiaN = t(s, d, "nation")
+          .join(broadcast(t(s, d, "region").where(col("r_name") === "ASIA")),
+            col("n_regionkey") === col("r_regionkey"))
+        val custAsia = t(s, d, "customer")
+          .join(broadcast(asiaN.select(col("n_nationkey").as("cnk"))),
+            col("c_nationkey") === col("cnk"))
+          .select(col("c_custkey"))
+        val suppN = t(s, d, "supplier")
+          .join(broadcast(asiaN.select(col("n_nationkey").as("snk"), col("n_name"))),
+            col("s_nationkey") === col("snk"), "left")
+          .select(col("s_suppkey"), col("n_name"))
+        t(s, d, "lineitem")
+          .join(broadcast(t(s, d, "part").where(col("p_type") === "PROMO")
+            .select(col("p_partkey"))), col("l_partkey") === col("p_partkey"))
+          .join(t(s, d, "orders").select(col("o_orderkey"), col("o_custkey"),
+            year(col("o_orderdate")).cast("long").as("o_year")),
+            col("l_orderkey") === col("o_orderkey"))
+          .join(custAsia, col("o_custkey") === col("c_custkey"))
+          .join(broadcast(suppN), col("l_suppkey") === col("s_suppkey"))
+          .select(col("o_year"), col("n_name"),
+            cents(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rc"))
+          .groupBy("o_year")
+          .agg(sum("rc").as("total_cents"),
+            sum(when(col("n_name") === "NATION_7", col("rc")).otherwise(0L))
+              .as("nation7_cents"))
+          .withColumn("share_bp",
+            expr("nation7_cents * 10000 div greatest(total_cents, 1)"))
+          .orderBy("o_year")
+      },
+      Some("""WITH asia AS (SELECT n_nationkey, n_name FROM nation JOIN region ON n_regionkey = r_regionkey WHERE r_name = 'ASIA'), r AS (SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year, sn.n_name AS n_name, CAST(floor(l_extendedprice * (1 - l_discount) * 100.0 + 0.5) AS BIGINT) AS rc FROM lineitem JOIN part ON l_partkey = p_partkey JOIN orders ON l_orderkey = o_orderkey JOIN customer ON o_custkey = c_custkey JOIN asia ca ON c_nationkey = ca.n_nationkey LEFT JOIN asia sn ON (SELECT s_nationkey FROM supplier WHERE s_suppkey = l_suppkey) = sn.n_nationkey WHERE p_type = 'PROMO') SELECT o_year, CAST(sum(rc) AS BIGINT) AS total_cents, CAST(sum(CASE WHEN n_name = 'NATION_7' THEN rc ELSE 0 END) AS BIGINT) AS nation7_cents, CAST(sum(CASE WHEN n_name = 'NATION_7' THEN rc ELSE 0 END) * 10000 // greatest(sum(rc), 1) AS BIGINT) AS share_bp FROM r GROUP BY 1 ORDER BY 1"""),
+      "§2.3 ext: TPC-H Q8 shape — national market share as a one-pass conditional-sum ratio"),
+
+    // q255 — ADAMIC–ADAR link prediction on the customer–part purchase
+    // graph: for customer pairs sharing purchased parts, score
+    // Σ_parts 1/ln(deg(part)) — common RARE parts are strong evidence,
+    // common popular parts near-none. That weighting is also the scale
+    // lever: a part of degree d generates C(d,2) pairs but contributes
+    // only 1/ln d per pair, so the generator CAPS degree at 50 —
+    // dropping hub parts bounds total fan-out at |parts|·C(50,2)
+    // (linear in |parts|) while discarding only the near-zero-weight
+    // evidence. The same prefix-filter reasoning as the q143 PPJoin
+    // family, applied to a graph. Weights are floor-micro-quantized
+    // per DISTINCT degree (≤49 values), so pair scores are exact
+    // integer sums; top-50 total-ordered by (score, ca, cb).
+    QuerySpec(
+      "q255_adamic_adar",
+      (s, d) => {
+        val e = t(s, d, "lineitem").select(col("l_orderkey"), col("l_partkey"))
+          .join(t(s, d, "orders").select(col("o_orderkey"), col("o_custkey")),
+            col("l_orderkey") === col("o_orderkey"))
+          .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
+          .distinct()
+        val w = e.groupBy("p").agg(count(lit(1)).as("deg"))
+          .where(col("deg").between(2, 50))
+          .withColumn("w_micro", floor(lit(1e6) / log(col("deg"))).cast("long"))
+        // filter BEFORE the self-join: only ≤cap-degree parts enter the
+        // pair generator. The filtered edge table shuffles once on p;
+        // w's size is data-dependent (≤ |parts| rows) so the join
+        // strategy is AQE's call, not a forced broadcast.
+        val ef = e.join(w, "p")
+        ef.select(col("p"), col("c").as("ca"), col("w_micro"))
+          .join(ef.select(col("p"), col("c").as("cb")), "p")
+          .where(col("ca") < col("cb"))
+          .groupBy("ca", "cb")
+          .agg(count(lit(1)).as("n_common"), sum("w_micro").as("aa_micro"))
+          .orderBy(col("aa_micro").desc, col("ca"), col("cb"))
+          .limit(50)
+      },
+      Some("""WITH e AS (SELECT DISTINCT o_custkey AS c, l_partkey AS p FROM lineitem JOIN orders ON l_orderkey = o_orderkey), w AS (SELECT p, count(*) AS deg, CAST(floor(1e6 / ln(count(*))) AS BIGINT) AS w_micro FROM e GROUP BY 1 HAVING count(*) BETWEEN 2 AND 50), ef AS (SELECT e.c, e.p, w.w_micro FROM e JOIN w USING (p)) SELECT a.c AS ca, b.c AS cb, count(*) AS n_common, CAST(sum(a.w_micro) AS BIGINT) AS aa_micro FROM ef a JOIN ef b ON a.p = b.p AND a.c < b.c GROUP BY 1, 2 ORDER BY aa_micro DESC, ca, cb LIMIT 50"""),
+      "E2/§2.3 ext: degree-capped Adamic–Adar common-neighbor scores (bounded pair generation)"),
+
+    // q256 — BIGRAM SURPRISAL scoring: each document's mean negative
+    // log-probability under the corpus's own add-1-smoothed bigram LM —
+    // the cheap KenLM-style fluency proxy curation pipelines use to
+    // rank garbled/outlier text (high surprisal) without a neural
+    // scorer. Two passes over bigram rows: build the LM (count per
+    // bigram + per history + vocab), then score each doc's stream by
+    // equi-joining it back to the LM. The transcendental step
+    // (−ln p → micro-nats) happens ONCE per distinct bigram in the LM
+    // table; doc scores are then integer sums ÷ integer counts.
+    // Scale: both passes are keyed shuffles on the bigram; the LM is
+    // |bigram vocab| rows (≪ corpus tokens); the 1-row vocab scalar
+    // broadcasts.
+    QuerySpec(
+      "q256_bigram_surprisal",
+      (s, d) => {
+        val tk = t(s, d, "documents")
+          .select(col("doc_id"), TextOps.tokens(col("text")).as("tk"))
+          .where(size(col("tk")) >= 2)
+        val bg = tk.select(col("doc_id"), explode(expr(
+          "transform(sequence(0, size(tk) - 2), i -> struct(tk[i] AS a, tk[i + 1] AS b))"))
+          .as("g"))
+          .select(col("doc_id"), col("g.a"), col("g.b"))
+        val cab = bg.groupBy("a", "b").agg(count(lit(1)).as("cab"))
+        val ca = cab.groupBy("a").agg(sum("cab").as("ca"))
+        val vocab = tk.select(explode(col("tk")).as("tkn"))
+          .agg(countDistinct("tkn").as("v"))
+        val lm = cab.join(ca, "a").crossJoin(broadcast(vocab))
+          .withColumn("nll_micro",
+            floor(-log((col("cab") + 1.0) / (col("ca") + col("v"))) * 1e6).cast("long"))
+          .select("a", "b", "nll_micro")
+        bg.join(lm, Seq("a", "b"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_bg"), sum("nll_micro").as("snll"))
+          .select(col("doc_id"), col("n_bg"),
+            expr("snll div n_bg").as("surprisal_micro"))
+          .orderBy(col("surprisal_micro").desc, col("doc_id"))
+          .limit(20)
+      },
+      Some("""WITH tk AS (SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents), tk2 AS (SELECT doc_id, tk FROM tk WHERE len(tk) >= 2), bg AS (SELECT doc_id, tk[i] AS a, tk[i + 1] AS b FROM tk2, unnest(generate_series(1, len(tk) - 1)) AS u(i)), cab AS (SELECT a, b, count(*) AS cab FROM bg GROUP BY 1, 2), ca AS (SELECT a, sum(cab) AS ca FROM cab GROUP BY 1), v AS (SELECT count(DISTINCT tkn) AS v FROM (SELECT unnest(tk) AS tkn FROM tk2) z), lm AS (SELECT a, b, CAST(floor(-ln((cab + 1.0) / (ca + v)) * 1e6) AS BIGINT) AS nll_micro FROM cab JOIN ca USING (a) CROSS JOIN v) SELECT doc_id, count(*) AS n_bg, CAST(sum(nll_micro) // count(*) AS BIGINT) AS surprisal_micro FROM bg JOIN lm USING (a, b) GROUP BY 1 ORDER BY surprisal_micro DESC, doc_id LIMIT 20"""),
+      "E4 ext: add-1 bigram-LM surprisal per document (fluency/outlier ranking, integer-grid nats)"),
+
+    // q257 — TOKEN-BUDGET mixture planner: given per-source token
+    // counts, allocate a fixed training budget (10⁹ tokens) by
+    // temperature-scaled sampling (α=0.5, i.e. √-weights — the
+    // standard multilingual/multi-source rebalancing that upweights
+    // small sources without letting them dominate). Emits per source:
+    // share (floor bp), allocated tokens, and the oversampling factor
+    // (epochs, floor centi) — epochs > 1.0 flags sources the plan
+    // repeats, the signal a data engineer reads before committing a
+    // mixture. √n is IEEE-exact per source; the 20-term √ sum's
+    // ≤1-ulp order sensitivity sits ~8 orders below the bp grid.
+    // Scale: one map-side-combinable agg over documents + a 20-row
+    // broadcast scalar.
+    QuerySpec(
+      "q257_token_budget",
+      (s, d) => {
+        val per = t(s, d, "documents")
+          .select(col("source"),
+            size(TextOps.tokens(col("text"))).cast("long").as("n"))
+          .groupBy("source").agg(sum("n").as("n_tok"))
+        val tot = per.agg(sum(sqrt(col("n_tok"))).as("sw"))
+        per.crossJoin(broadcast(tot))
+          .withColumn("share_bp",
+            floor(sqrt(col("n_tok")) * 10000.0 / col("sw")).cast("long"))
+          .withColumn("alloc_tok", expr("share_bp * 1000000000 div 10000"))
+          .withColumn("epochs_centi", expr("alloc_tok * 100 div n_tok"))
+          .select("source", "n_tok", "share_bp", "alloc_tok", "epochs_centi")
+          .orderBy("source")
+      },
+      Some("""WITH per AS (SELECT source, CAST(sum(len(string_split(lower(text), ' '))) AS BIGINT) AS n_tok FROM documents GROUP BY 1), tot AS (SELECT sum(sqrt(n_tok)) AS sw FROM per), p2 AS (SELECT source, n_tok, CAST(floor(sqrt(n_tok) * 10000.0 / sw) AS BIGINT) AS share_bp FROM per CROSS JOIN tot) SELECT source, n_tok, share_bp, CAST(share_bp * 1000000000 // 10000 AS BIGINT) AS alloc_tok, CAST((share_bp * 1000000000 // 10000) * 100 // n_tok AS BIGINT) AS epochs_centi FROM p2 ORDER BY source"""),
+      "E4/§2.4 ext: temperature-scaled (α=0.5) token-budget allocation across sources"),
+
+    // q258 — exact AUC from a BOUNDED score histogram: binary outcome
+    // (label < 5) scored by the first embedding coordinate; AUC via the
+    // Mann–Whitney tie-aware identity U = Σ_s n_pos(s)·(N_neg(<s) +
+    // n_neg(s)/2), computed in HALF-units so everything stays integer.
+    // The scale move: scores are clamp-quantized onto a fixed 8192-cell
+    // grid FIRST, so the ranking/cumulative pass runs over a ≤8192-row
+    // histogram (bounded by construction, like the QuantileOps bucket
+    // tables) instead of n rows — per-cell counts arrive from one
+    // map-side-combinable aggregation however large the corpus is. AUC
+    // on the quantized score IS the declared metric (grid resolution
+    // 2⁻¹² of score range; the eval-harness convention). Overflow
+    // bound: u2 ≤ 2·n_pos·n_neg, so BIGINT holds to ~2·10⁹ rows per
+    // class; beyond that the identity shards by score range first.
+    QuerySpec(
+      "q258_auc_rank",
+      (s, d) => {
+        val sc = t(s, d, "embeddings")
+          .select(element_at(col("embedding"), 1).as("sv"),
+            (col("label") < 5).cast("long").as("y"))
+        val hist = sc
+          .select(greatest(lit(-4096L),
+            least(lit(4095L), floor(col("sv") * 4096.0).cast("long"))).as("sq"),
+            col("y"))
+          .groupBy("sq")
+          .agg(sum("y").as("np"), (count(lit(1)) - sum(col("y"))).as("nn"))
+        // global cumulative over the ≤8192-row histogram only
+        // (PlanShapeSpec-allowlisted with that bound)
+        val w = Window.orderBy("sq").rowsBetween(Window.unboundedPreceding, -1)
+        hist.withColumn("cnb", coalesce(sum("nn").over(w), lit(0L)))
+          .agg(sum(col("np") * (col("cnb") * 2 + col("nn"))).as("u2"),
+            sum("np").as("npos"), sum("nn").as("nneg"))
+          .select(col("npos"), col("nneg"),
+            expr("u2 * 10000 div (2 * npos * nneg)").as("auc_bp"))
+      },
+      Some("""WITH sc AS (SELECT embedding[1] AS sv, CASE WHEN label < 5 THEN 1 ELSE 0 END AS y FROM embeddings), h AS (SELECT greatest(-4096, least(4095, CAST(floor(sv * 4096.0) AS BIGINT))) AS sq, sum(y) AS np, count(*) - sum(y) AS nn FROM sc GROUP BY 1), c AS (SELECT np, nn, coalesce(sum(nn) OVER (ORDER BY sq ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cnb FROM h), u AS (SELECT sum(np * (2 * cnb + nn)) AS u2, sum(np) AS npos, sum(nn) AS nneg FROM c) SELECT CAST(npos AS BIGINT) AS npos, CAST(nneg AS BIGINT) AS nneg, CAST(u2 * 10000 // (2 * npos * nneg) AS BIGINT) AS auc_bp FROM u"""),
+      "M5/E3 ext: tie-aware Mann–Whitney AUC over a bounded 8192-cell score histogram"))
+}
