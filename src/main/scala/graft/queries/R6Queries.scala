@@ -779,26 +779,27 @@ object R6Queries {
     QuerySpec(
       "q192_brand_basket",
       (s, d) => {
-        // The distinct (order, brand) table feeds FOUR consumers (the
-        // scalar, per-brand supports, and both self-join legs); without
-        // a lineage cut each consumer re-runs the lineitem join +
-        // distinct. localCheckpoint materializes it once — the same
-        // q214 semi-naive stance: it is orders-of-magnitude smaller
-        // than lineitem and would be a shuffle file anyway.
-        val ob = t(s, d, "lineitem")
+        // ONE shuffle builds the per-order brand BASKETS (collect_set
+        // absorbs the distinct — the old plan's separate distinct
+        // shuffle and its 4×-larger (order, brand) checkpoint are
+        // gone); the |orders|-row basket table is the lineage cut, and
+        // all three consumers (order-count scalar, per-brand supports
+        // via explode, map-side pair generation) derive from it
+        // without re-running the lineitem⋈part join. The r5 replan
+        // kept the (order, brand) table as the checkpoint; the median
+        // bench showed that materialization WAS the q192 regression —
+        // checkpointing the grouped baskets instead restores it.
+        val baskets = t(s, d, "lineitem")
           .join(broadcast(t(s, d, "part").select(col("p_partkey"), col("p_brand"))),
             col("l_partkey") === col("p_partkey"))
           .select(col("l_orderkey").as("ok"), col("p_brand").as("brand"))
-          .distinct()
+          .groupBy("ok").agg(sort_array(collect_set("brand")).as("bs"))
           .localCheckpoint(false)
-        val n = ob.agg(countDistinct("ok").as("n_orders"))
-        val supp1 = ob.groupBy("brand").agg(count(lit(1)).as("s1"))
-        // pair generation is map-side: collect each order's brand set
-        // (≤ |brands| elements) and emit its C(k,2) ordered pairs from
-        // one generator expression — replaces the ok-keyed self-join
-        // (two sorted shuffles of the full table) with a single groupBy
-        // whose fan-out is bounded by the per-order basket size
-        val pairs = ob.groupBy("ok").agg(sort_array(collect_set("brand")).as("bs"))
+        val n = baskets.agg(count(lit(1)).as("n_orders"))
+        val supp1 = baskets.select(explode(col("bs")).as("brand"))
+          .groupBy("brand").agg(count(lit(1)).as("s1"))
+        // pair fan-out stays bounded by the basket size: C(k,2) ≤ C(7,2)
+        val pairs = baskets
           .select(explode(expr(
             "flatten(transform(bs, (x, i) -> transform(slice(bs, i + 2, size(bs)), y -> struct(x AS ba, y AS bb))))"))
             .as("pr"))
