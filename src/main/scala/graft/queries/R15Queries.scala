@@ -146,7 +146,15 @@ object R15Queries {
         // filter BEFORE the self-join: only ≤cap-degree parts enter the
         // pair generator. The filtered edge table shuffles once on p;
         // w's size is data-dependent (≤ |parts| rows) so the join
-        // strategy is AQE's call, not a forced broadcast.
+        // strategy is AQE's call, not a forced broadcast. Two
+        // alternatives were measured AND REJECTED at sf0.1 (~9M pair
+        // rows): a q192-style lambda pair generator (higher-order
+        // functions evaluate interpreted — 3× slower at this fan-out;
+        // q192's stays because its fan-out is ≤ C(7,2) per order) and
+        // a groupBy+collect_set+explode co-partitioned self-join
+        // (ObjectHashAggregate set-building dominates — 2.5× slower).
+        // The codegen'd join IS the fast path; the Σ C(deg,2) rows
+        // into the final aggregate are Adamic–Adar's inherent cost.
         val ef = e.join(w, "p")
         ef.select(col("p"), col("c").as("ca"), col("w_micro"))
           .join(ef.select(col("p"), col("c").as("cb")), "p")
