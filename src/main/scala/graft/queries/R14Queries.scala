@@ -56,10 +56,11 @@ object R14Queries {
       .select("doc_id", "text")
 
     // stage 3: exact dedup — anti-join the BASE md5 set (16-byte keys,
-    // never text), then within-delta min-id per digest
-    val baseMd5 = docs.select(md5(col("text")).as("h")).distinct()
+    // never text; the memoized once-per-corpus index, like the
+    // signature/shingle artifacts below), then within-delta min-id per
+    // digest
     val s3 = s2.withColumn("h", md5(col("text")))
-      .join(baseMd5, Seq("h"), "left_anti")
+      .join(ScaleQueries.baseMd5(s, d), Seq("h"), "left_anti")
       .withColumn("mid", min("doc_id").over(Window.partitionBy("h")))
       .where(col("doc_id") === col("mid"))
       .select("doc_id", "text")
