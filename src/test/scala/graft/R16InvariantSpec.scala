@@ -236,6 +236,42 @@ class R16InvariantSpec extends SparkSpecBase {
     assert(rows.map(_._2).sum == Tables.load(spark, sf001, "orders").count())
   }
 
+  test("q285 TTL dedup: kept ≤ events, conservation, and TTL→∞ degenerates to per-key distinct") {
+    val rows = run("q285_ttl_dedup")
+      .select("n_events", "n_kept", "n_dropped").as[(Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (n, k, d) =>
+      assert(k >= 1 && k <= n && k + d == n)
+    }
+    // every (user, type) pair has at least one burst lead ⇒ Σkept ≥ #pairs
+    val nPairs = Tables.events(spark, sf001)
+      .select("user_id", "event_type").distinct().count()
+    assert(rows.map(_._2).sum >= nPairs)
+  }
+
+  test("q286 A-ES sample: exactly ≤5 per source, ranks contiguous from 1") {
+    val rows = run("q286_weighted_topk_sample")
+      .select("source", "rank").as[(String, Long)].collect()
+    rows.groupBy(_._1).foreach { case (_, g) =>
+      val ranks = g.map(_._2).sorted.toSeq
+      assert(ranks == (1L to ranks.length) && ranks.length <= 5)
+    }
+  }
+
+  test("q287 KMV intersection: estimate within the sketch's coarse error envelope") {
+    val Array((c, exact, est, errBp)) = run("q287_kmv_intersect")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(c <= 64 && est >= 0)
+    // k=64 gives ~1/sqrt(64) ≈ 12.5% relative error; allow 3σ
+    assert(errBp <= 3750, s"KMV estimate off by $errBp bp (exact $exact, est $est)")
+  }
+
+  test("q288 assortativity: correlation within [-1, 1] over a positive edge count") {
+    val Array((n, r)) = run("q288_assortativity").as[(Long, Double)].collect()
+    assert(n > 0)
+    assert(r >= -1.0 && r <= 1.0)
+  }
+
   test("q284 HITS: scores normalized to [0, 1e6] with the leader at exactly 1e6") {
     val rows = run("q284_hits_authority")
       .select("auth_micro").as[Long].collect()
