@@ -337,4 +337,55 @@ object EventStream {
         org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append())
   }
 
+  case class DedupLead(user_id: Long, event_type: String, es: Long, event_id: Long)
+  case class TtlState(lastEs: Long)
+
+  /** TTL (burst) dedup as a streaming operator — the q285 batch query's
+    * online twin: per (user, event_type) key, an event is emitted iff it
+    * is the first, or the gap from the PREVIOUS EVENT (kept or not)
+    * exceeds the TTL — burst-lead semantics, so a signal legitimately
+    * recurs once it has been quiet a full TTL. State is ONE long per key
+    * (the last-seen epoch second) and is SELF-EXPIRING: the event-time
+    * timeout fires exactly when the watermark passes last + TTL — the
+    * moment the state can no longer change any future decision (any
+    * later event's gap necessarily exceeds the TTL, so it is a lead with
+    * or without state). Eviction is therefore semantically free, which
+    * is what bounds the state store at (active keys in the last TTL)
+    * regardless of stream age. Per-batch ordering is explicit (ts,
+    * event_id); cross-batch order is source append order, as everywhere
+    * in this layer.
+    */
+  def ttlDedupStream(events: Dataset[TypedEvent],
+      ttlSeconds: Long = 86400): Dataset[DedupLead] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .withWatermark("ts", "2 hours")
+      .groupByKey(e => (e.user_id, e.event_type))
+      .flatMapGroupsWithState[TtlState, DedupLead](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key: (Long, String), rows: Iterator[TypedEvent],
+            state: GroupState[TtlState]) =>
+          if (state.hasTimedOut) {
+            state.remove() // past last+TTL: provably decision-free state
+            Iterator.empty
+          } else {
+            val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            var last = state.getOption.map(_.lastEs)
+            val out = Seq.newBuilder[DedupLead]
+            sorted.foreach { e =>
+              val sec = e.ts.getTime / 1000
+              if (last.forall(sec - _ > ttlSeconds))
+                out += DedupLead(key._1, key._2, sec, e.event_id)
+              last = Some(math.max(sec, last.getOrElse(Long.MinValue)))
+            }
+            last.foreach { l =>
+              state.update(TtlState(l))
+              state.setTimeoutTimestamp(l * 1000 + ttlSeconds * 1000)
+            }
+            out.result().iterator
+          }
+      }
+  }
+
 }

@@ -359,4 +359,30 @@ class StreamingSpec extends SparkSpecBase {
       assert(top == Seq((base, "data", 3L), (base + 3600, "again", 3L)), s"top=$top")
     } finally q.stop()
   }
+
+  test("streaming TTL dedup keeps burst leads, suppresses within TTL, allows recurrence") {
+    import EventStream.{DedupLead, TypedEvent}
+    val mem = MemoryStream[TypedEvent](spark)
+    val q = EventStream.ttlDedupStream(mem.toDS(), ttlSeconds = 600)
+      .writeStream.format("memory").queryName("ttl_dedup").outputMode("append").start()
+    try {
+      // batch 1: lead at t0; t+5min inside TTL (suppressed); 'view' is a
+      // separate key and keeps its own lead
+      mem.addData(
+        TypedEvent(1, ts(0), 1, "click"), TypedEvent(2, ts(5), 1, "click"),
+        TypedEvent(3, ts(3), 1, "view"))
+      q.processAllAvailable()
+      // batch 2 (cross-batch state): t15 is EXACTLY ttl after the last
+      // seen click (gap == TTL, not >) → still suppressed, but it slides
+      // the burst forward; t30 is 900s after t15 → a fresh lead
+      mem.addData(
+        TypedEvent(4, ts(15), 1, "click"), TypedEvent(5, ts(30), 1, "click"))
+      q.processAllAvailable()
+      val got = spark.table("ttl_dedup")
+        .select("user_id", "event_type", "event_id")
+        .as[(Long, String, Long)].collect().toSet
+      assert(got == Set((1L, "click", 1L), (1L, "view", 3L), (1L, "click", 5L)),
+        s"got=$got")
+    } finally q.stop()
+  }
 }
