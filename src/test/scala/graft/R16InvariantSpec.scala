@@ -272,6 +272,39 @@ class R16InvariantSpec extends SparkSpecBase {
     assert(r >= -1.0 && r <= 1.0)
   }
 
+  test("q289 calibration: bins conserve the population, gaps bounded by 1e6") {
+    val rows = run("q289_calibration")
+      .select("bin", "n", "n_pos", "conf_micro", "acc_micro", "gap_micro")
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    assert(rows.map(_._2).sum == Tables.load(spark, sf001, "embeddings").count())
+    rows.foreach { case (b, n, np, conf, acc, gap) =>
+      assert(b >= 0 && b <= 19 && np <= n)
+      assert(conf >= 0 && conf <= 1000000 && acc >= 0 && acc <= 1000000)
+      assert(gap == math.abs(conf - acc))
+      // the bin's mean prediction must lie inside the bin's own range
+      assert(conf >= b * 50000 && conf < (b + 1) * 50000 + 50000)
+    }
+  }
+
+  test("q290 average precision: AP within [prevalence-ish floor, 10000] bp") {
+    val Array((np, nn, ap, prev)) = run("q290_avg_precision")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(np > 0 && nn > 0)
+    assert(ap >= 0 && ap <= 10000 && prev >= 0 && prev <= 10000)
+    assert(prev == np * 10000 / (np + nn))
+  }
+
+  test("q291 decile lift: population conserved, gains monotone to 10000 bp") {
+    val rows = run("q291_decile_lift")
+      .select("decile", "n", "n_pos", "cum_gain_bp")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(rows.map(_._2).sum == Tables.load(spark, sf001, "embeddings").count())
+    assert(rows.map(_._4).sliding(2).forall(w => w.length < 2 || w(0) <= w(1)),
+      "cumulative gains must be monotone")
+    assert(rows.last._4 == 10000, "final decile must capture all positives")
+    rows.foreach { case (d, n, np, _) => assert(d >= 0 && d <= 9 && np <= n) }
+  }
+
   test("q284 HITS: scores normalized to [0, 1e6] with the leader at exactly 1e6") {
     val rows = run("q284_hits_authority")
       .select("auth_micro").as[Long].collect()
