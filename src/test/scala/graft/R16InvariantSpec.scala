@@ -305,6 +305,42 @@ class R16InvariantSpec extends SparkSpecBase {
     rows.foreach { case (d, n, np, _) => assert(d >= 0 && d <= 9 && np <= n) }
   }
 
+  test("q292 BPE merges: monotone non-increasing weights, merged symbol propagates") {
+    val rows = run("q292_bpe_merge")
+      .select("step", "rank", "pair", "weight").as[(Long, Long, String, Long)].collect()
+    val m1 = rows.find(r => r._1 == 1L).get
+    val m2 = rows.find(r => r._1 == 2L).get
+    // BPE law: the k-th merge's weight cannot exceed the (k-1)-th's
+    // (merging can only reduce other pairs' counts, and m1 was argmax)
+    assert(m1._4 >= m2._4, s"merge2 ${m2._4} outweighs merge1 ${m1._4}")
+    rows.filter(_._1 == 3L).foreach(r => assert(r._4 <= m2._4))
+    // each merge pair is two space-separated symbols
+    assert(m1._3.split(" ").length == 2 && m2._3.split(" ").length == 2)
+  }
+
+  test("q293 containment: every synthetic excerpt pairs with its source at cont=100%") {
+    val rows = run("q293_containment")
+      .select("a", "b", "ix", "na", "nb", "cont_bp", "jacc_bp", "subset_like")
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, _, ix, na, nb, cont, jacc, flag) =>
+      assert(ix <= math.min(na, nb))
+      assert(cont >= jacc, "containment can never be below Jaccard")
+      assert(flag == (if (cont >= 8000 && jacc < 5000) 1L else 0L))
+    }
+    // every excerpt (negative id) must surface paired with its positive
+    // source at containment 10000 bp — its shingles are a subset by
+    // construction
+    val excerpts = rows.filter { case (a, b, _, _, _, _, _, _) => a < 0 || b < 0 }
+    assert(excerpts.nonEmpty, "excerpt leg produced no candidate pairs")
+    excerpts
+      .filter { case (a, b, _, _, _, _, _, _) =>
+        math.abs(math.min(a, b) + 1000000L) == math.max(a, b) }
+      .foreach { case (_, _, _, _, _, cont, _, _) =>
+        assert(cont == 10000L, s"excerpt⊂source pair must have full containment, got $cont")
+      }
+  }
+
   test("q284 HITS: scores normalized to [0, 1e6] with the leader at exactly 1e6") {
     val rows = run("q284_hits_authority")
       .select("auth_micro").as[Long].collect()
