@@ -385,4 +385,36 @@ class StreamingSpec extends SparkSpecBase {
         s"got=$got")
     } finally q.stop()
   }
+
+  test("ttl dedup state survives a checkpointed stop/restart") {
+    // The recovery contract: suppression decisions made BEFORE a crash
+    // must still hold AFTER restart — i.e. the (user, type) last-seen
+    // state lives in the checkpoint, not the JVM. Replayable file
+    // source + file sink (the fault-tolerant pair), stop between
+    // micro-batches, restart from the same checkpoint.
+    import EventStream.TypedEvent
+    val srcDir = java.nio.file.Files.createTempDirectory("ttl_src").toFile.getPath
+    val ckpt = java.nio.file.Files.createTempDirectory("ttl_ckpt").toFile.getPath
+    val outDir = java.nio.file.Files.createTempDirectory("ttl_out").toFile.getPath
+    Seq(TypedEvent(1, ts(0), 1, "click")).toDS()
+      .write.mode("append").parquet(srcDir)
+    def start() = EventStream.ttlDedupStream(
+      spark.readStream.schema(implicitly[org.apache.spark.sql.Encoder[TypedEvent]]
+        .schema).parquet(srcDir).as[TypedEvent], ttlSeconds = 600)
+      .writeStream.option("checkpointLocation", ckpt)
+      .format("parquet").option("path", outDir).outputMode("append").start()
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+    // events arrive while the query is down: one inside the TTL of the
+    // pre-crash lead (must STAY suppressed — only checkpointed state
+    // can know that), one past it (a fresh lead)
+    Seq(TypedEvent(2, ts(5), 1, "click"), TypedEvent(3, ts(30), 1, "click")).toDS()
+      .write.mode("append").parquet(srcDir)
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    val got = spark.read.parquet(outDir)
+      .select("event_id").as[Long].collect().toSet
+    assert(got == Set(1L, 3L),
+      s"expected pre-crash lead 1 and post-restart lead 3 only, got $got")
+  }
 }
