@@ -341,6 +341,32 @@ class R16InvariantSpec extends SparkSpecBase {
       }
   }
 
+  test("q294 A/B readout: population conserved, SRM small under hash assignment, flag consistent") {
+    val Array((n0, c0, n1, c1, srm, r0, r1, chi2, sig)) = run("q294_ab_test")
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long, Long)].collect()
+    assert(c0 <= n0 && c1 <= n1)
+    assert(r0 <= 10000 && r1 <= 10000)
+    // parity hash assignment cannot be grossly unbalanced
+    assert(srm < 2000, s"sample-ratio mismatch $srm bp under parity assignment")
+    assert(sig == (if (chi2 > 3841459L) 1L else 0L))
+    // population = users with at least one view
+    val ev = Tables.events(spark, sf001)
+    val want = ev.where(col("event_type") === "view")
+      .select("user_id").distinct().count()
+    assert(n0 + n1 == want)
+  }
+
+  test("q295 daily health: vitals conserve the event population, alarms are binary") {
+    val rows = run("q295_daily_health")
+      .select("n_events", "null_bp", "alarm_volume", "alarm_nulls", "alarm_coverage")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(rows.map(_._1).sum == Tables.events(spark, sf001).count())
+    rows.foreach { case (_, nullBp, a1, a2, a3) =>
+      assert(nullBp >= 0 && nullBp <= 10000)
+      assert(Set(0L, 1L)(a1) && Set(0L, 1L)(a2) && Set(0L, 1L)(a3))
+    }
+  }
+
   test("q284 HITS: scores normalized to [0, 1e6] with the leader at exactly 1e6") {
     val rows = run("q284_hits_authority")
       .select("auth_micro").as[Long].collect()
