@@ -15,7 +15,8 @@ object AllQueries {
       R11Queries.specs ++ R12Queries.specs ++ R13Queries.specs ++ R14Queries.specs ++
       R15Queries.specs ++ R16Queries.specs ++ R17Queries.specs ++
       R18Queries.specs ++ R19Queries.specs ++ R20Queries.specs ++
-      R21Queries.specs ++ R22Queries.specs ++ R23Queries.specs
+      R21Queries.specs ++ R22Queries.specs ++ R23Queries.specs ++
+      R24Queries.specs
 
   require(specs.map(_.name).distinct.size == specs.size, "duplicate query names")
 }

@@ -367,6 +367,46 @@ class R16InvariantSpec extends SparkSpecBase {
     }
   }
 
+  test("q296 Naive Bayes: confusion covers the scoreable test docs, labels from the class set") {
+    val rows = run("q296_naive_bayes")
+      .select("lang", "pred", "n").as[(String, String, Long)].collect()
+    assert(rows.nonEmpty)
+    val langs = Tables.load(spark, sf001, "documents")
+      .select("lang").distinct().as[String].collect().toSet
+    rows.foreach { case (l, p, n) =>
+      assert(langs.contains(l) && langs.contains(p) && n > 0)
+    }
+    val nTest = Tables.load(spark, sf001, "documents")
+      .where(col("doc_id") % 2 === 1).count()
+    val scored = rows.map(_._3).sum
+    // every test doc with ≥1 in-vocab token is scored exactly once
+    assert(scored <= nTest && scored >= 1)
+    // (lang, pred) keys unique — each cell appears once
+    assert(rows.map(r => (r._1, r._2)).distinct.length == rows.length)
+  }
+
+  test("q297 hash audit: occupancy bounds and mass share within range") {
+    val Array((v, used, collided, mx, massBp)) = run("q297_feature_hash_audit")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(v >= used && used >= collided)
+    assert(mx >= 1 && mx <= v)
+    assert(massBp >= 0 && massBp <= 10000)
+    // pigeonhole: vocab larger than 1024 buckets forces collisions
+    if (v > 1024) assert(collided > 0)
+  }
+
+  test("q298 LOO encoding: min < max within segments proves the own-row subtraction varies") {
+    val rows = run("q298_target_encoding")
+      .select("segment", "n_rows", "loo_min_c4", "loo_avg_c4", "loo_max_c4")
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, n, lo, avg, hi) =>
+      assert(n >= 2, "LOO needs at least 2 rows per segment")
+      assert(lo <= avg && avg <= hi)
+      assert(lo < hi, "identical LOO encodes would mean the own-row term is ignored")
+    }
+  }
+
   test("q284 HITS: scores normalized to [0, 1e6] with the leader at exactly 1e6") {
     val rows = run("q284_hits_authority")
       .select("auth_micro").as[Long].collect()
