@@ -407,6 +407,26 @@ class R16InvariantSpec extends SparkSpecBase {
     }
   }
 
+  test("q299 CUPED: arms partition the users, variance reduction within [0, 10000] bp") {
+    val Array((n0, n1, _, _, _, vr)) = run("q299_cuped")
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    val users = Tables.events(spark, sf001)
+      .where(col("value").isNotNull).select("user_id").distinct().count()
+    assert(n0 + n1 == users)
+    assert(vr >= 0 && vr <= 10000)
+  }
+
+  test("q300 hybrid eval: all systems score all queries, nDCG within [0, 10000] bp") {
+    val rows = run("q300_hybrid_eval")
+      .select("system", "n_queries", "mean_ndcg_bp")
+      .as[(String, Long, Long)].collect()
+    assert(rows.map(_._1).sorted.toSeq == Seq("lexical", "rrf", "vector"))
+    rows.foreach { case (_, nq, nd) =>
+      assert(nq == 10, "a system dropped zero-hit queries — mean is inflated")
+      assert(nd >= 0 && nd <= 10000)
+    }
+  }
+
   test("q284 HITS: scores normalized to [0, 1e6] with the leader at exactly 1e6") {
     val rows = run("q284_hits_authority")
       .select("auth_micro").as[Long].collect()
