@@ -125,10 +125,20 @@ object R25Queries {
           .groupBy("qid", "cid").agg(count(lit(1)).as("shared"))
           .withColumn("rn_l", row_number().over(wL).cast("long"))
           .select("qid", "cid", "rn_l")
-        val fusedBase = vec.join(lex, Seq("qid", "cid"), "full")
-          .select(coalesce(vec("qid"), lex("qid")).as("qid"),
-            coalesce(vec("cid"), lex("cid")).as("cid"),
-            col("rn_v"), col("rn_l"))
+        // fuse each leg's TOP-50 retrieved list, not full-corpus
+        // rankings: production RRF fuses the lists the legs actually
+        // return, deep ranks are pure noise (and at 1e9 docs a full
+        // ranking doesn't exist), and bounded lists make the fusion
+        // stable — a deep-rank wobble between engines can never reach
+        // the fused order
+        // NB: a USING full join already outputs coalesce(left, right)
+        // for the join columns — re-deriving them via dataframe-
+        // qualified references (vec("cid")) mis-resolves post-join and
+        // silently corrupts right-only rows; plain col() is the
+        // correct (and only safe) way to read them
+        val fusedBase = vec.where(col("rn_v") <= 50)
+          .join(lex.where(col("rn_l") <= 50), Seq("qid", "cid"), "full")
+          .select(col("qid"), col("cid"), col("rn_v"), col("rn_l"))
           .withColumn("rrf_micro",
             coalesce(floor(lit(1000000.0) / (col("rn_v") + 60L)), lit(0.0))
               .cast("long") +
@@ -177,7 +187,7 @@ object R25Queries {
         val emL2 = ScaleQueries.emL2
         val cosSql =
           """round(list_sum([CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE) for i in generate_series(1, len(q.embedding))]) / (q.nrm * c.nrm), 6)"""
-        s"""WITH e AS (SELECT vec_id, embedding, label, $emL2 AS nrm FROM embeddings), qs AS (SELECT vec_id AS qid, embedding, label AS ql, nrm FROM e WHERE vec_id < 10), vec AS (SELECT qid, cid, CAST(row_number() OVER (PARTITION BY qid ORDER BY cos_r DESC, cid) AS BIGINT) AS rn_v FROM (SELECT q.qid, c.vec_id AS cid, $cosSql AS cos_r FROM qs q, e c WHERE c.vec_id <> q.qid) z), toks AS (SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents), sh AS (SELECT DISTINCT doc_id, s FROM (SELECT doc_id, unnest([concat_ws(' ', tk[i], tk[i+1], tk[i+2], tk[i+3], tk[i+4]) for i in generate_series(1, len(tk) - 4)]) AS s FROM toks) z), lex AS (SELECT qid, cid, CAST(row_number() OVER (PARTITION BY qid ORDER BY shared DESC, cid) AS BIGINT) AS rn_l FROM (SELECT a.doc_id AS qid, b.doc_id AS cid, count(*) AS shared FROM sh a JOIN sh b USING (s) WHERE a.doc_id < 10 AND b.doc_id <> a.doc_id GROUP BY 1, 2) z), fb AS (SELECT coalesce(v.qid, l.qid) AS qid, coalesce(v.cid, l.cid) AS cid, CAST(coalesce(floor(1000000.0 / (v.rn_v + 60)), 0) AS BIGINT) + CAST(coalesce(floor(1000000.0 / (l.rn_l + 60)), 0) AS BIGINT) AS rrf_micro FROM vec v FULL JOIN lex l ON v.qid = l.qid AND v.cid = l.cid), fused AS (SELECT qid, cid, CAST(row_number() OVER (PARTITION BY qid ORDER BY rrf_micro DESC, cid) AS BIGINT) AS rn_f FROM fb), rel AS (SELECT q.qid, c.vec_id AS cid, CAST((1 << greatest(0, 3 - abs(q.ql - c.label))) - 1 AS BIGINT) AS gain FROM qs q, e c WHERE c.vec_id <> q.qid), idcg AS (SELECT qid, CAST(sum(gain * CAST(floor(1000000.0 / log2(rn_i + 1.0)) AS BIGINT)) AS BIGINT) AS idcg_micro FROM (SELECT qid, gain, CAST(row_number() OVER (PARTITION BY qid ORDER BY gain DESC, cid) AS BIGINT) AS rn_i FROM rel) z WHERE rn_i <= 10 GROUP BY 1), nv AS (SELECT v.qid, CAST(sum(r.gain * CAST(floor(1000000.0 / log2(v.rn_v + 1.0)) AS BIGINT)) AS BIGINT) AS dcg FROM vec v JOIN rel r ON r.qid = v.qid AND r.cid = v.cid WHERE v.rn_v <= 10 GROUP BY 1), nl AS (SELECT l.qid, CAST(sum(r.gain * CAST(floor(1000000.0 / log2(l.rn_l + 1.0)) AS BIGINT)) AS BIGINT) AS dcg FROM lex l JOIN rel r ON r.qid = l.qid AND r.cid = l.cid WHERE l.rn_l <= 10 GROUP BY 1), nf AS (SELECT f.qid, CAST(sum(r.gain * CAST(floor(1000000.0 / log2(f.rn_f + 1.0)) AS BIGINT)) AS BIGINT) AS dcg FROM fused f JOIN rel r ON r.qid = f.qid AND r.cid = f.cid WHERE f.rn_f <= 10 GROUP BY 1), u AS (SELECT 'vector' AS system, q.qid, coalesce(nv.dcg, 0) AS dcg FROM qs q LEFT JOIN nv ON nv.qid = q.qid UNION ALL SELECT 'lexical', q.qid, coalesce(nl.dcg, 0) FROM qs q LEFT JOIN nl ON nl.qid = q.qid UNION ALL SELECT 'rrf', q.qid, coalesce(nf.dcg, 0) FROM qs q LEFT JOIN nf ON nf.qid = q.qid), nd AS (SELECT u.system, u.dcg * 10000 // greatest(i.idcg_micro, 1) AS ndcg_bp FROM u JOIN idcg i USING (qid)) SELECT system, CAST(count(*) AS BIGINT) AS n_queries, CAST(sum(ndcg_bp) // count(*) AS BIGINT) AS mean_ndcg_bp FROM nd GROUP BY 1 ORDER BY 1"""
+        s"""WITH e AS (SELECT vec_id, embedding, label, $emL2 AS nrm FROM embeddings), qs AS (SELECT vec_id AS qid, embedding, label AS ql, nrm FROM e WHERE vec_id < 10), vec AS (SELECT qid, cid, CAST(row_number() OVER (PARTITION BY qid ORDER BY cos_r DESC, cid) AS BIGINT) AS rn_v FROM (SELECT q.qid, c.vec_id AS cid, $cosSql AS cos_r FROM qs q, e c WHERE c.vec_id <> q.qid) z), toks AS (SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents), sh AS (SELECT DISTINCT doc_id, s FROM (SELECT doc_id, unnest([concat_ws(' ', tk[i], tk[i+1], tk[i+2], tk[i+3], tk[i+4]) for i in generate_series(1, len(tk) - 4)]) AS s FROM toks) z), lex AS (SELECT qid, cid, CAST(row_number() OVER (PARTITION BY qid ORDER BY shared DESC, cid) AS BIGINT) AS rn_l FROM (SELECT a.doc_id AS qid, b.doc_id AS cid, count(*) AS shared FROM sh a JOIN sh b USING (s) WHERE a.doc_id < 10 AND b.doc_id <> a.doc_id GROUP BY 1, 2) z), fb AS (SELECT coalesce(v.qid, l.qid) AS qid, coalesce(v.cid, l.cid) AS cid, CAST(coalesce(floor(1000000.0 / (v.rn_v + 60)), 0) AS BIGINT) + CAST(coalesce(floor(1000000.0 / (l.rn_l + 60)), 0) AS BIGINT) AS rrf_micro FROM (SELECT * FROM vec WHERE rn_v <= 50) v FULL JOIN (SELECT * FROM lex WHERE rn_l <= 50) l ON v.qid = l.qid AND v.cid = l.cid), fused AS (SELECT qid, cid, CAST(row_number() OVER (PARTITION BY qid ORDER BY rrf_micro DESC, cid) AS BIGINT) AS rn_f FROM fb), rel AS (SELECT q.qid, c.vec_id AS cid, CAST((1 << greatest(0, 3 - abs(q.ql - c.label))) - 1 AS BIGINT) AS gain FROM qs q, e c WHERE c.vec_id <> q.qid), idcg AS (SELECT qid, CAST(sum(gain * CAST(floor(1000000.0 / log2(rn_i + 1.0)) AS BIGINT)) AS BIGINT) AS idcg_micro FROM (SELECT qid, gain, CAST(row_number() OVER (PARTITION BY qid ORDER BY gain DESC, cid) AS BIGINT) AS rn_i FROM rel) z WHERE rn_i <= 10 GROUP BY 1), nv AS (SELECT v.qid, CAST(sum(r.gain * CAST(floor(1000000.0 / log2(v.rn_v + 1.0)) AS BIGINT)) AS BIGINT) AS dcg FROM vec v JOIN rel r ON r.qid = v.qid AND r.cid = v.cid WHERE v.rn_v <= 10 GROUP BY 1), nl AS (SELECT l.qid, CAST(sum(r.gain * CAST(floor(1000000.0 / log2(l.rn_l + 1.0)) AS BIGINT)) AS BIGINT) AS dcg FROM lex l JOIN rel r ON r.qid = l.qid AND r.cid = l.cid WHERE l.rn_l <= 10 GROUP BY 1), nf AS (SELECT f.qid, CAST(sum(r.gain * CAST(floor(1000000.0 / log2(f.rn_f + 1.0)) AS BIGINT)) AS BIGINT) AS dcg FROM fused f JOIN rel r ON r.qid = f.qid AND r.cid = f.cid WHERE f.rn_f <= 10 GROUP BY 1), u AS (SELECT 'vector' AS system, q.qid, coalesce(nv.dcg, 0) AS dcg FROM qs q LEFT JOIN nv ON nv.qid = q.qid UNION ALL SELECT 'lexical', q.qid, coalesce(nl.dcg, 0) FROM qs q LEFT JOIN nl ON nl.qid = q.qid UNION ALL SELECT 'rrf', q.qid, coalesce(nf.dcg, 0) FROM qs q LEFT JOIN nf ON nf.qid = q.qid), nd AS (SELECT u.system, u.dcg * 10000 // greatest(i.idcg_micro, 1) AS ndcg_bp FROM u JOIN idcg i USING (qid)) SELECT system, CAST(count(*) AS BIGINT) AS n_queries, CAST(sum(ndcg_bp) // count(*) AS BIGINT) AS mean_ndcg_bp FROM nd GROUP BY 1 ORDER BY 1"""
       },
       "E3/E4/M5 capstone: vector vs lexical vs RRF retrieval bake-off, one relevance model, one shared ideal — end-to-end oracled"))
 }
