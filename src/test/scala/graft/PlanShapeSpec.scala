@@ -174,13 +174,17 @@ class PlanShapeSpec extends SparkSpecBase {
     //   q295 — DoD lag / trailing max over the per-day vitals table
     //          (calendar-bounded like q270; fact rows only flow
     //          through the map-side daily aggregation)
+    //   q301 — at-risk reverse-cumulative + KM cumulative over the
+    //          tenure histogram (rows bounded by the observation
+    //          window in days; per-user work is one keyed reduction)
     val allowlist = Set("q25_string_indexer", "q26_index_to_string",
       "q114_quantile_binning", "q148_skew_diag", "q153_weighted_sample",
       "q160_mom_yoy", "q181_budget_alloc", "q182_winsorize", "q206_zipf_fit",
       "q213_quantile_norm", "q214_khop_reach", "q220_rrf_hybrid",
       "q240_conversion_lag", "q250_curation_funnel", "q251_incr_funnel",
       "q258_auc_rank", "q270_revenue_acf", "q279_ks_test",
-      "q290_avg_precision", "q291_decile_lift", "q295_daily_health")
+      "q290_avg_precision", "q291_decile_lift", "q295_daily_health",
+      "q301_survival_curve")
     // balanced-paren extraction: a naive [^)]* capture truncates at the
     // first ')' inside an ORDER BY expression like round(x, 2), which
     // would hide its ASC/DESC marker and let a global window through

@@ -427,6 +427,23 @@ class R16InvariantSpec extends SparkSpecBase {
     }
   }
 
+  test("q301 survival: population conserved, at-risk and S(t) both monotone non-increasing") {
+    val rows = run("q301_survival_curve")
+      .select("day", "n_exit", "n_churned", "at_risk", "hazard_bp", "surv_milli")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(rows.nonEmpty)
+    val users = Tables.events(spark, sf001).select("user_id").distinct().count()
+    assert(rows.map(_._2).sum == users, "every user exits exactly once (churn or censor)")
+    assert(rows.head._4 == users, "first tenure row's at-risk must be the full population")
+    assert(rows.map(_._4).sliding(2).forall(w => w.length < 2 || w(0) >= w(1)))
+    assert(rows.map(_._6).sliding(2).forall(w => w.length < 2 || w(0) >= w(1)),
+      "a survival curve can never rise")
+    rows.foreach { case (_, ne, nc, ar, h, sm) =>
+      assert(nc <= ne && ne <= ar)
+      assert(h >= 0 && h <= 10000 && sm >= 0 && sm <= 1000)
+    }
+  }
+
   test("q284 HITS: scores normalized to [0, 1e6] with the leader at exactly 1e6") {
     val rows = run("q284_hits_authority")
       .select("auth_micro").as[Long].collect()
