@@ -16,7 +16,8 @@ object AllQueries {
       R15Queries.specs ++ R16Queries.specs ++ R17Queries.specs ++
       R18Queries.specs ++ R19Queries.specs ++ R20Queries.specs ++
       R21Queries.specs ++ R22Queries.specs ++ R23Queries.specs ++
-      R24Queries.specs ++ R25Queries.specs ++ R26Queries.specs
+      R24Queries.specs ++ R25Queries.specs ++ R26Queries.specs ++
+      R27Queries.specs
 
   require(specs.map(_.name).distinct.size == specs.size, "duplicate query names")
 }

@@ -1,0 +1,135 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.QuerySpec
+import graft.Tables
+
+/** Round-6 widening, coda: DATA-DRIVEN (MARKOV) ATTRIBUTION — the
+  * principled alternative to q275's positional heuristic. User
+  * journeys become an absorbing Markov chain (START → touch states →
+  * CONV/NULL); each channel's credit is its REMOVAL EFFECT: how much
+  * conversion probability disappears when every transition into that
+  * channel is redirected to NULL. Conversion probabilities come from
+  * finite-horizon matrix powers — P¹⁶ via four squarings of the
+  * micro-quantized transition matrix, all exact integer arithmetic on
+  * a ≤7×7 table, so both engines agree bit-for-bit and the chain
+  * algebra costs nothing next to the one fact-table pass that builds
+  * the transition counts.
+  */
+object R27Queries {
+
+  private def t(s: SparkSession, d: String, n: String): DataFrame = Tables.load(s, d, n)
+
+  /** Channels whose removal effect is measured (the transient touch
+    * states; purchase is CONV, journey end without purchase is NULL). */
+  private val Channels = Seq("view", "click", "signup", "error")
+
+  val specs: Seq[QuerySpec] = Seq(
+
+    // q302 — MARKOV REMOVAL-EFFECT ATTRIBUTION. Journey construction:
+    // q277's sessionization (2-day gap), events ordered (ts, id),
+    // truncated at the FIRST purchase (absorption); transitions are
+    // START→first, consecutive pairs, and last→NULL for non-converting
+    // sessions. Probabilities are floor-micro per row (cnt·1e6 div
+    // row-total); absorbing states carry identity rows. The 16-step
+    // conversion probability is read from P¹⁶[START, CONV] — "16
+    // steps" is the declared finite horizon (journeys here are ≤
+    // session length; residual transient mass after 16 steps is
+    // reported via the base row so the approximation is visible, not
+    // hidden). Each squaring floors products back to the micro grid —
+    // integer-deterministic in both engines (truncation loses ≤1e-6
+    // mass per cell per squaring, identically on both sides). Removal
+    // chains redirect every edge INTO the removed channel to NULL
+    // (the standard definition); attribution is each channel's share
+    // of total removal effect in floor bp. One fact pass, then pure
+    // ≤49-row matrix algebra.
+    QuerySpec(
+      "q302_markov_attribution",
+      (s, d) => {
+        val gap = 172800L
+        val ev = t(s, d, "events")
+          .select(col("user_id"), expr("unix_timestamp(ts)").as("es"),
+            col("event_id"), col("event_type"))
+        val w = Window.partitionBy("user_id").orderBy("es", "event_id")
+        val sess = ev
+          .withColumn("brk",
+            when(col("es") - lag("es", 1).over(w) > gap, 1L).otherwise(0L))
+          .withColumn("sid", sum("brk").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        val ws = Window.partitionBy("user_id", "sid").orderBy("es", "event_id")
+        val kept = sess
+          .withColumn("purch_before",
+            coalesce(sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+              .over(ws.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .where(col("purch_before") === 0L)
+          .withColumn("rn", row_number().over(ws))
+          .withColumn("nxt", lead("event_type", 1).over(ws))
+        val starts = kept.where(col("rn") === 1)
+          .select(lit("START").as("fr"),
+            when(col("event_type") === "purchase", "CONV")
+              .otherwise(col("event_type")).as("to"))
+        val mids = kept.where(col("event_type") =!= "purchase")
+          .select(col("event_type").as("fr"),
+            coalesce(when(col("nxt") === "purchase", "CONV").otherwise(col("nxt")),
+              lit("NULL")).as("to"))
+        val counts = starts.unionByName(mids)
+          .groupBy("fr", "to").agg(count(lit(1)).as("cnt"))
+        val totals = counts.groupBy("fr").agg(sum("cnt").as("tot"))
+        val m1 = counts.join(totals, Seq("fr"))
+          .select(col("fr"), col("to"), expr("cnt * 1000000 div tot").as("p"))
+          .unionByName(s.createDataFrame(Seq(("CONV", "CONV", 1000000L),
+            ("NULL", "NULL", 1000000L))).toDF("fr", "to", "p"))
+          .localCheckpoint(false)
+        def square(m: DataFrame): DataFrame = {
+          val a = m.select(col("fr").as("afr"), col("to").as("ato"), col("p").as("ap"))
+          val b = m.select(col("fr").as("bfr"), col("to").as("bto"), col("p").as("bp"))
+          a.join(b, col("ato") === col("bfr"))
+            .groupBy(col("afr").as("fr"), col("bto").as("to"))
+            .agg(expr("sum(ap * bp) div 1000000").as("p"))
+        }
+        def conv16(m: DataFrame): DataFrame = {
+          val p16 = square(square(square(square(m))))
+          p16.where(col("fr") === "START" && col("to") === "CONV")
+            .select(col("p").as("conv_micro"))
+        }
+        def removed(ch: String): DataFrame = m1
+          .withColumn("to", when(col("to") === ch, "NULL").otherwise(col("to")))
+          .groupBy("fr", "to").agg(sum("p").as("p"))
+        val base = conv16(m1).localCheckpoint(false)
+        val rows = Channels.map { ch =>
+          conv16(removed(ch)).crossJoin(broadcast(base)
+            .select(col("conv_micro").as("base_micro")))
+            .select(lit(ch).as("channel"), col("base_micro"),
+              col("conv_micro").as("removed_micro"),
+              greatest(col("base_micro") - col("conv_micro"), lit(0L))
+                .as("effect_micro"))
+        }.reduce(_ unionByName _)
+        val totEff = rows.agg(sum("effect_micro").as("tot_eff"))
+        rows.crossJoin(broadcast(totEff))
+          .withColumn("attribution_bp",
+            expr("effect_micro * 10000 div greatest(tot_eff, 1)"))
+          .select("channel", "base_micro", "removed_micro", "effect_micro",
+            "attribution_bp")
+          .orderBy("channel")
+      },
+      Some {
+        def sq(src: String, dst: String): String =
+          s"$dst AS (SELECT a.fr, b.to_, sum(a.p * b.p) // 1000000 AS p FROM $src a JOIN $src b ON a.to_ = b.fr GROUP BY 1, 2)"
+        def chain(m1: String, pfx: String): String =
+          Seq(sq(m1, s"${pfx}2"), sq(s"${pfx}2", s"${pfx}4"),
+            sq(s"${pfx}4", s"${pfx}8"), sq(s"${pfx}8", s"${pfx}16")).mkString(", ")
+        def removedCte(ch: String, name: String): String =
+          s"$name AS (SELECT fr, CASE WHEN to_ = '$ch' THEN 'NULL' ELSE to_ END AS to_, CAST(sum(p) AS BIGINT) AS p FROM m1 GROUP BY 1, 2)"
+        val removalCtes = Channels.zipWithIndex.map { case (ch, i) =>
+          removedCte(ch, s"r${i}m1") + ", " + chain(s"r${i}m1", s"r${i}m")
+        }.mkString(", ")
+        val effectRows = Channels.zipWithIndex.map { case (ch, i) =>
+          s"SELECT '$ch' AS channel, (SELECT p FROM m16 WHERE fr = 'START' AND to_ = 'CONV') AS base_micro, coalesce((SELECT p FROM r${i}m16 WHERE fr = 'START' AND to_ = 'CONV'), 0) AS removed_micro"
+        }.mkString(" UNION ALL ")
+        s"""WITH ev AS (SELECT user_id, CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS es, event_id, event_type FROM events), se AS (SELECT user_id, es, event_id, event_type, CASE WHEN es - lag(es) OVER (PARTITION BY user_id ORDER BY es, event_id) > 172800 THEN 1 ELSE 0 END AS brk FROM ev), sg AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY es, event_id ROWS UNBOUNDED PRECEDING) AS sid FROM se), kp AS (SELECT *, coalesce(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) OVER (PARTITION BY user_id, sid ORDER BY es, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pb FROM sg), k2 AS MATERIALIZED (SELECT *, row_number() OVER (PARTITION BY user_id, sid ORDER BY es, event_id) AS rn, lead(event_type) OVER (PARTITION BY user_id, sid ORDER BY es, event_id) AS nxt FROM kp WHERE pb = 0), tr AS MATERIALIZED (SELECT 'START' AS fr, CASE WHEN event_type = 'purchase' THEN 'CONV' ELSE event_type END AS to_ FROM k2 WHERE rn = 1 UNION ALL SELECT event_type, coalesce(CASE WHEN nxt = 'purchase' THEN 'CONV' ELSE nxt END, 'NULL') FROM k2 WHERE event_type <> 'purchase'), cn AS (SELECT fr, to_, count(*) AS cnt FROM tr GROUP BY 1, 2), tt AS (SELECT fr, sum(cnt) AS tot FROM cn GROUP BY 1), m1 AS MATERIALIZED (SELECT cn.fr, cn.to_, cnt * 1000000 // tot AS p FROM cn JOIN tt ON cn.fr = tt.fr UNION ALL SELECT 'CONV', 'CONV', 1000000 UNION ALL SELECT 'NULL', 'NULL', 1000000), ${chain("m1", "m")}, $removalCtes, eff AS ($effectRows), ef2 AS (SELECT channel, base_micro, removed_micro, greatest(base_micro - removed_micro, 0) AS effect_micro FROM eff) SELECT channel, CAST(base_micro AS BIGINT) AS base_micro, CAST(removed_micro AS BIGINT) AS removed_micro, CAST(effect_micro AS BIGINT) AS effect_micro, CAST(effect_micro * 10000 // greatest((SELECT sum(effect_micro) FROM ef2), 1) AS BIGINT) AS attribution_bp FROM ef2 ORDER BY channel"""
+      },
+      "§2.12/A ext: Markov removal-effect attribution — absorbing chain, P^16 via integer matrix squarings, one fact pass"))
+}

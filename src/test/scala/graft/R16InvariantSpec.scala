@@ -444,6 +444,25 @@ class R16InvariantSpec extends SparkSpecBase {
     }
   }
 
+  test("q302 Markov attribution: removal can only lower conversion, shares sum ≤ 10000 bp") {
+    val rows = run("q302_markov_attribution")
+      .select("channel", "base_micro", "removed_micro", "effect_micro",
+        "attribution_bp")
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(rows.map(_._1).sorted.toSeq == Seq("click", "error", "signup", "view"))
+    assert(rows.map(_._2).distinct.length == 1, "base conversion must be chain-wide")
+    rows.foreach { case (_, base, removed, eff, _) =>
+      assert(base >= 0 && base <= 1000000)
+      assert(removed <= base,
+        "redirecting a channel's inbound edges to NULL can never raise conversion")
+      assert(eff == base - removed)
+    }
+    // floor division: shares sum to ≤ 10000, and to > 0 when any effect exists
+    val shareSum = rows.map(_._5).sum
+    assert(shareSum <= 10000)
+    if (rows.map(_._4).sum > 0) assert(shareSum > 0)
+  }
+
   test("q284 HITS: scores normalized to [0, 1e6] with the leader at exactly 1e6") {
     val rows = run("q284_hits_authority")
       .select("auth_micro").as[Long].collect()
