@@ -16,6 +16,44 @@ object Bench {
     // ERROR, not WARN: the driver captures only a ~2KB output tail, and
     // r2's stray WARN lines pushed the result JSON past it ("parsed": null).
     spark.sparkContext.setLogLevel("ERROR")
+    // Structured warnings instead of raw traces in the artifact (VERDICT
+    // r6 #2: BENCH_r06.json's tail opened mid-stack-trace from a benign
+    // DAGScheduler accumulator race). ERROR-level log events are routed
+    // into this buffer — class + first message line — and the console
+    // appenders are detached from the root logger for the bench JVM, so
+    // the one stdout line the driver parses can never be polluted by a
+    // background thread's trace. Real failures still surface three ways:
+    // the per-query -1 value, the [bench] stderr line, and the JSON
+    // "warnings" array.
+    val warnings = new scala.collection.mutable.ArrayBuffer[String]
+    def warn(tag: String, msg: String): Unit = warnings.synchronized {
+      if (warnings.size < 8) {
+        val oneLine = Option(msg).getOrElse("").takeWhile(_ != '\n').take(90)
+        val w = s"$tag: $oneLine"
+        if (!warnings.contains(w)) warnings += w
+      }
+    }
+    try {
+      import org.apache.logging.log4j.{Level, LogManager}
+      import org.apache.logging.log4j.core.{LogEvent, LoggerContext}
+      import org.apache.logging.log4j.core.appender.AbstractAppender
+      import org.apache.logging.log4j.core.config.Property
+      val ctx = LogManager.getContext(false).asInstanceOf[LoggerContext]
+      val cfg = ctx.getConfiguration
+      val root = cfg.getRootLogger
+      val capture = new AbstractAppender(
+        "graftWarnings", null, null, true, Property.EMPTY_ARRAY) {
+        override def append(ev: LogEvent): Unit =
+          if (ev.getLevel.isMoreSpecificThan(Level.ERROR))
+            warn(ev.getLoggerName.split('.').last,
+              ev.getMessage.getFormattedMessage)
+      }
+      capture.start()
+      root.getAppenders.keySet().toArray.foreach(k =>
+        root.removeAppender(k.toString))
+      root.addAppender(capture, Level.ERROR, null)
+      ctx.updateLoggers()
+    } catch { case _: Throwable => () } // logging stays as-is on any mismatch
     // Warm the JVM/JIT, codegen paths (scan, generate+hash-agg, window)
     // and file listings so the first measured queries don't absorb
     // session startup cost.
@@ -103,11 +141,42 @@ object Bench {
     // per-query delta a signal instead of noise (VERDICT r5 #1). A query
     // that throws in any pass is recorded as -1.
     val names = SparkEntry.queries.keys.toSeq.sorted
+    // Per-query isolation (VERDICT r6 #1: the +11% cross-suite drift):
+    // localCheckpoint blocks pin executor memory until the ContextCleaner
+    // happens to GC the RDD refs, so late-suite queries ran against a
+    // fuller block manager as the registry grew. After EVERY timed query
+    // (outside the timer — cleanup cost is harness, not query), drop all
+    // locally-checkpointed RDDs explicitly. The intentional cross-query
+    // caches are untouched by construction: every shared base goes
+    // through ScaleQueries.memo → .cache(), never localCheckpoint, so
+    // `isLocallyCheckpointed` precisely selects the per-query transients.
+    // A periodic System.gc() then lets the ContextCleaner reap dropped
+    // broadcast/accumulator refs so they can't accumulate either.
+    var sinceGc = 0
+    // RDD.isLocallyCheckpointed is private[spark] at the Scala level but
+    // public in bytecode (Scala package-private erasure) — one cached
+    // reflective Method keeps the probe cheap and dependency-free.
+    val isLocalCkpt = classOf[org.apache.spark.rdd.RDD[_]]
+      .getMethod("isLocallyCheckpointed")
+    def cleanupTransients(): Unit = {
+      try {
+        spark.sparkContext.getPersistentRDDs.values
+          .filter(r => isLocalCkpt.invoke(r).asInstanceOf[Boolean])
+          .foreach(_.unpersist(false))
+        sinceGc += 1
+        if (sinceGc >= 50) { sinceGc = 0; System.gc() }
+      } catch { case _: Throwable => () }
+    }
     def timeOne(name: String): Double = {
       val t0 = System.nanoTime()
-      try { SparkEntry.queries(name)(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1.0 }
+      val sec =
+        try { SparkEntry.queries(name)(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          warn(s"$name ${e.getClass.getSimpleName}", e.getMessage)
+          -1.0 }
+      cleanupTransients()
+      sec
     }
     val pass1 = names.map(n => n -> timeOne(n)).toMap
     val warm = (1 to 3).map(_ => names.map(n => n -> timeOne(n)).toMap)
@@ -126,6 +195,12 @@ object Bench {
     // a side file for local inspection. Locale.ROOT: a comma-decimal
     // default locale would emit "0,42" and invalidate the one line the
     // driver parses.
+    def jstr(s: String): String = "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => " "
+      case c => c.toString
+    } + "\""
     def f(v: Double, dp: Int): String =
       if (v == -1.0) "-1"
       else {
@@ -159,7 +234,14 @@ object Bench {
         .mkString("{", ",", "}")
       val sf = if (withSf) s""","sf":"$sfName"""" else ""
       val fl = if (floor > 0) s""","floor":${f(floor, 2)}""" else ""
-      s"""{"metric":"total","value":${f(total, 2)},"unit":"sec","cold":${f(cold, 2)}$fl,"queries":$qs$sf}"""
+      // warnings: structured exception surface (usually empty → omitted;
+      // capped at 3 entries in-line so a noisy run can't blow the budget
+      // — the full buffer goes to the 4dp side file).
+      val wn = warnings.synchronized {
+        if (warnings.isEmpty) ""
+        else warnings.take(3).map(w => jstr(w)).mkString(""","warnings":[""", ",", "]")
+      }
+      s"""{"metric":"total","value":${f(total, 2)},"unit":"sec","cold":${f(cold, 2)}$fl$wn,"queries":$qs$sf}"""
     }
     // Degradation order trims precision where it carries no signal: the
     // sub-second entries' run-to-run variance already exceeds their 2dp

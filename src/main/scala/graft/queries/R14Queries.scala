@@ -100,6 +100,84 @@ object R14Queries {
       "neardup_vs_base" -> s4, "train_split" -> s5)
   }
 
+  /** q303's stage survivor tables (funnel order), exposed for the
+    * invariant spec — the COMPLETE daily-ingest near-dup semantics
+    * VERDICT r6 asked for: the funnel's near-dup stage runs BOTH scopes,
+    * delta×base (probe the persisted index) AND delta×delta (band the
+    * batch against itself). The fixture plants a within-delta pair by
+    * construction: classes c=3 and c=4 share a base id, are
+    * shingle-disjoint from base (token order reversed), and are
+    * near-dups of each other (c=4 = c=3 + ' v2' → Jaccard n/(n+1)), so
+    * exactly one of each twin pair must survive stage 4. Ids are
+    * -(4·id+c): class-disjoint, and within a twin pair the c=4 row is
+    * the smaller id — the greedy pairwise survivor convention (keep the
+    * pair's min id; clustering-granular dedup is q90's CC layer).
+    *
+    * Scale shape: the delta's shingles/signatures are computed ONCE and
+    * lineage-cut, then serve both probes; delta×base is an equi-join
+    * into the memoized once-per-corpus index (base never recomputed),
+    * delta×delta is banding over |delta| signature rows only. A daily
+    * 100-TB ingest pays O(|delta|) tokenization + two bounded equi-joins
+    * — base×base was settled at base-index build time.
+    */
+  private[graft] def dualNeardupStages(
+      s: SparkSession, d: String): Seq[(String, DataFrame)] = {
+    val docs = t(s, d, "documents")
+    def neg(c: Int): Column = (-(col("doc_id") * 4 + c)).as("doc_id")
+    val revTxt = array_join(reverse(split(col("text"), " ")), " ")
+    val reingest = docs.where(col("doc_id") % 13 === 0)
+      .select(neg(1), col("text"))
+    val recrawl = docs.where(col("doc_id") % 17 === 0)
+      .select(neg(2), concat(col("text"), lit(" v2")).as("text"))
+    val fresh = docs.where(col("doc_id") % 19 === 0)
+      .select(neg(3), revTxt.as("text"))
+    val freshTwin = docs.where(col("doc_id") % 19 === 0)
+      .select(neg(4), concat(revTxt, lit(" v2")).as("text"))
+    val s1 = reingest.unionByName(recrawl).unionByName(fresh)
+      .unionByName(freshTwin).localCheckpoint(false)
+
+    // stage 2: exact — anti-join the base md5 index + within-delta
+    // min-id per digest (drops class 1)
+    val s2 = s1.withColumn("h", md5(col("text")))
+      .join(ScaleQueries.baseMd5(s, d), Seq("h"), "left_anti")
+      .withColumn("mid", min("doc_id").over(Window.partitionBy("h")))
+      .where(col("doc_id") === col("mid"))
+      .select("doc_id", "text")
+      .localCheckpoint(false)
+
+    // shared once-per-batch artifacts: shingle rows + signatures of the
+    // exact-surviving delta, lineage-cut so BOTH near-dup scopes (and
+    // the final counts) reuse them without re-tokenizing
+    val dsh = DedupOps.shingleRows(s2, "text", 5).localCheckpoint(false)
+    val dsig = DedupOps.minhashSignatureRows(dsh, 4).localCheckpoint(false)
+    val dSets = dsh.groupBy("doc_id").agg(collect_list(col("s")).as("shs"))
+
+    // stage 3: near-dup DELTA×BASE — probe the persisted base signature
+    // index, exact-verify at Jaccard >= 0.5 (drops class 2)
+    val candB = dsig.select(col("doc_id").as("a"), col("band"), col("sig"))
+      .join(ScaleQueries.sigRows(s, d)
+        .select(col("doc_id").as("b"), col("band"), col("sig")), Seq("band", "sig"))
+      .select("a", "b").distinct()
+    val allSets = ScaleQueries.shingleSets(s, d).unionByName(dSets)
+    val dropB = DedupOps.jaccardForPairs(candB, allSets)
+      .where(col("jaccard") >= 0.5)
+      .select(col("a").as("doc_id")).distinct()
+    val s3 = s2.join(dropB, Seq("doc_id"), "left_anti").localCheckpoint(false)
+
+    // stage 4: near-dup DELTA×DELTA — band the surviving batch against
+    // itself; for each exact-verified pair (a < b) the larger id drops
+    // (greedy min-id survivor, the q33/q34 convention) — kills exactly
+    // one of each planted c3/c4 twin (drops class 3: −(4id+4) < −(4id+3))
+    val candD = DedupOps.candidatePairs(
+      dsig.join(s3.select("doc_id"), "doc_id"))
+    val dropD = DedupOps.jaccardForPairs(candD, dSets)
+      .where(col("jaccard") >= 0.5)
+      .select(col("b").as("doc_id")).distinct()
+    val s4 = s3.join(dropD, Seq("doc_id"), "left_anti")
+    Seq("delta_raw" -> s1, "exact_vs_base" -> s2,
+      "neardup_vs_base" -> s3, "neardup_within_delta" -> s4)
+  }
+
   val specs: Seq[QuerySpec] = Seq(
 
     // q251 — the INCREMENTAL curation funnel: a synthetic delta batch
@@ -181,5 +259,34 @@ object R14Queries {
           .orderBy("bkt")
       },
       Some("""WITH a AS (SELECT doc_id, md5(text) AS h, n_chars, doc_id // 64 AS bkt FROM documents), b AS (SELECT doc_id, md5(CASE WHEN doc_id % 101 = 0 THEN concat(text, ' corrupted') ELSE text END) AS h, doc_id // 64 AS bkt FROM documents WHERE doc_id % 97 <> 0), da AS (SELECT bkt, CAST(sum(CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR), ':', h)), 1, 10)) AS BIGINT)) AS BIGINT) AS dig_a FROM a GROUP BY 1), db AS (SELECT bkt, CAST(sum(CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR), ':', h)), 1, 10)) AS BIGINT)) AS BIGINT) AS dig_b FROM b GROUP BY 1), bad AS (SELECT da.bkt FROM da LEFT JOIN db USING (bkt) WHERE db.bkt IS NULL OR da.dig_a <> db.dig_b), r AS (SELECT a.bkt, a.doc_id, a.n_chars, CASE WHEN b2.doc_id IS NULL THEN 'insert' WHEN a.h <> b2.h THEN 'overwrite' END AS op FROM a JOIN bad ON a.bkt = bad.bkt LEFT JOIN b b2 ON a.doc_id = b2.doc_id) SELECT bkt, count(*) AS n_upserts, CAST(sum(CASE WHEN op = 'insert' THEN 1 ELSE 0 END) AS BIGINT) AS n_insert, CAST(sum(CASE WHEN op = 'overwrite' THEN 1 ELSE 0 END) AS BIGINT) AS n_overwrite, CAST(sum(n_chars) AS BIGINT) AS repair_bytes FROM r WHERE op IS NOT NULL GROUP BY 1 ORDER BY bkt"""),
-      "E1/§2.8 ext: Merkle repair plan — per-damaged-bucket upsert manifest (insert/overwrite + bytes)"))
+      "E1/§2.8 ext: Merkle repair plan — per-damaged-bucket upsert manifest (insert/overwrite + bytes)"),
+
+    // q303 — COMPLETE daily-ingest near-dup semantics (VERDICT r6 ask
+    // #2): the q251 funnel's near-dup stage ran delta×base only; this
+    // query composes BOTH scopes in one funnel — delta×base probe of
+    // the persisted index, THEN delta×delta banding of the survivors —
+    // with a planted within-delta twin pair (classes 3/4 share a base
+    // id, reversed so base-disjoint, ' v2' apart so Jaccard n/(n+1))
+    // of which exactly one survives. Per-stage in/out/drop_bp, the
+    // q250/q251 report shape. See dualNeardupStages for the scale
+    // argument (shared once-per-batch signatures, equi-join probes,
+    // base never recomputed).
+    QuerySpec(
+      "q303_dual_neardup_funnel",
+      (s, d) => {
+        def stage(df: DataFrame, i: Long, name: String) =
+          df.agg(count(lit(1)).as("n_out"))
+            .select(lit(i).as("stage"), lit(name).as("name"), col("n_out"))
+        val st = dualNeardupStages(s, d).zipWithIndex
+          .map { case ((name, df), i) => stage(df, i + 1L, name) }
+          .reduce(_ unionByName _)
+        val w = Window.orderBy("stage")
+        st.withColumn("n_in", coalesce(lag("n_out", 1).over(w), col("n_out")))
+          .withColumn("drop_bp",
+            expr("(n_in - n_out) * 10000 div greatest(n_in, 1)"))
+          .select("stage", "name", "n_in", "n_out", "drop_bp")
+          .orderBy("stage")
+      },
+      Some(s"""${ScaleQueries.shingleCte}, delta AS (SELECT -(4 * doc_id + 1) AS doc_id, text FROM documents WHERE doc_id % 13 = 0 UNION ALL SELECT -(4 * doc_id + 2), concat(text, ' v2') FROM documents WHERE doc_id % 17 = 0 UNION ALL SELECT -(4 * doc_id + 3), array_to_string(list_reverse(string_split(text, ' ')), ' ') FROM documents WHERE doc_id % 19 = 0 UNION ALL SELECT -(4 * doc_id + 4), concat(array_to_string(list_reverse(string_split(text, ' ')), ' '), ' v2') FROM documents WHERE doc_id % 19 = 0), g2a AS (SELECT doc_id, text FROM delta WHERE md5(text) NOT IN (SELECT md5(text) FROM documents)), g2 AS (SELECT doc_id, text FROM g2a WHERE doc_id IN (SELECT min(doc_id) FROM g2a GROUP BY md5(text))), dtk3 AS (SELECT doc_id, string_split(lower(text), ' ') AS tk FROM g2), dsh AS (SELECT DISTINCT doc_id, s FROM (SELECT doc_id, unnest([concat_ws(' ', tk[i], tk[i+1], tk[i+2], tk[i+3], tk[i+4]) for i in generate_series(1, len(tk) - 4)]) AS s FROM dtk3) z), dsig AS (SELECT doc_id, band, min(substr(md5(s), band * 8 + 1, 8)) AS sig FROM dsh, (SELECT unnest(generate_series(0, 3)) AS band) b GROUP BY doc_id, band), dcnt AS (SELECT doc_id, count(*) AS n FROM dsh GROUP BY 1), bcnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1), candB AS (SELECT DISTINCT ds.doc_id AS a, bs.doc_id AS b FROM dsig ds JOIN sig bs ON ds.band = bs.band AND ds.sig = bs.sig), interB AS (SELECT c.a, c.b, count(*) AS ic FROM candB c JOIN dsh ON dsh.doc_id = c.a JOIN sh ON sh.doc_id = c.b AND sh.s = dsh.s GROUP BY 1, 2), dropB AS (SELECT DISTINCT c.a AS doc_id FROM candB c JOIN interB i ON i.a = c.a AND i.b = c.b JOIN dcnt ON dcnt.doc_id = c.a JOIN bcnt ON bcnt.doc_id = c.b WHERE round(i.ic * 1.0 / (dcnt.n + bcnt.n - i.ic), 6) >= 0.5), g3 AS (SELECT doc_id FROM g2 WHERE doc_id NOT IN (SELECT doc_id FROM dropB)), candD AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b FROM dsig x JOIN dsig y ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id WHERE x.doc_id IN (SELECT doc_id FROM g3) AND y.doc_id IN (SELECT doc_id FROM g3)), interD AS (SELECT c.a, c.b, count(*) AS ic FROM candD c JOIN dsh da ON da.doc_id = c.a JOIN dsh db ON db.doc_id = c.b AND db.s = da.s GROUP BY 1, 2), dropD AS (SELECT DISTINCT c.b AS doc_id FROM candD c JOIN interD i ON i.a = c.a AND i.b = c.b JOIN dcnt ca ON ca.doc_id = c.a JOIN dcnt cb ON cb.doc_id = c.b WHERE round(i.ic * 1.0 / (ca.n + cb.n - i.ic), 6) >= 0.5), g4 AS (SELECT doc_id FROM g3 WHERE doc_id NOT IN (SELECT doc_id FROM dropD)), st AS (SELECT 1 AS stage, 'delta_raw' AS name, (SELECT count(*) FROM delta) AS n_out UNION ALL SELECT 2, 'exact_vs_base', (SELECT count(*) FROM g2) UNION ALL SELECT 3, 'neardup_vs_base', (SELECT count(*) FROM g3) UNION ALL SELECT 4, 'neardup_within_delta', (SELECT count(*) FROM g4)) SELECT CAST(stage AS BIGINT) AS stage, name, CAST(lag(n_out, 1, n_out) OVER (ORDER BY stage) AS BIGINT) AS n_in, CAST(n_out AS BIGINT) AS n_out, CAST((lag(n_out, 1, n_out) OVER (ORDER BY stage) - n_out) * 10000 // greatest(lag(n_out, 1, n_out) OVER (ORDER BY stage), 1) AS BIGINT) AS drop_bp FROM st ORDER BY stage"""),
+      "E1/E2 capstone: dual-scope near-dup funnel — delta×base probe THEN delta×delta banding, one survivor per planted twin pair"))
 }

@@ -156,8 +156,11 @@ object R19Queries {
     // power iterations (a¹ h¹ a² h² a³) over the distinct edge set,
     // each step one keyed join + aggregation with an integer
     // micro-grid max-renormalization (scores live on [0, 1e6]; the
-    // max is a broadcast scalar, so both engines round identically
-    // and overflow is impossible: raw ≤ degree·1e6). The edge DISTINCT
+    // max is a broadcast scalar, so both engines round identically.
+    // Overflow bound: raw ≤ degree·1e6, and the normalize multiplies
+    // by 1e6 again, so BIGINT holds while max node degree < ~9.2e6 —
+    // comfortably true at every tested SF; past that, pre-divide raw
+    // by 1e3 before scaling to reclaim headroom). The edge DISTINCT
     // pre-shrinks the fact table once; every iteration then costs
     // |edges| keyed rows — the same per-step bound as the q137
     // PageRank, but on a bipartite graph with per-side normalization.

@@ -49,7 +49,11 @@ object R24Queries {
           .select(col("doc_id"), col("lang"), explode(toks).as("tk"))
         val train = docs.where(col("doc_id") % 2 === 0)
         val test = docs.where(col("doc_id") % 2 === 1)
-        val classes = t(s, d, "documents").where(col("doc_id") % 2 === 0)
+        // classes derive from the TOKENIZED train frame (not the raw
+        // documents table) so Spark and the oracle count the exact same
+        // population: a NULL-text training doc yields no token rows in
+        // either engine and is excluded from priors by construction.
+        val classes = train
           .groupBy(col("lang").as("c")).agg(countDistinct("doc_id").as("n_docs"))
         val tf = train.groupBy(col("lang").as("c"), col("tk"))
           .agg(count(lit(1)).as("tf"))

@@ -149,7 +149,7 @@ object R27Queries {
           removedCte(ch, s"r${i}m1") + ", " + chain(s"r${i}m1", s"r${i}m")
         }.mkString(", ")
         val effectRows = Channels.zipWithIndex.map { case (ch, i) =>
-          s"SELECT '$ch' AS channel, (SELECT p FROM m16 WHERE fr = 'START' AND to_ = 'CONV') AS base_micro, coalesce((SELECT p FROM r${i}m16 WHERE fr = 'START' AND to_ = 'CONV'), 0) AS removed_micro"
+          s"SELECT '$ch' AS channel, coalesce((SELECT p FROM m16 WHERE fr = 'START' AND to_ = 'CONV'), 0) AS base_micro, coalesce((SELECT p FROM r${i}m16 WHERE fr = 'START' AND to_ = 'CONV'), 0) AS removed_micro"
         }.mkString(" UNION ALL ")
         s"""WITH ev AS (SELECT user_id, CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS es, event_id, event_type FROM events), se AS (SELECT user_id, es, event_id, event_type, CASE WHEN es - lag(es) OVER (PARTITION BY user_id ORDER BY es, event_id) > 172800 THEN 1 ELSE 0 END AS brk FROM ev), sg AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY es, event_id ROWS UNBOUNDED PRECEDING) AS sid FROM se), kp AS (SELECT *, coalesce(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) OVER (PARTITION BY user_id, sid ORDER BY es, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pb FROM sg), k2 AS MATERIALIZED (SELECT *, row_number() OVER (PARTITION BY user_id, sid ORDER BY es, event_id) AS rn, lead(event_type) OVER (PARTITION BY user_id, sid ORDER BY es, event_id) AS nxt FROM kp WHERE pb = 0), tr AS MATERIALIZED (SELECT 'START' AS fr, CASE WHEN event_type = 'purchase' THEN 'CONV' ELSE event_type END AS to_ FROM k2 WHERE rn = 1 UNION ALL SELECT event_type, coalesce(CASE WHEN nxt = 'purchase' THEN 'CONV' ELSE nxt END, 'NULL') FROM k2 WHERE event_type <> 'purchase'), cn AS (SELECT fr, to_, count(*) AS cnt FROM tr GROUP BY 1, 2), tt AS (SELECT fr, sum(cnt) AS tot FROM cn GROUP BY 1), m1 AS MATERIALIZED (SELECT cn.fr, cn.to_, cnt * 1000000 // tot AS p FROM cn JOIN tt ON cn.fr = tt.fr UNION ALL SELECT 'CONV', 'CONV', 1000000 UNION ALL SELECT 'NULL', 'NULL', 1000000), ${chain("m1", "m")}, $removalCtes, eff AS ($effectRows), ef2 AS (SELECT channel, base_micro, removed_micro, greatest(base_micro - removed_micro, 0) AS effect_micro FROM eff) SELECT channel, CAST(base_micro AS BIGINT) AS base_micro, CAST(removed_micro AS BIGINT) AS removed_micro, CAST(effect_micro AS BIGINT) AS effect_micro, CAST(effect_micro * 10000 // greatest((SELECT sum(effect_micro) FROM ef2), 1) AS BIGINT) AS attribution_bp FROM ef2 ORDER BY channel"""
       },

@@ -382,6 +382,52 @@ class R11InvariantSpec extends SparkSpecBase {
     } finally surv.unpersist()
   }
 
+  test("q303 dual-scope funnel: within-delta stage drops exactly one of each twin, survivors pairwise non-near-dup") {
+    import graft.ops.DedupOps
+    val stages = graft.queries.R14Queries.dualNeardupStages(spark, sf001).toMap
+    val s3 = stages("neardup_vs_base").cache()
+    val surv = stages("neardup_within_delta").cache()
+    try {
+      assert(surv.count() > 0)
+      // the planted c3/c4 twins exercised the within-delta stage: it
+      // must drop at least one doc at sf0.001
+      assert(surv.count() < s3.count(),
+        "within-delta banding dropped nothing — the twin fixture is dead")
+      // for every base id with BOTH twins alive at stage 3, the stage-4
+      // survivor must be the pair min (c=4 = id3 − 1, the more negative
+      // id): a c3 surviving while its c4 sibling dropped would invert
+      // the greedy convention. Twins are keyed by the exact id pair
+      // (id4 = id3 − 1), not a mod decomposition — -(4m+4) is ≡ 0
+      // mod 4 and would alias the next base id's class frame.
+      val c3 = s3.select(col("doc_id").as("id3"))
+        .where(expr("pmod(-doc_id, 4) = 3"))
+      val bothAt3 = c3.withColumn("id4", col("id3") - 1)
+        .join(s3.select(col("doc_id").as("id4")), "id4")
+      val survIds = surv.select(col("doc_id")).cache()
+      val twinKept3 = bothAt3
+        .join(survIds.select(col("doc_id").as("id3")), "id3")
+        .join(survIds.select(col("doc_id").as("id4")), "id4", "left_anti")
+      assert(twinKept3.count() == 0,
+        "a c3 twin survived while its smaller-id c4 sibling was dropped — survivor convention violated")
+      // the sealed invariant: re-deriving banding + exact Jaccard on the
+      // SURVIVOR set yields zero pairs at >= 0.5 — the greedy stage left
+      // no detectable near-dup pair behind (covers twins and any
+      // accidental cross-class pair alike)
+      val ssh = DedupOps.shingleRows(surv, "text", 5)
+      val pairs = DedupOps.candidatePairs(DedupOps.minhashSignatureRows(ssh, 4))
+      val sets = ssh.groupBy("doc_id").agg(collect_list(col("s")).as("shs"))
+      assert(DedupOps.jaccardForPairs(pairs, sets)
+        .where(col("jaccard") >= 0.5).count() == 0,
+        "two stage-4 survivors are still near-dups of each other")
+      // and no survivor collides with base exactly
+      val baseMd5 = Tables.load(spark, sf001, "documents")
+        .select(md5(col("text")).as("h")).distinct()
+      assert(surv.select(md5(col("text")).as("h"))
+        .join(baseMd5, Seq("h"), "left_semi").count() == 0)
+      survIds.unpersist()
+    } finally { s3.unpersist(); surv.unpersist() }
+  }
+
   test("q237 weekday baseline: counts match the independent daily aggregate") {
     val df = run("q237_weekday_baseline").cache()
     try {
