@@ -36,6 +36,40 @@ object R15Queries {
   /** floor-to-cents quantizer (R11Queries convention). */
   private def cents(c: Column): Column = floor(c * 100.0 + 0.5).cast("long")
 
+  /** q255's operator core, shared with ScaleSlopeSpec so the measured
+    * scale exponent is measured on EXACTLY the registered plan: degree-
+    * capped Adamic–Adar pair generation + integer aggregation over a
+    * distinct bipartite edge table (c, p). Degree cap 50: a part of
+    * degree d generates C(d,2) pairs but contributes only 1/ln d per
+    * pair, so dropping hub parts bounds total fan-out at
+    * |parts|·C(50,2) — LINEAR in |parts| — while discarding only the
+    * near-zero-weight evidence (the q143 prefix-filter reasoning
+    * applied to a graph).
+    *
+    * The filtered edge table shuffles once on p; w's size is
+    * data-dependent (≤ |parts| rows) so the join strategy is AQE's
+    * call, not a forced broadcast. Two alternatives were measured AND
+    * REJECTED at sf0.1 (~9M pair rows): a q192-style lambda pair
+    * generator (higher-order functions evaluate interpreted — 3×
+    * slower at this fan-out; q192's stays because its fan-out is
+    * ≤ C(7,2) per order) and a groupBy+collect_set+explode
+    * co-partitioned self-join (ObjectHashAggregate set-building
+    * dominates — 2.5× slower). The codegen'd join IS the fast path;
+    * the Σ C(deg,2) rows into the final aggregate are Adamic–Adar's
+    * inherent cost.
+    */
+  private[graft] def adamicAdarScores(e: DataFrame): DataFrame = {
+    val w = e.groupBy("p").agg(count(lit(1)).as("deg"))
+      .where(col("deg").between(2, 50))
+      .withColumn("w_micro", floor(lit(1e6) / log(col("deg"))).cast("long"))
+    val ef = e.join(w, "p")
+    ef.select(col("p"), col("c").as("ca"), col("w_micro"))
+      .join(ef.select(col("p"), col("c").as("cb")), "p")
+      .where(col("ca") < col("cb"))
+      .groupBy("ca", "cb")
+      .agg(count(lit(1)).as("n_common"), sum("w_micro").as("aa_micro"))
+  }
+
   val specs: Seq[QuerySpec] = Seq(
 
     // q253 — TPC-H Q7 shape (VOLUME SHIPPING): revenue flowing between
@@ -140,27 +174,7 @@ object R15Queries {
             col("l_orderkey") === col("o_orderkey"))
           .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
           .distinct()
-        val w = e.groupBy("p").agg(count(lit(1)).as("deg"))
-          .where(col("deg").between(2, 50))
-          .withColumn("w_micro", floor(lit(1e6) / log(col("deg"))).cast("long"))
-        // filter BEFORE the self-join: only ≤cap-degree parts enter the
-        // pair generator. The filtered edge table shuffles once on p;
-        // w's size is data-dependent (≤ |parts| rows) so the join
-        // strategy is AQE's call, not a forced broadcast. Two
-        // alternatives were measured AND REJECTED at sf0.1 (~9M pair
-        // rows): a q192-style lambda pair generator (higher-order
-        // functions evaluate interpreted — 3× slower at this fan-out;
-        // q192's stays because its fan-out is ≤ C(7,2) per order) and
-        // a groupBy+collect_set+explode co-partitioned self-join
-        // (ObjectHashAggregate set-building dominates — 2.5× slower).
-        // The codegen'd join IS the fast path; the Σ C(deg,2) rows
-        // into the final aggregate are Adamic–Adar's inherent cost.
-        val ef = e.join(w, "p")
-        ef.select(col("p"), col("c").as("ca"), col("w_micro"))
-          .join(ef.select(col("p"), col("c").as("cb")), "p")
-          .where(col("ca") < col("cb"))
-          .groupBy("ca", "cb")
-          .agg(count(lit(1)).as("n_common"), sum("w_micro").as("aa_micro"))
+        adamicAdarScores(e)
           .orderBy(col("aa_micro").desc, col("ca"), col("cb"))
           .limit(50)
       },

@@ -29,6 +29,64 @@ object R19Queries {
   /** floor-to-cents quantizer (R11Queries convention). */
   private def cents(c: Column): Column = floor(c * 100.0 + 0.5).cast("long")
 
+  /** q284's operator core, shared with ScaleSlopeSpec so the measured
+    * scale exponent is measured on EXACTLY the registered plan: 2.5
+    * unrolled HITS power iterations (a¹ h¹ a² h² a³) over a distinct
+    * bipartite edge table (c, p), integer micro-grid renormalized per
+    * level. Iteration layout: the edge set is materialized TWICE, each
+    * copy pre-partitioned by the key its joins use (p-side for
+    * score-of-parts lookups, c-side for score-of-customers) and lazily
+    * localCheckpoint'ed — after that one-time dual layout the EDGES
+    * NEVER MOVE AGAIN: every iteration's join reuses the checkpoint's
+    * hash partitioning on both sides (the groupBy outputs are
+    * hash-partitioned on the same key and width), so each round
+    * shuffles only the score table (≤ |parts| or |customers| rows —
+    * dimension-sized, never fact-sized). That is also the 100 TB
+    * answer: at 1e10 edges the per-iteration cost is a map-side stream
+    * of the pinned layout + one small-table exchange, the same shape
+    * as q137's PageRank. Each raw per-level aggregate is pinned before
+    * its dual use inside normalize (max + scaling join), so no level
+    * is ever derived twice. Measured (QTime, 32 threads, sf0.1, warm):
+    * 7.1–7.4 s naive → 3.6 s; the remainder is the one-time fact join
+    * + distinct building the edge set (q288 pays the same ~2 s for the
+    * identical build), not the iterations. Returns (p, score) for the
+    * final authority level a³.
+    */
+  private[graft] def hitsAuthority(edgeTable: DataFrame): DataFrame = {
+    val edges = edgeTable.localCheckpoint(false)
+    val edgesByP = edges.repartition(col("p")).localCheckpoint(false)
+    val edgesByC = edges.repartition(col("c")).localCheckpoint(false)
+    // the raw aggregate is referenced TWICE inside a normalize (the
+    // max and the scaling join) — checkpoint the INPUT, not the
+    // output (each level has exactly one downstream consumer, so an
+    // output pin would only add materialization cost)
+    def normalize(df: DataFrame, key: String, raw: String): DataFrame = {
+      val pinned = df.localCheckpoint(false)
+      val mx = pinned.agg(max(raw).as("mx"))
+      pinned.crossJoin(broadcast(mx))
+        .select(col(key), expr(s"$raw * 1000000 div mx").as("score"))
+    }
+    // a¹(p) = Σ_c 1e6  (h⁰ ≡ 1e6), normalized
+    val a1 = normalize(
+      edgesByP.groupBy("p").agg((count(lit(1)) * 1000000L).as("raw")), "p", "raw")
+    // h¹(c) = Σ_p a¹(p), normalized
+    val h1 = normalize(
+      edgesByP.join(a1, Seq("p")).groupBy("c").agg(sum("score").as("raw")),
+      "c", "raw")
+    // a²(p) = Σ_c h¹(c), normalized
+    val a2 = normalize(
+      edgesByC.join(h1, Seq("c")).groupBy("p").agg(sum("score").as("raw")),
+      "p", "raw")
+    // h²(c) = Σ_p a²(p), normalized
+    val h2 = normalize(
+      edgesByP.join(a2, Seq("p")).groupBy("c").agg(sum("score").as("raw")),
+      "c", "raw")
+    // a³(p) = Σ_c h²(c), normalized — reported
+    normalize(
+      edgesByC.join(h2, Seq("c")).groupBy("p").agg(sum("score").as("raw")),
+      "p", "raw")
+  }
+
   val specs: Seq[QuerySpec] = Seq(
 
     // q281 — CALENDAR-GAP AUDIT per nation: which nations have days
@@ -168,63 +226,14 @@ object R19Queries {
     QuerySpec(
       "q284_hits_authority",
       (s, d) => {
-        // Iteration layout: the edge set is materialized TWICE, each
-        // copy pre-partitioned by the key its joins use (p-side for
-        // score-of-parts lookups, c-side for score-of-customers) and
-        // lazily localCheckpoint'ed — after that one-time dual layout
-        // the EDGES NEVER MOVE AGAIN: every iteration's join reuses the
-        // checkpoint's hash partitioning on both sides (the groupBy
-        // outputs are hash-partitioned on the same key and width), so
-        // each round shuffles only the score table (≤ |parts| or
-        // |customers| rows — dimension-sized, never fact-sized). That
-        // is also the 100 TB answer: at 1e10 edges the per-iteration
-        // cost is a map-side stream of the pinned layout + one small-
-        // table exchange, the same shape as q137's PageRank. Each
-        // raw per-level aggregate is pinned before its dual use inside
-        // normalize (max + scaling join), so no level is ever derived
-        // twice. Measured (QTime, 32 threads, sf0.1, warm): 7.1–7.4 s
-        // naive → 3.6 s; the remainder is the one-time fact join +
-        // distinct building the edge set (q288 pays the same ~2 s for
-        // the identical build), not the iterations.
         val edges = t(s, d, "lineitem")
           .select(col("l_orderkey"), col("l_partkey"))
           .join(t(s, d, "orders").select(col("o_orderkey"), col("o_custkey")),
             col("l_orderkey") === col("o_orderkey"))
           .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
           .distinct()
-          .localCheckpoint(false)
-        val edgesByP = edges.repartition(col("p")).localCheckpoint(false)
-        val edgesByC = edges.repartition(col("c")).localCheckpoint(false)
-        // the raw aggregate is referenced TWICE inside a normalize (the
-        // max and the scaling join) — checkpoint the INPUT, not the
-        // output (each level has exactly one downstream consumer, so an
-        // output pin would only add materialization cost)
-        def normalize(df: DataFrame, key: String, raw: String): DataFrame = {
-          val pinned = df.localCheckpoint(false)
-          val mx = pinned.agg(max(raw).as("mx"))
-          pinned.crossJoin(broadcast(mx))
-            .select(col(key), expr(s"$raw * 1000000 div mx").as("score"))
-        }
-        // a¹(p) = Σ_c 1e6  (h⁰ ≡ 1e6), normalized
-        val a1 = normalize(
-          edgesByP.groupBy("p").agg((count(lit(1)) * 1000000L).as("raw")), "p", "raw")
-        // h¹(c) = Σ_p a¹(p), normalized
-        val h1 = normalize(
-          edgesByP.join(a1, Seq("p")).groupBy("c").agg(sum("score").as("raw")),
-          "c", "raw")
-        // a²(p) = Σ_c h¹(c), normalized
-        val a2 = normalize(
-          edgesByC.join(h1, Seq("c")).groupBy("p").agg(sum("score").as("raw")),
-          "p", "raw")
-        // h²(c) = Σ_p a²(p), normalized
-        val h2 = normalize(
-          edgesByP.join(a2, Seq("p")).groupBy("c").agg(sum("score").as("raw")),
-          "c", "raw")
-        // a³(p) = Σ_c h²(c), normalized — reported
-        val a3 = normalize(
-          edgesByC.join(h2, Seq("c")).groupBy("p").agg(sum("score").as("raw")),
-          "p", "raw")
-        a3.select(col("p").as("p_partkey"), col("score").as("auth_micro"))
+        hitsAuthority(edges)
+          .select(col("p").as("p_partkey"), col("score").as("auth_micro"))
           .orderBy(col("auth_micro").desc, col("p_partkey"))
           .limit(10)
       },

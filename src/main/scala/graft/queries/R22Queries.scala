@@ -21,6 +21,27 @@ object R22Queries {
 
   private def t(s: SparkSession, d: String, n: String): DataFrame = Tables.load(s, d, n)
 
+  /** q293's candidate generator, shared with ScaleSlopeSpec so the
+    * measured candidate-count slope is measured on EXACTLY the
+    * registered plan: a RARE-SHINGLE inverted index over distinct
+    * (doc_id, s) shingle rows — only shingles with document frequency
+    * 2–4 generate pairs, so the fan-out is bounded at
+    * C(4,2)·|rare shingles| (linear in corpus size for a fixed
+    * df-cap), never all-pairs. A contained doc must share its rare
+    * shingles with its container, which is why the df-band loses no
+    * subset-style duplicate (the q143 prefix-filter reasoning aimed at
+    * the asymmetric case).
+    */
+  private[graft] def rareShingleCandidates(ds: DataFrame): DataFrame = {
+    val dfq = ds.groupBy("s").agg(count(lit(1)).as("dfreq"))
+    val rare = dfq.where(col("dfreq") >= 2 && col("dfreq") <= 4).select("s")
+    ds.join(rare, "s")
+      .select(col("doc_id").as("a"), col("s"))
+      .join(ds.join(rare, "s").select(col("doc_id").as("b"), col("s")), "s")
+      .where(col("a") < col("b"))
+      .select("a", "b").distinct()
+  }
+
   val specs: Seq[QuerySpec] = Seq(
 
     // q292 — BPE MERGE LEARNING (two unrolled iterations): start from
@@ -105,13 +126,7 @@ object R22Queries {
         val ds = ScaleQueries.shingleRows(s, d).select("doc_id", "s")
           .unionByName(graft.ops.DedupOps.shingleRows(excerpts, "text", 5)
             .select("doc_id", "s"))
-        val df = ds.groupBy("s").agg(count(lit(1)).as("dfreq"))
-        val rare = df.where(col("dfreq") >= 2 && col("dfreq") <= 4).select("s")
-        val cand = ds.join(rare, "s")
-          .select(col("doc_id").as("a"), col("s"))
-          .join(ds.join(rare, "s").select(col("doc_id").as("b"), col("s")), "s")
-          .where(col("a") < col("b"))
-          .select("a", "b").distinct()
+        val cand = rareShingleCandidates(ds)
         val sizes = ds.groupBy("doc_id").agg(count(lit(1)).as("n"))
         val inter = cand
           .join(ds.select(col("doc_id").as("a"), col("s")), Seq("a"))

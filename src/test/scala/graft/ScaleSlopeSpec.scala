@@ -1,0 +1,119 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Empirical scale slope for the three heaviest operator families
+  * (VERDICT r6 ask #4): the 100-TB arguments in the query comments are
+  * design prose + plan shapes; this spec MEASURES the growth at two
+  * points by self-scaling the corpus in memory (testdata untouched) and
+  * asserting the exponent stays ~linear.
+  *
+  * Scaling construction: ×k = k DISJOINT copies of the base input —
+  * ids offset per copy (and shingles salted per copy, so the shingle
+  * universe is disjoint too). Disjoint copies are the honest "k× more
+  * data of the same distribution" model: every per-key statistic
+  * (degree, document frequency) is preserved within each copy, so a
+  * linear operator must produce EXACTLY k× the output rows — asserted
+  * exactly — and take ~k× the time. A quadratic regression (all-pairs
+  * fallback, lost degree cap, lost df-band) produces k²× rows/time and
+  * fails loudly.
+  *
+  * Timing bounds are deliberately loose (exponent ≤ 1.45, i.e. ×8 data
+  * may cost up to ~20× time) because the shared test JVM is noisy and
+  * constant overheads at sf0.01 sizes cut both ways; the tripwire is
+  * the order-of-magnitude blowup (quadratic = 64×), not a percent
+  * regression — per-query seconds are the bench artifact's job. The
+  * cores measured are the SAME private[graft] functions the registered
+  * queries call (R15Queries.adamicAdarScores, R19Queries.hitsAuthority,
+  * R22Queries.rareShingleCandidates), so the exponent cannot diverge
+  * from what q255/q284/q293 ship.
+  */
+class ScaleSlopeSpec extends SparkSpecBase {
+
+  private val sf01 = "/root/testdata/sf0.01"
+  private val K = 8
+
+  /** Distinct customer–part edge table (the q255/q284 build) at sf0.01,
+    * and its ×K disjoint self-union (both key spaces offset per copy).
+    */
+  private lazy val (edges1, edgesK) = {
+    val e = Tables.load(spark, sf01, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"))
+      .join(Tables.load(spark, sf01, "orders")
+        .select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
+      .distinct()
+      .localCheckpoint(false) // input build excluded from the timed region
+    val off = 100000000L
+    val ek = (0 until K).map { k =>
+      e.select((col("c") + lit(k * off)).as("c"), (col("p") + lit(k * off)).as("p"))
+    }.reduce(_ unionByName _).localCheckpoint(false)
+    (e, ek)
+  }
+
+  private def timed(df: => DataFrame): (Double, Long) = {
+    val t0 = System.nanoTime()
+    val n = df.count()
+    ((System.nanoTime() - t0) / 1e9, n)
+  }
+
+  private def exponent(t1: Double, tk: Double): Double =
+    math.log(math.max(tk, 1e-3) / math.max(t1, 1e-3)) / math.log(K.toDouble)
+
+  test("q255 pair generation: ×8 disjoint data → exactly ×8 pairs, ~linear time") {
+    import graft.queries.R15Queries.adamicAdarScores
+    adamicAdarScores(edges1).count() // warm the plan/JIT once
+    val (t1, n1) = timed(adamicAdarScores(edges1))
+    val (tk, nk) = timed(adamicAdarScores(edgesK))
+    assert(nk == K * n1,
+      s"pair count must scale exactly ×$K on disjoint copies (got $n1 → $nk): " +
+        "the degree cap or the copy-disjointness broke")
+    val e = exponent(t1, tk)
+    assert(e <= 1.45,
+      f"q255 pair generation wall-time exponent $e%.2f over ×$K " +
+        f"($t1%.2f s → $tk%.2f s) — superlinear; the degree-capped generator regressed")
+    info(f"q255 slope: $t1%.2f s → $tk%.2f s over ×$K, exponent $e%.2f, rows $n1 → $nk")
+  }
+
+  test("q284 HITS iterations: ×8 disjoint data → exactly ×8 authority rows, ~linear time") {
+    import graft.queries.R19Queries.hitsAuthority
+    hitsAuthority(edges1).count() // warm
+    val (t1, n1) = timed(hitsAuthority(edges1))
+    val (tk, nk) = timed(hitsAuthority(edgesK))
+    assert(nk == K * n1,
+      s"authority-table size must scale exactly ×$K on disjoint copies (got $n1 → $nk)")
+    val e = exponent(t1, tk)
+    assert(e <= 1.45,
+      f"q284 per-iteration cost exponent $e%.2f over ×$K " +
+        f"($t1%.2f s → $tk%.2f s) — an iteration is re-shuffling the edge table")
+    info(f"q284 slope: $t1%.2f s → $tk%.2f s over ×$K, exponent $e%.2f, rows $n1 → $nk")
+  }
+
+  test("q293 candidate generation: ×8 disjoint corpus → exactly ×8 candidates, ~linear time") {
+    import graft.queries.R22Queries.rareShingleCandidates
+    // distinct (doc_id, s) shingle rows at sf0.01; each copy salts the
+    // shingle string so document frequencies are preserved per copy
+    // (shared shingles across copies would inflate df out of the 2–4
+    // band and change the candidate set qualitatively)
+    val ds1 = graft.ops.DedupOps.shingleRows(
+      Tables.load(spark, sf01, "documents"), "text", 5)
+      .localCheckpoint(false)
+    val dsK = (0 until K).map { k =>
+      ds1.select((col("doc_id") + lit(k * 10000000L)).as("doc_id"),
+        concat(lit(s"c$k "), col("s")).as("s"))
+    }.reduce(_ unionByName _).localCheckpoint(false)
+    rareShingleCandidates(ds1).count() // warm
+    val (t1, n1) = timed(rareShingleCandidates(ds1))
+    val (tk, nk) = timed(rareShingleCandidates(dsK))
+    assert(nk == K * n1,
+      s"candidate count must scale exactly ×$K on disjoint copies (got $n1 → $nk): " +
+        "the df 2–4 band stopped bounding the inverted-index fan-out")
+    val e = exponent(t1, tk)
+    assert(e <= 1.45,
+      f"q293 candidate generation exponent $e%.2f over ×$K " +
+        f"($t1%.2f s → $tk%.2f s) — superlinear; the rare-shingle index regressed")
+    info(f"q293 slope: $t1%.2f s → $tk%.2f s over ×$K, exponent $e%.2f, rows $n1 → $nk")
+  }
+}
