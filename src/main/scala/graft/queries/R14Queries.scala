@@ -26,8 +26,11 @@ object R14Queries {
     * registered query's count report cannot express. Every stage keeps
     * (doc_id, text) so downstream probes can re-shingle survivors.
     */
-  private[graft] def incrFunnelStages(
-      s: SparkSession, d: String): Seq[(String, DataFrame)] = {
+  /** The q251 synthetic delta batch: three deterministic classes, all
+    * keyed NEGATIVE (the q195/q225 outside-the-id-domain convention,
+    * class-disambiguated as -(3·id+c)).
+    */
+  private[graft] def syntheticDelta(s: SparkSession, d: String): DataFrame = {
     val docs = t(s, d, "documents")
     def neg(c: Int): Column = (-(col("doc_id") * 3 + c)).as("doc_id")
     val reingest = docs.where(col("doc_id") % 13 === 0)
@@ -36,6 +39,11 @@ object R14Queries {
       .select(neg(2), concat(col("text"), lit(" v2")).as("text"))
     val fresh = docs.where(col("doc_id") % 19 === 0)
       .select(neg(3), array_join(reverse(split(col("text"), " ")), " ").as("text"))
+    reingest.unionByName(recrawl).unionByName(fresh)
+  }
+
+  private[graft] def incrFunnelStages(
+      s: SparkSession, d: String): Seq[(String, DataFrame)] = {
     // Each stage is lazily localCheckpoint'ed (the q184/q192 stance):
     // q251 counts all five stage tables, so without the lineage cut
     // stage k re-evaluates stages 1..k−1 — 15 stage evaluations for 5
@@ -44,8 +52,23 @@ object R14Queries {
     // — shuffle-file-sized state, never a cached corpus) so the funnel
     // costs each stage exactly once. Measured (QTime, 32 threads,
     // sf0.1, warm): 7.3–8.8 s → 3.2–4.0 s.
-    val s1 = reingest.unionByName(recrawl).unionByName(fresh)
-      .localCheckpoint(false)
+    val s1 = syntheticDelta(s, d).localCheckpoint(false)
+    ("delta_raw" -> s1) +: funnelOnDelta(s, d, s1)
+  }
+
+  /** The funnel stages 2–5 applied to an ARBITRARY delta (doc_id, text)
+    * — the shared core of batch q251 and its streaming foreachBatch
+    * twin (EventStream.funnelStream): each micro-batch of a streaming
+    * ingest IS a delta batch, probing the same memoized once-per-corpus
+    * base indexes (baseMd5, sigRows, shingleSets — keyed on (session,
+    * corpus), so a long-running stream builds them once and every
+    * subsequent micro-batch pays only |delta| work). Stage list:
+    * quality_gate → exact_vs_base → neardup_vs_base → train_split,
+    * each lineage-cut like the batch path.
+    */
+  private[graft] def funnelOnDelta(
+      s: SparkSession, d: String, delta: DataFrame): Seq[(String, DataFrame)] = {
+    val s1 = delta
 
     // stage 2: the q124 Gopher gates, computed inline on the delta
     // (the base termFreq memo covers base ids only)
@@ -96,7 +119,7 @@ object R14Queries {
     // stage 5: deterministic split — pmod, since delta ids are negative
     // and Spark/DuckDB `%` is sign-preserving
     val s5 = s4.where(expr("pmod(doc_id, 10)") < 8)
-    Seq("delta_raw" -> s1, "quality_gate" -> s2, "exact_vs_base" -> s3,
+    Seq("quality_gate" -> s2, "exact_vs_base" -> s3,
       "neardup_vs_base" -> s4, "train_split" -> s5)
   }
 

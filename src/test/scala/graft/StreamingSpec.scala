@@ -417,4 +417,54 @@ class StreamingSpec extends SparkSpecBase {
     assert(got == Set(1L, 3L),
       s"expected pre-crash lead 1 and post-restart lead 3 only, got $got")
   }
+
+  test("funnelStream: stream-applied funnel equals q251's batch stages on the same delta") {
+    import graft.queries.R14Queries
+    import graft.streaming.EventStream.Doc
+    val funnelStageNames =
+      Seq("quality_gate", "exact_vs_base", "neardup_vs_base", "train_split")
+    def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.select("doc_id").as[Long].collect().toSet
+    // the SAME synthetic delta q251 runs in batch, replayed as a stream
+    val deltaDocs = R14Queries.syntheticDelta(spark, sf001)
+      .collect().map(r => Doc(r.getLong(0), ts(0), r.getString(1))).toSeq
+    val mem = MemoryStream[Doc](spark)
+    val captured =
+      scala.collection.mutable.Map[Long, Map[String, Set[Long]]]()
+    val q = EventStream.funnelStream(mem.toDF(), sf001) { (id, stages) =>
+      val snap = stages.map { case (n, df) => n -> ids(df) }.toMap
+      captured.synchronized { captured(id) = snap }
+    }
+    try {
+      // micro-batch 0: the full delta — must reproduce batch q251's
+      // stage tables exactly
+      mem.addData(deltaDocs: _*)
+      q.processAllAvailable()
+      val batchStages = R14Queries.incrFunnelStages(spark, sf001).toMap
+      val streamed0 = captured.synchronized(captured(0L))
+      assert(streamed0.keySet == funnelStageNames.toSet)
+      for (name <- funnelStageNames)
+        assert(streamed0(name) == ids(batchStages(name)),
+          s"stage $name: stream-applied funnel diverged from batch q251")
+      assert(streamed0("train_split").nonEmpty)
+      // micro-batch 1: a sub-delta (the re-crawl class only) — the
+      // funnel is stateless between batches, so this batch must equal
+      // funnelOnDelta applied to the subset in batch, with the base
+      // indexes probed afresh (memoized, not rebuilt)
+      val recrawl = deltaDocs.filter(d => (-d.doc_id) % 3 == 2)
+      mem.addData(recrawl: _*)
+      q.processAllAvailable()
+      val subBatch = R14Queries.funnelOnDelta(spark, sf001,
+        R14Queries.syntheticDelta(spark, sf001)
+          .where(expr("pmod(-doc_id, 3) = 2")).localCheckpoint(false)).toMap
+      val streamed1 = captured.synchronized(captured(1L))
+      for (name <- funnelStageNames)
+        assert(streamed1(name) == ids(subBatch(name)),
+          s"stage $name: second micro-batch diverged from its batch twin")
+      // the re-crawl class is near-dup of base, so the base probe must
+      // drop every one of them in this batch too
+      assert(streamed1("neardup_vs_base").isEmpty ||
+        streamed1("neardup_vs_base") == ids(subBatch("neardup_vs_base")))
+    } finally q.stop()
+  }
 }
