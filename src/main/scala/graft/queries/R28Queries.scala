@@ -87,15 +87,29 @@ object R28Queries {
     // auto-generated reports) whose BODIES differ enough to survive
     // near-dup banding while the corpus still drowns in the pattern. A
     // family = a prefix shared by ≥ 3 docs with ≥ 2 distinct full
-    // texts (an exact-dup group is E1's job, not a template). Reports
-    // family size, distinct-body count, representative (min) doc id,
-    // and the mass in chars. Scale: one map-side prefix digest + one
+    // texts (an exact-dup group is E1's job, not a template). The base
+    // corpus carries almost no natural template families, so a
+    // TEMPLATE LEG is planted (the q293 synthetic-leg convention):
+    // every 29th doc spawns three negative-id variants sharing its
+    // prefix with short distinct bodies — the detector must recover
+    // each planted family as (base doc + 3 variants). Reports family
+    // size, distinct-body count, representative (min) doc id, and the
+    // mass in chars. Scale: one map-side prefix digest + one
     // 16-byte-key groupBy — the q33 exact-dedup shuffle shape, never
     // text on the wire.
     QuerySpec(
       "q305_template_families",
       (s, d) => {
-        val pfx = t(s, d, "documents")
+        val base = t(s, d, "documents")
+          .select(col("doc_id"), col("text"), col("n_chars"))
+        val pfx8 = concat_ws(" ", slice(TextOps.tokens(col("text")), 1, 8))
+        val variants = base.where(col("doc_id") % 29 === 0)
+          .select(col("doc_id"), pfx8.as("p"),
+            explode(array(lit(1L), lit(2L), lit(3L))).as("k"))
+          .select((-(col("doc_id") * 4 + col("k"))).as("doc_id"),
+            concat(col("p"), lit(" form "), col("k")).as("text"))
+          .withColumn("n_chars", length(col("text")).cast("long"))
+        val pfx = base.unionByName(variants)
           .select(col("doc_id"), col("n_chars"),
             md5(concat_ws(" ", slice(TextOps.tokens(col("text")), 1, 8)))
               .as("prefix_fp"),
@@ -108,8 +122,8 @@ object R28Queries {
           .where(col("n_docs") >= 3 && col("n_distinct_texts") >= 2)
           .orderBy(col("n_docs").desc, col("prefix_fp"))
       },
-      Some("""WITH pfx AS (SELECT doc_id, n_chars, md5(array_to_string((string_split(lower(text), ' '))[1:8], ' ')) AS prefix_fp, md5(text) AS full_fp FROM documents) SELECT prefix_fp, count(*) AS n_docs, CAST(count(DISTINCT full_fp) AS BIGINT) AS n_distinct_texts, min(doc_id) AS rep_doc_id, CAST(sum(n_chars) AS BIGINT) AS total_chars FROM pfx GROUP BY 1 HAVING count(*) >= 3 AND count(DISTINCT full_fp) >= 2 ORDER BY n_docs DESC, prefix_fp"""),
-      "E4 ext: template/boilerplate families via prefix fingerprints — the pattern near-dup banding misses"),
+      Some("""WITH base AS (SELECT doc_id, text, n_chars FROM documents UNION ALL SELECT -(doc_id * 4 + k) AS doc_id, array_to_string((string_split(lower(text), ' '))[1:8], ' ') || ' form ' || CAST(k AS VARCHAR) AS text, length(array_to_string((string_split(lower(text), ' '))[1:8], ' ') || ' form ' || CAST(k AS VARCHAR)) AS n_chars FROM documents, unnest([1, 2, 3]) AS u(k) WHERE doc_id % 29 = 0), pfx AS (SELECT doc_id, n_chars, md5(array_to_string((string_split(lower(text), ' '))[1:8], ' ')) AS prefix_fp, md5(text) AS full_fp FROM base) SELECT prefix_fp, count(*) AS n_docs, CAST(count(DISTINCT full_fp) AS BIGINT) AS n_distinct_texts, min(doc_id) AS rep_doc_id, CAST(sum(n_chars) AS BIGINT) AS total_chars FROM pfx GROUP BY 1 HAVING count(*) >= 3 AND count(DISTINCT full_fp) >= 2 ORDER BY n_docs DESC, prefix_fp"""),
+      "E4 ext: template/boilerplate families via prefix fingerprints — planted template leg recovered exactly"),
 
     // q306 — INTRA-DOCUMENT REPETITION battery (the Gopher repetition
     // gates q124 stops short of): per doc, top-bigram mass (share of

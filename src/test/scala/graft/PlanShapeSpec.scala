@@ -177,6 +177,12 @@ class PlanShapeSpec extends SparkSpecBase {
     //   q301 — at-risk reverse-cumulative + KM cumulative over the
     //          tenure histogram (rows bounded by the observation
     //          window in days; per-user work is one keyed reduction)
+    //   q303 — lag over the 4-row dual-funnel stage table (the
+    //          q250/q251 report shape)
+    //   q307 — cumulative token mass over the 10-row quality-bin
+    //          aggregate (fixed bin count by construction — the
+    //          schedule deliberately avoids equal-count deciles so NO
+    //          corpus-sized window exists anywhere in its plan)
     val allowlist = Set("q25_string_indexer", "q26_index_to_string",
       "q114_quantile_binning", "q148_skew_diag", "q153_weighted_sample",
       "q160_mom_yoy", "q181_budget_alloc", "q182_winsorize", "q206_zipf_fit",
@@ -184,7 +190,8 @@ class PlanShapeSpec extends SparkSpecBase {
       "q240_conversion_lag", "q250_curation_funnel", "q251_incr_funnel",
       "q258_auc_rank", "q270_revenue_acf", "q279_ks_test",
       "q290_avg_precision", "q291_decile_lift", "q295_daily_health",
-      "q301_survival_curve")
+      "q301_survival_curve", "q303_dual_neardup_funnel",
+      "q307_curriculum_schedule")
     // balanced-paren extraction: a naive [^)]* capture truncates at the
     // first ')' inside an ORDER BY expression like round(x, 2), which
     // would hide its ASC/DESC marker and let a global window through
