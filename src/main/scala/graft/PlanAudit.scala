@@ -21,8 +21,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object PlanAudit {
 
-  /** The bench-heaviest registered queries (BENCH_FULL_r07 top-10 by
-    * warm median) plus the round-7 funnel capstone q303.
+  /** The bench-heaviest registered queries (BENCH_FULL_r08 top tier by
+    * warm median) — the round-7 funnel capstone q303 and the k-core
+    * peel q313 included.
     */
   val heavyQueries: Seq[String] = Seq(
     "q255_adamic_adar",
@@ -35,7 +36,8 @@ object PlanAudit {
     "q244_weighted_median",
     "q198_ivf_pq",
     "q288_assortativity",
-    "q303_dual_neardup_funnel")
+    "q303_dual_neardup_funnel",
+    "q313_kcore")
 
   /** Node kinds whose counts define a plan's cost signature. "Exchange"
     * is the shuffle exchange — the formatted detail line is exactly
