@@ -91,6 +91,41 @@ class ScaleSlopeSpec extends SparkSpecBase {
     info(f"q284 slope: $t1%.2f s → $tk%.2f s over ×$K, exponent $e%.2f, rows $n1 → $nk")
   }
 
+  test("q251 funnel: ×8 delta against a FIXED base → exactly ×8 survivors, ~linear time") {
+    // the incremental-ingest claim itself: funnelOnDelta pays O(|delta|)
+    // tokenization + equi-join probes into the MEMOIZED base indexes —
+    // so scaling the delta ×8 (base untouched) must scale survivors
+    // exactly ×8 and wall time ~linearly. Each copy is salted with a
+    // same-shape 2-char token ("c0".."c7" prepended): md5s diverge
+    // across copies (no cross-copy exact-dedup interaction) while every
+    // per-copy gate statistic (token count, word length, stop hits)
+    // shifts identically, so all 8 copies behave as the same delta.
+    // funnelOnDelta's near-dup scope is delta×base BY DESIGN — copies
+    // never interact there either, keeping the ×8 structure exact.
+    import org.apache.spark.sql.functions.{col, concat, lit}
+    import graft.queries.R14Queries
+    val base = R14Queries.syntheticDelta(spark, sf01)
+    def salted(k: Int) = base.select(
+      (col("doc_id") - lit(k * 1000000L)).as("doc_id"),
+      concat(lit(s"c$k "), col("text")).as("text"))
+    val d1 = salted(0).localCheckpoint(false)
+    val dK = (0 until K).map(salted).reduce(_ unionByName _).localCheckpoint(false)
+    def survivors(delta: org.apache.spark.sql.DataFrame) =
+      R14Queries.funnelOnDelta(spark, sf01, delta).toMap.apply("train_split")
+    survivors(d1).count() // warm the base indexes + plan once
+    val (t1, n1) = timed(survivors(d1))
+    val (tk, nk) = timed(survivors(dK))
+    assert(n1 > 0, "salted delta produced no survivors — fixture dead")
+    assert(nk == K * n1,
+      s"funnel survivors must scale exactly ×$K with the delta (got $n1 → $nk): " +
+        "copies interacted somewhere — the O(|delta|) claim is broken")
+    val e = exponent(t1, tk)
+    assert(e <= 1.45,
+      f"funnel wall-time exponent $e%.2f over ×$K delta ($t1%.2f s → $tk%.2f s) — " +
+        "a stage is paying base-sized (not delta-sized) work")
+    info(f"q251 funnel slope: $t1%.2f s → $tk%.2f s over ×$K delta, exponent $e%.2f, survivors $n1 → $nk")
+  }
+
   test("q293 candidate generation: ×8 disjoint corpus → exactly ×8 candidates, ~linear time") {
     import graft.queries.R22Queries.rareShingleCandidates
     // distinct (doc_id, s) shingle rows at sf0.01; each copy salts the
