@@ -63,6 +63,12 @@ object PlanAudit {
       counts.map { case (k, v) => s"$k=$v" }.mkString(" ")
   }
 
-  def summaryFor(s: SparkSession, sfDir: String, name: String): String =
+  def summaryFor(s: SparkSession, sfDir: String, name: String): String = {
+    // canonical cache state first: a prior consumer in this session may
+    // have un-registered a shared memo base (cascading uncache), which
+    // would flip its subtree from InMemoryRelation back to the inline
+    // build and shift the node counts — same results, different shape
+    graft.queries.ScaleQueries.ensureCachedBases(s, sfDir)
     summaryLine(name, formatted(SparkEntry.queries(name)(s, sfDir)))
+  }
 }

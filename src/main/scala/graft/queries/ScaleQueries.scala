@@ -174,6 +174,24 @@ object ScaleQueries {
         .repartition(col("doc_id")) // parallelize past the 1-partition scan
         .select(md5(col("text")).as("h")).distinct())
 
+  /** Canonicalize the shared-base CACHE REGISTRATION state (plan-audit
+    * determinism): memo() calls .cache() only on CREATE, so if any code
+    * path un-registers a base's cache entry mid-session (Spark's
+    * uncache invalidation can cascade through dependent entries), every
+    * later consumer PLANS WITHOUT the InMemoryRelation substitution —
+    * same results, different physical-plan shape, which is exactly what
+    * PlanAudit summaries pin. Calling this before summarizing restores
+    * the invariant "every memo base is registered" regardless of suite
+    * order; registration is lazy (no materialization here).
+    */
+  private[graft] def ensureCachedBases(s: SparkSession, d: String): Unit =
+    Seq(shingleRows(s, d), shingleSets(s, d), sigRows(s, d), minhashCand(s, d),
+      termFreq(s, d), neardupEdges(s, d), neardupClusters(s, d), ivfFlat(s, d),
+      truthTop3(s, d), fileManifest(s, d), baseMd5(s, d))
+      .foreach { df =>
+        if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE) df.cache()
+      }
+
   def warmCaches(s: SparkSession, d: String): Unit = {
     shingleSets(s, d).count()
     baseMd5(s, d).count()
