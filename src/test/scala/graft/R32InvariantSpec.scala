@@ -35,4 +35,29 @@ class R32InvariantSpec extends SparkSpecBase {
         "a valid pattern instance starts before the reported earliest match")
     } finally df.unpersist()
   }
+
+  test("q318 gap detector: conservation per series, planted outage recovered exactly") {
+    val rows = SparkEntry.queries("q318_calendar_gaps")(spark, sf001)
+      .select("event_type", "span_days", "n_present", "n_missing", "n_gaps",
+        "longest_gap_days")
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+    assert(rows.map(_._1).toSet ==
+      Set("click", "error", "purchase", "signup", "view"))
+    rows.foreach { case (t, span, present, missing, gaps, longest) =>
+      // densified calendar conserves: present + missing == span
+      assert(present + missing == span, s"$t: $present + $missing != $span")
+      assert(longest <= missing)
+      assert((gaps == 0) == (missing == 0))
+      if (t != "error") assert(missing == 0, s"$t reported phantom gaps")
+    }
+    // the planted outage (day-of-month % 7 == 3 within the span) must be
+    // recovered exactly on the 'error' series
+    val err = rows.find(_._1 == "error").get
+    val expected = Tables.events(spark, sf001)
+      .where(col("event_type") === "error")
+      .select(to_date(col("ts")).as("day")).distinct()
+      .where(dayofmonth(col("day")) % 7 === 3).count()
+    assert(err._4 == expected,
+      s"outage-day count ${err._4} != planted $expected")
+  }
 }
