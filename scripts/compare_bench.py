@@ -5,12 +5,14 @@ Usage: compare_bench.py <old_BENCH_FULL.json> <new_BENCH_FULL.json> [threshold]
 
 Run-to-run whole-run scaling on this shared host moves every query
 proportionally (measured spread: the 250-query common total varied
-102.3-120.0 s across three clean isolated runs of identical code — see
+102.3-120.0 s across five clean isolated runs of identical code — see
 BASELINE.md), so a raw per-query diff flags phantom movers whenever the
 runs landed on different host conditions. This tool removes the uniform
 component first: it rescales the new run by the common-query total ratio,
-then flags queries whose NORMALIZED time exceeds threshold x their old
-median (default 1.3). A real regression survives normalization; a
+then flags queries whose NORMALIZED time exceeds threshold x the old
+run's single recorded value (default 1.3) — one value per query per
+artifact; pass an older BENCH_FULL as <old> to compare against a
+different anchor. A real regression survives normalization; a
 whole-run shift does not.
 """
 import json

@@ -1,6 +1,43 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  // RDD.isLocallyCheckpointed is private[spark] at the Scala level but
+  // public in bytecode (Scala package-private erasure) — one cached
+  // reflective Method keeps the probe cheap and dependency-free.
+  private val isLocalCkpt = classOf[org.apache.spark.rdd.RDD[_]]
+    .getMethod("isLocallyCheckpointed")
+
+  /** Drop per-query locally-checkpointed RDDs, PROTECTING any checkpoint
+    * that a registered cache entry still depends on (ADVICE r7 medium):
+    * the shared neardupClusters base is a cache()'d DataFrame whose
+    * lineage terminates at connectedComponents' final localCheckpoint
+    * (DedupOps.scala:251) — unpersisting that checkpoint would leave the
+    * cached base with no recompute source, so a later cache-partition
+    * recompute (eviction under pressure, partial materialization) throws
+    * "checkpoint block not found". Protection is computed by reachability,
+    * not a name list: walk `dependencies` transitively from every
+    * persistent NON-checkpointed RDD (the cache entries) and keep any
+    * checkpointed RDD whose id the walk reaches; everything checkpointed
+    * and unreachable is per-query transient state and is dropped.
+    */
+  private[graft] def cleanupTransients(spark: SparkSession): Unit = {
+    try {
+      val persistent = spark.sparkContext.getPersistentRDDs.values.toSeq
+      val (ckpt, cached) =
+        persistent.partition(r => isLocalCkpt.invoke(r).asInstanceOf[Boolean])
+      if (ckpt.nonEmpty) {
+        val seen = scala.collection.mutable.HashSet.empty[Int]
+        val stack = scala.collection.mutable.Stack.empty[org.apache.spark.rdd.RDD[_]]
+        cached.foreach(stack.push)
+        while (stack.nonEmpty) {
+          val r = stack.pop()
+          if (seen.add(r.id)) r.dependencies.foreach(dep => stack.push(dep.rdd))
+        }
+        ckpt.filterNot(r => seen.contains(r.id)).foreach(_.unpersist(false))
+      }
+    } catch { case _: Throwable => () }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -145,28 +182,13 @@ object Bench {
     // localCheckpoint blocks pin executor memory until the ContextCleaner
     // happens to GC the RDD refs, so late-suite queries ran against a
     // fuller block manager as the registry grew. After EVERY timed query
-    // (outside the timer — cleanup cost is harness, not query), drop all
-    // locally-checkpointed RDDs explicitly. The intentional cross-query
-    // caches are untouched by construction: every shared base goes
-    // through ScaleQueries.memo → .cache(), never localCheckpoint, so
-    // `isLocallyCheckpointed` precisely selects the per-query transients.
+    // (outside the timer — cleanup cost is harness, not query), drop the
+    // per-query locally-checkpointed RDDs via Bench.cleanupTransients,
+    // which protects checkpoints still reachable from registered cache
+    // entries (the neardupClusters base's recompute source — ADVICE r7).
     // A periodic System.gc() then lets the ContextCleaner reap dropped
     // broadcast/accumulator refs so they can't accumulate either.
     var sinceGc = 0
-    // RDD.isLocallyCheckpointed is private[spark] at the Scala level but
-    // public in bytecode (Scala package-private erasure) — one cached
-    // reflective Method keeps the probe cheap and dependency-free.
-    val isLocalCkpt = classOf[org.apache.spark.rdd.RDD[_]]
-      .getMethod("isLocallyCheckpointed")
-    def cleanupTransients(): Unit = {
-      try {
-        spark.sparkContext.getPersistentRDDs.values
-          .filter(r => isLocalCkpt.invoke(r).asInstanceOf[Boolean])
-          .foreach(_.unpersist(false))
-        sinceGc += 1
-        if (sinceGc >= 50) { sinceGc = 0; System.gc() }
-      } catch { case _: Throwable => () }
-    }
     def timeOne(name: String): Double = {
       val t0 = System.nanoTime()
       val sec =
@@ -175,11 +197,27 @@ object Bench {
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
           warn(s"$name ${e.getClass.getSimpleName}", e.getMessage)
           -1.0 }
-      cleanupTransients()
+      cleanupTransients(spark)
+      sinceGc += 1
+      if (sinceGc >= 50) { sinceGc = 0; System.gc() }
       sec
     }
     val pass1 = names.map(n => n -> timeOne(n)).toMap
-    val warm = (1 to 3).map(_ => names.map(n => n -> timeOne(n)).toMap)
+    // Rotated warm passes (VERDICT r7 #1): pass i starts at offset
+    // i·N/3 through the SAME sorted set. With aligned passes a time-
+    // local host disturbance (a multi-minute background load spike)
+    // lands on the same contiguous alphabetical block in ≥2 of 3
+    // passes — exactly what median-of-3 cannot reject (r07's driver
+    // artifact inflated q243–q256 up to 2.4× while isolated runs were
+    // clean). Rotation puts a given query at a different wall-clock
+    // offset each pass, so the disturbance hits DIFFERENT queries per
+    // pass and the per-query median rejects it. Deterministic (offset
+    // is a function of pass index and N alone), so cross-round
+    // comparability is unchanged.
+    val warm = (0 until 3).map { i =>
+      val off = i * names.size / 3
+      (names.drop(off) ++ names.take(off)).map(n => n -> timeOne(n)).toMap
+    }
     val results = names.map { n =>
       val ws = warm.map(_(n))
       n -> (if (pass1(n) < 0 || ws.exists(_ < 0)) -1.0 else ws.sorted.apply(1))
@@ -221,7 +259,8 @@ object Bench {
     val cold = math.rint(
       names.filter(resultByName(_) >= 0).map(pass1).sum * 100) / 100
     val sfName = new java.io.File(sfDir).getName
-    def line(withSf: Boolean, dpFor: Double => Int, floor: Double = 0.0): String = {
+    def line(withSf: Boolean, dpFor: Double => Int, floor: Double = 0.0,
+             allWarnings: Boolean = false): String = {
       // Tiers with a floor omit entries under it (failed "-1" entries
       // always stay) and declare the floor in the line itself: an omitted
       // query is "< floor seconds" by contract — sub-noise at local
@@ -236,10 +275,12 @@ object Bench {
       val fl = if (floor > 0) s""","floor":${f(floor, 2)}""" else ""
       // warnings: structured exception surface (usually empty → omitted;
       // capped at 3 entries in-line so a noisy run can't blow the budget
-      // — the full buffer goes to the 4dp side file).
+      // — the 4dp side file sets allWarnings and carries the full
+      // buffer, which warn() itself bounds at 8 entries).
       val wn = warnings.synchronized {
         if (warnings.isEmpty) ""
-        else warnings.take(3).map(w => jstr(w)).mkString(""","warnings":[""", ",", "]")
+        else (if (allWarnings) warnings.toSeq else warnings.take(3).toSeq)
+          .map(w => jstr(w)).mkString(""","warnings":[""", ",", "]")
       }
       s"""{"metric":"total","value":${f(total, 2)},"unit":"sec","cold":${f(cold, 2)}$fl$wn,"queries":$qs$sf}"""
     }
@@ -275,7 +316,7 @@ object Bench {
     // emitted 2dp line — it exists to resolve sub-0.01s ambiguities
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get(sys.props("java.io.tmpdir"), "graft_bench_full.json"),
-      line(withSf = true, _ => 4) + "\n")
+      line(withSf = true, _ => 4, allWarnings = true) + "\n")
     catch { case _: Throwable => () }
     println(out)
     spark.stop()

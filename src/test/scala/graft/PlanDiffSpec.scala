@@ -17,8 +17,14 @@ class PlanDiffSpec extends SparkSpecBase {
 
   private def latestArtifact: java.nio.file.Path = {
     val dir = java.nio.file.Paths.get(".")
+    val re = "\\./PLANS_r(\\d+)\\.txt".r
+    // Sort by the PARSED round number, not lexicographically (ADVICE r7):
+    // string order would pick PLANS_r9.txt over PLANS_r10.txt if an
+    // unpadded artifact ever slipped in, and breaks again at r99→r100
+    // even with the zero-padding convention.
     val all = java.nio.file.Files.list(dir).toArray.map(_.toString)
-      .filter(_.matches("\\./PLANS_r\\d+\\.txt")).sorted
+      .flatMap { p => re.findFirstMatchIn(p).map(m => m.group(1).toInt -> p) }
+      .sortBy(_._1).map(_._2)
     assert(all.nonEmpty,
       "no PLANS_r{N}.txt artifact committed — run `sbt \"runMain graft.Explain --plans PLANS_rN.txt\"`")
     java.nio.file.Paths.get(all.last)
