@@ -59,14 +59,40 @@ class ScaleSlopeSpec extends SparkSpecBase {
     ((System.nanoTime() - t0) / 1e9, n)
   }
 
+  /** Min-of-N timing (ADVICE r7): the ×1 baselines are sub-second on an
+    * acknowledged-noisy shared JVM, and one bad GC pause in t1 inflates
+    * the exponent spuriously (t1 0.10 vs 2.5 at ×8 reads as 1.55 even
+    * for a linear operator). The minimum over repeats estimates the
+    * noise-free cost; the row count is identical across repeats. The
+    * small ×1 side gets 3 repeats (it dominates the noise term), the
+    * ×8 side 2 (its relative noise is smaller and it is the expensive
+    * measurement).
+    */
+  private def timedMin(df: => DataFrame, reps: Int): (Double, Long) = {
+    var best = Double.MaxValue
+    var n = 0L
+    for (_ <- 1 to reps) {
+      val (t, c) = timed(df)
+      best = math.min(best, t)
+      n = c
+    }
+    (best, n)
+  }
+
   private def exponent(t1: Double, tk: Double): Double =
     math.log(math.max(tk, 1e-3) / math.max(t1, 1e-3)) / math.log(K.toDouble)
+
+  /** Live exponents accumulated across the suite's tests, compared to
+    * the committed SLOPES artifact by the final test (VERDICT r7 #7).
+    */
+  private val measured =
+    scala.collection.mutable.LinkedHashMap.empty[String, Double]
 
   test("q255 pair generation: ×8 disjoint data → exactly ×8 pairs, ~linear time") {
     import graft.queries.R15Queries.adamicAdarScores
     adamicAdarScores(edges1).count() // warm the plan/JIT once
-    val (t1, n1) = timed(adamicAdarScores(edges1))
-    val (tk, nk) = timed(adamicAdarScores(edgesK))
+    val (t1, n1) = timedMin(adamicAdarScores(edges1), 3)
+    val (tk, nk) = timedMin(adamicAdarScores(edgesK), 2)
     assert(nk == K * n1,
       s"pair count must scale exactly ×$K on disjoint copies (got $n1 → $nk): " +
         "the degree cap or the copy-disjointness broke")
@@ -74,20 +100,22 @@ class ScaleSlopeSpec extends SparkSpecBase {
     assert(e <= 1.45,
       f"q255 pair generation wall-time exponent $e%.2f over ×$K " +
         f"($t1%.2f s → $tk%.2f s) — superlinear; the degree-capped generator regressed")
+    measured("q255_pairs") = e
     info(f"q255 slope: $t1%.2f s → $tk%.2f s over ×$K, exponent $e%.2f, rows $n1 → $nk")
   }
 
   test("q284 HITS iterations: ×8 disjoint data → exactly ×8 authority rows, ~linear time") {
     import graft.queries.R19Queries.hitsAuthority
     hitsAuthority(edges1).count() // warm
-    val (t1, n1) = timed(hitsAuthority(edges1))
-    val (tk, nk) = timed(hitsAuthority(edgesK))
+    val (t1, n1) = timedMin(hitsAuthority(edges1), 3)
+    val (tk, nk) = timedMin(hitsAuthority(edgesK), 2)
     assert(nk == K * n1,
       s"authority-table size must scale exactly ×$K on disjoint copies (got $n1 → $nk)")
     val e = exponent(t1, tk)
     assert(e <= 1.45,
       f"q284 per-iteration cost exponent $e%.2f over ×$K " +
         f"($t1%.2f s → $tk%.2f s) — an iteration is re-shuffling the edge table")
+    measured("q284_hits") = e
     info(f"q284 slope: $t1%.2f s → $tk%.2f s over ×$K, exponent $e%.2f, rows $n1 → $nk")
   }
 
@@ -113,8 +141,8 @@ class ScaleSlopeSpec extends SparkSpecBase {
     def survivors(delta: org.apache.spark.sql.DataFrame) =
       R14Queries.funnelOnDelta(spark, sf01, delta).toMap.apply("train_split")
     survivors(d1).count() // warm the base indexes + plan once
-    val (t1, n1) = timed(survivors(d1))
-    val (tk, nk) = timed(survivors(dK))
+    val (t1, n1) = timedMin(survivors(d1), 3)
+    val (tk, nk) = timedMin(survivors(dK), 2)
     assert(n1 > 0, "salted delta produced no survivors — fixture dead")
     assert(nk == K * n1,
       s"funnel survivors must scale exactly ×$K with the delta (got $n1 → $nk): " +
@@ -123,6 +151,7 @@ class ScaleSlopeSpec extends SparkSpecBase {
     assert(e <= 1.45,
       f"funnel wall-time exponent $e%.2f over ×$K delta ($t1%.2f s → $tk%.2f s) — " +
         "a stage is paying base-sized (not delta-sized) work")
+    measured("q251_funnel_delta") = e
     info(f"q251 funnel slope: $t1%.2f s → $tk%.2f s over ×$K delta, exponent $e%.2f, survivors $n1 → $nk")
   }
 
@@ -140,8 +169,8 @@ class ScaleSlopeSpec extends SparkSpecBase {
         concat(lit(s"c$k "), col("s")).as("s"))
     }.reduce(_ unionByName _).localCheckpoint(false)
     rareShingleCandidates(ds1).count() // warm
-    val (t1, n1) = timed(rareShingleCandidates(ds1))
-    val (tk, nk) = timed(rareShingleCandidates(dsK))
+    val (t1, n1) = timedMin(rareShingleCandidates(ds1), 3)
+    val (tk, nk) = timedMin(rareShingleCandidates(dsK), 2)
     assert(nk == K * n1,
       s"candidate count must scale exactly ×$K on disjoint copies (got $n1 → $nk): " +
         "the df 2–4 band stopped bounding the inverted-index fan-out")
@@ -149,6 +178,48 @@ class ScaleSlopeSpec extends SparkSpecBase {
     assert(e <= 1.45,
       f"q293 candidate generation exponent $e%.2f over ×$K " +
         f"($t1%.2f s → $tk%.2f s) — superlinear; the rare-shingle index regressed")
+    measured("q293_candidates") = e
     info(f"q293 slope: $t1%.2f s → $tk%.2f s over ×$K, exponent $e%.2f, rows $n1 → $nk")
+  }
+
+  test("measured exponents are pinned in the committed SLOPES artifact (drift diffable)") {
+    // VERDICT r7 #7: pass/fail at 1.45 hides slow drift (0.3 → 1.3
+    // across rounds never trips the quadratic tripwire). Pinning the
+    // measured exponents in a committed SLOPES_r{N}.txt makes the drift
+    // itself diffable in review, the PLANS_r{N}.txt pattern. The live
+    // lines always land in target/slopes_live.txt — after an
+    // intentional change, copy that file to SLOPES_r{NN}.txt
+    // (zero-padded) and commit.
+    if (measured.size < 4)
+      cancel("an upstream slope test failed — no complete live exponent set to diff")
+    val lines = measured.map { case (k, e) => f"SLOPE $k $e%.2f" }.toSeq
+    val live = java.nio.file.Paths.get("target", "slopes_live.txt")
+    java.nio.file.Files.createDirectories(live.getParent)
+    java.nio.file.Files.write(live, (lines.mkString("\n") + "\n").getBytes("UTF-8"))
+    val re = "\\./SLOPES_r(\\d+)\\.txt".r
+    val artifacts = java.nio.file.Files.list(java.nio.file.Paths.get("."))
+      .toArray.map(_.toString)
+      .flatMap(p => re.findFirstMatchIn(p).map(m => m.group(1).toInt -> p))
+      .sortBy(_._1).map(_._2)
+    assert(artifacts.nonEmpty,
+      "no SLOPES_r{N}.txt artifact committed — copy target/slopes_live.txt to SLOPES_rNN.txt")
+    val committed = java.nio.file.Files.readAllLines(
+        java.nio.file.Paths.get(artifacts.last)).toArray.map(_.toString)
+      .filter(_.startsWith("SLOPE "))
+      .map { l => val p = l.split(" "); p(1) -> p(2).toDouble }.toMap
+    assert(committed.keySet == measured.keySet.toSet,
+      s"artifact ${artifacts.last} pins ${committed.keySet} but the suite measures " +
+        s"${measured.keySet} — regenerate from target/slopes_live.txt")
+    // Tolerance 0.40: min-of-N timing holds run-to-run spread near
+    // ±0.15 at these sizes, while the smallest drift worth catching
+    // (an exponent stepping up by ~half an order, e.g. 0.3 → 0.8)
+    // clears it. A legitimate re-measurement updates the artifact.
+    val drifted = measured.collect {
+      case (k, e) if math.abs(e - committed(k)) > 0.40 =>
+        f"$k: committed ${committed(k)}%.2f, live $e%.2f"
+    }
+    assert(drifted.isEmpty,
+      s"scale exponents drifted from ${artifacts.last} — if the change is " +
+        s"intentional, regenerate the artifact:\n${drifted.mkString("\n")}")
   }
 }
