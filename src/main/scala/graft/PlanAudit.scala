@@ -23,7 +23,10 @@ object PlanAudit {
 
   /** The bench-heaviest registered queries (BENCH_FULL_r08 top tier by
     * warm median) — the round-7 funnel capstone q303 and the k-core
-    * peel q313 included.
+    * peel q313 included, plus the round-8 additions above the 2 s tier
+    * (q320 incremental-IVF recall ~2.5 s, q321 shared runs ~3.3 s, and
+    * the borderline q319 BPE fertility ~1.9 s, pinned while it sits at
+    * the tier edge).
     */
   val heavyQueries: Seq[String] = Seq(
     "q255_adamic_adar",
@@ -37,7 +40,10 @@ object PlanAudit {
     "q198_ivf_pq",
     "q288_assortativity",
     "q303_dual_neardup_funnel",
-    "q313_kcore")
+    "q313_kcore",
+    "q319_bpe_fertility",
+    "q320_incr_ivf_recall",
+    "q321_shared_runs")
 
   /** Node kinds whose counts define a plan's cost signature. "Exchange"
     * is the shuffle exchange — the formatted detail line is exactly

@@ -68,7 +68,7 @@ object R33Queries {
       "round(list_sum([CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE) for i in generate_series(1, len(q.embedding))]) / (q.nrm * c.nrm), 6)"
     val cosQE =
       "round(list_sum([CAST(qi.embedding[i] AS DOUBLE) * CAST(ce.embedding[i] AS DOUBLE) for i in generate_series(1, len(qi.embedding))]) / (qi.nrm * ce.nrm), 6)"
-    s"""WITH e AS (SELECT vec_id, embedding, $emL2 AS nrm FROM embeddings), asg AS (SELECT a.vec_id, b.vec_id AS cell, row_number() OVER (PARTITION BY a.vec_id ORDER BY $dotAB DESC, b.vec_id) AS rn FROM e a CROSS JOIN (SELECT vec_id, embedding, nrm FROM e WHERE vec_id < 8) b), inc AS (SELECT vec_id, cell FROM asg WHERE rn = 1), ex AS (SELECT vec_id, u['p'] AS pos, CAST(u['x'] AS DOUBLE) AS x FROM (SELECT vec_id, unnest([{'p': i, 'x': embedding[i]} for i in generate_series(1, len(embedding))]) AS u FROM embeddings)), c1 AS (SELECT inc.cell, ex.pos, avg(ex.x) AS cx FROM ex JOIN inc USING (vec_id) GROUP BY 1, 2), d2 AS (SELECT ex.vec_id, c1.cell, sum(ex.x * c1.cx) AS dot, sqrt(sum(ex.x * ex.x)) AS nv, sqrt(sum(c1.cx * c1.cx)) AS nc FROM ex JOIN c1 USING (pos) GROUP BY 1, 2), reb AS (SELECT vec_id, cell FROM (SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY round(dot / (nv * nc), 6) DESC, cell) AS rn FROM d2) WHERE rn = 1), q AS (SELECT vec_id AS qid, embedding, nrm FROM e WHERE vec_id % 10 >= 8), truth AS (SELECT qid, cid FROM (SELECT q.qid, c.vec_id AS cid, row_number() OVER (PARTITION BY q.qid ORDER BY $cosQC DESC, c.vec_id) AS rn FROM q JOIN e c ON c.vec_id <> q.qid) z WHERE rn <= 3), qi_inc AS (SELECT q.qid, q.embedding, q.nrm, i.cell FROM q JOIN inc i ON i.vec_id = q.qid), cand_inc AS (SELECT qi.qid, ce.vec_id AS cid, $cosQE AS cos_r FROM qi_inc qi JOIN (SELECT e.vec_id, e.embedding, e.nrm, inc.cell FROM e JOIN inc ON inc.vec_id = e.vec_id) ce ON ce.cell = qi.cell AND ce.vec_id <> qi.qid), top_inc AS (SELECT qid, cid FROM (SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY cos_r DESC, cid) AS rn FROM cand_inc) WHERE rn <= 3), hits_inc AS (SELECT CAST(count(*) AS BIGINT) AS hits FROM top_inc t JOIN truth USING (qid, cid)), qi_reb AS (SELECT q.qid, q.embedding, q.nrm, r.cell FROM q JOIN reb r ON r.vec_id = q.qid), cand_reb AS (SELECT qi.qid, ce.vec_id AS cid, $cosQE AS cos_r FROM qi_reb qi JOIN (SELECT e.vec_id, e.embedding, e.nrm, reb.cell FROM e JOIN reb ON reb.vec_id = e.vec_id) ce ON ce.cell = qi.cell AND ce.vec_id <> qi.qid), top_reb AS (SELECT qid, cid FROM (SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY cos_r DESC, cid) AS rn FROM cand_reb) WHERE rn <= 3), hits_reb AS (SELECT CAST(count(*) AS BIGINT) AS hits FROM top_reb t JOIN truth USING (qid, cid)), nq AS (SELECT CAST(count(*) AS BIGINT) AS n_q FROM q), mv AS (SELECT CAST(count(*) AS BIGINT) AS n_moved FROM inc JOIN reb USING (vec_id) WHERE inc.cell <> reb.cell) SELECT * FROM (SELECT 'incremental' AS path, n_q, hits, CAST(hits * 10000 // (3 * n_q) AS BIGINT) AS recall_bp, CAST(0 AS BIGINT) AS n_moved FROM hits_inc, nq UNION ALL SELECT 'rebuild', n_q, hits, CAST(hits * 10000 // (3 * n_q) AS BIGINT), (SELECT n_moved FROM mv) FROM hits_reb, nq) ORDER BY path"""
+    s"""WITH e AS (SELECT vec_id, embedding, $emL2 AS nrm FROM embeddings), asg AS (SELECT a.vec_id, b.vec_id AS cell, row_number() OVER (PARTITION BY a.vec_id ORDER BY $dotAB DESC, b.vec_id) AS rn FROM e a CROSS JOIN (SELECT vec_id, embedding, nrm FROM e WHERE vec_id < 8) b), inc AS (SELECT vec_id, cell FROM asg WHERE rn = 1), ex AS (SELECT vec_id, u['p'] AS pos, CAST(u['x'] AS DOUBLE) AS x FROM (SELECT vec_id, unnest([{'p': i, 'x': embedding[i]} for i in generate_series(1, len(embedding))]) AS u FROM embeddings)), c1 AS (SELECT inc.cell, ex.pos, avg(ex.x) AS cx FROM ex JOIN inc USING (vec_id) GROUP BY 1, 2), d2 AS (SELECT ex.vec_id, c1.cell, sum(ex.x * c1.cx) AS dot, sqrt(sum(ex.x * ex.x)) AS nv, sqrt(sum(c1.cx * c1.cx)) AS nc FROM ex JOIN c1 USING (pos) GROUP BY 1, 2), reb AS (SELECT vec_id, cell FROM (SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY round(dot / (nv * nc), 6) DESC, cell) AS rn FROM d2) WHERE rn = 1), q AS (SELECT vec_id AS qid, embedding, nrm FROM e WHERE vec_id % 50 >= 48), truth AS (SELECT qid, cid FROM (SELECT q.qid, c.vec_id AS cid, row_number() OVER (PARTITION BY q.qid ORDER BY $cosQC DESC, c.vec_id) AS rn FROM q JOIN e c ON c.vec_id <> q.qid) z WHERE rn <= 3), qi_inc AS (SELECT q.qid, q.embedding, q.nrm, i.cell FROM q JOIN inc i ON i.vec_id = q.qid), cand_inc AS (SELECT qi.qid, ce.vec_id AS cid, $cosQE AS cos_r FROM qi_inc qi JOIN (SELECT e.vec_id, e.embedding, e.nrm, inc.cell FROM e JOIN inc ON inc.vec_id = e.vec_id) ce ON ce.cell = qi.cell AND ce.vec_id <> qi.qid), top_inc AS (SELECT qid, cid FROM (SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY cos_r DESC, cid) AS rn FROM cand_inc) WHERE rn <= 3), hits_inc AS (SELECT CAST(count(*) AS BIGINT) AS hits FROM top_inc t JOIN truth USING (qid, cid)), qi_reb AS (SELECT q.qid, q.embedding, q.nrm, r.cell FROM q JOIN reb r ON r.vec_id = q.qid), cand_reb AS (SELECT qi.qid, ce.vec_id AS cid, $cosQE AS cos_r FROM qi_reb qi JOIN (SELECT e.vec_id, e.embedding, e.nrm, reb.cell FROM e JOIN reb ON reb.vec_id = e.vec_id) ce ON ce.cell = qi.cell AND ce.vec_id <> qi.qid), top_reb AS (SELECT qid, cid FROM (SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY cos_r DESC, cid) AS rn FROM cand_reb) WHERE rn <= 3), hits_reb AS (SELECT CAST(count(*) AS BIGINT) AS hits FROM top_reb t JOIN truth USING (qid, cid)), nq AS (SELECT CAST(count(*) AS BIGINT) AS n_q FROM q), mv AS (SELECT CAST(count(*) AS BIGINT) AS n_moved FROM inc JOIN reb USING (vec_id) WHERE inc.cell <> reb.cell) SELECT * FROM (SELECT 'incremental' AS path, n_q, hits, CAST(hits * 10000 // (3 * n_q) AS BIGINT) AS recall_bp, CAST(0 AS BIGINT) AS n_moved FROM hits_inc, nq UNION ALL SELECT 'rebuild', n_q, hits, CAST(hits * 10000 // (3 * n_q) AS BIGINT), (SELECT n_moved FROM mv) FROM hits_reb, nq) ORDER BY path"""
   }
 
   // ---------------------------------------------------------------- q321
@@ -164,8 +164,8 @@ object R33Queries {
     // over the delta; the Lloyd refresh is corpus-linear (one keyed agg
     // + one broadcast argmax); truth is computed only for the bounded
     // delta query sample (broadcast queries × corpus, the truthTop3
-    // shape); cell-local search joins on cell. AnnRecallSpec pins the
-    // recall floor and the rebuild-vs-incremental relationship.
+    // shape); cell-local search joins on cell. AnnRecallSpec pins both paths'
+    // recall floors and the rebuild's nonzero reassignment churn.
     QuerySpec(
       "q320_incr_ivf_recall",
       (s, d) => {
@@ -200,7 +200,12 @@ object R33Queries {
           .withColumn("rn", row_number().over(wA))
           .where(col("rn") === 1).select("vec_id", "cell")
           .localCheckpoint(false)
-        val q = e.where(col("vec_id") % 10 >= 8)
+        // Recall SPOT-CHECK sample: every delta id ending in 8/9 whose
+        // 50-residue is 48/49 — 4% of the corpus, a fixed slice OF the
+        // delta (vec_id % 50 >= 48 ⊂ vec_id % 10 >= 8). Truth and the
+        // two cell-local searches are bounded by this sample; the INDEX
+        // maintenance itself still covers the full delta above.
+        val q = e.where(col("vec_id") % 50 >= 48)
           .select(col("vec_id").as("qid"), col("embedding").as("qe"))
         val wT = Window.partitionBy("qid").orderBy(col("cos_r").desc, col("cid").asc)
         val truth = broadcast(q).crossJoin(e)
@@ -273,18 +278,24 @@ object R33Queries {
         val qt = toks.where(col("doc_id") % 37 === 0)
           .select((-col("doc_id") - 3000000L).as("doc_id"),
             expr("slice(tk, 1, greatest(5, size(tk) div 2))").as("tk"))
-        val allt = toks.unionByName(il).unionByName(qt)
+        val legs = il.unionByName(qt)
         // Positional 5-gram shingles: pos is 1-based on both engines so
         // diagonals line up; docs under 5 tokens produce no shingles
         // (the sequence() guard — Spark's sequence(1, n) REVERSES when
         // n < 1, DuckDB's generate_series is empty, so the guard is
         // correctness, not style).
-        val pos = allt.where(size(col("tk")) >= 5)
+        def posOf(docs: DataFrame): DataFrame = docs
+          .where(size(col("tk")) >= 5)
           .select(col("doc_id"), explode(expr(
             "transform(sequence(1, size(tk) - 4), i -> struct(CAST(i AS BIGINT) AS pos, concat_ws(' ', tk[i - 1], tk[i], tk[i + 1], tk[i + 2], tk[i + 3]) AS s))"))
             .as("u"))
           .select(col("doc_id"), col("u.pos").as("pos"), col("u.s").as("s"))
-        val sh = pos.select("doc_id", "s").distinct()
+        // Corpus-side shingle SETS come from the memoized base (the
+        // once-per-corpus index every dedup query shares); positional
+        // work is deferred until the candidate set bounds it.
+        val posLegs = posOf(legs).localCheckpoint(false)
+        val sh = ScaleQueries.shingleRows(s, d).select("doc_id", "s")
+          .unionByName(posLegs.select("doc_id", "s").distinct())
         val dfq = sh.groupBy("s").agg(count(lit(1)).as("dfreq"))
         val rare = dfq.where(col("dfreq").between(2, 4)).select("s")
         val shr = sh.join(rare, "s")
@@ -293,9 +304,14 @@ object R33Queries {
           .where(col("a") < col("b") && col("a") < 0 && col("b") >= 0)
           .select("a", "b").distinct()
           .localCheckpoint(false)
+        // Positions for the BASE side only where a candidate pair needs
+        // them — the positional explode is bounded by the candidate
+        // partner set, never the corpus.
+        val posBase = posOf(toks.join(
+          cand.select(col("b").as("doc_id")).distinct(), "doc_id"))
         val m = cand
-          .join(pos.select(col("doc_id").as("a"), col("pos").as("pa"), col("s")), Seq("a"))
-          .join(pos.select(col("doc_id").as("b"), col("pos").as("pb"), col("s")), Seq("b", "s"))
+          .join(posLegs.select(col("doc_id").as("a"), col("pos").as("pa"), col("s")), Seq("a"))
+          .join(posBase.select(col("doc_id").as("b"), col("pos").as("pb"), col("s")), Seq("b", "s"))
         val runs = m.select(col("a"), col("b"), (col("pa") - col("pb")).as("diag"), col("pa"))
           .withColumn("g", col("pa") -
             row_number().over(Window.partitionBy("a", "b", "diag").orderBy("pa")))
