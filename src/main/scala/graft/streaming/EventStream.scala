@@ -367,6 +367,128 @@ object EventStream {
         org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append())
   }
 
+  case class CepRun(rs: Long, re: Long, len: Long)
+  case class CepState(views: List[Long], pending: List[CepRun],
+      open: Option[CepRun], purchases: List[Long], done: Boolean)
+  case class CepOut(user_id: Long, view_es: Long, click_run_len: Long,
+      first_click_lag_s: Long, run_span_s: Long, purchase_lag_s: Long, span_s: Long)
+
+  /** Quantified CEP (view → click⁺ → purchase) as a streaming operator —
+    * q322's online twin, emitting each user's earliest completed match
+    * exactly once. The batch semantics are reproduced bit-for-bit under
+    * the layer's standing contract (per-batch ordering explicit,
+    * cross-batch order = source append order):
+    *
+    *  - clicks fold into MAXIMAL runs online (gap ≤ `runGapSeconds`
+    *    extends, a duplicate instant is skipped — the batch side's
+    *    DISTINCT); a run is provably closed once the watermark passes
+    *    re + runGap (any later click's gap must exceed the TTL);
+    *  - a closed run becomes DECIDABLE when the watermark passes
+    *    re + purchaseDeadline: every purchase that could complete it
+    *    has arrived. Runs are decided in rs order, pairing the MINIMAL
+    *    valid view and purchase — which equals the batch's global
+    *    lexicographic min(tv, rs, tp): run windows slide right with rs,
+    *    so an earlier-deciding run can never lose the struct-min to a
+    *    later run (later runs admit only equal-or-larger minimal tv,
+    *    and rs breaks the tie).
+    *  - state is BOUNDED and self-expiring: views outlive their
+    *    usefulness at tv + viewDeadline past the watermark, purchases
+    *    at the earliest surviving run's end, and the event-time timer
+    *    re-arms at the next decision point, so a user with no further
+    *    events still decides (or clears) — nothing waits for traffic.
+    */
+  def cepQuantifiedStream(events: Dataset[TypedEvent],
+      runGapSeconds: Long = 86400, viewDeadline: Long = 43200,
+      purchaseDeadline: Long = 86400): Dataset[CepOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .withWatermark("ts", "1 hour")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[CepState, CepOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, rows: Iterator[TypedEvent], state: GroupState[CepState]) =>
+          val st0 = state.getOption.getOrElse(CepState(Nil, Nil, None, Nil, done = false))
+          if (st0.done) {
+            // sealed tombstone (the ConversionProcessor precedent): the
+            // user's single match is out; later traffic must never
+            // re-match, so the seal persists — one boolean per
+            // converted user, the price of exactly-once-ever semantics
+            rows.foreach(_ => ())
+            Iterator.empty
+          } else {
+          var views = st0.views
+          var pending = st0.pending
+          var open = st0.open
+          var purchases = st0.purchases
+          if (!state.hasTimedOut) {
+            val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            sorted.foreach { e =>
+              val sec = e.ts.getTime / 1000
+              e.event_type match {
+                case "view" => views = views :+ sec
+                case "click" =>
+                  open match {
+                    case Some(r) if sec <= r.re => () // distinct click instants
+                    case Some(r) if sec - r.re <= runGapSeconds =>
+                      open = Some(CepRun(r.rs, sec, r.len + 1))
+                    case Some(r) =>
+                      pending = pending :+ r
+                      open = Some(CepRun(sec, sec, 1))
+                    case None => open = Some(CepRun(sec, sec, 1))
+                  }
+                case "purchase" => purchases = purchases :+ sec
+                case _ => ()
+              }
+            }
+          }
+          val wmSec = state.getCurrentWatermarkMs() / 1000
+          open match { // nothing arriving later can extend this run
+            case Some(r) if wmSec > r.re + runGapSeconds =>
+              pending = pending :+ r
+              open = None
+            case _ => ()
+          }
+          var out: Option[CepOut] = None
+          while (out.isEmpty && pending.nonEmpty &&
+              wmSec > pending.head.re + purchaseDeadline) {
+            val r = pending.head
+            pending = pending.tail
+            val tv = views.filter(v => r.rs > v && r.rs <= v + viewDeadline)
+              .minOption
+            val tp = purchases.filter(p => p > r.re && p <= r.re + purchaseDeadline)
+              .minOption
+            out = for (v <- tv; p <- tp)
+              yield CepOut(user, v, r.len, r.rs - v, r.re - r.rs, p - r.re, p - v)
+          }
+          if (out.isDefined)
+            state.update(CepState(Nil, Nil, None, Nil, done = true)) // seal
+          else {
+            // prune what no surviving or future run can use (future runs
+            // start past the watermark, so their windows sit to the right)
+            views = views.filter(v =>
+              v + viewDeadline >= wmSec ||
+                (pending ++ open).exists(r => r.rs > v && r.rs <= v + viewDeadline))
+            val minRe = (pending.map(_.re) ++ open.map(_.re)).minOption
+            purchases = purchases.filter(_ > minRe.getOrElse(wmSec))
+            if (views.isEmpty && pending.isEmpty && open.isEmpty && purchases.isEmpty)
+              state.remove()
+            else {
+              state.update(CepState(views, pending, open, purchases, done = false))
+              // next decision point: a pending run's window closing, the
+              // open run's closing gap, or the last moment any buffered
+              // view/purchase could still matter
+              val horizon = (pending.map(_.re + purchaseDeadline) ++
+                open.map(_.re + runGapSeconds) ++
+                views.map(_ + viewDeadline) ++ purchases).max + 1
+              state.setTimeoutTimestamp(math.max(horizon, wmSec + 1) * 1000)
+            }
+          }
+          out.iterator
+          }
+      }
+  }
+
   case class DedupLead(user_id: Long, event_type: String, es: Long, event_id: Long)
   case class TtlState(lastEs: Long)
 

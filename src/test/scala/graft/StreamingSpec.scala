@@ -467,4 +467,44 @@ class StreamingSpec extends SparkSpecBase {
         streamed1("neardup_vs_base") == ids(subBatch("neardup_vs_base")))
     } finally q.stop()
   }
+
+  test("cepQuantifiedStream: online view→click⁺→purchase equals batch q322 on the real corpus") {
+    import EventStream.{CepOut, TypedEvent}
+    val mem = MemoryStream[TypedEvent](spark)
+    val q = EventStream.cepQuantifiedStream(mem.toDS())
+      .writeStream.format("memory").queryName("cep_q").outputMode("append").start()
+    try {
+      // the REAL sf0.001 event stream (69-user-scale fixture at sf0.01,
+      // 7 matches here), replayed in ts order across several
+      // micro-batches — the layer's append-order contract
+      val ev = Tables.events(spark, sf001)
+        .where(col("event_type").isin("view", "click", "purchase"))
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+        .as[TypedEvent].collect()
+        .sortBy(e => (e.ts.getTime, e.event_id))
+      ev.grouped(math.max(1, ev.length / 4 + 1)).foreach { chunk =>
+        mem.addData(chunk.toSeq: _*)
+        q.processAllAvailable()
+      }
+      // sentinel far past every window: advances the watermark so all
+      // remaining runs decide and all state self-expires
+      val maxTs = ev.map(_.ts.getTime).max
+      mem.addData(TypedEvent(-1, new Timestamp(maxTs + 40L * 86400 * 1000), -1, "noop"))
+      q.processAllAvailable()
+      val got = spark.table("cep_q").as[CepOut].collect()
+        .map(o => (o.user_id, o.view_es, o.click_run_len, o.first_click_lag_s,
+          o.run_span_s, o.purchase_lag_s, o.span_s)).toSet
+      val want = SparkEntry.queries("q322_cep_quantified")(spark, sf001)
+        .select("user_id", "view_es", "click_run_len", "first_click_lag_s",
+          "run_span_s", "purchase_lag_s", "span_s")
+        .as[(Long, Long, Long, Long, Long, Long, Long)].collect().toSet
+      assert(want.nonEmpty, "batch fixture is dead")
+      assert(got == want,
+        s"stream/batch mismatch: missing=${want -- got} extra=${got -- want}")
+      // exactly-once sealing: one emission per matched user
+      val emitted = spark.table("cep_q").as[CepOut].collect().map(_.user_id)
+      assert(emitted.length == emitted.distinct.length,
+        "a user emitted more than one match")
+    } finally q.stop()
+  }
 }
