@@ -26,7 +26,7 @@ object PlanAudit {
     * peel q313 included, plus the round-8 additions above the 2 s tier
     * (q320 incremental-IVF recall ~2.5 s, q321 shared runs ~3.3 s, and
     * the borderline q319 BPE fertility ~1.9 s, pinned while it sits at
-    * the tier edge).
+    * the tier edge, and the q323 corpus-wide run audit ~2.6 s).
     */
   val heavyQueries: Seq[String] = Seq(
     "q255_adamic_adar",
@@ -43,7 +43,8 @@ object PlanAudit {
     "q313_kcore",
     "q319_bpe_fertility",
     "q320_incr_ivf_recall",
-    "q321_shared_runs")
+    "q321_shared_runs",
+    "q323_dup_run_audit")
 
   /** Node kinds whose counts define a plan's cost signature. "Exchange"
     * is the shuffle exchange — the formatted detail line is exactly

@@ -264,6 +264,33 @@ object DedupOps {
     labels.select(col("id"), col("lab").as("cluster"))
   }
 
+  /** Maximal shared consecutive shingle RUNS per candidate pair — the
+    * exact-substring signal set-based Jaccard cannot see (a verbatim
+    * quote is one long run; a block-shuffled near-copy is many short
+    * ones). Inputs are POSITIONAL shingle rows (doc_id, pos, s), pos
+    * 1-based and engine-consistent; matched occurrences (pa, pb) on a
+    * common DIAGONAL (pa − pb) that are consecutive in pa form a run —
+    * the islands idiom (day-minus-row_number) on position deltas.
+    * Returns (a, b, max_run, n_runs3). Shared by q321 (planted
+    * fixtures), q323 (corpus-wide audit) and ScaleSlopeSpec (measured
+    * ×8 exponent), so the registered queries and the scale proof run
+    * EXACTLY this plan. Work is bounded by the candidate set times
+    * per-pair match fan-out — never corpus².
+    */
+  def maxSharedRuns(cand: DataFrame, posA: DataFrame, posB: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val m = cand
+      .join(posA.select(col("doc_id").as("a"), col("pos").as("pa"), col("s")), Seq("a"))
+      .join(posB.select(col("doc_id").as("b"), col("pos").as("pb"), col("s")), Seq("b", "s"))
+    m.select(col("a"), col("b"), (col("pa") - col("pb")).as("diag"), col("pa"))
+      .withColumn("g", col("pa") -
+        row_number().over(Window.partitionBy("a", "b", "diag").orderBy("pa")))
+      .groupBy("a", "b", "diag", "g").agg(count(lit(1)).as("len"))
+      .groupBy("a", "b")
+      .agg(max("len").as("max_run"),
+        sum(when(col("len") >= 3, 1L).otherwise(0L)).as("n_runs3"))
+  }
+
   /** Hamming distance between two 64-bit sketches. */
   def hamming(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column)
       : org.apache.spark.sql.Column =

@@ -31,6 +31,19 @@ object R33Queries {
 
   private val emL2 = ScaleQueries.emL2
 
+  /** Positional 5-gram shingles over (doc_id, tk) token arrays: pos is
+    * 1-based on both engines so diagonals line up; docs under 5 tokens
+    * produce no shingles (the sequence() guard — Spark's sequence(1, n)
+    * REVERSES when n < 1, DuckDB's generate_series is empty, so the
+    * guard is correctness, not style). Feeds DedupOps.maxSharedRuns.
+    */
+  private[graft] def posShingles(docs: DataFrame): DataFrame = docs
+    .where(size(col("tk")) >= 5)
+    .select(col("doc_id"), explode(expr(
+      "transform(sequence(1, size(tk) - 4), i -> struct(CAST(i AS BIGINT) AS pos, concat_ws(' ', tk[i - 1], tk[i], tk[i + 1], tk[i + 2], tk[i + 3]) AS s))"))
+      .as("u"))
+    .select(col("doc_id"), col("u.pos").as("pos"), col("u.s").as("s"))
+
   // ---------------------------------------------------------------- q319
   /** DuckDB oracle for q319, assembled programmatically: the 6-step
     * merge-learning chain is q292's CTE pattern repeated (pairs → argmax
@@ -279,21 +292,10 @@ object R33Queries {
           .select((-col("doc_id") - 3000000L).as("doc_id"),
             expr("slice(tk, 1, greatest(5, size(tk) div 2))").as("tk"))
         val legs = il.unionByName(qt)
-        // Positional 5-gram shingles: pos is 1-based on both engines so
-        // diagonals line up; docs under 5 tokens produce no shingles
-        // (the sequence() guard — Spark's sequence(1, n) REVERSES when
-        // n < 1, DuckDB's generate_series is empty, so the guard is
-        // correctness, not style).
-        def posOf(docs: DataFrame): DataFrame = docs
-          .where(size(col("tk")) >= 5)
-          .select(col("doc_id"), explode(expr(
-            "transform(sequence(1, size(tk) - 4), i -> struct(CAST(i AS BIGINT) AS pos, concat_ws(' ', tk[i - 1], tk[i], tk[i + 1], tk[i + 2], tk[i + 3]) AS s))"))
-            .as("u"))
-          .select(col("doc_id"), col("u.pos").as("pos"), col("u.s").as("s"))
         // Corpus-side shingle SETS come from the memoized base (the
         // once-per-corpus index every dedup query shares); positional
         // work is deferred until the candidate set bounds it.
-        val posLegs = posOf(legs).localCheckpoint(false)
+        val posLegs = posShingles(legs).localCheckpoint(false)
         val sh = ScaleQueries.shingleRows(s, d).select("doc_id", "s")
           .unionByName(posLegs.select("doc_id", "s").distinct())
         val dfq = sh.groupBy("s").agg(count(lit(1)).as("dfreq"))
@@ -307,18 +309,9 @@ object R33Queries {
         // Positions for the BASE side only where a candidate pair needs
         // them — the positional explode is bounded by the candidate
         // partner set, never the corpus.
-        val posBase = posOf(toks.join(
+        val posBase = posShingles(toks.join(
           cand.select(col("b").as("doc_id")).distinct(), "doc_id"))
-        val m = cand
-          .join(posLegs.select(col("doc_id").as("a"), col("pos").as("pa"), col("s")), Seq("a"))
-          .join(posBase.select(col("doc_id").as("b"), col("pos").as("pb"), col("s")), Seq("b", "s"))
-        val runs = m.select(col("a"), col("b"), (col("pa") - col("pb")).as("diag"), col("pa"))
-          .withColumn("g", col("pa") -
-            row_number().over(Window.partitionBy("a", "b", "diag").orderBy("pa")))
-          .groupBy("a", "b", "diag", "g").agg(count(lit(1)).as("len"))
-        val rs = runs.groupBy("a", "b")
-          .agg(max("len").as("max_run"),
-            sum(when(col("len") >= 3, 1L).otherwise(0L)).as("n_runs3"))
+        val rs = graft.ops.DedupOps.maxSharedRuns(cand, posLegs, posBase)
         val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
         val ix = cand
           .join(sh.select(col("doc_id").as("a"), col("s")), Seq("a"))
@@ -391,5 +384,48 @@ object R33Queries {
           .orderBy("user_id")
       },
       Some("""WITH ev AS (SELECT user_id, event_type, CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS es FROM events), c AS (SELECT user_id, es, CASE WHEN es - lag(es) OVER (PARTITION BY user_id ORDER BY es) <= 86400 THEN 0 ELSE 1 END AS brk FROM (SELECT DISTINCT user_id, es FROM ev WHERE event_type = 'click')), cr AS (SELECT user_id, es, sum(brk) OVER (PARTITION BY user_id ORDER BY es ROWS UNBOUNDED PRECEDING) AS run_id FROM c), runs AS (SELECT user_id, run_id, min(es) AS rs, max(es) AS re, CAST(count(*) AS BIGINT) AS run_len FROM cr GROUP BY 1, 2), v AS (SELECT user_id, es AS tv FROM ev WHERE event_type = 'view'), p AS (SELECT user_id, es AS tp FROM ev WHERE event_type = 'purchase'), m AS (SELECT v.user_id, v.tv, r.rs, r.re, r.run_len, p.tp FROM v JOIN runs r ON r.user_id = v.user_id AND r.rs > v.tv AND r.rs <= v.tv + 43200 JOIN p ON p.user_id = v.user_id AND p.tp > r.re AND p.tp <= r.re + 86400), best AS (SELECT user_id, min(struct_pack(tv := tv, rs := rs, tp := tp, re := re, run_len := run_len)) AS m, CAST(count(*) AS BIGINT) AS n_matches FROM m GROUP BY 1) SELECT user_id, m.tv AS view_es, m.run_len AS click_run_len, m.rs - m.tv AS first_click_lag_s, m.re - m.rs AS run_span_s, m.tp - m.re AS purchase_lag_s, m.tp - m.tv AS span_s, n_matches FROM best ORDER BY user_id"""),
-      "§2.12 ext: quantified CEP — view → click⁺ → purchase, maximal click runs, per-step deadlines, struct-min match policy"))
+      "§2.12 ext: quantified CEP — view → click⁺ → purchase, maximal click runs, per-step deadlines, struct-min match policy"),
+
+    // q323 — CORPUS-WIDE VERBATIM-DUPLICATION AUDIT: q321's run signal
+    // turned loose on the real corpus (no planted legs) — the
+    // suffix-array-style dedup readout. Candidates are q293's
+    // rare-shingle core over the memoized base index (df 2–4 bounds
+    // fan-out at C(4,2)·|rare shingles|, linear in corpus size); for
+    // each pair the maximal shared consecutive run is computed by the
+    // shared DedupOps.maxSharedRuns core, positions exploded ONLY for
+    // docs a candidate pair touches. Top-20 by run length, total
+    // ordered; run_tokens = max_run + 4 (a run of L 5-gram shingles
+    // covers L+4 tokens) is the number a dedup policy thresholds on
+    // ("drop if ≥ 50 verbatim tokens shared"). The corpus's near-dup
+    // twins surface with 90-shingle single runs at jaccard ≈ 0.99 —
+    // both signals agree there; the audit exists for the pairs where
+    // they DISAGREE (q321's planted cases prove the separation).
+    QuerySpec(
+      "q323_dup_run_audit",
+      (s, d) => {
+        val sh = ScaleQueries.shingleRows(s, d).select("doc_id", "s")
+        val cand = R22Queries.rareShingleCandidates(sh).localCheckpoint(false)
+        val docs = cand.select(col("a").as("doc_id"))
+          .unionByName(cand.select(col("b").as("doc_id"))).distinct()
+        val pos = posShingles(
+          t(s, d, "documents").join(docs, "doc_id")
+            .select(col("doc_id"), split(lower(col("text")), " ").as("tk")))
+          .localCheckpoint(false)
+        val rs = graft.ops.DedupOps.maxSharedRuns(cand, pos, pos)
+        val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+        val ix = cand
+          .join(sh.select(col("doc_id").as("a"), col("s")), Seq("a"))
+          .join(sh.select(col("doc_id").as("b"), col("s")), Seq("b", "s"))
+          .groupBy("a", "b").agg(count(lit(1)).as("ix"))
+        cand.join(rs, Seq("a", "b")).join(ix, Seq("a", "b"))
+          .join(sizes.select(col("doc_id").as("a"), col("n").as("na")), Seq("a"))
+          .join(sizes.select(col("doc_id").as("b"), col("n").as("nb")), Seq("b"))
+          .select(col("a"), col("b"), col("max_run"),
+            (col("max_run") + 4L).as("run_tokens"), col("n_runs3"),
+            expr("ix * 10000 div (na + nb - ix)").as("jacc_bp"))
+          .orderBy(col("max_run").desc, col("a"), col("b"))
+          .limit(20)
+      },
+      Some("""WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents), pos AS (SELECT doc_id, CAST(u['p'] AS BIGINT) AS pos, CAST(u['s'] AS VARCHAR) AS s FROM (SELECT doc_id, unnest([{'p': i, 's': concat_ws(' ', tk[i], tk[i+1], tk[i+2], tk[i+3], tk[i+4])} for i in generate_series(1, len(tk) - 4)]) AS u FROM toks)), sh AS (SELECT DISTINCT doc_id, s FROM pos), dfq AS (SELECT s, count(*) AS dfreq FROM sh GROUP BY 1), rare AS (SELECT s FROM dfq WHERE dfreq BETWEEN 2 AND 4), shr AS (SELECT sh.doc_id, sh.s FROM sh JOIN rare USING (s)), cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b FROM shr x JOIN shr y ON x.s = y.s AND x.doc_id < y.doc_id), m AS (SELECT c.a, c.b, pa.pos AS pa, pb.pos AS pb FROM cand c JOIN pos pa ON pa.doc_id = c.a JOIN pos pb ON pb.doc_id = c.b AND pb.s = pa.s), r AS (SELECT a, b, pa - pb AS diag, pa, pa - row_number() OVER (PARTITION BY a, b, pa - pb ORDER BY pa) AS g FROM m), runs AS (SELECT a, b, count(*) AS len FROM r GROUP BY a, b, diag, g), rs AS (SELECT a, b, CAST(max(len) AS BIGINT) AS max_run, CAST(count(*) FILTER (len >= 3) AS BIGINT) AS n_runs3 FROM runs GROUP BY 1, 2), sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1), ix AS (SELECT c.a, c.b, count(*) AS ix FROM cand c JOIN sh sa ON sa.doc_id = c.a JOIN sh sb ON sb.doc_id = c.b AND sb.s = sa.s GROUP BY 1, 2) SELECT c.a, c.b, rs.max_run, rs.max_run + 4 AS run_tokens, rs.n_runs3, CAST(ix.ix * 10000 // (na.n + nb.n - ix.ix) AS BIGINT) AS jacc_bp FROM cand c JOIN rs ON rs.a = c.a AND rs.b = c.b JOIN ix ON ix.a = c.a AND ix.b = c.b JOIN sizes na ON na.doc_id = c.a JOIN sizes nb ON nb.doc_id = c.b ORDER BY rs.max_run DESC, c.a, c.b LIMIT 20"""),
+      "E2 ext: corpus-wide verbatim-duplication audit — top shared-run pairs from the rare-shingle index (suffix-array-style readout)"))
 }

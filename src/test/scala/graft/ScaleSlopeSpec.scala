@@ -182,6 +182,45 @@ class ScaleSlopeSpec extends SparkSpecBase {
     info(f"q293 slope: $t1%.2f s → $tk%.2f s over ×$K, exponent $e%.2f, rows $n1 → $nk")
   }
 
+  test("q323 shared-run extraction: ×8 disjoint pairs → exactly ×8 rows, ~linear time") {
+    import graft.ops.DedupOps.maxSharedRuns
+    import graft.queries.R22Queries.rareShingleCandidates
+    // the q323 inputs at sf0.01: rare-shingle candidate pairs over the
+    // base corpus + positional shingles for the docs those pairs touch;
+    // each ×8 copy offsets doc ids AND salts the shingle strings, so
+    // pairs and matches never cross copies
+    val sh = graft.ops.DedupOps.shingleRows(
+      Tables.load(spark, sf01, "documents"), "text", 5)
+    val cand1 = rareShingleCandidates(sh).localCheckpoint(false)
+    val docs = cand1.select(col("a").as("doc_id"))
+      .unionByName(cand1.select(col("b").as("doc_id"))).distinct()
+    val pos1 = graft.queries.R33Queries.posShingles(
+      Tables.load(spark, sf01, "documents").join(docs, "doc_id")
+        .select(col("doc_id"), split(lower(col("text")), " ").as("tk")))
+      .localCheckpoint(false)
+    val off = 10000000L
+    val candK = (0 until K).map { k =>
+      cand1.select((col("a") + lit(k * off)).as("a"), (col("b") + lit(k * off)).as("b"))
+    }.reduce(_ unionByName _).localCheckpoint(false)
+    val posK = (0 until K).map { k =>
+      pos1.select((col("doc_id") + lit(k * off)).as("doc_id"), col("pos"),
+        concat(lit(s"c$k "), col("s")).as("s"))
+    }.reduce(_ unionByName _).localCheckpoint(false)
+    maxSharedRuns(cand1, pos1, pos1).count() // warm
+    val (t1, n1) = timedMin(maxSharedRuns(cand1, pos1, pos1), 3)
+    val (tk, nk) = timedMin(maxSharedRuns(candK, posK, posK), 2)
+    assert(n1 > 0, "no candidate pairs at sf0.01 — fixture dead")
+    assert(nk == K * n1,
+      s"run-audit rows must scale exactly ×$K on disjoint copies (got $n1 → $nk): " +
+        "pairs or matches crossed copies, or the diagonal grouping broke")
+    val e = exponent(t1, tk)
+    assert(e <= 1.45,
+      f"q323 shared-run exponent $e%.2f over ×$K ($t1%.2f s → $tk%.2f s) — " +
+        "superlinear; the per-pair match fan-out regressed")
+    measured("q323_shared_runs") = e
+    info(f"q323 slope: $t1%.2f s → $tk%.2f s over ×$K, exponent $e%.2f, rows $n1 → $nk")
+  }
+
   test("measured exponents are pinned in the committed SLOPES artifact (drift diffable)") {
     // VERDICT r7 #7: pass/fail at 1.45 hides slow drift (0.3 → 1.3
     // across rounds never trips the quadratic tripwire). Pinning the
@@ -190,7 +229,7 @@ class ScaleSlopeSpec extends SparkSpecBase {
     // lines always land in target/slopes_live.txt — after an
     // intentional change, copy that file to SLOPES_r{NN}.txt
     // (zero-padded) and commit.
-    if (measured.size < 4)
+    if (measured.size < 5)
       cancel("an upstream slope test failed — no complete live exponent set to diff")
     val lines = measured.map { case (k, e) => f"SLOPE $k $e%.2f" }.toSeq
     val live = java.nio.file.Paths.get("target", "slopes_live.txt")
