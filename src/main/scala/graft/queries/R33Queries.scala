@@ -388,12 +388,19 @@ object R33Queries {
 
     // q323 — CORPUS-WIDE VERBATIM-DUPLICATION AUDIT: q321's run signal
     // turned loose on the real corpus (no planted legs) — the
-    // suffix-array-style dedup readout. Candidates are q293's
-    // rare-shingle core over the memoized base index (df 2–4 bounds
-    // fan-out at C(4,2)·|rare shingles|, linear in corpus size); for
-    // each pair the maximal shared consecutive run is computed by the
-    // shared DedupOps.maxSharedRuns core, positions exploded ONLY for
-    // docs a candidate pair touches. Top-20 by run length, total
+    // suffix-array-style dedup readout. Candidates are the UNION of two
+    // complementary bounded generators, both memoized once-per-corpus
+    // artifacts: q293's rare-shingle core (df 2–4 bounds fan-out at
+    // C(4,2)·|rare shingles|, linear in corpus size — but blind to a
+    // pair whose every shared shingle is COMMON, df > 4) and the
+    // 4-band MinHash index (df-independent, catches high-Jaccard pairs
+    // regardless of shingle popularity — but blind to low-Jaccard long
+    // quotes). On this corpus banding ⊂ rare-shingle, so the union is
+    // the rare set; the union is kept because each generator covers
+    // the other's structural blind spot and both are already built.
+    // For each pair the maximal shared consecutive run is computed by
+    // the shared DedupOps.maxSharedRuns core, positions exploded ONLY
+    // for docs a candidate pair touches. Top-20 by run length, total
     // ordered; run_tokens = max_run + 4 (a run of L 5-gram shingles
     // covers L+4 tokens) is the number a dedup policy thresholds on
     // ("drop if ≥ 50 verbatim tokens shared"). The corpus's near-dup
@@ -404,7 +411,9 @@ object R33Queries {
       "q323_dup_run_audit",
       (s, d) => {
         val sh = ScaleQueries.shingleRows(s, d).select("doc_id", "s")
-        val cand = R22Queries.rareShingleCandidates(sh).localCheckpoint(false)
+        val cand = R22Queries.rareShingleCandidates(sh)
+          .unionByName(ScaleQueries.minhashCand(s, d).select("a", "b"))
+          .distinct().localCheckpoint(false)
         val docs = cand.select(col("a").as("doc_id"))
           .unionByName(cand.select(col("b").as("doc_id"))).distinct()
         val pos = posShingles(
@@ -426,6 +435,6 @@ object R33Queries {
           .orderBy(col("max_run").desc, col("a"), col("b"))
           .limit(20)
       },
-      Some("""WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents), pos AS (SELECT doc_id, CAST(u['p'] AS BIGINT) AS pos, CAST(u['s'] AS VARCHAR) AS s FROM (SELECT doc_id, unnest([{'p': i, 's': concat_ws(' ', tk[i], tk[i+1], tk[i+2], tk[i+3], tk[i+4])} for i in generate_series(1, len(tk) - 4)]) AS u FROM toks)), sh AS (SELECT DISTINCT doc_id, s FROM pos), dfq AS (SELECT s, count(*) AS dfreq FROM sh GROUP BY 1), rare AS (SELECT s FROM dfq WHERE dfreq BETWEEN 2 AND 4), shr AS (SELECT sh.doc_id, sh.s FROM sh JOIN rare USING (s)), cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b FROM shr x JOIN shr y ON x.s = y.s AND x.doc_id < y.doc_id), m AS (SELECT c.a, c.b, pa.pos AS pa, pb.pos AS pb FROM cand c JOIN pos pa ON pa.doc_id = c.a JOIN pos pb ON pb.doc_id = c.b AND pb.s = pa.s), r AS (SELECT a, b, pa - pb AS diag, pa, pa - row_number() OVER (PARTITION BY a, b, pa - pb ORDER BY pa) AS g FROM m), runs AS (SELECT a, b, count(*) AS len FROM r GROUP BY a, b, diag, g), rs AS (SELECT a, b, CAST(max(len) AS BIGINT) AS max_run, CAST(count(*) FILTER (len >= 3) AS BIGINT) AS n_runs3 FROM runs GROUP BY 1, 2), sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1), ix AS (SELECT c.a, c.b, count(*) AS ix FROM cand c JOIN sh sa ON sa.doc_id = c.a JOIN sh sb ON sb.doc_id = c.b AND sb.s = sa.s GROUP BY 1, 2) SELECT c.a, c.b, rs.max_run, rs.max_run + 4 AS run_tokens, rs.n_runs3, CAST(ix.ix * 10000 // (na.n + nb.n - ix.ix) AS BIGINT) AS jacc_bp FROM cand c JOIN rs ON rs.a = c.a AND rs.b = c.b JOIN ix ON ix.a = c.a AND ix.b = c.b JOIN sizes na ON na.doc_id = c.a JOIN sizes nb ON nb.doc_id = c.b ORDER BY rs.max_run DESC, c.a, c.b LIMIT 20"""),
+      Some("""WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents), pos AS (SELECT doc_id, CAST(u['p'] AS BIGINT) AS pos, CAST(u['s'] AS VARCHAR) AS s FROM (SELECT doc_id, unnest([{'p': i, 's': concat_ws(' ', tk[i], tk[i+1], tk[i+2], tk[i+3], tk[i+4])} for i in generate_series(1, len(tk) - 4)]) AS u FROM toks)), sh AS (SELECT DISTINCT doc_id, s FROM pos), sig AS (SELECT doc_id, band, min(substr(md5(s), band * 8 + 1, 8)) AS sig FROM sh, (SELECT unnest(generate_series(0, 3)) AS band) b GROUP BY doc_id, band), mc AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b FROM sig x JOIN sig y ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id), dfq AS (SELECT s, count(*) AS dfreq FROM sh GROUP BY 1), rare AS (SELECT s FROM dfq WHERE dfreq BETWEEN 2 AND 4), shr AS (SELECT sh.doc_id, sh.s FROM sh JOIN rare USING (s)), cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b FROM shr x JOIN shr y ON x.s = y.s AND x.doc_id < y.doc_id UNION SELECT a, b FROM mc), m AS (SELECT c.a, c.b, pa.pos AS pa, pb.pos AS pb FROM cand c JOIN pos pa ON pa.doc_id = c.a JOIN pos pb ON pb.doc_id = c.b AND pb.s = pa.s), r AS (SELECT a, b, pa - pb AS diag, pa, pa - row_number() OVER (PARTITION BY a, b, pa - pb ORDER BY pa) AS g FROM m), runs AS (SELECT a, b, count(*) AS len FROM r GROUP BY a, b, diag, g), rs AS (SELECT a, b, CAST(max(len) AS BIGINT) AS max_run, CAST(count(*) FILTER (len >= 3) AS BIGINT) AS n_runs3 FROM runs GROUP BY 1, 2), sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1), ix AS (SELECT c.a, c.b, count(*) AS ix FROM cand c JOIN sh sa ON sa.doc_id = c.a JOIN sh sb ON sb.doc_id = c.b AND sb.s = sa.s GROUP BY 1, 2) SELECT c.a, c.b, rs.max_run, rs.max_run + 4 AS run_tokens, rs.n_runs3, CAST(ix.ix * 10000 // (na.n + nb.n - ix.ix) AS BIGINT) AS jacc_bp FROM cand c JOIN rs ON rs.a = c.a AND rs.b = c.b JOIN ix ON ix.a = c.a AND ix.b = c.b JOIN sizes na ON na.doc_id = c.a JOIN sizes nb ON nb.doc_id = c.b ORDER BY rs.max_run DESC, c.a, c.b LIMIT 20"""),
       "E2 ext: corpus-wide verbatim-duplication audit — top shared-run pairs from the rare-shingle index (suffix-array-style readout)"))
 }
