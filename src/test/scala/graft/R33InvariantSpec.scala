@@ -82,4 +82,54 @@ class R33InvariantSpec extends SparkSpecBase {
       assert(df.where(col("click_run_len") >= 2 && col("run_span_s") === 0).count() == 0)
     } finally df.unpersist()
   }
+
+  test("q323 audit: canonical order + grid invariants, and the top pairs' max_run equals the brute-force longest common token substring") {
+    val rows = SparkEntry.queries("q323_dup_run_audit")(spark, sf001)
+      .select("a", "b", "max_run", "run_tokens", "n_runs3", "jacc_bp")
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty, "audit is empty at sf0.001 — the corpus's near-dup twins should surface")
+    assert(rows.length <= 20)
+    rows.foreach { case (a, b, mr, rt, n3, jb) =>
+      assert(a < b, s"pair ($a,$b) not canonically ordered")
+      assert(mr >= 1 && rt == mr + 4, s"($a,$b): run_tokens off the max_run+4 grid")
+      assert(n3 >= 0 && jb >= 0 && jb <= 10000, s"($a,$b): jacc_bp/n_runs3 out of range")
+    }
+    assert(rows.sortBy { case (a, b, mr, _, _, _) => (-mr, a, b) }.toSeq == rows.toSeq,
+      "audit rows are not in (max_run desc, a, b) total order")
+
+    // Ground truth: a maximal shared run of L 5-gram shingles on one
+    // diagonal IS a longest common token substring of L+4 tokens (and
+    // vice versa for any common substring of >= 5 tokens), so for the
+    // top pairs the audit's max_run must equal the O(n*m) DP answer
+    // computed directly on the raw texts — no shingles, no index.
+    val top = rows.take(3)
+    val ids = top.flatMap { case (a, b, _, _, _, _) => Seq(a, b) }.toSet
+    val texts = spark.read.parquet(s"$sf001/documents.parquet")
+      .where(col("doc_id").isin(ids.toSeq: _*))
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    def lcsTokens(x: Array[String], y: Array[String]): Int = {
+      var best = 0
+      var prev = new Array[Int](y.length + 1)
+      var cur = new Array[Int](y.length + 1)
+      var i = 0
+      while (i < x.length) {
+        var j = 0
+        while (j < y.length) {
+          cur(j + 1) = if (x(i) == y(j)) prev(j) + 1 else 0
+          if (cur(j + 1) > best) best = cur(j + 1)
+          j += 1
+        }
+        val t = prev; prev = cur; cur = t
+        i += 1
+      }
+      best
+    }
+    top.foreach { case (a, b, mr, _, _, _) =>
+      val got = lcsTokens(
+        texts(a).toLowerCase.split(" ", -1),
+        texts(b).toLowerCase.split(" ", -1))
+      assert(got == mr + 4,
+        s"($a,$b): audit max_run $mr (=${mr + 4} tokens) disagrees with brute-force LCS $got")
+    }
+  }
 }
