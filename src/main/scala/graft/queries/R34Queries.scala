@@ -1,0 +1,180 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.QuerySpec
+import graft.Tables
+
+/** Round-8 second widening — the OPERATIONAL layer around the dedup and
+  * mixture systems the registry already ships: q324 measures the MinHash
+  * banding index's recall S-curve against exact Jaccard (the calibration
+  * table an LSH parameter choice is justified with), q325 sweeps the
+  * dedup policy threshold and reads out the token cost of each knob
+  * setting (the table a data team looks at BEFORE picking the q36/q90
+  * cutoff), and q326 solves the uniform-target token-budget allocation
+  * with the closed-form sorted-prefix waterfill — no iteration, no
+  * residual loop, exact integer level semantics on both engines.
+  *
+  * House determinism rules throughout: integer bp/micro grids via `div`,
+  * total final orders, BIGINT casts on both engines.
+  */
+object R34Queries {
+
+  private def t(s: SparkSession, d: String, n: String): DataFrame = Tables.load(s, d, n)
+
+  /** Exact pair Jaccard in basis points for a candidate pair table, from
+    * the cached distinct-shingle rows: one bounded sh⋈sh intersection
+    * count plus two size joins — work is candidates × per-doc fan-out,
+    * never corpus². Shared by q324 (rare-generator population) and q325
+    * (union population).
+    */
+  private def pairJaccBp(cand: DataFrame, sh: DataFrame): DataFrame = {
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val ix = cand
+      .join(sh.select(col("doc_id").as("a"), col("s")), Seq("a"))
+      .join(sh.select(col("doc_id").as("b"), col("s")), Seq("b", "s"))
+      .groupBy("a", "b").agg(count(lit(1)).as("ix"))
+    cand.join(ix, Seq("a", "b"))
+      .join(sizes.select(col("doc_id").as("a"), col("n").as("na")), Seq("a"))
+      .join(sizes.select(col("doc_id").as("b"), col("n").as("nb")), Seq("b"))
+      .select(col("a"), col("b"),
+        expr("ix * 10000 div (na + nb - ix)").as("jbp"))
+  }
+
+  private val rareCteTail =
+    """, dfq AS (SELECT s, count(*) AS dfreq FROM sh GROUP BY 1), rare AS (SELECT s FROM dfq WHERE dfreq BETWEEN 2 AND 4), shr AS (SELECT sh.doc_id, sh.s FROM sh JOIN rare USING (s)), ground AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b FROM shr x JOIN shr y ON x.s = y.s AND x.doc_id < y.doc_id), sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1)"""
+
+  val specs: Seq[QuerySpec] = Seq(
+
+    // q324 — LSH BANDING S-CURVE CALIBRATION: the empirical recall of
+    // the 4-band MinHash index per exact-Jaccard decile, measured on the
+    // rare-shingle generator's pair population (the only bounded pair
+    // set with exact Jaccard available without corpus² work — recall is
+    // RELATIVE to that population, stated in the doc string). Each bin
+    // also carries the analytic reference 1-(1-j)^4 at the bin midpoint
+    // (each band is one minwise hash, so a band agrees with probability
+    // j), in exact integer bp arithmetic: (10000-j)^4 ≤ 9.2e18 fits
+    // int64, div 1e12 lands back on the bp grid. The table answers the
+    // LSH-ops question "at what similarity does my index actually start
+    // catching pairs, and does it match theory?" — drift between
+    // recall_bp and expected_bp is the signature of a broken hash slice
+    // or a band-count misconfiguration. Work: two joins over the cached
+    // shingle base, population bounded by the df 2–4 cap — linear in
+    // corpus size, same budget as q293.
+    QuerySpec(
+      "q324_lsh_scurve",
+      (s, d) => {
+        val sh = ScaleQueries.shingleRows(s, d).select("doc_id", "s")
+        val ground = R22Queries.rareShingleCandidates(sh)
+        val hit = ScaleQueries.minhashCand(s, d)
+          .select(col("a"), col("b"), lit(1L).as("hit"))
+        pairJaccBp(ground, sh)
+          .join(hit, Seq("a", "b"), "left")
+          .select(least(expr("jbp div 1000"), lit(9L)).as("bin"),
+            coalesce(col("hit"), lit(0L)).as("hit"))
+          .groupBy("bin")
+          .agg(count(lit(1)).as("n_pairs"), sum("hit").as("n_caught"))
+          .select(col("bin"),
+            (col("bin") * 1000L + 500L).as("mid_bp"),
+            col("n_pairs"), col("n_caught"),
+            expr("n_caught * 10000 div n_pairs").as("recall_bp"),
+            expr("10000 - (10000 - (bin * 1000 + 500)) * (10000 - (bin * 1000 + 500)) * (10000 - (bin * 1000 + 500)) * (10000 - (bin * 1000 + 500)) div 1000000000000").as("expected_bp"))
+          .orderBy("bin")
+      },
+      Some(s"""${ScaleQueries.shingleCte}$rareCteTail, ix AS (SELECT g.a, g.b, count(*) AS ix FROM ground g JOIN sh sa ON sa.doc_id = g.a JOIN sh sb ON sb.doc_id = g.b AND sb.s = sa.s GROUP BY 1, 2), j AS (SELECT g.a, g.b, ix.ix * 10000 // (na.n + nb.n - ix.ix) AS jbp, CASE WHEN c.a IS NULL THEN 0 ELSE 1 END AS hit FROM ground g JOIN ix ON ix.a = g.a AND ix.b = g.b JOIN sizes na ON na.doc_id = g.a JOIN sizes nb ON nb.doc_id = g.b LEFT JOIN cand c ON c.a = g.a AND c.b = g.b), binned AS (SELECT least(jbp // 1000, 9) AS bin, hit FROM j) SELECT CAST(bin AS BIGINT) AS bin, CAST(bin * 1000 + 500 AS BIGINT) AS mid_bp, CAST(count(*) AS BIGINT) AS n_pairs, CAST(sum(hit) AS BIGINT) AS n_caught, CAST(sum(hit) * 10000 // count(*) AS BIGINT) AS recall_bp, CAST(10000 - (10000 - (bin * 1000 + 500)) * (10000 - (bin * 1000 + 500)) * (10000 - (bin * 1000 + 500)) * (10000 - (bin * 1000 + 500)) // 1000000000000 AS BIGINT) AS expected_bp FROM binned GROUP BY bin ORDER BY bin"""),
+      "E2 ext: LSH banding S-curve calibration — empirical per-Jaccard-decile recall of the 4-band MinHash index vs the analytic 1-(1-j)^4 reference"),
+
+    // q325 — DEDUP POLICY THRESHOLD SWEEP: the token cost of every
+    // candidate dedup cutoff, in one table. Policy under sweep is the
+    // deterministic keep-first rule: for a verified pair (a,b), a<b, at
+    // Jaccard ≥ T, the LARGER id is dropped — no clustering, so the
+    // dropped set is monotone in T and each doc's fate is decided by ONE
+    // number, its max Jaccard as the larger pair member (dth). The
+    // 9-point grid then reads drops off dth with a broadcast-range join
+    // (9 × |docs-with-pairs|, never corpus-sized). Candidates are the
+    // q323 union (rare-shingle ∪ banding) so both generators' blind
+    // spots are covered. Output per threshold: docs/tokens dropped and
+    // their bp share of the corpus — the marginal-cost curve a data team
+    // reads before committing to the q36/q90 0.5 cutoff.
+    QuerySpec(
+      "q325_dedup_policy_sweep",
+      (s, d) => {
+        val sh = ScaleQueries.shingleRows(s, d).select("doc_id", "s")
+        val cand = R22Queries.rareShingleCandidates(sh)
+          .unionByName(ScaleQueries.minhashCand(s, d).select("a", "b"))
+          .distinct()
+        val dth = pairJaccBp(cand, sh)
+          .groupBy(col("b").as("doc_id")).agg(max("jbp").as("dth"))
+        val docs = t(s, d, "documents")
+          .select(col("doc_id"),
+            size(split(lower(col("text")), " ")).cast("long").as("ntok"))
+        val enr = docs.join(dth, Seq("doc_id"), "left")
+          .select(col("ntok"), coalesce(col("dth"), lit(-1L)).as("dth"))
+        val totals = enr.agg(count(lit(1)).as("n_docs"), sum("ntok").as("n_tokens"))
+        val grid = s.range(1).select(explode(array(
+          Seq(5000L, 6000L, 7000L, 8000L, 8500L, 9000L, 9500L, 9900L, 10000L)
+            .map(lit): _*)).as("t_bp"))
+        grid.join(enr.where(col("dth") >= 0L), col("dth") >= col("t_bp"), "left")
+          .groupBy("t_bp")
+          .agg(sum(when(col("ntok").isNotNull, 1L).otherwise(0L)).as("docs_dropped"),
+            coalesce(sum("ntok"), lit(0L)).as("tokens_dropped"))
+          .crossJoin(broadcast(totals))
+          .select(col("t_bp"), col("docs_dropped"), col("tokens_dropped"),
+            expr("docs_dropped * 10000 div n_docs").as("docs_drop_bp"),
+            expr("tokens_dropped * 10000 div n_tokens").as("tokens_drop_bp"))
+          .orderBy("t_bp")
+      },
+      Some(s"""${ScaleQueries.shingleCte}$rareCteTail, candu AS (SELECT a, b FROM ground UNION SELECT a, b FROM cand), ix AS (SELECT g.a, g.b, count(*) AS ix FROM candu g JOIN sh sa ON sa.doc_id = g.a JOIN sh sb ON sb.doc_id = g.b AND sb.s = sa.s GROUP BY 1, 2), jp AS (SELECT g.b, ix.ix * 10000 // (na.n + nb.n - ix.ix) AS jbp FROM candu g JOIN ix ON ix.a = g.a AND ix.b = g.b JOIN sizes na ON na.doc_id = g.a JOIN sizes nb ON nb.doc_id = g.b), dth AS (SELECT b AS doc_id, max(jbp) AS dth FROM jp GROUP BY 1), docs AS (SELECT doc_id, CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS ntok FROM documents), enr AS (SELECT dc.ntok, coalesce(dt.dth, -1) AS dth FROM docs dc LEFT JOIN dth dt USING (doc_id)), tot AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(ntok) AS BIGINT) AS n_tokens FROM enr), grid AS (SELECT unnest([5000, 6000, 7000, 8000, 8500, 9000, 9500, 9900, 10000]) AS t_bp), agg AS (SELECT g.t_bp, CAST(count(e.ntok) AS BIGINT) AS docs_dropped, CAST(coalesce(sum(e.ntok), 0) AS BIGINT) AS tokens_dropped FROM grid g LEFT JOIN (SELECT * FROM enr WHERE dth >= 0) e ON e.dth >= g.t_bp GROUP BY 1) SELECT CAST(t_bp AS BIGINT) AS t_bp, docs_dropped, tokens_dropped, CAST(docs_dropped * 10000 // n_docs AS BIGINT) AS docs_drop_bp, CAST(tokens_dropped * 10000 // n_tokens AS BIGINT) AS tokens_drop_bp FROM agg, tot ORDER BY t_bp"""),
+      "E1/E2 ext: dedup policy threshold sweep — tokens/docs dropped per Jaccard cutoff under the keep-first rule (marginal-cost curve)"),
+
+    // q326 — TOKEN-BUDGET WATERFILL ALLOCATION: give each language an
+    // EQUAL share of a token budget (4/5 of the corpus — high enough that the low-resource languages CAP and the dominant language absorbs the fill, so both waterfill branches are live at every test SF), except that a
+    // language cannot contribute more tokens than it has — the classic
+    // waterfill. Solved in CLOSED FORM on the 5-row per-lang aggregate:
+    // sort by availability, and lang k is capped iff even granting every
+    // remaining lang its own avail_k fits the budget
+    // (cum_{k-1} + avail_k·(n-k+1) ≤ B — the test is monotone in k, so
+    // the capped set is a prefix); the fill level is then
+    // (B - cum_capped) div (n_uncapped), exact in integers, with the
+    // sub-n-token division remainder reported as unalloc rather than
+    // smeared (cross-engine bit-equality beats fake precision). All
+    // windows run over the |langs|-row aggregate — the corpus
+    // contributes one map-side token-count aggregation and nothing else,
+    // so the plan is scale-free past that first shuffle. The output is
+    // the sampling-rate table (rate_micro) a mixture rebalancer applies.
+    QuerySpec(
+      "q326_mixture_waterfill",
+      (s, d) => {
+        val avail = t(s, d, "documents")
+          .select(col("lang"),
+            size(split(lower(col("text")), " ")).cast("long").as("ntok"))
+          .groupBy("lang").agg(sum("ntok").as("avail"))
+        val byAvail = Window.orderBy("avail", "lang")
+        val whole = byAvail.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        val ranked = avail.select(
+          col("lang"), col("avail"),
+          row_number().over(byAvail).as("rk"),
+          sum("avail").over(byAvail.rowsBetween(Window.unboundedPreceding, Window.currentRow)).as("cum"),
+          sum("avail").over(whole).as("tot"),
+          count(lit(1)).over(whole).as("n"))
+        val flagged = ranked
+          .withColumn("budget", expr("tot * 4 div 5"))
+          .withColumn("capped",
+            col("cum") - col("avail") + col("avail") * (col("n") - col("rk") + 1L) <= col("budget"))
+        flagged
+          .withColumn("c", sum(when(col("capped"), 1L).otherwise(0L)).over(whole))
+          .withColumn("cumc", sum(when(col("capped"), col("avail")).otherwise(0L)).over(whole))
+          .withColumn("fill_level", expr("(budget - cumc) div (n - c)"))
+          .select(col("lang"), col("avail"), col("budget"),
+            when(col("capped"), 1L).otherwise(0L).as("capped"),
+            col("fill_level"),
+            least(col("avail"), col("fill_level")).as("alloc"),
+            expr("least(avail, fill_level) * 1000000 div avail").as("rate_micro"),
+            (col("budget") - (col("cumc") + col("fill_level") * (col("n") - col("c")))).as("unalloc"))
+          .orderBy("lang")
+      },
+      Some("""WITH avail AS (SELECT lang, CAST(sum(len(string_split(lower(text), ' '))) AS BIGINT) AS avail FROM documents GROUP BY 1), r AS (SELECT lang, avail, row_number() OVER (ORDER BY avail, lang) AS rk, sum(avail) OVER (ORDER BY avail, lang ROWS UNBOUNDED PRECEDING) AS cum, sum(avail) OVER () AS tot, count(*) OVER () AS n FROM avail), f AS (SELECT *, tot * 4 // 5 AS budget, cum - avail + avail * (n - rk + 1) <= tot * 4 // 5 AS capped FROM r), l AS (SELECT *, sum(CASE WHEN capped THEN 1 ELSE 0 END) OVER () AS c, sum(CASE WHEN capped THEN avail ELSE 0 END) OVER () AS cumc FROM f), z AS (SELECT *, (budget - cumc) // (n - c) AS fill_level FROM l) SELECT lang, avail, CAST(budget AS BIGINT) AS budget, CAST(CASE WHEN capped THEN 1 ELSE 0 END AS BIGINT) AS capped, CAST(fill_level AS BIGINT) AS fill_level, CAST(least(avail, fill_level) AS BIGINT) AS alloc, CAST(least(avail, fill_level) * 1000000 // avail AS BIGINT) AS rate_micro, CAST(budget - (cumc + fill_level * (n - c)) AS BIGINT) AS unalloc FROM z ORDER BY lang"""),
+      "E4/T9 ext: token-budget waterfill — closed-form sorted-prefix equal-share allocation with exact integer fill level"))
+}

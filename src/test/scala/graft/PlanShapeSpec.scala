@@ -183,6 +183,9 @@ class PlanShapeSpec extends SparkSpecBase {
     //          aggregate (fixed bin count by construction — the
     //          schedule deliberately avoids equal-count deciles so NO
     //          corpus-sized window exists anywhere in its plan)
+    //   q326 — waterfill rank/prefix-sum windows over the |langs|-row
+    //          per-language token aggregate (the corpus contributes one
+    //          map-side token-count aggregation and nothing else)
     val allowlist = Set("q25_string_indexer", "q26_index_to_string",
       "q114_quantile_binning", "q148_skew_diag", "q153_weighted_sample",
       "q160_mom_yoy", "q181_budget_alloc", "q182_winsorize", "q206_zipf_fit",
@@ -191,7 +194,7 @@ class PlanShapeSpec extends SparkSpecBase {
       "q258_auc_rank", "q270_revenue_acf", "q279_ks_test",
       "q290_avg_precision", "q291_decile_lift", "q295_daily_health",
       "q301_survival_curve", "q303_dual_neardup_funnel",
-      "q307_curriculum_schedule")
+      "q307_curriculum_schedule", "q326_mixture_waterfill")
     // balanced-paren extraction: a naive [^)]* capture truncates at the
     // first ')' inside an ORDER BY expression like round(x, 2), which
     // would hide its ASC/DESC marker and let a global window through
