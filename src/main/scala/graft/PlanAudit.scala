@@ -26,7 +26,8 @@ object PlanAudit {
     * peel q313 included, plus the round-8 additions above the 2 s tier
     * (q320 incremental-IVF recall ~2.5 s, q321 shared runs ~3.3 s, and
     * the borderline q319 BPE fertility ~1.9 s, pinned while it sits at
-    * the tier edge, and the q323 corpus-wide run audit ~2.6 s).
+    * the tier edge, the q323 corpus-wide run audit ~2.6 s, and the
+    * borderline q324 S-curve calibration ~2 s, same tier-edge policy).
     */
   val heavyQueries: Seq[String] = Seq(
     "q255_adamic_adar",
@@ -44,7 +45,8 @@ object PlanAudit {
     "q319_bpe_fertility",
     "q320_incr_ivf_recall",
     "q321_shared_runs",
-    "q323_dup_run_audit")
+    "q323_dup_run_audit",
+    "q324_lsh_scurve")
 
   /** Node kinds whose counts define a plan's cost signature. "Exchange"
     * is the shuffle exchange — the formatted detail line is exactly
