@@ -48,9 +48,9 @@ object PlanAudit {
     "q323_dup_run_audit",
     "q324_lsh_scurve")
 
-  /** Node kinds whose counts define a plan's cost signature. "Exchange"
-    * is the shuffle exchange — the formatted detail line is exactly
-    * "(n) Exchange", so it cannot collide with "(n) BroadcastExchange".
+  /** Node kinds whose counts define a plan's cost signature. Matched
+    * against SparkPlan.nodeName ("Exchange" is ShuffleExchangeExec's
+    * display name, distinct from "BroadcastExchange").
     */
   val auditedNodes: Seq[String] = Seq(
     "BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin",
@@ -63,13 +63,35 @@ object PlanAudit {
 
   /** One stable line per query: `PLAN_SUMMARY <name> k=v k=v ...` with
     * zero-count nodes omitted, keys in auditedNodes order.
+    *
+    * Counted by walking the COMPILE-TIME physical tree
+    * (queryExecution.sparkPlan), not the formatted text. The text embeds
+    * every cached shared base's build plan, and once a base has been
+    * materialized its stored AQE plan is FINAL — whose micro-shape
+    * (broadcast side, elided distinct exchange) depends on runtime stats
+    * in whatever query materialized it first, i.e. on suite order. The
+    * tree walk stops at InMemoryTableScan leaves (cached builds are not
+    * physical children) and carries no AQE runtime stages, so the
+    * signature pins exactly what the audit is for: the CONSUMER query's
+    * deterministic join/exchange strategy.
     */
-  def summaryLine(name: String, plan: String): String = {
-    val counts = auditedNodes.map { node =>
-      node -> s"\\(\\d+\\) $node\\b".r.findAllIn(plan).size
-    }.filter(_._2 > 0)
+  def summaryTree(name: String, plan: org.apache.spark.sql.execution.SparkPlan): String = {
+    val counts = scala.collection.mutable.LinkedHashMap(auditedNodes.map(_ -> 0): _*)
+    def walk(p: org.apache.spark.sql.execution.SparkPlan): Unit = {
+      if (counts.contains(p.nodeName)) counts(p.nodeName) += 1
+      p.children.foreach(walk)
+      // physical subqueries only — QueryPlan.subqueries casts every
+      // PlanExpression payload to SparkPlan, but pre-AQE physical trees
+      // can still carry LOGICAL subquery expressions (planned lazily),
+      // which that cast blows up on
+      p.expressions.foreach(_.foreach {
+        case sq: org.apache.spark.sql.execution.ExecSubqueryExpression => walk(sq.plan)
+        case _ =>
+      })
+    }
+    walk(plan)
     s"PLAN_SUMMARY $name " +
-      counts.map { case (k, v) => s"$k=$v" }.mkString(" ")
+      counts.filter(_._2 > 0).map { case (k, v) => s"$k=$v" }.mkString(" ")
   }
 
   def summaryFor(s: SparkSession, sfDir: String, name: String): String = {
@@ -78,6 +100,25 @@ object PlanAudit {
     // would flip its subtree from InMemoryRelation back to the inline
     // build and shift the node counts — same results, different shape
     graft.queries.ScaleQueries.ensureCachedBases(s, sfDir)
-    summaryLine(name, formatted(SparkEntry.queries(name)(s, sfDir)))
+    // pristine-stats canonicalization: a MATERIALIZED cache entry
+    // carries its measured size, an unmaterialized one its estimate, and
+    // which bases the suite has materialized (and at what batch layout)
+    // is order-dependent — compile-time join/exchange placement then
+    // drifts by ±1 between a fresh JVM and a mid-suite session. Dropping
+    // every buffer and re-registering lazily pins ALL cached-base stats
+    // to the deterministic estimates in both contexts. Later consumers
+    // just re-materialize on first use — a time cost only.
+    s.sharedState.cacheManager.clearCache()
+    graft.queries.ScaleQueries.ensureCachedBases(s, sfDir)
+    // plan with AQE OFF: the pre-AQE sparkPlan carries no exchanges yet
+    // (EnsureRequirements runs in the preparations), and the AQE-wrapped
+    // executedPlan hides its tree behind AdaptiveSparkPlanExec — the
+    // non-adaptive executedPlan is the full exchange-placed physical
+    // tree, decided purely at compile time
+    val key = "spark.sql.adaptive.enabled"
+    val prev = s.conf.get(key)
+    s.conf.set(key, "false")
+    try summaryTree(name, SparkEntry.queries(name)(s, sfDir).queryExecution.executedPlan)
+    finally s.conf.set(key, prev)
   }
 }
