@@ -30,7 +30,7 @@ object R34Queries {
     * never corpus². Shared by q324 (rare-generator population) and q325
     * (union population).
     */
-  private def pairJaccBp(cand: DataFrame, sh: DataFrame): DataFrame = {
+  private[queries] def pairJaccBp(cand: DataFrame, sh: DataFrame): DataFrame = {
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val ix = cand
       .join(sh.select(col("doc_id").as("a"), col("s")), Seq("a"))
@@ -43,7 +43,7 @@ object R34Queries {
         expr("ix * 10000 div (na + nb - ix)").as("jbp"))
   }
 
-  private val rareCteTail =
+  private[queries] val rareCteTail =
     """, dfq AS (SELECT s, count(*) AS dfreq FROM sh GROUP BY 1), rare AS (SELECT s FROM dfq WHERE dfreq BETWEEN 2 AND 4), shr AS (SELECT sh.doc_id, sh.s FROM sh JOIN rare USING (s)), ground AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b FROM shr x JOIN shr y ON x.s = y.s AND x.doc_id < y.doc_id), sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1)"""
 
   val specs: Seq[QuerySpec] = Seq(
