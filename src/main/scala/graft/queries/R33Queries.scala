@@ -410,10 +410,7 @@ object R33Queries {
     QuerySpec(
       "q323_dup_run_audit",
       (s, d) => {
-        val sh = ScaleQueries.shingleRows(s, d).select("doc_id", "s")
-        val cand = R22Queries.rareShingleCandidates(sh)
-          .unionByName(ScaleQueries.minhashCand(s, d).select("a", "b"))
-          .distinct().localCheckpoint(false)
+        val cand = ScaleQueries.unionCand(s, d)
         val docs = cand.select(col("a").as("doc_id"))
           .unionByName(cand.select(col("b").as("doc_id"))).distinct()
         val pos = posShingles(
@@ -421,17 +418,11 @@ object R33Queries {
             .select(col("doc_id"), split(lower(col("text")), " ").as("tk")))
           .localCheckpoint(false)
         val rs = graft.ops.DedupOps.maxSharedRuns(cand, pos, pos)
-        val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-        val ix = cand
-          .join(sh.select(col("doc_id").as("a"), col("s")), Seq("a"))
-          .join(sh.select(col("doc_id").as("b"), col("s")), Seq("b", "s"))
-          .groupBy("a", "b").agg(count(lit(1)).as("ix"))
-        cand.join(rs, Seq("a", "b")).join(ix, Seq("a", "b"))
-          .join(sizes.select(col("doc_id").as("a"), col("n").as("na")), Seq("a"))
-          .join(sizes.select(col("doc_id").as("b"), col("n").as("nb")), Seq("b"))
+        cand.join(rs, Seq("a", "b"))
+          .join(ScaleQueries.unionCandJacc(s, d).select("a", "b", "jbp"), Seq("a", "b"))
           .select(col("a"), col("b"), col("max_run"),
             (col("max_run") + 4L).as("run_tokens"), col("n_runs3"),
-            expr("ix * 10000 div (na + nb - ix)").as("jacc_bp"))
+            col("jbp").as("jacc_bp"))
           .orderBy(col("max_run").desc, col("a"), col("b"))
           .limit(20)
       },

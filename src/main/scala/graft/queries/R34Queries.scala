@@ -24,25 +24,6 @@ object R34Queries {
 
   private def t(s: SparkSession, d: String, n: String): DataFrame = Tables.load(s, d, n)
 
-  /** Exact pair Jaccard in basis points for a candidate pair table, from
-    * the cached distinct-shingle rows: one bounded sh⋈sh intersection
-    * count plus two size joins — work is candidates × per-doc fan-out,
-    * never corpus². Shared by q324 (rare-generator population) and q325
-    * (union population).
-    */
-  private[queries] def pairJaccBp(cand: DataFrame, sh: DataFrame): DataFrame = {
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val ix = cand
-      .join(sh.select(col("doc_id").as("a"), col("s")), Seq("a"))
-      .join(sh.select(col("doc_id").as("b"), col("s")), Seq("b", "s"))
-      .groupBy("a", "b").agg(count(lit(1)).as("ix"))
-    cand.join(ix, Seq("a", "b"))
-      .join(sizes.select(col("doc_id").as("a"), col("n").as("na")), Seq("a"))
-      .join(sizes.select(col("doc_id").as("b"), col("n").as("nb")), Seq("b"))
-      .select(col("a"), col("b"),
-        expr("ix * 10000 div (na + nb - ix)").as("jbp"))
-  }
-
   private[queries] val rareCteTail =
     """, dfq AS (SELECT s, count(*) AS dfreq FROM sh GROUP BY 1), rare AS (SELECT s FROM dfq WHERE dfreq BETWEEN 2 AND 4), shr AS (SELECT sh.doc_id, sh.s FROM sh JOIN rare USING (s)), ground AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b FROM shr x JOIN shr y ON x.s = y.s AND x.doc_id < y.doc_id), sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1)"""
 
@@ -66,11 +47,12 @@ object R34Queries {
     QuerySpec(
       "q324_lsh_scurve",
       (s, d) => {
-        val sh = ScaleQueries.shingleRows(s, d).select("doc_id", "s")
-        val ground = R22Queries.rareShingleCandidates(sh)
         val hit = ScaleQueries.minhashCand(s, d)
           .select(col("a"), col("b"), lit(1L).as("hit"))
-        pairJaccBp(ground, sh)
+        // the S-curve population is the rare-generator's pairs; their
+        // exact Jaccard comes off the shared union-pair memo (rare ⊆ union)
+        ScaleQueries.rareCand(s, d)
+          .join(ScaleQueries.unionCandJacc(s, d).select("a", "b", "jbp"), Seq("a", "b"))
           .join(hit, Seq("a", "b"), "left")
           .select(least(expr("jbp div 1000"), lit(9L)).as("bin"),
             coalesce(col("hit"), lit(0L)).as("hit"))
@@ -101,11 +83,7 @@ object R34Queries {
     QuerySpec(
       "q325_dedup_policy_sweep",
       (s, d) => {
-        val sh = ScaleQueries.shingleRows(s, d).select("doc_id", "s")
-        val cand = R22Queries.rareShingleCandidates(sh)
-          .unionByName(ScaleQueries.minhashCand(s, d).select("a", "b"))
-          .distinct()
-        val dth = pairJaccBp(cand, sh)
+        val dth = ScaleQueries.unionCandJacc(s, d)
           .groupBy(col("b").as("doc_id")).agg(max("jbp").as("dth"))
         val docs = t(s, d, "documents")
           .select(col("doc_id"),

@@ -57,11 +57,7 @@ object R35Queries {
     QuerySpec(
       "q327_index_compaction",
       (s, d) => {
-        val sh = ScaleQueries.shingleRows(s, d).select("doc_id", "s")
-        val cand = R22Queries.rareShingleCandidates(sh)
-          .unionByName(ScaleQueries.minhashCand(s, d).select("a", "b"))
-          .distinct()
-        val dropped = R34Queries.pairJaccBp(cand, sh)
+        val dropped = ScaleQueries.unionCandJacc(s, d)
           .groupBy(col("b").as("doc_id")).agg(max("jbp").as("dth"))
           .where(col("dth") >= 9000L)
           .select(col("doc_id"), lit(1L).as("dr"))

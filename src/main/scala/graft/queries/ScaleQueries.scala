@@ -58,6 +58,45 @@ object ScaleQueries {
   private[queries] def minhashCand(s: SparkSession, d: String): DataFrame =
     memo(s, d, "minhashCand")(DedupOps.candidatePairs(sigRows(s, d)))
 
+  /** Rare-shingle (df 2–4) candidate pairs over the corpus shingle rows
+    * — the second candidate generator of the dedup system (complement
+    * of the banding index: catches low-Jaccard long quotes banding
+    * misses), shared by q323/q324/q325/q327 like minhashCand is shared
+    * by its consumers. Built once per corpus; the df-capped fan-out
+    * bound is the same argument as q293's.
+    */
+  private[queries] def rareCand(s: SparkSession, d: String): DataFrame =
+    memo(s, d, "rareCand")(
+      R22Queries.rareShingleCandidates(shingleRows(s, d).select("doc_id", "s")))
+
+  /** The UNION of both candidate generators (rare-shingle ∪ banding),
+    * deduped — the complete candidate set the corpus-wide audits and
+    * the policy layer operate on.
+    */
+  private[queries] def unionCand(s: SparkSession, d: String): DataFrame =
+    memo(s, d, "unionCand")(
+      rareCand(s, d).unionByName(minhashCand(s, d).select("a", "b")).distinct())
+
+  /** Exact integer Jaccard (bp grid) for every union candidate pair —
+    * ONE sh⋈sh intersection join shared by the verbatim audit (q323),
+    * the S-curve population (q324 reads the rare subset), the policy
+    * sweep (q325) and the index compaction (q327). Without this memo
+    * each of them re-ran the suite's second-biggest pair join.
+    */
+  private[queries] def unionCandJacc(s: SparkSession, d: String): DataFrame =
+    memo(s, d, "unionCandJacc") {
+      val sh = shingleRows(s, d).select("doc_id", "s")
+      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      unionCand(s, d)
+        .join(sh.select(col("doc_id").as("a"), col("s")), Seq("a"))
+        .join(sh.select(col("doc_id").as("b"), col("s")), Seq("b", "s"))
+        .groupBy("a", "b").agg(count(lit(1)).as("ix"))
+        .join(sizes.select(col("doc_id").as("a"), col("n").as("na")), Seq("a"))
+        .join(sizes.select(col("doc_id").as("b"), col("n").as("nb")), Seq("b"))
+        .select(col("a"), col("b"), col("ix"), col("na"), col("nb"),
+          expr("ix * 10000 div (na + nb - ix)").as("jbp"))
+    }
+
   /** (doc_id, term, tf) exact term frequencies — the shared base of
     * q29/q30/q35, cached across them.
     */
@@ -186,6 +225,7 @@ object ScaleQueries {
     */
   private[graft] def ensureCachedBases(s: SparkSession, d: String): Unit =
     Seq(shingleRows(s, d), shingleSets(s, d), sigRows(s, d), minhashCand(s, d),
+      rareCand(s, d), unionCand(s, d), unionCandJacc(s, d),
       termFreq(s, d), neardupEdges(s, d), neardupClusters(s, d), ivfFlat(s, d),
       truthTop3(s, d), fileManifest(s, d), baseMd5(s, d))
       .foreach { df =>
@@ -196,6 +236,7 @@ object ScaleQueries {
     shingleSets(s, d).count()
     baseMd5(s, d).count()
     minhashCand(s, d).count()
+    unionCandJacc(s, d).count() // materializes rareCand + unionCand too
     termFreq(s, d).count()
     ivfFlat(s, d).count()
     truthTop3(s, d).count()
