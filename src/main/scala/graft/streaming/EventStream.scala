@@ -198,6 +198,38 @@ object EventStream {
       .select("doc_id", "sig0", "sig1", "sig2", "sig3")
   }
 
+  case class Vec(vec_id: Long, embedding: Seq[Float])
+
+  /** Streaming IVF DELTA ASSIGNMENT (E3 on a stream — the ingest half of
+    * q320's incremental index maintenance): new vectors are assigned to
+    * the PERSISTED coarse quantizer the moment they arrive. The
+    * quantizer is tiny by construction (k centroids), so it ships into
+    * the stream as a LITERAL array of (cent_id, ce) structs — the
+    * production shape: a quantizer is a model artifact broadcast once,
+    * not a joinable table. Assignment is then pure per-row expression
+    * math — transform → cosine per centroid → array_max on
+    * (cos_c, −cent_id) structs, which is exactly the house tie-break
+    * (round 6, ties to the LOWEST cent_id) — so the operator carries
+    * ZERO stream state, no watermark, and no shuffle: it runs at ingest
+    * rate. Assignments are identical to the batch
+    * AnnOps.assignToCells for the same vectors (StreamingSpec pins the
+    * equivalence on the real sf0.001 delta).
+    */
+  def ivfAssignStream(vectors: DataFrame, cents: Seq[(Long, Seq[Float])]): DataFrame = {
+    graft.functions.CosineSimilarity.register(vectors.sparkSession)
+    val centArr = array(cents.map { case (id, ce) =>
+      struct(lit(id).as("cent_id"), array(ce.map(lit): _*).as("ce"))
+    }: _*)
+    val scored = transform(centArr, c =>
+      struct(
+        round(call_function("cosine_sim", col("embedding"), c.getField("ce")), 6)
+          .as("cos_c"),
+        (c.getField("cent_id") * -1L).as("neg_id")))
+    val best = array_max(scored)
+    vectors.select(col("vec_id"),
+      (best.getField("neg_id") * -1L).cast("long").as("cell"))
+  }
+
   /** Streaming CHUNKER (E4 on a stream): q170's fixed-stride
     * sliding-window chunking applied at ingest — tokenize, emit
     * 1 + ceil(max(0, n−W)/S) chunks per document, md5 the token window.

@@ -108,6 +108,37 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("ivfAssignStream assigns the real delta identically to the batch assignToCells") {
+    import graft.streaming.EventStream.Vec
+    val e = spark.read.parquet(s"$sf001/embeddings.parquet")
+    // the persisted quantizer, collected once — the model-artifact shape
+    val cents = e.where(col("vec_id") < 8)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])].collect().sortBy(_._1).toSeq
+    val delta = e.where(col("vec_id") % 10 >= 8)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])].collect()
+    assert(delta.nonEmpty && cents.size == 8)
+    val mem = MemoryStream[Vec](spark)
+    val q = EventStream.ivfAssignStream(mem.toDF(), cents)
+      .writeStream.format("memory").queryName("ivfassign").outputMode("append").start()
+    try {
+      mem.addData(delta.toIndexedSeq.map(v => Vec(v._1, v._2)): _*)
+      q.processAllAvailable()
+      val got = spark.table("ivfassign")
+        .as[(Long, Long)].collect().sortBy(_._1).toSeq
+      // batch twin: the SAME delta through the q320 ingest path
+      val batch = graft.ops.AnnOps.assignToCells(
+          e.where(col("vec_id") % 10 >= 8),
+          e.where(col("vec_id") < 8)
+            .select(col("vec_id").as("cent_id"), col("embedding").as("ce")))
+        .select(col("vec_id"), col("cell").cast("long"))
+        .as[(Long, Long)].collect().sortBy(_._1).toSeq
+      assert(got == batch, "streaming assignment diverges from the batch index path")
+      assert(got.map(_._2).distinct.size > 1, "delta collapsed into one cell — fixture degenerate")
+    } finally q.stop()
+  }
+
   test("nearDupFilterStream drops signature-identical docs; sigs match the batch path") {
     import graft.streaming.EventStream.Doc
     val mem = MemoryStream[Doc](spark)
