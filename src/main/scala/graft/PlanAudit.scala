@@ -13,11 +13,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * live and diffs them, so a plan regression becomes a failing test with
   * a one-line cause, not a cross-round bench surprise.
   *
-  * Counts come from the FORMATTED explain's numbered-detail entries (the
-  * PlanShapeSpec convention — each operator appears once as "(n) Name"),
-  * computed on the statically-planned query. Iterative queries cut their
-  * lineage at localCheckpoints, so their summary pins the final stage's
-  * plan — the per-iteration shapes are pinned by their own specs.
+  * Counts come from walking the AQE-off compile-time physical tree
+  * under pristine cache stats (see summaryTree/summaryFor). Iterative
+  * queries cut their lineage at localCheckpoints, so their summary pins
+  * the final stage's plan — the per-iteration shapes are pinned by
+  * their own specs.
   */
 object PlanAudit {
 
@@ -27,7 +27,9 @@ object PlanAudit {
     * (q320 incremental-IVF recall ~2.5 s, q321 shared runs ~3.3 s, and
     * the borderline q319 BPE fertility ~1.9 s, pinned while it sits at
     * the tier edge, the q323 corpus-wide run audit ~2.6 s, and the
-    * borderline q324 S-curve calibration ~2 s, same tier-edge policy).
+    * borderline q324 S-curve calibration ~2 s, same tier-edge policy;
+    * q330's quote matrix rides the same positional-explode budget as
+    * q323 at ~1.6-2.2 s).
     */
   val heavyQueries: Seq[String] = Seq(
     "q255_adamic_adar",
@@ -46,7 +48,8 @@ object PlanAudit {
     "q320_incr_ivf_recall",
     "q321_shared_runs",
     "q323_dup_run_audit",
-    "q324_lsh_scurve")
+    "q324_lsh_scurve",
+    "q330_quote_matrix")
 
   /** Node kinds whose counts define a plan's cost signature. Matched
     * against SparkPlan.nodeName ("Exchange" is ShuffleExchangeExec's

@@ -199,5 +199,52 @@ object R35Queries {
         val dot = "round(list_sum([CAST(a.embedding[i] AS DOUBLE) * CAST(b.ce[i] AS DOUBLE) for i in generate_series(1, len(a.embedding))]) / (a.nrm * b.cnrm), 6)"
         s"""WITH e AS (SELECT vec_id, embedding, ${ScaleQueries.emL2} AS nrm FROM embeddings), cents AS (SELECT vec_id AS cent_id, embedding AS ce, nrm AS cnrm FROM e WHERE vec_id < ${ScaleQueries.ivfCells}), asg AS (SELECT a.vec_id, a.embedding, a.nrm, b.cent_id AS cell, row_number() OVER (PARTITION BY a.vec_id ORDER BY $dot DESC, b.cent_id) AS rn FROM e a CROSS JOIN cents b), cells AS (SELECT vec_id, embedding, nrm, cell FROM asg WHERE rn = 1), q AS (SELECT vec_id AS qid, embedding AS qe, nrm AS qnrm FROM e WHERE vec_id < 10), cr AS (SELECT z.qid, z.qe, z.qnrm, z.cent_id, CAST(row_number() OVER (PARTITION BY z.qid ORDER BY z.cos_c DESC, z.cent_id) AS BIGINT) AS crn FROM (SELECT q.qid, q.qe, q.qnrm, b.cent_id, round(list_sum([CAST(q.qe[i] AS DOUBLE) * CAST(b.ce[i] AS DOUBLE) for i in generate_series(1, len(q.qe))]) / (q.qnrm * b.cnrm), 6) AS cos_c FROM q CROSS JOIN cents b) z), cand AS (SELECT cr.qid, c.vec_id AS cid, cr.crn, round(list_sum([CAST(cr.qe[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE) for i in generate_series(1, len(cr.qe))]) / (cr.qnrm * c.nrm), 6) AS cos_r FROM cr JOIN cells c ON c.cell = cr.cent_id AND c.vec_id <> cr.qid), grid AS (SELECT unnest([1, 2, 4, 8]) AS np), legs AS (SELECT g.np, cand.qid, cand.cid, cand.cos_r, CAST(row_number() OVER (PARTITION BY g.np, cand.qid ORDER BY cand.cos_r DESC, cand.cid) AS BIGINT) AS rn FROM grid g JOIN cand ON cand.crn <= g.np), tp AS (SELECT q.qid, c.vec_id AS cid, round(list_sum([CAST(q.qe[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE) for i in generate_series(1, len(q.qe))]) / (q.qnrm * c.nrm), 6) AS cos_r FROM q CROSS JOIN e c WHERE c.vec_id <> q.qid), truth AS (SELECT qid, cid FROM (SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY cos_r DESC, cid) AS rn FROM tp) z WHERE rn <= 3), scored AS (SELECT np, CAST(count(*) AS BIGINT) AS cand_scanned, CAST(sum(CASE WHEN legs.rn <= 3 AND t.cid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits3 FROM legs LEFT JOIN truth t ON t.qid = legs.qid AND t.cid = legs.cid GROUP BY 1), nq AS (SELECT CAST(count(*) AS BIGINT) AS n_q FROM q) SELECT CAST(np AS BIGINT) AS np, n_q, cand_scanned, hits3, CAST(hits3 * 10000 // (n_q * 3) AS BIGINT) AS recall3_bp FROM scored CROSS JOIN nq ORDER BY np"""
       },
-      "E3 ext: IVF nprobe sweep — recall@3 vs exact candidate-scan cost per probe depth against brute-force truth (deployment tuning frontier)"))
+      "E3 ext: IVF nprobe sweep — recall@3 vs exact candidate-scan cost per probe depth against brute-force truth (deployment tuning frontier)"),
+
+    // q330 — CROSS-SOURCE VERBATIM-QUOTATION MATRIX: q310's cross-source
+    // duplication matrix sees only md5-identical docs; this one
+    // aggregates the RUN signal (q323's maximal shared consecutive
+    // shingle runs) by unordered source pair, so near-identical and
+    // partially-quoting docs count too — "which sources copy from each
+    // other, and how many verbatim tokens flow between them". A pair
+    // qualifies at max_run >= 3 (>= 7 verbatim tokens, below which
+    // 5-gram runs are idiom noise); excerpt_pairs additionally counts
+    // pairs whose run covers >= 80% of the SMALLER doc's shingle set
+    // (max_run*10 >= 8*least(na,nb) — integer arithmetic, no ratio
+    // column) — the source-of/quoted-by relationship a takedown or
+    // licensing audit needs. All inputs are the memoized pair bases
+    // (unionCand / unionCandJacc) plus the candidate-bounded positional
+    // explode q323 already budgets; the matrix itself is a |sources|²-
+    // bounded aggregate. Diagonal rows are intra-source duplication.
+    QuerySpec(
+      "q330_quote_matrix",
+      (s, d) => {
+        val cand = ScaleQueries.unionCand(s, d)
+        val docs = cand.select(col("a").as("doc_id"))
+          .unionByName(cand.select(col("b").as("doc_id"))).distinct()
+        val pos = R33Queries.posShingles(
+          t(s, d, "documents").join(docs, "doc_id")
+            .select(col("doc_id"), split(lower(col("text")), " ").as("tk")))
+          .localCheckpoint(false)
+        val rs = graft.ops.DedupOps.maxSharedRuns(cand, pos, pos)
+        val src = t(s, d, "documents").select(col("doc_id"), col("source"))
+        cand.join(rs, Seq("a", "b"))
+          .where(col("max_run") >= 3L)
+          .join(ScaleQueries.unionCandJacc(s, d).select("a", "b", "na", "nb"), Seq("a", "b"))
+          .join(src.select(col("doc_id").as("a"), col("source").as("sa")), Seq("a"))
+          .join(src.select(col("doc_id").as("b"), col("source").as("sb")), Seq("b"))
+          .select(least(col("sa"), col("sb")).as("src_lo"),
+            greatest(col("sa"), col("sb")).as("src_hi"),
+            col("max_run"),
+            when(col("max_run") * 10L >= least(col("na"), col("nb")) * 8L, 1L)
+              .otherwise(0L).as("is_excerpt"))
+          .groupBy("src_lo", "src_hi")
+          .agg(count(lit(1)).as("n_pairs"),
+            sum(col("max_run") + 4L).as("verbatim_tokens"),
+            max(col("max_run") + 4L).as("max_quote_tokens"),
+            sum("is_excerpt").as("excerpt_pairs"))
+          .orderBy("src_lo", "src_hi")
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents), pos AS (SELECT doc_id, CAST(u['p'] AS BIGINT) AS pos, CAST(u['s'] AS VARCHAR) AS s FROM (SELECT doc_id, unnest([{'p': i, 's': concat_ws(' ', tk[i], tk[i+1], tk[i+2], tk[i+3], tk[i+4])} for i in generate_series(1, len(tk) - 4)]) AS u FROM toks)), sh AS (SELECT DISTINCT doc_id, s FROM pos), sig AS (SELECT doc_id, band, min(substr(md5(s), band * 8 + 1, 8)) AS sig FROM sh, (SELECT unnest(generate_series(0, 3)) AS band) b GROUP BY doc_id, band), mc AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b FROM sig x JOIN sig y ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id), dfq AS (SELECT s, count(*) AS dfreq FROM sh GROUP BY 1), rare AS (SELECT s FROM dfq WHERE dfreq BETWEEN 2 AND 4), shr AS (SELECT sh.doc_id, sh.s FROM sh JOIN rare USING (s)), cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b FROM shr x JOIN shr y ON x.s = y.s AND x.doc_id < y.doc_id UNION SELECT a, b FROM mc), m AS (SELECT c.a, c.b, pa.pos AS pa, pb.pos AS pb FROM cand c JOIN pos pa ON pa.doc_id = c.a JOIN pos pb ON pb.doc_id = c.b AND pb.s = pa.s), r AS (SELECT a, b, pa - pb AS diag, pa, pa - row_number() OVER (PARTITION BY a, b, pa - pb ORDER BY pa) AS g FROM m), runs AS (SELECT a, b, count(*) AS len FROM r GROUP BY a, b, diag, g), rs AS (SELECT a, b, CAST(max(len) AS BIGINT) AS max_run FROM runs GROUP BY 1, 2), sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1), q AS (SELECT least(da.source, db.source) AS src_lo, greatest(da.source, db.source) AS src_hi, rs.max_run, CASE WHEN rs.max_run * 10 >= least(na.n, nb.n) * 8 THEN 1 ELSE 0 END AS is_excerpt FROM rs JOIN sizes na ON na.doc_id = rs.a JOIN sizes nb ON nb.doc_id = rs.b JOIN documents da ON da.doc_id = rs.a JOIN documents db ON db.doc_id = rs.b WHERE rs.max_run >= 3) SELECT src_lo, src_hi, CAST(count(*) AS BIGINT) AS n_pairs, CAST(sum(max_run + 4) AS BIGINT) AS verbatim_tokens, CAST(max(max_run + 4) AS BIGINT) AS max_quote_tokens, CAST(sum(is_excerpt) AS BIGINT) AS excerpt_pairs FROM q GROUP BY 1, 2 ORDER BY 1, 2"""),
+      "E1/E2 ext: cross-source verbatim-quotation matrix — run-signal token flow per source pair with excerpt-relationship counts (what the md5 matrix q310 cannot see)"))
 }

@@ -71,4 +71,25 @@ class R35InvariantSpec extends SparkSpecBase {
     // cell scans a strict subset of the corpus
     assert(rows.head._3 < nq * (n - 1), "np=1 scans the whole corpus — cells are degenerate")
   }
+
+  test("q330 quote matrix: pair arithmetic consistent and the global max quote equals q323's top run") {
+    val rows = SparkEntry.queries("q330_quote_matrix")(spark, sf001)
+      .select("src_lo", "src_hi", "n_pairs", "verbatim_tokens", "max_quote_tokens", "excerpt_pairs")
+      .as[(String, String, Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty, "no qualifying run pairs — the matrix fixture is dead")
+    rows.foreach { case (lo, hi, np, vt, mq, ep) =>
+      assert(lo <= hi, s"($lo,$hi): pair not canonically ordered")
+      assert(np >= 1 && ep >= 0 && ep <= np, s"($lo,$hi): excerpt count out of range")
+      // every qualifying pair contributes a run of >= 3 shingles = 7 tokens
+      assert(mq >= 7 && mq <= vt && vt >= np * 7, s"($lo,$hi): token arithmetic broken")
+    }
+    assert(rows.map(r => (r._1, r._2)).distinct.length == rows.length, "duplicate matrix cells")
+    // cross-QUERY consistency: the corpus's single longest verbatim run is
+    // reported by BOTH the audit (q323 row 1, total-ordered by max_run)
+    // and the matrix (as some cell's max_quote_tokens)
+    val topRun = SparkEntry.queries("q323_dup_run_audit")(spark, sf001)
+      .select("run_tokens").as[Long].head()
+    assert(rows.map(_._5).max == topRun,
+      s"matrix max quote ${rows.map(_._5).max} != q323's top run $topRun")
+  }
 }
