@@ -129,6 +129,34 @@ object EventStream {
       .outputMode("append")
       .start()
 
+  /** Streaming twin of q333's BH-FDR alarm sweep: per-segment event and
+    * purchase counts accumulate as a COMPLETE-mode streaming aggregation
+    * (state = one row per segment — bounded by the segment vocabulary,
+    * the q326/q333 boundedness class, never by stream length), and every
+    * micro-batch closes by running the SAME Benjamini–Hochberg step-up
+    * core the batch query ships (R36Queries.bhTail) over the full
+    * current aggregate inside foreachBatch. This is the always-on
+    * version of a per-segment alarm dashboard: each refresh re-controls
+    * the false discovery rate across ALL segments, instead of letting
+    * |segments| uncorrected z-tests page the on-call. `sink` receives
+    * (batchId, alarm table); StreamingSpec proves the final snapshot
+    * equals the batch core on the same events.
+    */
+  def bhAlarmStream(events: DataFrame)
+      (sink: (Long, DataFrame) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    events
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("c"))
+      .writeStream
+      .outputMode("complete")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        sink(id, graft.queries.R36Queries.bhTail(
+          batch.localCheckpoint(false).toDF()))
+      }
+      .start()
+
   /** Streaming anomaly gate (q146's stream twin): each event z-scored
     * against STATIC per-type statistics (computed once on a historical
     * corpus, broadcast per micro-batch), flagged when |z| > threshold.

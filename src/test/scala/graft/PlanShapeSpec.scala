@@ -186,6 +186,12 @@ class PlanShapeSpec extends SparkSpecBase {
     //   q326 — waterfill rank/prefix-sum windows over the |langs|-row
     //          per-language token aggregate (the corpus contributes one
     //          map-side token-count aggregation and nothing else)
+    //   q333 — BH rank / step-up max over the |segments|-row per-user
+    //          rate aggregate (the q326 class: event rows contribute
+    //          one keyed aggregation, the windows see only segments)
+    //   q340 — vocab rank over the |vocab|-row word aggregate (the
+    //          q206 heavy-hitters class; token rows contribute one
+    //          (lang, word) aggregation and never enter the window)
     val allowlist = Set("q25_string_indexer", "q26_index_to_string",
       "q114_quantile_binning", "q148_skew_diag", "q153_weighted_sample",
       "q160_mom_yoy", "q181_budget_alloc", "q182_winsorize", "q206_zipf_fit",
@@ -194,7 +200,8 @@ class PlanShapeSpec extends SparkSpecBase {
       "q258_auc_rank", "q270_revenue_acf", "q279_ks_test",
       "q290_avg_precision", "q291_decile_lift", "q295_daily_health",
       "q301_survival_curve", "q303_dual_neardup_funnel",
-      "q307_curriculum_schedule", "q326_mixture_waterfill")
+      "q307_curriculum_schedule", "q326_mixture_waterfill", "q333_bh_fdr",
+      "q340_vocab_coverage")
     // balanced-paren extraction: a naive [^)]* capture truncates at the
     // first ')' inside an ORDER BY expression like round(x, 2), which
     // would hide its ASC/DESC marker and let a global window through

@@ -538,4 +538,40 @@ class StreamingSpec extends SparkSpecBase {
         "a user emitted more than one match")
     } finally q.stop()
   }
+
+  test("bhAlarmStream: per-batch BH snapshot over accumulated segment state equals batch") {
+    import EventStream.TypedEvent
+    import graft.queries.R36Queries
+    def ev(id: Long, u: Long, t: String) = TypedEvent(id, ts((id % 600).toInt), u, t)
+    // chunk 2 extends some segments and adds new ones, so the snapshot
+    // after it must differ from the one after chunk 1 — proving the
+    // complete-mode state ACCUMULATES rather than being replaced
+    val chunk1 = (1L to 60L).map(i => ev(i, i % 10, if (i % 5 == 0) "purchase" else "click"))
+    val chunk2 = (61L to 120L).map(i => ev(i, i % 12, if (i % 3 == 0) "purchase" else "view"))
+    def batchAlarms(evs: Seq[TypedEvent]): Seq[(Long, Long, Long, Long)] =
+      R36Queries.bhTail(evs.toDS().toDF().groupBy("user_id")
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("c")))
+        .select("user_id", "n", "c", "rejected")
+        .as[(Long, Long, Long, Long)].collect().toSeq
+    val mem = MemoryStream[TypedEvent](spark)
+    val captured =
+      scala.collection.mutable.ArrayBuffer.empty[(Long, Seq[(Long, Long, Long, Long)])]
+    val q = EventStream.bhAlarmStream(mem.toDF()) { (id, df) =>
+      captured += id -> df.select("user_id", "n", "c", "rejected")
+        .as[(Long, Long, Long, Long)].collect().toSeq
+    }
+    try {
+      mem.addData(chunk1: _*); q.processAllAvailable()
+      mem.addData(chunk2: _*); q.processAllAvailable()
+    } finally q.stop()
+    assert(captured.nonEmpty)
+    val want1 = batchAlarms(chunk1)
+    val wantAll = batchAlarms(chunk1 ++ chunk2)
+    assert(captured.last._2 == wantAll,
+      "final streaming snapshot diverges from the batch BH core")
+    assert(captured.exists(_._2 == want1),
+      "no intermediate snapshot matches the chunk-1-only batch result")
+    assert(want1 != wantAll)
+  }
 }
