@@ -116,7 +116,7 @@ object R38Queries {
     t(s, d, table).agg(
       count(lit(1)).as("rows"), sum(expr(widthSql)).as("bytes"))
 
-  private val tableWidths: Map[String, String] = Map(
+  private[queries] val tableWidths: Map[String, String] = Map(
     "lineitem" -> "8 + 8 + 8 + 4 + 8 + 8 + 8 + 8 + length(l_returnflag) + length(l_linestatus) + 8",
     "orders"   -> "8 + 8 + length(o_orderstatus) + 8 + 8 + length(o_orderpriority)",
     "part"     -> "8 + length(p_name) + length(p_brand) + length(p_type) + 4 + 8",

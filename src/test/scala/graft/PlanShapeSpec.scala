@@ -201,7 +201,11 @@ class PlanShapeSpec extends SparkSpecBase {
       "q290_avg_precision", "q291_decile_lift", "q295_daily_health",
       "q301_survival_curve", "q303_dual_neardup_funnel",
       "q307_curriculum_schedule", "q326_mixture_waterfill", "q333_bh_fdr",
-      "q340_vocab_coverage")
+      "q340_vocab_coverage",
+      // q350 — prefix-sum window over the per-ship-day byte aggregate
+      //        (calendar-sized forever: fact rows contribute one keyed
+      //        aggregation, the packing window sees only days)
+      "q350_compaction_plan")
     // balanced-paren extraction: a naive [^)]* capture truncates at the
     // first ')' inside an ORDER BY expression like round(x, 2), which
     // would hide its ASC/DESC marker and let a global window through
