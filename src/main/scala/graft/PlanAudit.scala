@@ -49,7 +49,12 @@ object PlanAudit {
     "q321_shared_runs",
     "q323_dup_run_audit",
     "q324_lsh_scurve",
-    "q330_quote_matrix")
+    "q330_quote_matrix",
+    // 1.90 s at sf0.1 — pinned pre-emptively: it sits on the heavy-tier
+    // boundary and its plan (two 32-file stat aggregates + three tiny
+    // broadcast non-equi joins, no global sort) is the layout-pricing
+    // shape worth freezing
+    "q342_zorder_pricing")
 
   /** Node kinds whose counts define a plan's cost signature. Matched
     * against SparkPlan.nodeName ("Exchange" is ShuffleExchangeExec's

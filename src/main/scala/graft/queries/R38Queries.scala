@@ -230,9 +230,9 @@ object R38Queries {
               "(pred_key = 'l_suppkey' AND sk BETWEEN lo AND hi)"))
           .groupBy("pred_key", "pred_id").agg(count(lit(1)).as("rows_exact"))
         scanned(fl, "files_lex", "rows_lex")
-          .join(scanned(fz, "files_z", "rows_z").drop("lo", "hi"),
+          .join(broadcast(scanned(fz, "files_z", "rows_z").drop("lo", "hi")),
             Seq("pred_key", "pred_id"))
-          .join(exact, Seq("pred_key", "pred_id"))
+          .join(broadcast(exact), Seq("pred_key", "pred_id"))
           .select(col("pred_key"), col("pred_id"), col("lo"), col("hi"),
             col("files_lex"), col("files_z"), col("rows_lex"), col("rows_z"),
             col("rows_exact"))
