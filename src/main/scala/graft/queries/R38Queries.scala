@@ -127,6 +127,62 @@ object R38Queries {
   private def statLegSql(table: String): String =
     s"SELECT count(*) AS rows, sum(${tableWidths(table)}) AS bytes FROM $table"
 
+  /** q342/q352 shared core — the 16-row layout-pricing table: for each of
+    * 8 range predicates per key, files and rows scanned under the
+    * lexicographic and z-order 32-file layouts plus the exact matching
+    * rows. Value-width file buckets, so layout assignment is map-side
+    * arithmetic and the per-file min/max stats are one 32-group aggregate
+    * per layout — no global sort at any scale.
+    */
+  private[queries] def zorderPricing(s: SparkSession, d: String): DataFrame = {
+    val raw = t(s, d, "lineitem").select(col("l_partkey").as("pk"), col("l_suppkey").as("sk"))
+    val mx0 = raw.agg(max("pk").as("pmax"), max("sk").as("smax"))
+    val zed = raw.crossJoin(broadcast(mx0))
+      .withColumn("xs", expr("pk * 1024 div (pmax + 1)"))
+      .withColumn("ys", expr("sk * 1024 div (smax + 1)"))
+      .withColumn("z", expr(zInterleave("xs", "ys", "div")))
+      .select("pk", "sk", "z")
+    val mx = mx0.crossJoin(broadcast(zed.agg(max("z").as("zmax"))))
+    val withMx = zed.crossJoin(broadcast(mx))
+    def fileStats(fileCol: String): DataFrame =
+      withMx.groupBy(expr(fileCol).as("f"))
+        .agg(min("pk").as("lo_pk"), max("pk").as("hi_pk"),
+          min("sk").as("lo_sk"), max("sk").as("hi_sk"),
+          count(lit(1)).as("rows_f"))
+    val fl = fileStats("least(31, pk * 32 div (pmax + 1))")
+    val fz = fileStats("least(31, z * 32 div (zmax + 1))")
+    val grid = s.range(0, 8).crossJoin(broadcast(mx))
+    val preds = grid.select(lit("l_partkey").as("pred_key"), col("id").as("pred_id"),
+        expr("id * (pmax + 1) div 8").as("lo"),
+        expr("(id + 1) * (pmax + 1) div 8 - 1").as("hi"))
+      .unionByName(grid.select(lit("l_suppkey").as("pred_key"), col("id").as("pred_id"),
+        expr("id * (smax + 1) div 8").as("lo"),
+        expr("(id + 1) * (smax + 1) div 8 - 1").as("hi")))
+    val overlap = expr(
+      "(pred_key = 'l_partkey' AND lo_pk <= hi AND hi_pk >= lo) OR " +
+        "(pred_key = 'l_suppkey' AND lo_sk <= hi AND hi_sk >= lo)")
+    def scanned(files: DataFrame, fTag: String, rTag: String): DataFrame =
+      preds.join(broadcast(files), overlap)
+        .groupBy("pred_key", "pred_id", "lo", "hi")
+        .agg(count(lit(1)).as(fTag), sum("rows_f").as(rTag))
+    val exact = raw.join(broadcast(preds),
+        expr("(pred_key = 'l_partkey' AND pk BETWEEN lo AND hi) OR " +
+          "(pred_key = 'l_suppkey' AND sk BETWEEN lo AND hi)"))
+      .groupBy("pred_key", "pred_id").agg(count(lit(1)).as("rows_exact"))
+    scanned(fl, "files_lex", "rows_lex")
+      .join(broadcast(scanned(fz, "files_z", "rows_z").drop("lo", "hi")),
+        Seq("pred_key", "pred_id"))
+      .join(broadcast(exact), Seq("pred_key", "pred_id"))
+  }
+
+  /** DuckDB twin of [[zorderPricing]]: CTE chain ending in `pricing`,
+    * shared verbatim by the q342 and q352 oracles.
+    */
+  private[queries] val zorderCtes: String = {
+    val z = zInterleave("xs", "ys", "//")
+    s"""raw AS (SELECT l_partkey AS pk, l_suppkey AS sk FROM lineitem), mx0 AS (SELECT max(pk) AS pmax, max(sk) AS smax FROM raw), zed AS (SELECT pk, sk, $z AS z FROM (SELECT pk, sk, pk * 1024 // (pmax + 1) AS xs, sk * 1024 // (smax + 1) AS ys FROM raw CROSS JOIN mx0) t), mx AS (SELECT pmax, smax, (SELECT max(z) FROM zed) AS zmax FROM mx0), fl AS (SELECT least(31, pk * 32 // (pmax + 1)) AS f, min(pk) AS lo_pk, max(pk) AS hi_pk, min(sk) AS lo_sk, max(sk) AS hi_sk, count(*) AS rows_f FROM zed CROSS JOIN mx GROUP BY 1), fz AS (SELECT least(31, z * 32 // (zmax + 1)) AS f, min(pk) AS lo_pk, max(pk) AS hi_pk, min(sk) AS lo_sk, max(sk) AS hi_sk, count(*) AS rows_f FROM zed CROSS JOIN mx GROUP BY 1), preds AS (SELECT 'l_partkey' AS pred_key, j AS pred_id, j * (pmax + 1) // 8 AS lo, (j + 1) * (pmax + 1) // 8 - 1 AS hi FROM (SELECT unnest(generate_series(0, 7)) AS j) g CROSS JOIN mx UNION ALL SELECT 'l_suppkey', j, j * (smax + 1) // 8, (j + 1) * (smax + 1) // 8 - 1 FROM (SELECT unnest(generate_series(0, 7)) AS j) g CROSS JOIN mx), sl AS (SELECT p.pred_key, p.pred_id, p.lo, p.hi, count(*) AS files_lex, sum(fl.rows_f) AS rows_lex FROM preds p JOIN fl ON (p.pred_key = 'l_partkey' AND fl.lo_pk <= p.hi AND fl.hi_pk >= p.lo) OR (p.pred_key = 'l_suppkey' AND fl.lo_sk <= p.hi AND fl.hi_sk >= p.lo) GROUP BY 1, 2, 3, 4), sz AS (SELECT p.pred_key, p.pred_id, count(*) AS files_z, sum(fz.rows_f) AS rows_z FROM preds p JOIN fz ON (p.pred_key = 'l_partkey' AND fz.lo_pk <= p.hi AND fz.hi_pk >= p.lo) OR (p.pred_key = 'l_suppkey' AND fz.lo_sk <= p.hi AND fz.hi_sk >= p.lo) GROUP BY 1, 2), act AS (SELECT p.pred_key, p.pred_id, count(*) AS rows_exact FROM preds p JOIN raw b ON (p.pred_key = 'l_partkey' AND b.pk BETWEEN p.lo AND p.hi) OR (p.pred_key = 'l_suppkey' AND b.sk BETWEEN p.lo AND p.hi) GROUP BY 1, 2), pricing AS (SELECT sl.pred_key, CAST(sl.pred_id AS BIGINT) AS pred_id, CAST(sl.lo AS BIGINT) AS lo, CAST(sl.hi AS BIGINT) AS hi, CAST(sl.files_lex AS BIGINT) AS files_lex, CAST(sz.files_z AS BIGINT) AS files_z, CAST(sl.rows_lex AS BIGINT) AS rows_lex, CAST(sz.rows_z AS BIGINT) AS rows_z, CAST(act.rows_exact AS BIGINT) AS rows_exact FROM sl JOIN sz ON sz.pred_key = sl.pred_key AND sz.pred_id = sl.pred_id JOIN act ON act.pred_key = sl.pred_key AND act.pred_id = sl.pred_id)"""
+  }
+
   val specs: Seq[QuerySpec] = Seq(
 
     // q341 — FUNCTIONAL-DEPENDENCY / CANDIDATE-KEY PROFILE: schema
@@ -177,7 +233,8 @@ object R38Queries {
       },
       "P/S ext: functional-dependency and candidate-key profile — per-determinant distinct-count verify over an 8-entry battery, holds/is-key verdicts, NDV-ratio uniqueness readout"),
 
-    // q342 — Z-ORDER vs LEXICOGRAPHIC LAYOUT PRICING: simulate both
+    // q342 — Z-ORDER vs LEXICOGRAPHIC LAYOUT PRICING (core shared with
+    // q352's workload-weighted chooser): simulate both
     // layouts' min/max file skipping for the same 32-file budget and
     // price a 16-predicate two-key range workload against each. Files
     // are value-width buckets of the layout key (lex: l_partkey;
@@ -194,54 +251,13 @@ object R38Queries {
     // decide whether the re-cluster job pays for itself.
     QuerySpec(
       "q342_zorder_pricing",
-      (s, d) => {
-        val raw = t(s, d, "lineitem").select(col("l_partkey").as("pk"), col("l_suppkey").as("sk"))
-        val mx0 = raw.agg(max("pk").as("pmax"), max("sk").as("smax"))
-        val zed = raw.crossJoin(broadcast(mx0))
-          .withColumn("xs", expr("pk * 1024 div (pmax + 1)"))
-          .withColumn("ys", expr("sk * 1024 div (smax + 1)"))
-          .withColumn("z", expr(zInterleave("xs", "ys", "div")))
-          .select("pk", "sk", "z")
-        val mx = mx0.crossJoin(broadcast(zed.agg(max("z").as("zmax"))))
-        val withMx = zed.crossJoin(broadcast(mx))
-        def fileStats(fileCol: String): DataFrame =
-          withMx.groupBy(expr(fileCol).as("f"))
-            .agg(min("pk").as("lo_pk"), max("pk").as("hi_pk"),
-              min("sk").as("lo_sk"), max("sk").as("hi_sk"),
-              count(lit(1)).as("rows_f"))
-        val fl = fileStats("least(31, pk * 32 div (pmax + 1))")
-        val fz = fileStats("least(31, z * 32 div (zmax + 1))")
-        val grid = s.range(0, 8).crossJoin(broadcast(mx))
-        val preds = grid.select(lit("l_partkey").as("pred_key"), col("id").as("pred_id"),
-            expr("id * (pmax + 1) div 8").as("lo"),
-            expr("(id + 1) * (pmax + 1) div 8 - 1").as("hi"))
-          .unionByName(grid.select(lit("l_suppkey").as("pred_key"), col("id").as("pred_id"),
-            expr("id * (smax + 1) div 8").as("lo"),
-            expr("(id + 1) * (smax + 1) div 8 - 1").as("hi")))
-        val overlap = expr(
-          "(pred_key = 'l_partkey' AND lo_pk <= hi AND hi_pk >= lo) OR " +
-            "(pred_key = 'l_suppkey' AND lo_sk <= hi AND hi_sk >= lo)")
-        def scanned(files: DataFrame, fTag: String, rTag: String): DataFrame =
-          preds.join(broadcast(files), overlap)
-            .groupBy("pred_key", "pred_id", "lo", "hi")
-            .agg(count(lit(1)).as(fTag), sum("rows_f").as(rTag))
-        val exact = raw.join(broadcast(preds),
-            expr("(pred_key = 'l_partkey' AND pk BETWEEN lo AND hi) OR " +
-              "(pred_key = 'l_suppkey' AND sk BETWEEN lo AND hi)"))
-          .groupBy("pred_key", "pred_id").agg(count(lit(1)).as("rows_exact"))
-        scanned(fl, "files_lex", "rows_lex")
-          .join(broadcast(scanned(fz, "files_z", "rows_z").drop("lo", "hi")),
-            Seq("pred_key", "pred_id"))
-          .join(broadcast(exact), Seq("pred_key", "pred_id"))
-          .select(col("pred_key"), col("pred_id"), col("lo"), col("hi"),
-            col("files_lex"), col("files_z"), col("rows_lex"), col("rows_z"),
-            col("rows_exact"))
-          .orderBy("pred_key", "pred_id")
-      },
-      Some {
-        val z = zInterleave("xs", "ys", "//")
-        s"""WITH raw AS (SELECT l_partkey AS pk, l_suppkey AS sk FROM lineitem), mx0 AS (SELECT max(pk) AS pmax, max(sk) AS smax FROM raw), zed AS (SELECT pk, sk, $z AS z FROM (SELECT pk, sk, pk * 1024 // (pmax + 1) AS xs, sk * 1024 // (smax + 1) AS ys FROM raw CROSS JOIN mx0) t), mx AS (SELECT pmax, smax, (SELECT max(z) FROM zed) AS zmax FROM mx0), fl AS (SELECT least(31, pk * 32 // (pmax + 1)) AS f, min(pk) AS lo_pk, max(pk) AS hi_pk, min(sk) AS lo_sk, max(sk) AS hi_sk, count(*) AS rows_f FROM zed CROSS JOIN mx GROUP BY 1), fz AS (SELECT least(31, z * 32 // (zmax + 1)) AS f, min(pk) AS lo_pk, max(pk) AS hi_pk, min(sk) AS lo_sk, max(sk) AS hi_sk, count(*) AS rows_f FROM zed CROSS JOIN mx GROUP BY 1), preds AS (SELECT 'l_partkey' AS pred_key, j AS pred_id, j * (pmax + 1) // 8 AS lo, (j + 1) * (pmax + 1) // 8 - 1 AS hi FROM (SELECT unnest(generate_series(0, 7)) AS j) g CROSS JOIN mx UNION ALL SELECT 'l_suppkey', j, j * (smax + 1) // 8, (j + 1) * (smax + 1) // 8 - 1 FROM (SELECT unnest(generate_series(0, 7)) AS j) g CROSS JOIN mx), sl AS (SELECT p.pred_key, p.pred_id, p.lo, p.hi, count(*) AS files_lex, sum(fl.rows_f) AS rows_lex FROM preds p JOIN fl ON (p.pred_key = 'l_partkey' AND fl.lo_pk <= p.hi AND fl.hi_pk >= p.lo) OR (p.pred_key = 'l_suppkey' AND fl.lo_sk <= p.hi AND fl.hi_sk >= p.lo) GROUP BY 1, 2, 3, 4), sz AS (SELECT p.pred_key, p.pred_id, count(*) AS files_z, sum(fz.rows_f) AS rows_z FROM preds p JOIN fz ON (p.pred_key = 'l_partkey' AND fz.lo_pk <= p.hi AND fz.hi_pk >= p.lo) OR (p.pred_key = 'l_suppkey' AND fz.lo_sk <= p.hi AND fz.hi_sk >= p.lo) GROUP BY 1, 2), act AS (SELECT p.pred_key, p.pred_id, count(*) AS rows_exact FROM preds p JOIN raw b ON (p.pred_key = 'l_partkey' AND b.pk BETWEEN p.lo AND p.hi) OR (p.pred_key = 'l_suppkey' AND b.sk BETWEEN p.lo AND p.hi) GROUP BY 1, 2) SELECT sl.pred_key, CAST(sl.pred_id AS BIGINT) AS pred_id, CAST(sl.lo AS BIGINT) AS lo, CAST(sl.hi AS BIGINT) AS hi, CAST(sl.files_lex AS BIGINT) AS files_lex, CAST(sz.files_z AS BIGINT) AS files_z, CAST(sl.rows_lex AS BIGINT) AS rows_lex, CAST(sz.rows_z AS BIGINT) AS rows_z, CAST(act.rows_exact AS BIGINT) AS rows_exact FROM sl JOIN sz ON sz.pred_key = sl.pred_key AND sz.pred_id = sl.pred_id JOIN act ON act.pred_key = sl.pred_key AND act.pred_id = sl.pred_id ORDER BY sl.pred_key, sl.pred_id"""
-      },
+      (s, d) => zorderPricing(s, d)
+        .select(col("pred_key"), col("pred_id"), col("lo"), col("hi"),
+          col("files_lex"), col("files_z"), col("rows_lex"), col("rows_z"),
+          col("rows_exact"))
+        .orderBy("pred_key", "pred_id"),
+      Some(
+        s"""WITH $zorderCtes SELECT pred_key, pred_id, lo, hi, files_lex, files_z, rows_lex, rows_z, rows_exact FROM pricing ORDER BY pred_key, pred_id"""),
       "S/P ext: z-order vs lexicographic layout pricing — min/max file-skip simulation over value-width 32-file budgets, per-predicate files/rows scanned vs exact rows, no global sort anywhere"),
 
     // q343 — HISTOGRAM SELECTIVITY AUDIT: build the 16-bucket equi-width
