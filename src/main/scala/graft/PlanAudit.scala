@@ -50,10 +50,11 @@ object PlanAudit {
     "q323_dup_run_audit",
     "q324_lsh_scurve",
     "q330_quote_matrix",
-    // 1.90 s at sf0.1 — pinned pre-emptively: it sits on the heavy-tier
-    // boundary and its plan (two 32-file stat aggregates + three tiny
-    // broadcast non-equi joins, no global sort) is the layout-pricing
-    // shape worth freezing
+    // the layout-pricing core is a memoized shared base (zorderPricing,
+    // read by q342 and q352) — the pinned Exchange=1 summary is the
+    // cached-read-plus-sort shape, and any regression that inlines the
+    // core back into the query (de-memoization) explodes the node counts
+    // and fails the diff
     "q342_zorder_pricing")
 
   /** Node kinds whose counts define a plan's cost signature. Matched

@@ -227,7 +227,8 @@ object ScaleQueries {
     Seq(shingleRows(s, d), shingleSets(s, d), sigRows(s, d), minhashCand(s, d),
       rareCand(s, d), unionCand(s, d), unionCandJacc(s, d),
       termFreq(s, d), neardupEdges(s, d), neardupClusters(s, d), ivfFlat(s, d),
-      truthTop3(s, d), fileManifest(s, d), baseMd5(s, d))
+      truthTop3(s, d), fileManifest(s, d), baseMd5(s, d),
+      R38Queries.zorderPricing(s, d))
       .foreach { df =>
         if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE) df.cache()
       }
