@@ -37,6 +37,18 @@ object R39Queries {
   private def md5BucketSql(e: String, buckets: Int): String =
     s"CAST(concat('0x', substr(md5($e), 1, 10)) AS BIGINT) % $buckets"
 
+  /** q347's fold from per-partition loads (p, c) to the one-row planner
+    * readout — shared with the streaming skew monitor
+    * (EventStream.skewMonitorStream) so the batch planner and the online
+    * monitor can never disagree on what "skew" means.
+    */
+  private[graft] def skewSummary(loads: DataFrame): DataFrame =
+    loads
+      .agg(count(lit(1)).as("parts_used"), max("c").as("max_load"),
+        min("c").as("min_load"), sum("c").as("sum_rows"))
+      .select(col("parts_used"), col("max_load"), col("min_load"),
+        col("sum_rows"), expr("max_load * 32 * 10000 div sum_rows").as("skew_bp"))
+
   /** q347's key-candidate battery: (variant name, Spark key column,
     * DuckDB key expression). The salt leg splits each low-cardinality
     * flag into 16 sub-keys via a hash of the high-cardinality orderkey.
@@ -72,16 +84,12 @@ object R39Queries {
       (s, d) => {
         skewVariants.map { case (nm, kCol, _) =>
           val base = t(s, d, "lineitem").select(kCol.as("k"))
-          val stats = base.agg(countDistinct(col("k")).as("n_keys"),
-            count(lit(1)).as("n_rows"))
-          val loads = base.groupBy(md5Bucket(col("k"), 32).as("p"))
-            .agg(count(lit(1)).as("c"))
-            .agg(count(lit(1)).as("parts_used"), max("c").as("max_load"),
-              min("c").as("min_load"))
-          stats.crossJoin(broadcast(loads))
+          val stats = base.agg(countDistinct(col("k")).as("n_keys"))
+          val summary = skewSummary(
+            base.groupBy(md5Bucket(col("k"), 32).as("p")).agg(count(lit(1)).as("c")))
+          stats.crossJoin(broadcast(summary))
             .select(lit(nm).as("variant"), col("n_keys"), col("parts_used"),
-              col("max_load"), col("min_load"),
-              expr("max_load * 32 * 10000 div n_rows").as("skew_bp"))
+              col("max_load"), col("min_load"), col("skew_bp"))
         }.reduce(_ unionByName _).orderBy("variant")
       },
       Some {

@@ -157,6 +157,32 @@ object EventStream {
       }
       .start()
 
+  /** Streaming shuffle-skew monitor (q347's stream twin): the online
+    * version of the planner's partition-load table — per micro-batch,
+    * the ACCUMULATED per-partition event counts under the same portable
+    * md5 partitioner model (user_id key, 32 partitions), folded through
+    * the SAME R39Queries.skewSummary core the batch planner ships. A
+    * key-distribution drift (one user going viral) shows up as a rising
+    * skew_bp between snapshots — the alarm a pipeline watches to decide
+    * when yesterday's salting factor stopped being enough. Complete-mode
+    * state is exactly 32 rows, bounded forever.
+    */
+  def skewMonitorStream(events: DataFrame)
+      (sink: (Long, DataFrame) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    events
+      .groupBy(pmod(
+        conv(substring(md5(col("user_id").cast("string")), 1, 10), 16, 10).cast("long"),
+        lit(32L)).as("p"))
+      .agg(count(lit(1)).as("c"))
+      .writeStream
+      .outputMode("complete")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        sink(id, graft.queries.R39Queries.skewSummary(
+          batch.localCheckpoint(false).toDF()))
+      }
+      .start()
+
   /** Streaming anomaly gate (q146's stream twin): each event z-scored
     * against STATIC per-type statistics (computed once on a historical
     * corpus, broadcast per micro-batch), flagged when |z| > threshold.

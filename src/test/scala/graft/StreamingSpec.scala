@@ -574,4 +574,45 @@ class StreamingSpec extends SparkSpecBase {
       "no intermediate snapshot matches the chunk-1-only batch result")
     assert(want1 != wantAll)
   }
+
+  test("skewMonitorStream: accumulated partition loads equal the batch skew core") {
+    import EventStream.TypedEvent
+    import graft.queries.R39Queries
+    def ev(id: Long, u: Long) = TypedEvent(id, ts((id % 600).toInt), u, "click")
+    // chunk 1: 10 users round-robin (healthy); chunk 2: one user goes
+    // viral (60 of 80 events), so the final snapshot's skew_bp must RISE
+    // — the drift the online monitor exists to surface
+    val chunk1 = (1L to 100L).map(i => ev(i, i % 10))
+    val chunk2 = (101L to 180L).map(i => ev(i, if (i % 4 == 0) i % 10 else 3L))
+    val hash32 = pmod(
+      conv(substring(md5(col("user_id").cast("string")), 1, 10), 16, 10).cast("long"),
+      lit(32L))
+    def batchSkew(evs: Seq[TypedEvent]): Seq[(Long, Long, Long, Long, Long)] =
+      R39Queries.skewSummary(
+          evs.toDS().toDF().groupBy(hash32.as("p")).agg(count(lit(1)).as("c")))
+        .select("parts_used", "max_load", "min_load", "sum_rows", "skew_bp")
+        .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    val mem = MemoryStream[TypedEvent](spark)
+    val captured =
+      scala.collection.mutable.ArrayBuffer.empty[(Long, Seq[(Long, Long, Long, Long, Long)])]
+    val q = EventStream.skewMonitorStream(mem.toDF()) { (id, df) =>
+      captured += id -> df.select("parts_used", "max_load", "min_load", "sum_rows", "skew_bp")
+        .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    }
+    try {
+      mem.addData(chunk1: _*); q.processAllAvailable()
+      mem.addData(chunk2: _*); q.processAllAvailable()
+    } finally q.stop()
+    assert(captured.nonEmpty)
+    val want1 = batchSkew(chunk1)
+    val wantAll = batchSkew(chunk1 ++ chunk2)
+    assert(captured.last._2 == wantAll,
+      "final streaming snapshot diverges from the batch skew core")
+    assert(captured.exists(_._2 == want1),
+      "no intermediate snapshot matches the chunk-1-only batch result")
+    // the planted viral user must raise the monitored skew
+    assert(wantAll.head._5 > want1.head._5, s"viral burst did not raise skew: $want1 -> $wantAll")
+    // complete-mode state is the 32-partition table, bounded forever
+    captured.foreach { case (_, snap) => assert(snap.head._1 <= 32) }
+  }
 }
