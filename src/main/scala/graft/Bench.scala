@@ -19,6 +19,17 @@ object Bench {
     * persistent NON-checkpointed RDD (the cache entries) and keep any
     * checkpointed RDD whose id the walk reaches; everything checkpointed
     * and unreachable is per-query transient state and is dropped.
+    *
+    * STANDING INVARIANT (ADVICE r8): the walk sees a cached DataFrame
+    * only once its columnar RDD has MATERIALIZED (getPersistentRDDs
+    * lists RDDs, not CacheManager plans), so every checkpoint-rooted
+    * cached base must be materialized before the first cleanup runs or
+    * its recompute source would be dropped as unreachable. The bench
+    * upholds this by construction: warmCaches (called before any timed
+    * query) counts every registered base, including neardupClusters —
+    * the one whose lineage ends at a localCheckpoint. Any NEW
+    * checkpoint-rooted base must join warmCaches, not rely on lazy
+    * first-use; BenchCleanupSpec pins the reachability contract.
     */
   private[graft] def cleanupTransients(spark: SparkSession): Unit = {
     try {
@@ -203,20 +214,24 @@ object Bench {
       sec
     }
     val pass1 = names.map(n => n -> timeOne(n)).toMap
-    // Rotated warm passes (VERDICT r7 #1): pass i starts at offset
-    // i·N/3 through the SAME sorted set. With aligned passes a time-
-    // local host disturbance (a multi-minute background load spike)
-    // lands on the same contiguous alphabetical block in ≥2 of 3
-    // passes — exactly what median-of-3 cannot reject (r07's driver
-    // artifact inflated q243–q256 up to 2.4× while isolated runs were
-    // clean). Rotation puts a given query at a different wall-clock
-    // offset each pass, so the disturbance hits DIFFERENT queries per
-    // pass and the per-query median rejects it. Deterministic (offset
-    // is a function of pass index and N alone), so cross-round
-    // comparability is unchanged.
+    // Permuted warm passes (VERDICT r8 #1): each warm pass runs the SAME
+    // sorted set in a deterministic seeded Fisher–Yates order keyed on
+    // the pass index. The r8 rotation (offset i·N/3) only decorrelated
+    // disturbances SHORTER than a third of a pass: pass offsets are
+    // ~120 s apart at this registry size, so a multi-minute host
+    // disturbance spanning one pass boundary still hit the same
+    // contiguous alphabetical block in 2 of 3 passes (BENCH_r08's
+    // q255–q261 at 2–4.7× vs isolated medians) and median-of-3 kept it.
+    // A per-pass permutation destroys contiguity entirely: queries that
+    // are wall-clock neighbors in one pass are scattered in the others,
+    // so ANY time-local disturbance — regardless of duration — inflates
+    // a different random subset per pass and the per-query median
+    // rejects it. Deterministic (seed is the pass index alone), so
+    // cross-round per-query medians stay comparable; pass-1 ("cold")
+    // ordering is unchanged.
     val warm = (0 until 3).map { i =>
-      val off = i * names.size / 3
-      (names.drop(off) ++ names.take(off)).map(n => n -> timeOne(n)).toMap
+      val order = new scala.util.Random(i.toLong).shuffle(names)
+      order.map(n => n -> timeOne(n)).toMap
     }
     val results = names.map { n =>
       val ws = warm.map(_(n))
