@@ -44,13 +44,61 @@ object R33Queries {
       .as("u"))
     .select(col("doc_id"), col("u.pos").as("pos"), col("u.s").as("s"))
 
-  // ---------------------------------------------------------------- q319
-  /** DuckDB oracle for q319, assembled programmatically: the 6-step
-    * merge-learning chain is q292's CTE pattern repeated (pairs → argmax
-    * → apply), then the learned merges are applied IN ORDER to the full
-    * distinct-word vocabulary and fertility is read per language.
+  /** Shared BPE-encoded word table (q319 + q365): the 6-merge BPE chain —
+    * learn on the bounded top-100 count-weighted word table, apply the
+    * merges in learned order to the full distinct vocabulary — joined
+    * back to per-(lang, word) counts: (lang, w, cnt, n_tok). Memoized
+    * like the dedup pair bases so the fertility audit and the estimator
+    * calibration read the SAME encoding; materialized in warmCaches
+    * because its lineage terminates at the 6 merge localCheckpoints
+    * (the Bench.cleanupTransients materialize-before-cleanup invariant).
     */
-  private def bpeFertilityOracle: String = {
+  private[queries] def bpeEncoded(s: SparkSession, d: String): DataFrame =
+    ScaleQueries.memo(s, d, "bpeEncoded") {
+      val docs = t(s, d, "documents")
+      val spaced = (c: org.apache.spark.sql.Column) =>
+        concat(lit(" "), trim(regexp_replace(c, "(.)", "$1 ")), lit(" "))
+      val top = docs.select(explode(TextOps.tokens(col("text"))).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("w")).limit(100)
+        .select(spaced(col("w")).as("sym"), col("cnt"))
+      def pairs(df: DataFrame): DataFrame = df
+        .select(col("cnt"), split(trim(col("sym")), " ").as("arr"))
+        .where(size(col("arr")) >= 2)
+        .select(col("cnt"), explode(expr(
+          "transform(sequence(1, size(arr) - 1), i -> concat_ws(' ', arr[i - 1], arr[i]))"))
+          .as("pair"))
+        .groupBy("pair").agg(sum("cnt").as("weight"))
+      def top1(df: DataFrame): DataFrame = df
+        .orderBy(col("weight").desc, col("pair")).limit(1).select("pair")
+      def applyMerge(df: DataFrame, m: DataFrame): DataFrame = df
+        .crossJoin(broadcast(m.select(col("pair").as("mp"))))
+        .withColumn("sym",
+          expr("replace(sym, concat(' ', mp, ' '), concat(' ', replace(mp, ' ', ''), ' '))"))
+        .drop("mp")
+      // Learn 6 merges sequentially (bounded unroll, the q90/q161
+      // convention); each argmax is checkpointed so its single row is
+      // computed once however many downstream plans reference it.
+      var wt = top
+      val merges = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+      for (_ <- 1 to 6) {
+        val m = top1(pairs(wt)).localCheckpoint(false)
+        merges += m
+        wt = applyMerge(wt, m)
+      }
+      val lw = docs.select(col("lang"), explode(TextOps.tokens(col("text"))).as("w"))
+        .groupBy("lang", "w").agg(count(lit(1)).as("cnt"))
+      var vocab = lw.select("w").distinct().select(col("w"), spaced(col("w")).as("sym"))
+      for (m <- merges) vocab = applyMerge(vocab, m)
+      val enc = vocab.select(col("w"),
+        size(split(trim(col("sym")), " ")).cast("long").as("n_tok"))
+      lw.join(enc, "w")
+    }
+
+  /** DuckDB CTE chain replaying [[bpeEncoded]] — ends in `lw` (lang, w,
+    * cnt) and `enc` (w, n_tok); shared by the q319 and q365 oracles.
+    */
+  private[queries] def bpeEncCtes: String = {
     val K = 6
     def pairsCte(src: String, out: String) =
       s"$out AS (SELECT pair, CAST(sum(cnt) AS BIGINT) AS weight FROM (SELECT cnt, unnest([arr[i] || ' ' || arr[i + 1] for i in generate_series(1, len(arr) - 1)]) AS pair FROM (SELECT cnt, string_split(trim(sym), ' ') AS arr FROM $src) WHERE len(arr) >= 2) GROUP BY 1)"
@@ -69,9 +117,18 @@ object R33Queries {
     for (k <- 1 to K)
       ctes += s"v$k AS (SELECT w, ${applySql(s"m$k")} AS sym FROM v${k - 1})"
     ctes += s"enc AS (SELECT w, CAST(len(string_split(trim(sym), ' ')) AS BIGINT) AS n_tok FROM v$K)"
-    "WITH " + ctes.mkString(", ") +
-      " SELECT lang, CAST(sum(cnt) AS BIGINT) AS n_words, CAST(sum(cnt * n_tok) AS BIGINT) AS n_tokens, CAST(sum(cnt * length(w)) AS BIGINT) AS n_chars, CAST(sum(cnt * n_tok) * 1000000 // sum(cnt) AS BIGINT) AS fertility_micro, CAST(sum(cnt * length(w)) * 1000000 // sum(cnt * n_tok) AS BIGINT) AS chars_per_token_micro FROM lw JOIN enc USING (w) GROUP BY 1 ORDER BY 1"
+    ctes.mkString(", ")
   }
+
+  // ---------------------------------------------------------------- q319
+  /** DuckDB oracle for q319, assembled programmatically: the 6-step
+    * merge-learning chain is q292's CTE pattern repeated (pairs → argmax
+    * → apply), then the learned merges are applied IN ORDER to the full
+    * distinct-word vocabulary and fertility is read per language.
+    */
+  private def bpeFertilityOracle: String =
+    "WITH " + bpeEncCtes +
+      " SELECT lang, CAST(sum(cnt) AS BIGINT) AS n_words, CAST(sum(cnt * n_tok) AS BIGINT) AS n_tokens, CAST(sum(cnt * length(w)) AS BIGINT) AS n_chars, CAST(sum(cnt * n_tok) * 1000000 // sum(cnt) AS BIGINT) AS fertility_micro, CAST(sum(cnt * length(w)) * 1000000 // sum(cnt * n_tok) AS BIGINT) AS chars_per_token_micro FROM lw JOIN enc USING (w) GROUP BY 1 ORDER BY 1"
 
   // ---------------------------------------------------------------- q320
   private def incrIvfRecallOracle: String = {
@@ -111,45 +168,8 @@ object R33Queries {
     // outputs on the micro grid.
     QuerySpec(
       "q319_bpe_fertility",
-      (s, d) => {
-        val docs = t(s, d, "documents")
-        val spaced = (c: org.apache.spark.sql.Column) =>
-          concat(lit(" "), trim(regexp_replace(c, "(.)", "$1 ")), lit(" "))
-        val top = docs.select(explode(TextOps.tokens(col("text"))).as("w"))
-          .groupBy("w").agg(count(lit(1)).as("cnt"))
-          .orderBy(col("cnt").desc, col("w")).limit(100)
-          .select(spaced(col("w")).as("sym"), col("cnt"))
-        def pairs(df: DataFrame): DataFrame = df
-          .select(col("cnt"), split(trim(col("sym")), " ").as("arr"))
-          .where(size(col("arr")) >= 2)
-          .select(col("cnt"), explode(expr(
-            "transform(sequence(1, size(arr) - 1), i -> concat_ws(' ', arr[i - 1], arr[i]))"))
-            .as("pair"))
-          .groupBy("pair").agg(sum("cnt").as("weight"))
-        def top1(df: DataFrame): DataFrame = df
-          .orderBy(col("weight").desc, col("pair")).limit(1).select("pair")
-        def applyMerge(df: DataFrame, m: DataFrame): DataFrame = df
-          .crossJoin(broadcast(m.select(col("pair").as("mp"))))
-          .withColumn("sym",
-            expr("replace(sym, concat(' ', mp, ' '), concat(' ', replace(mp, ' ', ''), ' '))"))
-          .drop("mp")
-        // Learn 6 merges sequentially (bounded unroll, the q90/q161
-        // convention); each argmax is checkpointed so its single row is
-        // computed once however many downstream plans reference it.
-        var wt = top
-        val merges = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
-        for (_ <- 1 to 6) {
-          val m = top1(pairs(wt)).localCheckpoint(false)
-          merges += m
-          wt = applyMerge(wt, m)
-        }
-        val lw = docs.select(col("lang"), explode(TextOps.tokens(col("text"))).as("w"))
-          .groupBy("lang", "w").agg(count(lit(1)).as("cnt"))
-        var vocab = lw.select("w").distinct().select(col("w"), spaced(col("w")).as("sym"))
-        for (m <- merges) vocab = applyMerge(vocab, m)
-        val enc = vocab.select(col("w"),
-          size(split(trim(col("sym")), " ")).cast("long").as("n_tok"))
-        lw.join(enc, "w")
+      (s, d) =>
+        bpeEncoded(s, d)
           .groupBy("lang")
           .agg(sum("cnt").as("n_words"),
             sum(col("cnt") * col("n_tok")).as("n_tokens"),
@@ -157,8 +177,7 @@ object R33Queries {
           .select(col("lang"), col("n_words"), col("n_tokens"), col("n_chars"),
             expr("n_tokens * 1000000 div n_words").as("fertility_micro"),
             expr("n_chars * 1000000 div n_tokens").as("chars_per_token_micro"))
-          .orderBy("lang")
-      },
+          .orderBy("lang"),
       Some(bpeFertilityOracle),
       "E4/T ext: BPE encode + per-language fertility/compression audit — six learned merges applied to the vocabulary"),
 

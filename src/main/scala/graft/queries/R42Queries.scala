@@ -16,6 +16,28 @@ object R42Queries {
 
   private def t(s: SparkSession, d: String, n: String): DataFrame = Tables.load(s, d, n)
 
+  /** The shared IVM merge algebra — q355's batch certification AND
+    * EventStream.ivmStream fold through this one core (the
+    * skewSummary-sharing convention), so the online MV can never drift
+    * from the batch definition. Both inputs are (rf, ls, n, sq) partial
+    * aggregates; the merge is the coalesce-keyed additive full-outer
+    * fold, O(|base| + |delta|) with the base never reaggregated, and a
+    * RETRACTION is the same call with the delta's n/sq negated — one
+    * algebra, both directions. Groups whose count reaches zero are
+    * dropped (the retraction-to-empty delete path; a group never goes
+    * negative under the additive contract, so `n > 0` is the exact
+    * liveness predicate).
+    */
+  private[graft] def ivmMerge(base: DataFrame, delta: DataFrame): DataFrame = {
+    val b = base.select(col("rf"), col("ls"), col("n").as("n_b"), col("sq").as("sq_b"))
+    val dd = delta.select(col("rf"), col("ls"), col("n").as("n_d"), col("sq").as("sq_d"))
+    b.join(dd, Seq("rf", "ls"), "full_outer")
+      .select(col("rf"), col("ls"),
+        expr("coalesce(n_b, 0) + coalesce(n_d, 0)").as("n"),
+        expr("coalesce(sq_b, 0) + coalesce(sq_d, 0)").as("sq"))
+      .where(col("n") > 0)
+  }
+
   val specs: Seq[QuerySpec] = Seq(
 
     // q355 — INCREMENTAL VIEW MAINTENANCE: the flag x status MV (q349's
@@ -42,26 +64,27 @@ object R42Queries {
           expr("unix_timestamp(l_shipdate) div 86400").as("dk"),
           expr("CAST(floor(l_quantity * 100.0 + 0.5) AS BIGINT)").as("qc"))
         val bm = b.crossJoin(broadcast(b.agg(max("dk").as("dmax"))))
-        def mv(df: DataFrame, nTag: String, sTag: String): DataFrame =
+        def mv(df: DataFrame): DataFrame =
           df.groupBy("rf", "ls")
-            .agg(count(lit(1)).as(nTag), sum("qc").as(sTag))
-        val mvBase = mv(bm.where("dk < dmax"), "n_b", "sq_b")
-        val mvDelta = mv(bm.where("dk = dmax"), "n_d", "sq_d")
-        val fullMv = mv(b, "full_n", "full_sum")
-        val merged = mvBase.join(mvDelta, Seq("rf", "ls"), "full_outer")
-          .select(col("rf"), col("ls"),
-            expr("coalesce(n_b, 0) + coalesce(n_d, 0)").as("ivm_n"),
-            expr("coalesce(sq_b, 0) + coalesce(sq_d, 0)").as("ivm_sum"))
-        val retracted = fullMv.join(mvDelta, Seq("rf", "ls"), "left")
-          .select(col("rf"), col("ls"),
-            expr("full_n - coalesce(n_d, 0)").as("ivm_n"),
-            expr("full_sum - coalesce(sq_d, 0)").as("ivm_sum"))
-        val ins = merged.join(fullMv, Seq("rf", "ls"))
+            .agg(count(lit(1)).as("n"), sum("qc").as("sq"))
+        val mvBase = mv(bm.where("dk < dmax"))
+        val mvDelta = mv(bm.where("dk = dmax"))
+        val fullMv = mv(b)
+        // both directions through the ONE shared core: retraction is the
+        // same merge with the delta negated (EventStream.ivmStream folds
+        // its micro-batches through ivmMerge too — they cannot diverge)
+        val merged = ivmMerge(mvBase, mvDelta)
+          .select(col("rf"), col("ls"), col("n").as("ivm_n"), col("sq").as("ivm_sum"))
+        val retracted = ivmMerge(fullMv, mvDelta.select(col("rf"), col("ls"),
+            (-col("n")).as("n"), (-col("sq")).as("sq")))
+          .select(col("rf"), col("ls"), col("n").as("ivm_n"), col("sq").as("ivm_sum"))
+        val ins = merged.join(fullMv.select(col("rf"), col("ls"),
+            col("n").as("full_n"), col("sq").as("full_sum")), Seq("rf", "ls"))
           .select(lit("insert_delta").as("scenario"), col("rf"), col("ls"),
             col("ivm_n"), col("ivm_sum"), col("full_n"), col("full_sum"))
         val del = retracted
           .join(mvBase.select(col("rf"), col("ls"),
-            col("n_b").as("full_n"), col("sq_b").as("full_sum")), Seq("rf", "ls"))
+            col("n").as("full_n"), col("sq").as("full_sum")), Seq("rf", "ls"))
           .select(lit("delete_delta").as("scenario"), col("rf"), col("ls"),
             col("ivm_n"), col("ivm_sum"), col("full_n"), col("full_sum"))
         ins.unionByName(del)

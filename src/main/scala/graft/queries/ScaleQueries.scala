@@ -228,7 +228,7 @@ object ScaleQueries {
       rareCand(s, d), unionCand(s, d), unionCandJacc(s, d),
       termFreq(s, d), neardupEdges(s, d), neardupClusters(s, d), ivfFlat(s, d),
       truthTop3(s, d), fileManifest(s, d), baseMd5(s, d),
-      R38Queries.zorderPricing(s, d))
+      R38Queries.zorderPricing(s, d), R33Queries.bpeEncoded(s, d))
       .foreach { df =>
         if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE) df.cache()
       }
@@ -243,6 +243,10 @@ object ScaleQueries {
     truthTop3(s, d).count()
     neardupClusters(s, d).count()
     fileManifest(s, d).count()
+    // checkpoint-rooted base (6 BPE-merge localCheckpoints in its
+    // lineage): MUST materialize before any cleanupTransients pass —
+    // see Bench.cleanupTransients' standing invariant
+    R33Queries.bpeEncoded(s, d).count()
     R3Queries.warmGraph(s, d)
     R7Queries.warmPq(s, d)
   }

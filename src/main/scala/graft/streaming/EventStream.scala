@@ -183,6 +183,103 @@ object EventStream {
       }
       .start()
 
+  /** Streaming incremental view maintenance (q355's stream twin): each
+    * micro-batch of (rf, ls, qc, sign) delta rows — sign = +1 insert,
+    * -1 retraction/late-data correction — is reduced to its partial
+    * aggregate and folded into the persisted MV through the SAME
+    * R42Queries.ivmMerge core the batch query certifies in both
+    * directions, so the online MV can never drift from the batch
+    * definition: a retraction batch is just a negative-sign delta and
+    * takes the identical code path, with groups retracted to zero
+    * dropped by the core's liveness predicate. State is the MV itself —
+    * bounded by the group vocabulary, never by stream length — held as
+    * a localCheckpoint-ed snapshot across batches (the funnelStream
+    * persistence convention). `sink` receives (batchId, MV-after-merge);
+    * StreamingSpec certifies every snapshot against a full recompute of
+    * the net rows fed so far, including the delete path.
+    */
+  def ivmStream(deltas: DataFrame)
+      (sink: (Long, DataFrame) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    var mv: DataFrame = null
+    deltas.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val d = batch.groupBy("rf", "ls")
+          .agg(sum(col("sign").cast("long")).as("n"),
+            sum(col("sign").cast("long") * col("qc")).as("sq"))
+        val merged =
+          (if (mv == null) d.where(col("n") > 0)
+           else graft.queries.R42Queries.ivmMerge(mv, d))
+            .localCheckpoint(false)
+        mv = merged
+        sink(id, merged)
+      }
+      .outputMode("append")
+      .start()
+  }
+
+  /** Streaming twin of q357's mergeable quantile sketch: each
+    * micro-batch of raw values is reduced to its fixed-grid partial
+    * sketch and rolled into the persisted summary through the SAME
+    * R43Queries.sketchMergeAll core the batch query certifies per bin —
+    * addition IS the merge, which is exactly why the summary can be
+    * maintained online at all. The grid (vmin, w) is PRE-DECLARED, the
+    * production reality for a stream (it comes from historical stats,
+    * not a rescan — q357's batch grid is data-derived because the batch
+    * can afford the min/max pass); values below the declared range clamp
+    * into bin 0 and above it into bin 255, the standard fixed-grid
+    * out-of-range policy. State is the ≤256-row summary itself, bounded
+    * forever. `sink` receives (batchId, merged sketch); StreamingSpec
+    * certifies every snapshot against the batch sketch of all values fed
+    * so far — bin-for-bin, through the same core.
+    */
+  def sketchQuantileStream(values: DataFrame, vmin: Long, w: Long)
+      (sink: (Long, DataFrame) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    var sk: DataFrame = null
+    values.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val part = batch
+          .select(expr(s"greatest(0, least(255, (v - $vmin) * 256 div $w))").as("bin"))
+          .groupBy("bin").agg(count(lit(1)).as("c"))
+        val merged = graft.queries.R43Queries.sketchMergeAll(
+            if (sk == null) part
+            else sk.select(col("bin"), col("mc").as("c")).unionByName(part))
+          .localCheckpoint(false)
+        sk = merged
+        sink(id, merged)
+      }
+      .outputMode("append")
+      .start()
+  }
+
+  /** Streaming count-min sketch (q363's stream twin): the online half of
+    * two-phase heavy-hitter detection. Every event expands to its d=3
+    * count-min coordinates through the SAME R45Queries.cmCoords
+    * projection the batch query counts, and the cells accumulate as a
+    * complete-mode aggregation — state is EXACTLY 3x1024 rows forever,
+    * regardless of how many distinct keys the stream ever sees, which is
+    * the entire reason a monitor ships a sketch instead of a per-key
+    * table. Each snapshot is the live phase-1 artifact: the batch side
+    * probes its dictionary against it and exact-verifies only the keys
+    * whose one-sided bound clears the threshold (q363's certified
+    * no-missed-heavy-hitter prune). `sink` receives (batchId, sketch);
+    * StreamingSpec proves the final snapshot equals the batch-built
+    * sketch cell-for-cell.
+    */
+  def hhSketchStream(events: DataFrame)
+      (sink: (Long, DataFrame) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    graft.queries.R45Queries.cmCoords(
+        events.select(col("user_id").cast("long").as("k")))
+      .groupBy("hr", "cell").agg(count(lit(1)).as("c"))
+      .writeStream
+      .outputMode("complete")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        sink(id, batch.localCheckpoint(false).toDF())
+      }
+      .start()
+
   /** Streaming anomaly gate (q146's stream twin): each event z-scored
     * against STATIC per-type statistics (computed once on a historical
     * corpus, broadcast per micro-batch), flagged when |z| > threshold.
@@ -216,6 +313,12 @@ object EventStream {
       .select(unix_timestamp(col("window.start")).as("ws"), col("term"), col("cnt"))
 
   case class Doc(doc_id: Long, ts: java.sql.Timestamp, text: String)
+
+  /** One MV delta row for [[ivmStream]]: sign = +1 insert, -1 retract. */
+  case class IvmDelta(rf: String, ls: String, qc: Long, sign: Int)
+
+  /** One raw value row for [[sketchQuantileStream]]. */
+  case class SkVal(v: Long)
 
   /** Streaming NEAR-dup filter (E2 on a stream): drop a document whose
     * full 4-band MinHash signature was already seen inside the watermark
@@ -455,7 +558,8 @@ object EventStream {
 
   case class CepRun(rs: Long, re: Long, len: Long)
   case class CepState(views: List[Long], pending: List[CepRun],
-      open: Option[CepRun], purchases: List[Long], done: Boolean)
+      open: Option[CepRun], purchases: List[Long], done: Boolean,
+      frontier: Long = Long.MinValue)
   case class CepOut(user_id: Long, view_es: Long, click_run_len: Long,
       first_click_lag_s: Long, run_span_s: Long, purchase_lag_s: Long, span_s: Long)
 
@@ -482,10 +586,24 @@ object EventStream {
     *    at the earliest surviving run's end, and the event-time timer
     *    re-arms at the next decision point, so a user with no further
     *    events still decides (or clears) — nothing waits for traffic.
+    *
+    * Contract violations are OBSERVABLE (ADVICE r8): the standing
+    * cross-batch-order contract is what makes the fold equal the batch
+    * query, and a genuinely out-of-order source (still inside the
+    * watermark allowance) would silently produce different matches —
+    * so every event whose ts regresses behind the per-user fold
+    * frontier increments `tsRegressions`. Behavior is unchanged (the
+    * fold still processes the event exactly as before); the counter is
+    * the alarm that says "this source violates the contract — trust
+    * the batch query, not this fold" instead of letting the divergence
+    * pass unnoticed. A same-second event is NOT a regression (per-batch
+    * sort is (ts, event_id) and duplicate click instants are legal).
     */
   def cepQuantifiedStream(events: Dataset[TypedEvent],
       runGapSeconds: Long = 86400, viewDeadline: Long = 43200,
-      purchaseDeadline: Long = 86400): Dataset[CepOut] = {
+      purchaseDeadline: Long = 86400,
+      tsRegressions: Option[org.apache.spark.util.LongAccumulator] = None)
+      : Dataset[CepOut] = {
     val spark = events.sparkSession
     import spark.implicits._
     events
@@ -507,10 +625,13 @@ object EventStream {
           var pending = st0.pending
           var open = st0.open
           var purchases = st0.purchases
+          var frontier = st0.frontier
           if (!state.hasTimedOut) {
             val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
             sorted.foreach { e =>
               val sec = e.ts.getTime / 1000
+              if (sec < frontier) tsRegressions.foreach(_.add(1L))
+              else frontier = sec
               e.event_type match {
                 case "view" => views = views :+ sec
                 case "click" =>
@@ -560,7 +681,7 @@ object EventStream {
             if (views.isEmpty && pending.isEmpty && open.isEmpty && purchases.isEmpty)
               state.remove()
             else {
-              state.update(CepState(views, pending, open, purchases, done = false))
+              state.update(CepState(views, pending, open, purchases, done = false, frontier))
               // next decision point: a pending run's window closing, the
               // open run's closing gap, or the last moment any buffered
               // view/purchase could still matter

@@ -205,7 +205,15 @@ class PlanShapeSpec extends SparkSpecBase {
       // q350 — prefix-sum window over the per-ship-day byte aggregate
       //        (calendar-sized forever: fact rows contribute one keyed
       //        aggregation, the packing window sees only days)
-      "q350_compaction_plan")
+      "q350_compaction_plan",
+      // q357 — rank cum over the ≤256-row merged sketch (the bin table
+      //        is fixed-size by construction; raw rows contribute one
+      //        map-side bucket assignment + keyed aggregation) — plus
+      //        the QuantileOps offset window of its exact-side grader
+      "q357_quantile_sketch",
+      // q362 — the q357 class at four bin widths (≤1024-row cum per
+      //        leg) plus the 4-row frontier argmin window
+      "q362_sketch_bin_chooser")
     // balanced-paren extraction: a naive [^)]* capture truncates at the
     // first ')' inside an ORDER BY expression like round(x, 2), which
     // would hide its ASC/DESC marker and let a global window through

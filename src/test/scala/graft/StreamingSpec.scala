@@ -539,6 +539,36 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("cepQuantifiedStream: ts regressions against the fold frontier are counted, in-order stays 0") {
+    import EventStream.TypedEvent
+    def run(evs: Seq[Seq[TypedEvent]]): Long = {
+      val acc = spark.sparkContext.longAccumulator
+      val mem = MemoryStream[TypedEvent](spark)
+      val q = EventStream.cepQuantifiedStream(mem.toDS(), tsRegressions = Some(acc))
+        .writeStream.format("memory")
+        .queryName(s"cep_reg_${System.nanoTime()}").outputMode("append").start()
+      try {
+        evs.foreach { chunk => mem.addData(chunk: _*); q.processAllAvailable() }
+      } finally q.stop()
+      acc.value
+    }
+    def ev(id: Long, minute: Int, t: String) = TypedEvent(id, ts(minute), 7L, t)
+    // in-order chunks (each batch sorted internally; batch 2 starts past
+    // batch 1's frontier): the counter must stay 0
+    val inOrder = Seq(
+      Seq(ev(1, 0, "view"), ev(2, 10, "click"), ev(3, 20, "click")),
+      Seq(ev(4, 30, "click"), ev(5, 40, "purchase")))
+    assert(run(inOrder) == 0L, "in-order feed must not count regressions")
+    // batch 2 regresses behind batch 1's frontier (a click at minute 5
+    // arriving after minute 20 was folded) — still inside any watermark
+    // allowance, so without the counter this contract violation would
+    // pass silently
+    val outOfOrder = Seq(
+      Seq(ev(1, 0, "view"), ev(2, 10, "click"), ev(3, 20, "click")),
+      Seq(ev(4, 5, "click"), ev(5, 40, "purchase")))
+    assert(run(outOfOrder) >= 1L, "the out-of-order click must be counted")
+  }
+
   test("bhAlarmStream: per-batch BH snapshot over accumulated segment state equals batch") {
     import EventStream.TypedEvent
     import graft.queries.R36Queries
@@ -573,6 +603,123 @@ class StreamingSpec extends SparkSpecBase {
     assert(captured.exists(_._2 == want1),
       "no intermediate snapshot matches the chunk-1-only batch result")
     assert(want1 != wantAll)
+  }
+
+  test("ivmStream: per-batch MV merge equals recompute, retraction exercises the delete path") {
+    import EventStream.IvmDelta
+    // batch 1: inserts across three groups; batch 2: more inserts plus a
+    // partial retraction of (A,O); batch 3: retracts (B,F) COMPLETELY —
+    // the group must vanish from the MV (the delete path)
+    val b1 = Seq(IvmDelta("A", "O", 10L, 1), IvmDelta("A", "O", 20L, 1),
+      IvmDelta("B", "F", 5L, 1), IvmDelta("C", "O", 7L, 1))
+    val b2 = Seq(IvmDelta("A", "O", 30L, 1), IvmDelta("C", "O", 9L, 1),
+      IvmDelta("A", "O", 10L, -1))
+    val b3 = Seq(IvmDelta("B", "F", 5L, -1))
+    def recompute(evs: Seq[IvmDelta]): Set[(String, String, Long, Long)] =
+      evs.groupBy(e => (e.rf, e.ls)).toSeq
+        .map { case ((rf, ls), rows) =>
+          (rf, ls, rows.map(_.sign.toLong).sum,
+            rows.map(r => r.sign.toLong * r.qc).sum)
+        }
+        .filter(_._3 > 0)
+        .map(t => (t._1, t._2, t._3, t._4)).toSet
+    val mem = MemoryStream[IvmDelta](spark)
+    val captured =
+      scala.collection.mutable.ArrayBuffer.empty[(Long, Set[(String, String, Long, Long)])]
+    val q = EventStream.ivmStream(mem.toDF()) { (id, df) =>
+      captured += id -> df.select("rf", "ls", "n", "sq")
+        .as[(String, String, Long, Long)].collect().toSet
+    }
+    try {
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+      mem.addData(b3: _*); q.processAllAvailable()
+    } finally q.stop()
+    // EVERY snapshot equals the recompute of the net rows fed so far —
+    // the q355 maintenance identity held per micro-batch online
+    assert(captured.size == 3, s"expected 3 snapshots: ${captured.size}")
+    val feeds = Seq(b1, b1 ++ b2, b1 ++ b2 ++ b3)
+    captured.zip(feeds).foreach { case ((id, got), fed) =>
+      assert(got == recompute(fed), s"batch $id MV diverges from recompute")
+    }
+    // the partial retraction moved (A,O) without deleting it
+    assert(captured(1)._2.exists(r => r._1 == "A" && r._3 == 2L && r._4 == 50L),
+      s"partial retraction wrong: ${captured(1)._2}")
+    // the full retraction DELETED (B,F): present after batch 2, gone after 3
+    assert(captured(1)._2.exists(_._1 == "B") && !captured(2)._2.exists(_._1 == "B"),
+      s"delete path failed: ${captured(2)._2}")
+  }
+
+  test("sketchQuantileStream: per-batch rolled sketch equals the batch sketch, out-of-range clamps") {
+    import EventStream.SkVal
+    val vmin = 1000L; val w = 25600L // bin width 100 on the declared grid
+    // batch 2 includes out-of-range values on both sides (clamp to bins
+    // 0 and 255 — the declared-grid policy a stream must have)
+    val b1 = (0 until 200).map(i => SkVal(vmin + (i * 131) % w))
+    val b2 = (0 until 100).map(i => SkVal(vmin + (i * 977) % w)) ++
+      Seq(SkVal(vmin - 50L), SkVal(vmin + w + 999L))
+    def batchSketch(vs: Seq[SkVal]): Map[Long, Long] =
+      vs.groupBy(x => math.max(0L, math.min(255L, (x.v - vmin) * 256L / w)))
+        .map { case (b, rows) => b -> rows.size.toLong }
+    val mem = MemoryStream[SkVal](spark)
+    val captured =
+      scala.collection.mutable.ArrayBuffer.empty[(Long, Map[Long, Long])]
+    val q = EventStream.sketchQuantileStream(mem.toDF(), vmin, w) { (id, df) =>
+      captured += id -> df.select("bin", "mc").as[(Long, Long)].collect().toMap
+    }
+    try {
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    assert(captured.size == 2)
+    assert(captured(0)._2 == batchSketch(b1), "batch-1 sketch diverges")
+    assert(captured(1)._2 == batchSketch(b1 ++ b2), "rolled sketch diverges from batch recompute")
+    // the clamped strays landed in the edge bins
+    assert(captured(1)._2.getOrElse(0L, 0L) >= batchSketch(b1 ++ b2)(0L) &&
+      captured(1)._2.contains(255L), s"clamp policy broken: ${captured(1)._2}")
+    // state stays bounded by the grid
+    captured.foreach { case (_, m) => assert(m.size <= 256) }
+  }
+
+  test("hhSketchStream: accumulated count-min cells equal the batch sketch, state bounded") {
+    import EventStream.TypedEvent
+    import graft.queries.R45Queries
+    def ev(id: Long, u: Long) = TypedEvent(id, ts((id % 600).toInt), u, "click")
+    // chunk 1: 20 users round-robin; chunk 2: one user goes hot — the
+    // exact shape the online phase-1 sketch exists to catch
+    val chunk1 = (1L to 100L).map(i => ev(i, i % 20))
+    val chunk2 = (101L to 200L).map(i => ev(i, if (i % 5 == 0) i % 20 else 777L))
+    def batchCm(evs: Seq[TypedEvent]): Map[(Long, Long), Long] =
+      R45Queries.cmCoords(evs.toDS().toDF().select(col("user_id").cast("long").as("k")))
+        .groupBy("hr", "cell").agg(count(lit(1)).as("c"))
+        .as[(Long, Long, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    val mem = MemoryStream[TypedEvent](spark)
+    val captured =
+      scala.collection.mutable.ArrayBuffer.empty[(Long, Map[(Long, Long), Long])]
+    val q = EventStream.hhSketchStream(mem.toDF()) { (id, df) =>
+      captured += id -> df.select("hr", "cell", "c")
+        .as[(Long, Long, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    }
+    try {
+      mem.addData(chunk1: _*); q.processAllAvailable()
+      mem.addData(chunk2: _*); q.processAllAvailable()
+    } finally q.stop()
+    assert(captured.nonEmpty)
+    assert(captured.last._2 == batchCm(chunk1 ++ chunk2),
+      "final streamed sketch diverges from the batch-built sketch")
+    assert(captured.exists(_._2 == batchCm(chunk1)),
+      "no intermediate snapshot matches the chunk-1-only sketch")
+    // state bounded by the sketch geometry forever: d=3 x w=1024
+    captured.foreach { case (_, m) => assert(m.size <= 3 * 1024) }
+    // the hot user's one-sided bound cleared by its true count: min over
+    // its three cells >= its exact frequency (the q363 prune-safety
+    // property, read off the streamed artifact)
+    val hotCells = R45Queries.cmCoords(
+        Seq(777L).toDF("k")).as[(Long, Long)].collect()
+    val hotEst = hotCells.map(captured.last._2(_)).min
+    val hotExact = (chunk1 ++ chunk2).count(_.user_id == 777L).toLong
+    assert(hotEst >= hotExact && hotExact == 80L,
+      s"one-sided bound broken on the streamed sketch: $hotEst vs $hotExact")
   }
 
   test("skewMonitorStream: accumulated partition loads equal the batch skew core") {
