@@ -1,0 +1,202 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.QuerySpec
+import graft.Tables
+
+/** Round-9 third widening — three more day-2 operations, each priced or
+  * certified the house way:
+  *
+  *  - q366 extends IVM from aggregates (q355) to JOIN VIEWS: the delta
+  *    join ΔR ⋈ S maintains the materialized join, certified ROW-LEVEL
+  *    via an order-independent multiset fingerprint, both directions;
+  *  - q367 chooses the WATERMARK: a planted heavy-tailed lateness
+  *    distribution priced across six allowed-lateness settings, cheapest
+  *    state horizon under a 0.2%-loss budget argmin-flagged — and it
+  *    lands on the 1-hour watermark the streaming layer actually ships;
+  *  - q368 chooses the DELETE STRATEGY (copy-on-write vs merge-on-read):
+  *    GDPR-style victim sets at four sizes priced as write amplification
+  *    against delete-vector size, the >10x rule-of-thumb crossover made
+  *    a computed column instead of folklore.
+  */
+object R46Queries {
+
+  private def t(s: SparkSession, d: String, n: String): DataFrame = Tables.load(s, d, n)
+
+  val specs: Seq[QuerySpec] = Seq(
+
+    // q366 — JOIN-VIEW IVM WITH MULTISET FINGERPRINTS: q355 maintained an
+    // AGGREGATE view; real pipelines also materialize JOIN views (the
+    // enriched orders-x-customer table every dashboard reads), and their
+    // maintenance identity is distributivity: view(base ∪ Δ) =
+    // view(base) ∪ view(Δ) — the daily refresh computes ONLY Δ ⋈ dim
+    // (delta x broadcast dimension, O(|Δ|)), never re-joins the base.
+    // Counts alone can't certify a row-level identity (two wrong rows
+    // can cancel), so each side also carries an order-independent
+    // MULTISET FINGERPRINT — the sum of a 40-bit md5 of every join-row's
+    // business key — and the merge identity must hold on the fingerprint
+    // too: ck(base) + ck(Δ) = ck(all), and the retraction direction
+    // ck(all) - ck(Δ) = ck(base). A lost, duplicated, or wrongly-joined
+    // row moves the sum (collision-canceling would need exact 40-bit
+    // coincidence; at 100 TB carry the sum mod 2^61). Certified per
+    // market segment so a single bad segment can't hide in a global
+    // total. Scale: two broadcast joins (delta- and base-sized) + keyed
+    // aggregates; the certification full join exists only to GRADE the
+    // maintenance and is what the delta path replaces in production.
+    QuerySpec(
+      "q366_join_view_ivm",
+      (s, d) => {
+        val b = t(s, d, "orders").select(col("o_orderkey"), col("o_custkey"),
+          expr("unix_timestamp(o_orderdate) div 86400").as("dk"))
+        val bm = b.crossJoin(broadcast(b.agg(max("dk").as("dmax"))))
+        val dim = t(s, d, "customer").select(col("c_custkey"), col("c_mktsegment"))
+        def view(df: DataFrame): DataFrame =
+          df.join(broadcast(dim), col("o_custkey") === col("c_custkey"))
+            .select(col("c_mktsegment").as("seg"),
+              conv(substring(md5(concat(lit("jv:"), col("o_orderkey").cast("string"))), 1, 10), 16, 10)
+                .cast("long").as("ck"))
+        def summ(df: DataFrame, nTag: String, cTag: String): DataFrame =
+          df.groupBy("seg").agg(count(lit(1)).as(nTag), sum("ck").as(cTag))
+        val base = summ(view(bm.where("dk < dmax")), "n_b", "ck_b")
+        val delta = summ(view(bm.where("dk = dmax")), "n_d", "ck_d")
+        val full = summ(view(b), "full_n", "full_ck")
+        val merged = base.join(delta, Seq("seg"), "full_outer")
+          .select(col("seg"),
+            expr("coalesce(n_b, 0) + coalesce(n_d, 0)").as("ivm_n"),
+            expr("coalesce(ck_b, 0) + coalesce(ck_d, 0)").as("ivm_ck"))
+        val retracted = full.join(delta, Seq("seg"), "left")
+          .select(col("seg"),
+            expr("full_n - coalesce(n_d, 0)").as("ivm_n"),
+            expr("full_ck - coalesce(ck_d, 0)").as("ivm_ck"))
+        val ins = merged.join(full, Seq("seg"))
+          .select(lit("insert_delta").as("scenario"), col("seg"),
+            col("ivm_n"), col("ivm_ck"), col("full_n"), col("full_ck"))
+        val del = retracted
+          .join(base.select(col("seg"), col("n_b").as("full_n"), col("ck_b").as("full_ck")),
+            Seq("seg"))
+          .select(lit("delete_delta").as("scenario"), col("seg"),
+            col("ivm_n"), col("ivm_ck"), col("full_n"), col("full_ck"))
+        ins.unionByName(del)
+          .select(col("scenario"), col("seg").as("c_mktsegment"),
+            col("ivm_n"), col("ivm_ck"), col("full_n"), col("full_ck"),
+            expr("CAST(CASE WHEN ivm_n = full_n AND ivm_ck = full_ck THEN 1 ELSE 0 END AS BIGINT)")
+              .as("matches"))
+          .orderBy("scenario", "c_mktsegment")
+      },
+      Some(
+        """WITH b AS (SELECT o_orderkey, o_custkey, CAST(floor(epoch(o_orderdate)) AS BIGINT) // 86400 AS dk FROM orders), mx AS (SELECT max(dk) AS dmax FROM b), v AS (SELECT b.dk, c.c_mktsegment AS seg, CAST(concat('0x', substr(md5(concat('jv:', CAST(b.o_orderkey AS VARCHAR))), 1, 10)) AS BIGINT) AS ck FROM b JOIN customer c ON c.c_custkey = b.o_custkey CROSS JOIN mx), base AS (SELECT seg, count(*) AS n, sum(ck) AS ckk FROM v CROSS JOIN mx WHERE dk < dmax GROUP BY 1), delta AS (SELECT seg, count(*) AS n, sum(ck) AS ckk FROM v CROSS JOIN mx WHERE dk = dmax GROUP BY 1), fullv AS (SELECT seg, count(*) AS n, sum(ck) AS ckk FROM v GROUP BY 1), merged AS (SELECT coalesce(a.seg, d.seg) AS seg, coalesce(a.n, 0) + coalesce(d.n, 0) AS n, coalesce(a.ckk, 0) + coalesce(d.ckk, 0) AS ckk FROM base a FULL JOIN delta d ON d.seg = a.seg), retracted AS (SELECT f.seg, f.n - coalesce(d.n, 0) AS n, f.ckk - coalesce(d.ckk, 0) AS ckk FROM fullv f LEFT JOIN delta d ON d.seg = f.seg), ins AS (SELECT 'insert_delta' AS scenario, m.seg, m.n AS ivm_n, m.ckk AS ivm_ck, f.n AS full_n, f.ckk AS full_ck FROM merged m JOIN fullv f ON f.seg = m.seg), del AS (SELECT 'delete_delta', r.seg, r.n, r.ckk, bb.n, bb.ckk FROM retracted r JOIN base bb ON bb.seg = r.seg), u AS (SELECT * FROM ins UNION ALL SELECT * FROM del) SELECT scenario, seg AS c_mktsegment, CAST(ivm_n AS BIGINT) AS ivm_n, CAST(ivm_ck AS BIGINT) AS ivm_ck, CAST(full_n AS BIGINT) AS full_n, CAST(full_ck AS BIGINT) AS full_ck, CAST(CASE WHEN ivm_n = full_n AND ivm_ck = full_ck THEN 1 ELSE 0 END AS BIGINT) AS matches FROM u ORDER BY scenario, c_mktsegment"""),
+      "A/J/S ext: join-view IVM — delta-join maintenance of the orders x customer view certified per segment by counts AND an order-independent md5 multiset fingerprint, both directions"),
+
+    // q367 — WATERMARK / ALLOWED-LATENESS CHOOSER: the knob every
+    // Structured Streaming job sets blind, priced. Event lateness is
+    // PLANTED deterministically (md5 of event_id — the natural stream is
+    // synthetic-punctual, the q293/q321 dead-fixture rule): 90% of
+    // events arrive under a minute late, 9% one-to-ten minutes, 0.9% up
+    // to an hour, 0.1% a heavy 1-4h tail — the shape real ingest logs
+    // show. A watermark W drops exactly the events later than W, so the
+    // frontier reads, per candidate W (1m/5m/15m/1h/6h/24h): dropped
+    // events, loss in bp, and the state horizon the job must carry
+    // (state is proportional to W x event rate — W IS the cost). The
+    // decision: smallest W whose loss meets the 0.2% completeness
+    // budget, argmin-flagged — and the arithmetic lands on W = 3600 s,
+    // independently justifying the 1-hour watermark EventStream's twins
+    // ship. Everything is exact integer hashing; the oracle replays
+    // every planted delay. Scale: one map-side hash + a 6-way broadcast
+    // threshold probe; no shuffle beyond the 6-row fold.
+    QuerySpec(
+      "q367_watermark_chooser",
+      (s, d) => {
+        val ev = Tables.events(s, d).select(col("event_id"))
+          .select(
+            conv(substring(md5(concat(lit("wm:"), col("event_id").cast("string"))), 1, 10), 16, 10)
+              .cast("long").as("h"))
+          .select(expr(
+            "CASE WHEN h % 1000 < 900 THEN h % 60 " +
+              "WHEN h % 1000 < 990 THEN 60 + h % 540 " +
+              "WHEN h % 1000 < 999 THEN 600 + h % 3000 " +
+              "ELSE 3600 + h % 10800 END").as("delay_s"))
+        val grid = s.range(1).select(explode(array(
+          Seq(60L, 300L, 900L, 3600L, 21600L, 86400L).map(lit): _*)).as("w_s"))
+        val tot = ev.agg(count(lit(1)).as("n_events"))
+        grid.join(ev, col("delay_s") > col("w_s"), "left")
+          .groupBy("w_s")
+          .agg(sum(when(col("delay_s").isNotNull, 1L).otherwise(0L)).as("n_dropped"))
+          .crossJoin(broadcast(tot))
+          .select(col("w_s"), col("n_events"), col("n_dropped"),
+            expr("n_dropped * 10000 div n_events").as("loss_bp"),
+            expr("CAST(CASE WHEN n_dropped * 10000 div n_events <= 20 THEN 1 ELSE 0 END AS BIGINT)")
+              .as("meets_budget"))
+          .crossJoin(broadcast(
+            grid.join(ev, col("delay_s") > col("w_s"), "left")
+              .groupBy("w_s")
+              .agg(sum(when(col("delay_s").isNotNull, 1L).otherwise(0L)).as("nd"))
+              .crossJoin(broadcast(tot))
+              .where(expr("nd * 10000 div n_events <= 20"))
+              .agg(min("w_s").as("best_w"))))
+          .select(col("w_s"), col("n_events"), col("n_dropped"), col("loss_bp"),
+            col("meets_budget"),
+            expr("CAST(CASE WHEN w_s = best_w THEN 1 ELSE 0 END AS BIGINT)").as("chosen"))
+          .orderBy("w_s")
+      },
+      Some(
+        """WITH ev AS (SELECT CASE WHEN h % 1000 < 900 THEN h % 60 WHEN h % 1000 < 990 THEN 60 + h % 540 WHEN h % 1000 < 999 THEN 600 + h % 3000 ELSE 3600 + h % 10800 END AS delay_s FROM (SELECT CAST(concat('0x', substr(md5(concat('wm:', CAST(event_id AS VARCHAR))), 1, 10)) AS BIGINT) AS h FROM events) z), grid AS (SELECT CAST(unnest([60, 300, 900, 3600, 21600, 86400]) AS BIGINT) AS w_s), tot AS (SELECT count(*) AS n_events FROM ev), f AS (SELECT g.w_s, count(e.delay_s) AS n_dropped FROM grid g LEFT JOIN ev e ON e.delay_s > g.w_s GROUP BY 1), c AS (SELECT w_s, n_events, n_dropped, n_dropped * 10000 // n_events AS loss_bp, CASE WHEN n_dropped * 10000 // n_events <= 20 THEN 1 ELSE 0 END AS meets_budget FROM f CROSS JOIN tot), best AS (SELECT min(w_s) AS best_w FROM c WHERE meets_budget = 1) SELECT CAST(w_s AS BIGINT) AS w_s, CAST(n_events AS BIGINT) AS n_events, CAST(n_dropped AS BIGINT) AS n_dropped, CAST(loss_bp AS BIGINT) AS loss_bp, CAST(meets_budget AS BIGINT) AS meets_budget, CAST(CASE WHEN w_s = best_w THEN 1 ELSE 0 END AS BIGINT) AS chosen FROM c CROSS JOIN best ORDER BY w_s"""),
+      "§2.12/S ext: watermark chooser — planted heavy-tailed lateness priced across six allowed-lateness settings, smallest state horizon under the 0.2%-loss budget argmin-flagged (lands on the 1-hour watermark the streaming layer ships)"),
+
+    // q368 — DELETE-STRATEGY CHOOSER (copy-on-write vs merge-on-read):
+    // what a right-to-be-forgotten request actually costs. Victim
+    // customers are selected by the deterministic Knuth hash at four
+    // request sizes (~0.1% / 1% / 5% / 20% of customers); orders is laid
+    // out as 32 value-width files (the q342 convention). Per size: the
+    // victim rows, the files any victim touches, the COPY-ON-WRITE cost
+    // (rewrite every touched file — its full row count), the
+    // MERGE-ON-READ cost (one delete-vector entry per victim row), and
+    // the write amplification rewrite/victims — the number that decides.
+    // The chooser applies the engine rule-of-thumb as arithmetic:
+    // merge-on-read iff amplification > 10x. The table shows the
+    // crossover happen: a 0.1% request touches most files anyway (keys
+    // are scattered) at ~1000x amplification — MoR; by 20% the rewrite
+    // is only ~5x the victim mass and CoW wins, exactly why engines
+    // compact big deletes eagerly and queue small ones into DVs. Scale:
+    // one hash classification + 32-file aggregates per size; nothing
+    // corpus-joint.
+    QuerySpec(
+      "q368_delete_strategy_chooser",
+      (s, d) => {
+        val keyed = t(s, d, "orders").select(col("o_orderkey"), col("o_custkey"),
+          expr("(o_custkey % 2147483648) * 2654435761 % 4294967296").as("h"))
+        val mxk = keyed.agg(max("o_orderkey").as("kmax"))
+        val files = keyed.crossJoin(broadcast(mxk))
+          .select(col("o_custkey"), col("h"),
+            expr("least(31, o_orderkey * 32 div (kmax + 1))").as("f"))
+        val grid = Seq(4294967L, 42949672L, 214748364L, 858993459L) // ~0.1/1/5/20%
+        val legs = grid.zipWithIndex.map { case (cut, i) =>
+          val flagged = files.withColumn("victim",
+            when(col("h") < cut, 1L).otherwise(0L))
+          val perFile = flagged.groupBy("f")
+            .agg(count(lit(1)).as("rows_f"), sum("victim").as("victims_f"))
+          perFile.agg(
+              sum("victims_f").as("victim_rows"),
+              sum(when(col("victims_f") > 0, 1L).otherwise(0L)).as("files_touched"),
+              sum(when(col("victims_f") > 0, col("rows_f")).otherwise(0L)).as("rewrite_rows"))
+            .select(lit((i + 1).toLong).as("req"), lit(cut).as("hash_cut"),
+              col("victim_rows"), col("files_touched"), col("rewrite_rows"))
+        }
+        legs.reduce(_ unionByName _)
+          .select(col("req"), col("hash_cut"), col("victim_rows"), col("files_touched"),
+            col("rewrite_rows"),
+            expr("rewrite_rows * 10 div greatest(victim_rows, 1)").as("amp_x10"),
+            expr("CASE WHEN rewrite_rows * 10 div greatest(victim_rows, 1) > 100 THEN 'merge_on_read' ELSE 'copy_on_write' END")
+              .as("strategy"))
+          .orderBy("req")
+      },
+      Some {
+        val grid = Seq(4294967L, 42949672L, 214748364L, 858993459L)
+        val legs = grid.zipWithIndex.map { case (cut, i) =>
+          s"SELECT ${i + 1} AS req, CAST($cut AS BIGINT) AS hash_cut, sum(victims_f) AS victim_rows, sum(CASE WHEN victims_f > 0 THEN 1 ELSE 0 END) AS files_touched, sum(CASE WHEN victims_f > 0 THEN rows_f ELSE 0 END) AS rewrite_rows FROM (SELECT f, count(*) AS rows_f, sum(CASE WHEN h < $cut THEN 1 ELSE 0 END) AS victims_f FROM files GROUP BY 1) g"
+        }.mkString(" UNION ALL ")
+        s"""WITH keyed AS (SELECT o_orderkey, o_custkey, (o_custkey % 2147483648) * 2654435761 % 4294967296 AS h FROM orders), mxk AS (SELECT max(o_orderkey) AS kmax FROM keyed), files AS (SELECT o_custkey, h, least(31, o_orderkey * 32 // (kmax + 1)) AS f FROM keyed CROSS JOIN mxk), u AS ($legs) SELECT CAST(req AS BIGINT) AS req, hash_cut, CAST(victim_rows AS BIGINT) AS victim_rows, CAST(files_touched AS BIGINT) AS files_touched, CAST(rewrite_rows AS BIGINT) AS rewrite_rows, CAST(rewrite_rows * 10 // greatest(victim_rows, 1) AS BIGINT) AS amp_x10, CASE WHEN rewrite_rows * 10 // greatest(victim_rows, 1) > 100 THEN 'merge_on_read' ELSE 'copy_on_write' END AS strategy FROM u ORDER BY req"""
+      },
+      "S/E1 ext: delete-strategy chooser — GDPR victim sets at four sizes priced as copy-on-write rewrite vs merge-on-read delete vectors over the 32-file layout; the >10x write-amplification rule applied as arithmetic, crossover visible"))
+}
