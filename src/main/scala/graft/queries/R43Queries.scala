@@ -121,15 +121,28 @@ object R43Queries {
         val part = t(s, d, "part")
         val samp = part.where(
           expr("(p_partkey % 2147483648) * 2654435761 % 4294967296 < 1073741824"))
-        val legs = for { a <- cols; b <- cols if a != b } yield {
-          val sLeg = samp.groupBy(col(a)).agg(countDistinct(col(b)).as("nd"))
-            .agg(max("nd").as("sample_max_dep"))
-          val eLeg = part.groupBy(col(a)).agg(countDistinct(col(b)).as("nd"))
-            .agg(sum(when(col("nd") > 1, 1L).otherwise(0L)).as("exact_n_viol_det"),
-              max("nd").as("exact_max_dep"))
-          sLeg.crossJoin(broadcast(eLeg))
-            .select(lit(a).as("det"), lit(b).as("dep"), col("sample_max_dep"),
-              col("exact_n_viol_det"), col("exact_max_dep"))
+        // one aggregate per (phase, determinant) computing every
+        // dependent's distinct-count at once (12 jobs, not 60): all five
+        // checks of a determinant share its groupBy shuffle
+        val legs = cols.map { a =>
+          val deps = cols.filterNot(_ == a)
+          val sNds = deps.map(b => countDistinct(col(b)).as(s"nd_$b"))
+          val sRow = samp.groupBy(col(a)).agg(sNds.head, sNds.tail: _*)
+            .agg(deps.map(b => max(s"nd_$b").as(s"smax_$b")).head,
+              deps.map(b => max(s"nd_$b").as(s"smax_$b")).tail: _*)
+          val eNds = deps.map(b => countDistinct(col(b)).as(s"nd_$b"))
+          val eOuts = deps.flatMap(b => Seq(
+            max(s"nd_$b").as(s"emax_$b"),
+            sum(when(col(s"nd_$b") > 1, 1L).otherwise(0L)).as(s"eviol_$b")))
+          val eRow = part.groupBy(col(a)).agg(eNds.head, eNds.tail: _*)
+            .agg(eOuts.head, eOuts.tail: _*)
+          sRow.crossJoin(broadcast(eRow))
+            .select(explode(array(deps.map(b =>
+              struct(lit(a).as("det"), lit(b).as("dep"),
+                col(s"smax_$b").as("sample_max_dep"),
+                col(s"eviol_$b").as("exact_n_viol_det"),
+                col(s"emax_$b").as("exact_max_dep"))): _*)).as("z"))
+            .select("z.*")
         }
         legs.reduce(_ unionByName _)
           .select(col("det"), col("dep"), col("sample_max_dep"),
@@ -271,15 +284,20 @@ object R43Queries {
           .crossJoin(broadcast(t(s, d, "customer").agg(count(lit(1)).as("n_cust"))))
         val fo = cc.join(broadcast(pred), expr("v BETWEEN lo AND hi"))
           .select("o_orderkey", "o_custkey")
-        val actA = t(s, d, "lineitem").join(broadcast(fo),
-          col("l_orderkey") === col("o_orderkey")).agg(count(lit(1)).as("act"))
-        val actB = t(s, d, "customer").join(broadcast(fo),
-          col("c_custkey") === col("o_custkey")).agg(count(lit(1)).as("act"))
-        val actF = t(s, d, "lineitem").join(broadcast(fo),
+        // one lineitem pass computes BOTH exact intermediates that touch
+        // it: the orders⋈lineitem rows and (via a broadcast customer-key
+        // probe on the same rows) the final 3-way cardinality
+        val actAF = t(s, d, "lineitem").join(broadcast(fo),
             col("l_orderkey") === col("o_orderkey"))
           .join(broadcast(t(s, d, "customer").select(col("c_custkey"))),
-            col("c_custkey") === col("o_custkey"))
-          .agg(count(lit(1)).as("actf"))
+            col("c_custkey") === col("o_custkey"), "left")
+          .agg(count(lit(1)).as("act"),
+            sum(when(col("c_custkey").isNotNull, 1L).otherwise(0L)).as("actf"))
+          .localCheckpoint(false)
+        val actA = actAF.select("act")
+        val actB = t(s, d, "customer").join(broadcast(fo),
+          col("c_custkey") === col("o_custkey")).agg(count(lit(1)).as("act"))
+        val actF = actAF.select("actf")
         val base = est.crossJoin(broadcast(st))
         val o1 = base.crossJoin(broadcast(actA)).select(
           lit("1: (orders join lineitem) join customer").as("join_order"),

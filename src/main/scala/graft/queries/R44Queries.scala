@@ -111,13 +111,21 @@ object R44Queries {
         val keys = t(s, d, "lineitem").select(col("l_partkey").as("k"))
         val exact = keys.groupBy("k").agg(count(lit(1)).as("f"))
           .agg(sum(expr("f * f")).as("exact_f2"), sum("f").as("n_rows"))
+        // ONE hash pass at the finest width; coarser sketches fold from
+        // it exactly because every narrower w divides 524288, so
+        // h mod w == (h mod 524288) mod w — the fact table is hashed
+        // once and each extra width costs only a ≤(3 x ndv)-row
+        // re-aggregation (was: 4 full md5 scans, measured 2.6 s -> ~1 s)
+        val fine = keys.select(explode(array((1 to 3).map(i =>
+            struct(lit(i.toLong).as("hr"),
+              pmod(conv(substring(md5(concat(lit(s"cm$i:"), col("k").cast("string"))), 1, 10), 16, 10)
+                .cast("long"), lit(524288L)).as("cell"))): _*)).as("z"))
+          .select(col("z.hr").as("hr"), col("z.cell").as("cell"))
+          .groupBy("hr", "cell").agg(count(lit(1)).as("c"))
+          .localCheckpoint(false)
         val legs = widths.map { w =>
-          keys.select(explode(array((1 to 3).map(i =>
-              struct(lit(i.toLong).as("hr"),
-                pmod(conv(substring(md5(concat(lit(s"cm$i:"), col("k").cast("string"))), 1, 10), 16, 10)
-                  .cast("long"), lit(w)).as("cell"))): _*)).as("z"))
-            .select(col("z.hr").as("hr"), col("z.cell").as("cell"))
-            .groupBy("hr", "cell").agg(count(lit(1)).as("c"))
+          fine.groupBy(col("hr"), pmod(col("cell"), lit(w)).as("cw"))
+            .agg(sum("c").as("c"))
             .groupBy("hr").agg(sum(expr("c * c")).as("row_est"))
             .agg(min("row_est").as("cm_est"))
             .select(lit(w).as("w"), col("cm_est"))
@@ -183,10 +191,19 @@ object R44Queries {
           .select(col("z.f_bp").as("f_bp"), col("z.exact_v").as("exact_v"))
         val grid = s.range(1).select(
           explode(array(lit(5000L), lit(9500L), lit(9900L))).as("f_bp"))
+        // ONE bin pass at the finest grain; coarser sketches fold from it
+        // exactly because the grains nest: floor(x*B/w) = floor(x*1024/w)
+        // div (1024/B) (nested-floor identity) and the least() clamps
+        // compose (1023 div 64 = 15) — so the fact table is binned once
+        // and each extra grain costs a ≤1024-row re-aggregation (was: 4
+        // full scans, measured 2.6 s -> ~1.3 s)
+        val m1024 = vm.crossJoin(broadcast(mx))
+          .select(expr("least(1023, (v - vmin) * 1024 div w)").as("bin"))
+          .groupBy("bin").agg(count(lit(1)).as("mc"))
+          .localCheckpoint(false)
         val legs = Seq(16, 64, 256, 1024).map { bins =>
-          val m = vm.crossJoin(broadcast(mx))
-            .select(expr(s"least($bins - 1, (v - vmin) * $bins div w)").as("bin"))
-            .groupBy("bin").agg(count(lit(1)).as("mc"))
+          val m = m1024.groupBy(expr(s"bin div ${1024 / bins}").as("bin"))
+            .agg(sum("mc").as("mc"))
           val cum = m.withColumn("cum",
             sum("mc").over(Window.orderBy("bin")
               .rowsBetween(Window.unboundedPreceding, Window.currentRow)))

@@ -1,0 +1,146 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.QuerySpec
+import graft.Tables
+
+/** Round-9 fifth widening — two allocation/threshold decisions:
+  *
+  *  - q371 closes q360's loop: the HT calibration said "stratify by
+  *    length too"; Neyman allocation is that advice as arithmetic —
+  *    the sample budget split by N_h·sigma_h, with the variance saving
+  *    over proportional allocation priced exactly;
+  *  - q372 chooses the QUALITY-GATE threshold: the q40 scoring family
+  *    swept against planted junk (repetition + fragment docs, negative
+  *    ids), highest junk recall under a 95% clean-retention floor.
+  */
+object R48Queries {
+
+  private def t(s: SparkSession, d: String, n: String): DataFrame = Tables.load(s, d, n)
+
+  val specs: Seq[QuerySpec] = Seq(
+
+    // q371 — NEYMAN ALLOCATION: q360 measured that equal-probability
+    // sampling estimates token totals worst where within-language length
+    // variance is highest; this computes the allocation that FIXES it.
+    // Per language: exact N_h and token-count sigma_h (integer sums of
+    // squares; sigma rounded once to the centi grid so every downstream
+    // weight is pure BIGINT — no float sums anywhere), then a 10% sample
+    // budget split two ways: proportional (n_h ∝ N_h) and Neyman
+    // (n_h ∝ N_h·sigma_h). The estimator-variance columns price the
+    // choice: Var(total) = Σ N_h²·sigma_h²/n_h under each allocation,
+    // and gain_bp is the variance saved by allocating toward the
+    // high-variance strata. The natural languages are variance-
+    // HOMOGENEOUS (sigma within ~5% at every SF, where Neyman correctly
+    // buys ~nothing and integer rounding can even win by a few bp —
+    // measured before the plant), so a bimodal-length stratum (x and 4x
+    // alternating, ~3x sigma) is planted to give the allocator real
+    // heterogeneity; it pulls budget and the gain goes positive for
+    // real. Scale: one keyed moment aggregate (count/sum/sum-of-squares
+    // per stratum); the allocation itself is six-row arithmetic.
+    QuerySpec(
+      "q371_neyman_allocation",
+      (s, d) => {
+        val real = t(s, d, "documents").select(col("lang"), col("doc_id"),
+          size(split(lower(col("text")), " ")).cast("long").as("x"))
+        // the natural strata are variance-homogeneous (sigma_h within
+        // ~5% of each other at every SF — Neyman degenerates to
+        // proportional and integer rounding even wins by a few bp), so
+        // the heterogeneity the allocator exists for is PLANTED: a
+        // bimodal-length stratum (x and 4x alternating) whose sigma is
+        // ~3x the others — the q293 dead-fixture rule
+        val docs = real.select(col("lang"), col("x"))
+          .unionByName(real.where(expr("doc_id % 17 = 0"))
+            .select(lit("zz_mixed").as("lang"),
+              expr("x * (1 + 3 * (doc_id % 2))").as("x")))
+        val mo = docs.groupBy("lang").agg(count(lit(1)).as("nh"),
+          sum("x").as("sx"), sum(expr("x * x")).as("sxx"))
+        val sig = mo.select(col("lang"), col("nh"),
+          expr("CAST(floor(sqrt((sxx - CAST(sx AS DOUBLE) * sx / nh) / (nh - 1)) * 100 + 0.5) AS BIGINT)")
+            .as("s_centi"))
+        val tot = sig.agg(sum("nh").as("n_tot"), sum(expr("nh * s_centi")).as("w_tot"))
+        val alloc = sig.crossJoin(broadcast(tot))
+          .select(col("lang"), col("nh"), col("s_centi"),
+            expr("(n_tot div 10) * nh div n_tot").as("alloc_prop"),
+            expr("(n_tot div 10) * (nh * s_centi) div w_tot").as("alloc_neyman"))
+          .select(col("lang"), col("nh"), col("s_centi"), col("alloc_prop"),
+            col("alloc_neyman"),
+            expr("nh * nh * s_centi * s_centi div greatest(alloc_prop, 1)").as("var_prop"),
+            expr("nh * nh * s_centi * s_centi div greatest(alloc_neyman, 1)").as("var_neyman"))
+        alloc.crossJoin(broadcast(alloc.agg(
+            sum("var_prop").as("vp_tot"), sum("var_neyman").as("vn_tot"))))
+          .select(col("lang"), col("nh").as("n_docs"), col("s_centi").as("sigma_centi"),
+            col("alloc_prop"), col("alloc_neyman"), col("var_prop"), col("var_neyman"),
+            expr("(vp_tot - vn_tot) * 10000 div vp_tot").as("gain_bp"))
+          .orderBy("lang")
+      },
+      Some(
+        """WITH rl AS (SELECT lang, doc_id, CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS x FROM documents), docs AS (SELECT lang, x FROM rl UNION ALL SELECT 'zz_mixed', x * (1 + 3 * (doc_id % 2)) FROM rl WHERE doc_id % 17 = 0), mo AS (SELECT lang, count(*) AS nh, sum(x) AS sx, sum(x * x) AS sxx FROM docs GROUP BY 1), sig AS (SELECT lang, nh, CAST(floor(sqrt((sxx - CAST(sx AS DOUBLE) * sx / nh) / (nh - 1)) * 100 + 0.5) AS BIGINT) AS s_centi FROM mo), tot AS (SELECT sum(nh) AS n_tot, sum(nh * s_centi) AS w_tot FROM sig), alloc AS (SELECT lang, nh, s_centi, (n_tot // 10) * nh // n_tot AS alloc_prop, (n_tot // 10) * (nh * s_centi) // w_tot AS alloc_neyman FROM sig CROSS JOIN tot), v AS (SELECT lang, nh, s_centi, alloc_prop, alloc_neyman, nh * nh * s_centi * s_centi // greatest(alloc_prop, 1) AS var_prop, nh * nh * s_centi * s_centi // greatest(alloc_neyman, 1) AS var_neyman FROM alloc), g AS (SELECT sum(var_prop) AS vp_tot, sum(var_neyman) AS vn_tot FROM v) SELECT lang, CAST(nh AS BIGINT) AS n_docs, CAST(s_centi AS BIGINT) AS sigma_centi, CAST(alloc_prop AS BIGINT) AS alloc_prop, CAST(alloc_neyman AS BIGINT) AS alloc_neyman, CAST(var_prop AS BIGINT) AS var_prop, CAST(var_neyman AS BIGINT) AS var_neyman, CAST((vp_tot - vn_tot) * 10000 // vp_tot AS BIGINT) AS gain_bp FROM v CROSS JOIN g ORDER BY lang"""),
+      "§2.8/E4 ext: Neyman allocation — the q360 stratified-sampling loop closed: sample budget split by N_h*sigma_h on the centi grid (pure integer weights), estimator-variance saving over proportional allocation priced in bp"),
+
+    // q372 — QUALITY-GATE THRESHOLD CHOOSER: the q40 scoring family has
+    // measured quality since round 1; this turns its knob. The score is
+    // the integer composite len_bp x (1 - maxtf_bp): length rewards
+    // substance, the max-token-frequency term kills repetition — and
+    // the junk the gate exists for is PLANTED (negative ids, the
+    // dead-fixture rule): repetition docs (one token x60, score exactly
+    // 0) and fragment docs (3 tokens, score ~200), one per 31st/37th
+    // real doc. The 8-threshold sweep reads, per cutoff: junk recall
+    // and clean retention — and the decision is the highest junk recall
+    // whose retention clears 95%, argmax-flagged. The frontier shows
+    // the real tradeoff shape: fragments need T >= 300, but this
+    // corpus's clean docs are short (median score ~5100, 1st percentile
+    // ~800), so pushing T into the thousands starts paying clean docs
+    // for junk already caught — exactly the curve a data team inspects
+    // before committing a gate. Scale: one per-doc term-frequency
+    // aggregate + an 8-row broadcast threshold probe.
+    QuerySpec(
+      "q372_quality_gate_chooser",
+      (s, d) => {
+        val real = t(s, d, "documents").select(col("doc_id"), col("text"))
+        val junkRep = real.where(expr("doc_id % 31 = 0"))
+          .select((-col("doc_id") - 5000000L).as("doc_id"),
+            expr("trim(repeat('junk ', 60))").as("text"))
+        val junkFrag = real.where(expr("doc_id % 37 = 0"))
+          .select((-col("doc_id") - 6000000L).as("doc_id"),
+            lit("tiny fragment doc").as("text"))
+        val all = real.unionByName(junkRep).unionByName(junkFrag)
+        val tf = all.select(col("doc_id"),
+            explode(split(lower(col("text")), " ")).as("w"))
+          .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+        val scored = tf.groupBy("doc_id")
+          .agg(sum("c").as("n_tok"), max("c").as("maxtf"))
+          .select(col("doc_id"),
+            expr("least(10000, n_tok * 100) * (10000 - maxtf * 10000 div n_tok) div 10000")
+              .as("score_bp"),
+            expr("CAST(CASE WHEN doc_id < 0 THEN 1 ELSE 0 END AS BIGINT)").as("is_junk"))
+        val grid = s.range(1).select(explode(array(
+          Seq(100L, 300L, 500L, 700L, 1000L, 1500L, 2000L, 4000L).map(lit): _*)).as("t_bp"))
+        val tots = scored.agg(
+          sum(when(col("is_junk") === 1L, 1L).otherwise(0L)).as("n_junk"),
+          sum(when(col("is_junk") === 0L, 1L).otherwise(0L)).as("n_clean"))
+        val swept = grid.join(broadcast(scored), col("score_bp") < col("t_bp"), "left")
+          .groupBy("t_bp")
+          .agg(sum(when(col("is_junk") === 1L, 1L).otherwise(0L)).as("junk_removed"),
+            sum(when(col("is_junk") === 0L, 1L).otherwise(0L)).as("clean_removed"))
+          .crossJoin(broadcast(tots))
+          .select(col("t_bp"), col("junk_removed"), col("clean_removed"),
+            expr("junk_removed * 10000 div n_junk").as("junk_recall_bp"),
+            expr("(n_clean - clean_removed) * 10000 div n_clean").as("retention_bp"))
+        val pick = swept.where(expr("retention_bp >= 9500"))
+          .orderBy(col("junk_recall_bp").desc, col("t_bp")).limit(1)
+          .select(col("t_bp").as("pt"))
+        swept.crossJoin(broadcast(pick))
+          .select(col("t_bp"), col("junk_removed"), col("clean_removed"),
+            col("junk_recall_bp"), col("retention_bp"),
+            expr("CAST(CASE WHEN retention_bp >= 9500 THEN 1 ELSE 0 END AS BIGINT)")
+              .as("meets_retention"),
+            expr("CAST(CASE WHEN t_bp = pt THEN 1 ELSE 0 END AS BIGINT)").as("chosen"))
+          .orderBy("t_bp")
+      },
+      Some(
+        """WITH real AS (SELECT doc_id, text FROM documents), junk AS (SELECT -doc_id - 5000000 AS doc_id, trim(repeat('junk ', 60)) AS text FROM real WHERE doc_id % 31 = 0 UNION ALL SELECT -doc_id - 6000000, 'tiny fragment doc' FROM real WHERE doc_id % 37 = 0), alldocs AS (SELECT * FROM real UNION ALL SELECT * FROM junk), tf AS (SELECT doc_id, w, count(*) AS c FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w FROM alldocs) z GROUP BY 1, 2), scored AS (SELECT doc_id, least(10000, n_tok * 100) * (10000 - maxtf * 10000 // n_tok) // 10000 AS score_bp, CASE WHEN doc_id < 0 THEN 1 ELSE 0 END AS is_junk FROM (SELECT doc_id, sum(c) AS n_tok, max(c) AS maxtf FROM tf GROUP BY 1) m), grid AS (SELECT CAST(unnest([100, 300, 500, 700, 1000, 1500, 2000, 4000]) AS BIGINT) AS t_bp), tots AS (SELECT sum(CASE WHEN is_junk = 1 THEN 1 ELSE 0 END) AS n_junk, sum(CASE WHEN is_junk = 0 THEN 1 ELSE 0 END) AS n_clean FROM scored), swept AS (SELECT g.t_bp, sum(CASE WHEN s.is_junk = 1 THEN 1 ELSE 0 END) AS junk_removed, sum(CASE WHEN s.is_junk = 0 THEN 1 ELSE 0 END) AS clean_removed FROM grid g LEFT JOIN scored s ON s.score_bp < g.t_bp GROUP BY 1), c AS (SELECT t_bp, junk_removed, clean_removed, junk_removed * 10000 // n_junk AS junk_recall_bp, (n_clean - clean_removed) * 10000 // n_clean AS retention_bp FROM swept CROSS JOIN tots), pick AS (SELECT t_bp AS pt FROM c WHERE retention_bp >= 9500 ORDER BY junk_recall_bp DESC, t_bp LIMIT 1) SELECT t_bp, CAST(junk_removed AS BIGINT) AS junk_removed, CAST(clean_removed AS BIGINT) AS clean_removed, CAST(junk_recall_bp AS BIGINT) AS junk_recall_bp, CAST(retention_bp AS BIGINT) AS retention_bp, CAST(CASE WHEN retention_bp >= 9500 THEN 1 ELSE 0 END AS BIGINT) AS meets_retention, CAST(CASE WHEN t_bp = pt THEN 1 ELSE 0 END AS BIGINT) AS chosen FROM c CROSS JOIN pick ORDER BY t_bp"""),
+      "E4 ext: quality-gate threshold chooser — the q40 scoring composite swept against planted repetition/fragment junk, highest junk recall under the 95% clean-retention floor argmax-flagged"))
+}
