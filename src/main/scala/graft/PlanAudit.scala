@@ -55,7 +55,20 @@ object PlanAudit {
     // cached-read-plus-sort shape, and any regression that inlines the
     // core back into the query (de-memoization) explodes the node counts
     // and fails the diff
-    "q342_zorder_pricing")
+    "q342_zorder_pricing",
+    // round-9 heavy tier (>=2 s warm at sf0.1, QTime-measured): the
+    // two-phase FD sweep, the sketch certifications (both deliberately
+    // carry an exact grader), the Selinger enumeration, the 64-hash
+    // banding validation, and the width/grain choosers whose single-pass
+    // finest-grain plans these pins protect (q361/q362: one fact-table
+    // hash/bin pass, coarser cells folded — de-fusing back to
+    // per-width scans is the regression the diff would catch)
+    "q356_fd_sample_prune",
+    "q357_quantile_sketch",
+    "q358_selinger_enum",
+    "q359_lsh_br_chooser",
+    "q361_countmin_joinsize",
+    "q362_sketch_bin_chooser")
 
   /** Node kinds whose counts define a plan's cost signature. Matched
     * against SparkPlan.nodeName ("Exchange" is ShuffleExchangeExec's
