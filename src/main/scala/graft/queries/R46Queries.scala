@@ -25,6 +25,33 @@ object R46Queries {
 
   private def t(s: SparkSession, d: String, n: String): DataFrame = Tables.load(s, d, n)
 
+  /** q366's row fingerprint — the order-independent multiset checksum of
+    * a join-view row's business key, shared with
+    * EventStream.joinViewStream so the online MV's certification hashes
+    * can never diverge from the batch definition.
+    */
+  private[graft] def jvFingerprint(orderKey: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    conv(substring(md5(concat(lit("jv:"), orderKey.cast("string"))), 1, 10), 16, 10)
+      .cast("long")
+
+  /** The shared join-view IVM merge (q366 + EventStream.joinViewStream):
+    * both inputs are (seg, n, ck) partial summaries of join-view rows;
+    * the merge is the coalesce-keyed additive full-outer fold and a
+    * retraction is the same call with n/ck negated — the R42.ivmMerge
+    * algebra carried onto the fingerprinted join view, with segments
+    * retracted to zero dropped.
+    */
+  private[graft] def jvMerge(base: DataFrame, delta: DataFrame): DataFrame = {
+    val b = base.select(col("seg"), col("n").as("n_b"), col("ck").as("ck_b"))
+    val dd = delta.select(col("seg"), col("n").as("n_d"), col("ck").as("ck_d"))
+    b.join(dd, Seq("seg"), "full_outer")
+      .select(col("seg"),
+        expr("coalesce(n_b, 0) + coalesce(n_d, 0)").as("n"),
+        expr("coalesce(ck_b, 0) + coalesce(ck_d, 0)").as("ck"))
+      .where(col("n") > 0)
+  }
+
   val specs: Seq[QuerySpec] = Seq(
 
     // q366 — JOIN-VIEW IVM WITH MULTISET FINGERPRINTS: q355 maintained an
@@ -55,26 +82,27 @@ object R46Queries {
         def view(df: DataFrame): DataFrame =
           df.join(broadcast(dim), col("o_custkey") === col("c_custkey"))
             .select(col("c_mktsegment").as("seg"),
-              conv(substring(md5(concat(lit("jv:"), col("o_orderkey").cast("string"))), 1, 10), 16, 10)
-                .cast("long").as("ck"))
-        def summ(df: DataFrame, nTag: String, cTag: String): DataFrame =
-          df.groupBy("seg").agg(count(lit(1)).as(nTag), sum("ck").as(cTag))
-        val base = summ(view(bm.where("dk < dmax")), "n_b", "ck_b")
-        val delta = summ(view(bm.where("dk = dmax")), "n_d", "ck_d")
-        val full = summ(view(b), "full_n", "full_ck")
-        val merged = base.join(delta, Seq("seg"), "full_outer")
-          .select(col("seg"),
-            expr("coalesce(n_b, 0) + coalesce(n_d, 0)").as("ivm_n"),
-            expr("coalesce(ck_b, 0) + coalesce(ck_d, 0)").as("ivm_ck"))
-        val retracted = full.join(delta, Seq("seg"), "left")
-          .select(col("seg"),
-            expr("full_n - coalesce(n_d, 0)").as("ivm_n"),
-            expr("full_ck - coalesce(ck_d, 0)").as("ivm_ck"))
-        val ins = merged.join(full, Seq("seg"))
+              jvFingerprint(col("o_orderkey")).as("ck"))
+        def summ(df: DataFrame): DataFrame =
+          df.groupBy("seg").agg(count(lit(1)).as("n"), sum("ck").as("ck"))
+        val base = summ(view(bm.where("dk < dmax")))
+        val delta = summ(view(bm.where("dk = dmax")))
+        val full = summ(view(b))
+        // both directions through the ONE shared core (the R42 pattern):
+        // retraction is the same merge with the delta negated —
+        // EventStream.joinViewStream folds its micro-batches through
+        // jvMerge too, so online and batch can never disagree
+        val merged = jvMerge(base, delta)
+          .select(col("seg"), col("n").as("ivm_n"), col("ck").as("ivm_ck"))
+        val retracted = jvMerge(full, delta.select(col("seg"),
+            (-col("n")).as("n"), (-col("ck")).as("ck")))
+          .select(col("seg"), col("n").as("ivm_n"), col("ck").as("ivm_ck"))
+        val ins = merged.join(full.select(col("seg"),
+            col("n").as("full_n"), col("ck").as("full_ck")), Seq("seg"))
           .select(lit("insert_delta").as("scenario"), col("seg"),
             col("ivm_n"), col("ivm_ck"), col("full_n"), col("full_ck"))
         val del = retracted
-          .join(base.select(col("seg"), col("n_b").as("full_n"), col("ck_b").as("full_ck")),
+          .join(base.select(col("seg"), col("n").as("full_n"), col("ck").as("full_ck")),
             Seq("seg"))
           .select(lit("delete_delta").as("scenario"), col("seg"),
             col("ivm_n"), col("ivm_ck"), col("full_n"), col("full_ck"))

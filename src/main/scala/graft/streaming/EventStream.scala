@@ -253,6 +253,42 @@ object EventStream {
       .start()
   }
 
+  /** Streaming join-view IVM (q366's stream twin): each micro-batch of
+    * (o_orderkey, o_custkey, sign) order deltas — sign = +1 insert, -1
+    * retraction — is joined to the broadcast dimension snapshot, reduced
+    * to its signed per-segment (n, fingerprint-sum) partial with the
+    * SAME R46Queries.jvFingerprint row hash the batch certification
+    * uses, and folded into the persisted view summary through the SAME
+    * R46Queries.jvMerge core — so the online MV's row-level multiset
+    * checksum can never drift from the batch definition, and a
+    * retraction batch takes the identical negated-delta path. State is
+    * the per-segment summary (bounded by the segment vocabulary).
+    * `sink` receives (batchId, summary-after-merge); StreamingSpec
+    * certifies every snapshot — counts AND fingerprints — against a
+    * recompute of the net rows fed so far through the same cores.
+    */
+  def joinViewStream(deltas: DataFrame, dim: DataFrame)
+      (sink: (Long, DataFrame) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    var mv: DataFrame = null
+    deltas.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val part = batch.join(broadcast(dim), col("o_custkey") === col("c_custkey"))
+          .select(col("c_mktsegment").as("seg"), col("sign").cast("long").as("sgn"),
+            graft.queries.R46Queries.jvFingerprint(col("o_orderkey")).as("ck0"))
+          .groupBy("seg")
+          .agg(sum("sgn").as("n"), sum(expr("sgn * ck0")).as("ck"))
+        val merged =
+          (if (mv == null) part.where(col("n") > 0)
+           else graft.queries.R46Queries.jvMerge(mv, part))
+            .localCheckpoint(false)
+        mv = merged
+        sink(id, merged)
+      }
+      .outputMode("append")
+      .start()
+  }
+
   /** Streaming count-min sketch (q363's stream twin): the online half of
     * two-phase heavy-hitter detection. Every event expands to its d=3
     * count-min coordinates through the SAME R45Queries.cmCoords
@@ -319,6 +355,9 @@ object EventStream {
 
   /** One raw value row for [[sketchQuantileStream]]. */
   case class SkVal(v: Long)
+
+  /** One order delta for [[joinViewStream]]: sign = +1 insert, -1 retract. */
+  case class JvDelta(o_orderkey: Long, o_custkey: Long, sign: Int)
 
   /** Streaming NEAR-dup filter (E2 on a stream): drop a document whose
     * full 4-band MinHash signature was already seen inside the watermark

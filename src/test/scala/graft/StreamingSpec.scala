@@ -681,6 +681,48 @@ class StreamingSpec extends SparkSpecBase {
     captured.foreach { case (_, m) => assert(m.size <= 256) }
   }
 
+  test("joinViewStream: fingerprinted join-view summary equals recompute, retraction certified") {
+    import EventStream.JvDelta
+    import graft.queries.R46Queries
+    val dim = Seq((1L, "AUTO"), (2L, "AUTO"), (3L, "BUILD"), (4L, "HOUSE"))
+      .toDF("c_custkey", "c_mktsegment")
+    val b1 = Seq(JvDelta(10, 1, 1), JvDelta(11, 2, 1), JvDelta(12, 3, 1), JvDelta(13, 4, 1))
+    val b2 = Seq(JvDelta(14, 1, 1), JvDelta(15, 3, 1))
+    // batch 3 retracts order 13 COMPLETELY (HOUSE must vanish) and one
+    // of AUTO's three rows (count drops, fingerprint moves)
+    val b3 = Seq(JvDelta(13, 4, -1), JvDelta(10, 1, -1))
+    def recompute(evs: Seq[JvDelta]): Set[(String, Long, Long)] =
+      evs.toDS().toDF()
+        .join(dim, col("o_custkey") === col("c_custkey"))
+        .select(col("c_mktsegment").as("seg"), col("sign").cast("long").as("sgn"),
+          R46Queries.jvFingerprint(col("o_orderkey")).as("ck0"))
+        .groupBy("seg").agg(sum("sgn").as("n"), sum(expr("sgn * ck0")).as("ck"))
+        .where(col("n") > 0)
+        .as[(String, Long, Long)].collect().toSet
+    val mem = MemoryStream[JvDelta](spark)
+    val captured =
+      scala.collection.mutable.ArrayBuffer.empty[(Long, Set[(String, Long, Long)])]
+    val q = EventStream.joinViewStream(mem.toDF(), dim) { (id, df) =>
+      captured += id -> df.select("seg", "n", "ck")
+        .as[(String, Long, Long)].collect().toSet
+    }
+    try {
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+      mem.addData(b3: _*); q.processAllAvailable()
+    } finally q.stop()
+    assert(captured.size == 3)
+    val feeds = Seq(b1, b1 ++ b2, b1 ++ b2 ++ b3)
+    captured.zip(feeds).foreach { case ((id, got), fed) =>
+      assert(got == recompute(fed), s"batch $id view summary diverges (fingerprint-level)")
+    }
+    // the delete path: HOUSE vanished, AUTO's count dropped but stayed
+    assert(captured(1)._2.exists(_._1 == "HOUSE") && !captured(2)._2.exists(_._1 == "HOUSE"),
+      s"full retraction failed: ${captured(2)._2}")
+    assert(captured(2)._2.find(_._1 == "AUTO").get._2 == 2L,
+      s"partial retraction wrong: ${captured(2)._2}")
+  }
+
   test("hhSketchStream: accumulated count-min cells equal the batch sketch, state bounded") {
     import EventStream.TypedEvent
     import graft.queries.R45Queries
