@@ -38,7 +38,7 @@ object R43Queries {
   /** q359's config grid: bands b (index entries per doc) by rows-per-band
     * r (min-hashes AND-ed inside a band). All b are powers of two so the
     * miss probability (1 - j^r)^b folds by repeated squaring on the
-    * integer bp grid — no pow(), no float anywhere.
+    * integer micro grid — no pow(), no float anywhere.
     */
   private[queries] val brGrid: Seq[(Int, Int)] =
     for { b <- Seq(2, 4, 8, 16, 32); r <- Seq(1, 2, 4) } yield (b, r)
