@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-/** Empirical scale slope for the three heaviest operator families
+/** Empirical scale slope for the heaviest operator families
   * (VERDICT r6 ask #4): the 100-TB arguments in the query comments are
   * design prose + plan shapes; this spec MEASURES the growth at two
   * points by self-scaling the corpus in memory (testdata untouched) and
@@ -27,7 +27,10 @@ import org.apache.spark.sql.functions._
   * cores measured are the SAME private[graft] functions the registered
   * queries call (R15Queries.adamicAdarScores, R19Queries.hitsAuthority,
   * R22Queries.rareShingleCandidates), so the exponent cannot diverge
-  * from what q255/q284/q293 ship.
+  * from what q255/q284/q293 ship. The round-9 summary cores
+  * (q357 sketch build, q363 count-min build) measure the INVERTED
+  * invariant — input ×8, summary geometry UNCHANGED, mass exactly ×8 —
+  * which is those operators' entire scale story.
   */
 class ScaleSlopeSpec extends SparkSpecBase {
 
@@ -221,6 +224,68 @@ class ScaleSlopeSpec extends SparkSpecBase {
     info(f"q323 slope: $t1%.2f s → $tk%.2f s over ×$K, exponent $e%.2f, rows $n1 → $nk")
   }
 
+  test("q357 sketch build: ×8 data → IDENTICAL 256-bin geometry, exactly ×8 mass, ~linear time") {
+    // the round-9 mergeable-summary contract at scale, inverted from the
+    // ×8-rows invariant above: the INPUT grows ×8 (8 identical copies —
+    // same distribution, the honest model for a summary) but the
+    // summary's geometry must NOT grow — same occupied bins, counts
+    // exactly ×8 — and the build (one map-side bin assignment + the
+    // shared sketchMergeAll fold) stays ~linear. A summary whose row
+    // count grows with the input is not a summary.
+    import graft.queries.R43Queries.sketchMergeAll
+    val v1 = Tables.load(spark, sf01, "lineitem")
+      .select(expr("CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)").as("v"))
+      .localCheckpoint(false)
+    val vK = (0 until K).map(_ => v1).reduce(_ unionByName _).localCheckpoint(false)
+    // fixed grid from the base stats (the production shape — a stream's
+    // grid is pre-declared, q357/sketchQuantileStream's contract)
+    val gr = v1.agg(min("v").as("vmin"), expr("max(v) - min(v) + 1").as("w")).head
+    val (vmin, w) = (gr.getLong(0), gr.getLong(1))
+    def build(df: DataFrame): DataFrame = sketchMergeAll(
+      df.select(expr(s"least(255, (v - $vmin) * 256 div $w)").as("bin"))
+        .groupBy("bin").agg(count(lit(1)).as("c")))
+    build(v1).count() // warm
+    val (t1, n1) = timedMin(build(v1), 3)
+    val (tk, nk) = timedMin(build(vK), 2)
+    assert(nk == n1,
+      s"summary geometry grew with the input ($n1 → $nk bins) — not a mergeable summary")
+    val m1 = build(v1).agg(sum("mc")).head.getLong(0)
+    val mK = build(vK).agg(sum("mc")).head.getLong(0)
+    assert(mK == K * m1, s"sketch mass must scale exactly ×$K (got $m1 → $mK)")
+    val e = exponent(t1, tk)
+    assert(e <= 1.45,
+      f"q357 sketch-build exponent $e%.2f over ×$K ($t1%.2f s → $tk%.2f s) — superlinear")
+    measured("q357_sketch_build") = e
+    info(f"q357 slope: $t1%.2f s → $tk%.2f s over ×$K, exponent $e%.2f, bins $n1 → $nk, mass ×${mK / m1}")
+  }
+
+  test("q363 count-min build: ×8 data → cells bounded at 3×1024, exactly ×8 mass, ~linear time") {
+    // same inverted invariant for the q363/q361 sketch family, through
+    // the SAME cmCoords core the streaming twin accumulates: the cell
+    // set is bounded by the sketch geometry regardless of input size —
+    // the entire reason a monitor ships a sketch instead of a per-key
+    // table — while the counted mass scales exactly ×8.
+    import graft.queries.R45Queries.cmCoords
+    val k1 = Tables.load(spark, sf01, "lineitem")
+      .select(col("l_partkey").as("k")).localCheckpoint(false)
+    val kK = (0 until K).map(_ => k1).reduce(_ unionByName _).localCheckpoint(false)
+    def build(df: DataFrame): DataFrame =
+      cmCoords(df).groupBy("hr", "cell").agg(count(lit(1)).as("c"))
+    build(k1).count() // warm
+    val (t1, n1) = timedMin(build(k1), 3)
+    val (tk, nk) = timedMin(build(kK), 2)
+    assert(nk == n1 && n1 <= 3 * 1024,
+      s"cell set must stay bounded and input-invariant ($n1 → $nk)")
+    val m1 = build(k1).agg(sum("c")).head.getLong(0)
+    val mK = build(kK).agg(sum("c")).head.getLong(0)
+    assert(mK == K * m1, s"cell mass must scale exactly ×$K (got $m1 → $mK)")
+    val e = exponent(t1, tk)
+    assert(e <= 1.45,
+      f"q363 count-min build exponent $e%.2f over ×$K ($t1%.2f s → $tk%.2f s) — superlinear")
+    measured("q363_cm_build") = e
+    info(f"q363 slope: $t1%.2f s → $tk%.2f s over ×$K, exponent $e%.2f, cells $n1 → $nk, mass ×${mK / m1}")
+  }
+
   test("measured exponents are pinned in the committed SLOPES artifact (drift diffable)") {
     // VERDICT r7 #7: pass/fail at 1.45 hides slow drift (0.3 → 1.3
     // across rounds never trips the quadratic tripwire). Pinning the
@@ -229,7 +294,7 @@ class ScaleSlopeSpec extends SparkSpecBase {
     // lines always land in target/slopes_live.txt — after an
     // intentional change, copy that file to SLOPES_r{NN}.txt
     // (zero-padded) and commit.
-    if (measured.size < 5)
+    if (measured.size < 7)
       cancel("an upstream slope test failed — no complete live exponent set to diff")
     val lines = measured.map { case (k, e) => f"SLOPE $k $e%.2f" }.toSeq
     val live = java.nio.file.Paths.get("target", "slopes_live.txt")
