@@ -26,17 +26,24 @@ object R42Queries {
     * algebra, both directions. Groups whose count reaches zero are
     * dropped (the retraction-to-empty delete path; a group never goes
     * negative under the additive contract, so `n > 0` is the exact
-    * liveness predicate).
+    * liveness predicate). The pre-filter rows are exposed as
+    * `ivmMergeRaw` so a caller can OBSERVE contract violations (a
+    * negative net count = a retraction that outran its insert) before
+    * the liveness filter silently drops them — EventStream.ivmStream
+    * counts them into an accumulator, the tsRegressions pattern
+    * (ADVICE r9).
     */
-  private[graft] def ivmMerge(base: DataFrame, delta: DataFrame): DataFrame = {
+  private[graft] def ivmMergeRaw(base: DataFrame, delta: DataFrame): DataFrame = {
     val b = base.select(col("rf"), col("ls"), col("n").as("n_b"), col("sq").as("sq_b"))
     val dd = delta.select(col("rf"), col("ls"), col("n").as("n_d"), col("sq").as("sq_d"))
     b.join(dd, Seq("rf", "ls"), "full_outer")
       .select(col("rf"), col("ls"),
         expr("coalesce(n_b, 0) + coalesce(n_d, 0)").as("n"),
         expr("coalesce(sq_b, 0) + coalesce(sq_d, 0)").as("sq"))
-      .where(col("n") > 0)
   }
+
+  private[graft] def ivmMerge(base: DataFrame, delta: DataFrame): DataFrame =
+    ivmMergeRaw(base, delta).where(col("n") > 0)
 
   val specs: Seq[QuerySpec] = Seq(
 

@@ -115,7 +115,11 @@ object R44Queries {
         // it exactly because every narrower w divides 524288, so
         // h mod w == (h mod 524288) mod w — the fact table is hashed
         // once and each extra width costs only a ≤(3 x ndv)-row
-        // re-aggregation (was: 4 full md5 scans, measured 2.6 s -> ~1 s)
+        // re-aggregation. Committed bench: 3.22 s warm at sf0.1
+        // (BENCH_FULL_r10) — the fusion removed the 4-scan shape
+        // (verified in the pinned PLANS signature); the residual cost
+        // is the exact-F2 grader's 1.8M md5+conv evaluations, which
+        // the certification deliberately keeps
         val fine = keys.select(explode(array((1 to 3).map(i =>
             struct(lit(i.toLong).as("hr"),
               pmod(conv(substring(md5(concat(lit(s"cm$i:"), col("k").cast("string"))), 1, 10), 16, 10)

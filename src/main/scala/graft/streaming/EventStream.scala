@@ -193,12 +193,26 @@ object EventStream {
     * takes the identical code path, with groups retracted to zero
     * dropped by the core's liveness predicate. State is the MV itself —
     * bounded by the group vocabulary, never by stream length — held as
-    * a localCheckpoint-ed snapshot across batches (the funnelStream
-    * persistence convention). `sink` receives (batchId, MV-after-merge);
-    * StreamingSpec certifies every snapshot against a full recompute of
-    * the net rows fed so far, including the delete path.
+    * an EAGER localCheckpoint across batches: the foreachBatch source
+    * DataFrame is only valid inside the callback, so cross-batch state
+    * MUST materialize before the callback returns — a lazy checkpoint
+    * would leave batch N+1's merge referencing an expired batch-N
+    * source whenever the sink defers its action (ADVICE r9; lazy stays
+    * correct only for within-batch use, the funnelStream case). `sink`
+    * receives (batchId, MV-after-merge); StreamingSpec certifies every
+    * snapshot against a full recompute of the net rows fed so far,
+    * including the delete path.
+    *
+    * The additive contract (a delta never drives a group's net count
+    * negative — retractions follow their inserts) is OBSERVABLE, not
+    * assumed: each batch counts merged rows with n < 0 into
+    * `negativeGroups` (the cepQuantifiedStream tsRegressions pattern)
+    * before the liveness filter drops them, so a retraction arriving
+    * ahead of its insert raises the alarm instead of silently
+    * diverging the fold from recompute.
     */
-  def ivmStream(deltas: DataFrame)
+  def ivmStream(deltas: DataFrame,
+      negativeGroups: Option[org.apache.spark.util.LongAccumulator] = None)
       (sink: (Long, DataFrame) => Unit)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     var mv: DataFrame = null
@@ -207,10 +221,12 @@ object EventStream {
         val d = batch.groupBy("rf", "ls")
           .agg(sum(col("sign").cast("long")).as("n"),
             sum(col("sign").cast("long") * col("qc")).as("sq"))
-        val merged =
-          (if (mv == null) d.where(col("n") > 0)
-           else graft.queries.R42Queries.ivmMerge(mv, d))
-            .localCheckpoint(false)
+        val raw =
+          (if (mv == null) d
+           else graft.queries.R42Queries.ivmMergeRaw(mv, d))
+            .localCheckpoint(true) // eager: state must outlive the callback
+        negativeGroups.foreach(_.add(raw.where(col("n") < 0).count()))
+        val merged = raw.where(col("n") > 0)
         mv = merged
         sink(id, merged)
       }
@@ -229,9 +245,12 @@ object EventStream {
     * can afford the min/max pass); values below the declared range clamp
     * into bin 0 and above it into bin 255, the standard fixed-grid
     * out-of-range policy. State is the ≤256-row summary itself, bounded
-    * forever. `sink` receives (batchId, merged sketch); StreamingSpec
-    * certifies every snapshot against the batch sketch of all values fed
-    * so far — bin-for-bin, through the same core.
+    * forever, held as an EAGER localCheckpoint — cross-batch state must
+    * materialize before the callback returns, because the foreachBatch
+    * source DataFrame expires with the callback (ADVICE r9). `sink`
+    * receives (batchId, merged sketch); StreamingSpec certifies every
+    * snapshot against the batch sketch of all values fed so far —
+    * bin-for-bin, through the same core.
     */
   def sketchQuantileStream(values: DataFrame, vmin: Long, w: Long)
       (sink: (Long, DataFrame) => Unit)
@@ -245,7 +264,7 @@ object EventStream {
         val merged = graft.queries.R43Queries.sketchMergeAll(
             if (sk == null) part
             else sk.select(col("bin"), col("mc").as("c")).unionByName(part))
-          .localCheckpoint(false)
+          .localCheckpoint(true) // eager: state must outlive the callback
         sk = merged
         sink(id, merged)
       }
@@ -262,12 +281,18 @@ object EventStream {
     * R46Queries.jvMerge core — so the online MV's row-level multiset
     * checksum can never drift from the batch definition, and a
     * retraction batch takes the identical negated-delta path. State is
-    * the per-segment summary (bounded by the segment vocabulary).
-    * `sink` receives (batchId, summary-after-merge); StreamingSpec
-    * certifies every snapshot — counts AND fingerprints — against a
-    * recompute of the net rows fed so far through the same cores.
+    * the per-segment summary (bounded by the segment vocabulary), held
+    * as an EAGER localCheckpoint — cross-batch state must materialize
+    * before the callback returns (ADVICE r9, the ivmStream rationale).
+    * The never-negative contract is observable here too: merged rows
+    * with n < 0 are counted into `negativeGroups` before the liveness
+    * filter drops them. `sink` receives (batchId, summary-after-merge);
+    * StreamingSpec certifies every snapshot — counts AND fingerprints —
+    * against a recompute of the net rows fed so far through the same
+    * cores.
     */
-  def joinViewStream(deltas: DataFrame, dim: DataFrame)
+  def joinViewStream(deltas: DataFrame, dim: DataFrame,
+      negativeGroups: Option[org.apache.spark.util.LongAccumulator] = None)
       (sink: (Long, DataFrame) => Unit)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     var mv: DataFrame = null
@@ -278,10 +303,12 @@ object EventStream {
             graft.queries.R46Queries.jvFingerprint(col("o_orderkey")).as("ck0"))
           .groupBy("seg")
           .agg(sum("sgn").as("n"), sum(expr("sgn * ck0")).as("ck"))
-        val merged =
-          (if (mv == null) part.where(col("n") > 0)
-           else graft.queries.R46Queries.jvMerge(mv, part))
-            .localCheckpoint(false)
+        val raw =
+          (if (mv == null) part
+           else graft.queries.R46Queries.jvMergeRaw(mv, part))
+            .localCheckpoint(true) // eager: state must outlive the callback
+        negativeGroups.foreach(_.add(raw.where(col("n") < 0).count()))
+        val merged = raw.where(col("n") > 0)
         mv = merged
         sink(id, merged)
       }
@@ -637,6 +664,15 @@ object EventStream {
     * the batch query, not this fold" instead of letting the divergence
     * pass unnoticed. A same-second event is NOT a regression (per-batch
     * sort is (ts, event_id) and duplicate click instants are legal).
+    * The frontier rides in the SEALED tombstone too (ADVICE r9), so a
+    * late event behind a converted user's fold position still counts.
+    * Known undercount, accepted for state boundedness: when a
+    * decision-free user's state is REMOVED (nothing buffered, nothing
+    * pending), the frontier goes with it — a later event behind that
+    * forgotten frontier re-seeds at Long.MinValue and is not counted.
+    * Keeping the frontier would mean one immortal state row per user
+    * ever seen, which is exactly what the self-expiring design exists
+    * to avoid; the alarm is a detector, not an exact census.
     */
   def cepQuantifiedStream(events: Dataset[TypedEvent],
       runGapSeconds: Long = 86400, viewDeadline: Long = 43200,
@@ -656,8 +692,19 @@ object EventStream {
             // sealed tombstone (the ConversionProcessor precedent): the
             // user's single match is out; later traffic must never
             // re-match, so the seal persists — one boolean per
-            // converted user, the price of exactly-once-ever semantics
-            rows.foreach(_ => ())
+            // converted user, the price of exactly-once-ever semantics.
+            // The fold FRONTIER rides in the seal (ADVICE r9): a late
+            // event regressing behind a converted user's last fold
+            // position is still a contract violation and still counts —
+            // only the match logic is sealed, not the alarm.
+            var frontier = st0.frontier
+            rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+              val sec = e.ts.getTime / 1000
+              if (sec < frontier) tsRegressions.foreach(_.add(1L))
+              else frontier = sec
+            }
+            if (frontier != st0.frontier)
+              state.update(CepState(Nil, Nil, None, Nil, done = true, frontier))
             Iterator.empty
           } else {
           var views = st0.views
@@ -708,7 +755,9 @@ object EventStream {
               yield CepOut(user, v, r.len, r.rs - v, r.re - r.rs, p - r.re, p - v)
           }
           if (out.isDefined)
-            state.update(CepState(Nil, Nil, None, Nil, done = true)) // seal
+            // seal, carrying the frontier so post-conversion regressions
+            // still count (ADVICE r9)
+            state.update(CepState(Nil, Nil, None, Nil, done = true, frontier))
           else {
             // prune what no surviving or future run can use (future runs
             // start past the watermark, so their windows sit to the right)

@@ -567,6 +567,30 @@ class StreamingSpec extends SparkSpecBase {
       Seq(ev(1, 0, "view"), ev(2, 10, "click"), ev(3, 20, "click")),
       Seq(ev(4, 5, "click"), ev(5, 40, "purchase")))
     assert(run(outOfOrder) >= 1L, "the out-of-order click must be counted")
+    // ADVICE r9: the frontier rides in the SEALED tombstone — a late
+    // event regressing behind a CONVERTED user's fold position must
+    // still count. User 7 matches and seals (user 8's sentinel at
+    // minute 1600 pushes the watermark past the decision point); a
+    // post-seal click at minute 1700 ADVANCES the sealed frontier, and
+    // then a click at minute 1650 — above the watermark (~minute 1640),
+    // behind the frontier — is the in-allowance contract violation the
+    // pre-fix code silently swallowed (frontier reset to MinValue).
+    val sealedRegress = Seq(
+      Seq(ev(1, 0, "view"), ev(2, 10, "click"), ev(3, 100, "purchase")),
+      Seq(EventStream.TypedEvent(99, ts(1600), 8L, "noop")), // seal user 7
+      Seq(ev(4, 1700, "click")),
+      Seq(ev(5, 1650, "click")))
+    assert(run(sealedRegress) >= 1L,
+      "a regression behind a sealed user's frontier must be counted")
+    // and the same feed WITHOUT the regression stays clean (the seal
+    // path itself must not miscount in-order traffic)
+    val sealedClean = Seq(
+      Seq(ev(1, 0, "view"), ev(2, 10, "click"), ev(3, 100, "purchase")),
+      Seq(EventStream.TypedEvent(99, ts(1600), 8L, "noop")),
+      Seq(ev(4, 1700, "click")),
+      Seq(ev(5, 1800, "click")))
+    assert(run(sealedClean) == 0L,
+      "in-order traffic after a seal must not count as a regression")
   }
 
   test("bhAlarmStream: per-batch BH snapshot over accumulated segment state equals batch") {
@@ -624,9 +648,10 @@ class StreamingSpec extends SparkSpecBase {
         .filter(_._3 > 0)
         .map(t => (t._1, t._2, t._3, t._4)).toSet
     val mem = MemoryStream[IvmDelta](spark)
+    val neg = spark.sparkContext.longAccumulator
     val captured =
       scala.collection.mutable.ArrayBuffer.empty[(Long, Set[(String, String, Long, Long)])]
-    val q = EventStream.ivmStream(mem.toDF()) { (id, df) =>
+    val q = EventStream.ivmStream(mem.toDF(), negativeGroups = Some(neg)) { (id, df) =>
       captured += id -> df.select("rf", "ls", "n", "sq")
         .as[(String, String, Long, Long)].collect().toSet
     }
@@ -635,6 +660,9 @@ class StreamingSpec extends SparkSpecBase {
       mem.addData(b2: _*); q.processAllAvailable()
       mem.addData(b3: _*); q.processAllAvailable()
     } finally q.stop()
+    // legal feed (every retraction follows its insert): the
+    // negative-group alarm must stay silent
+    assert(neg.value == 0L, s"legal feed tripped the negative-group alarm: ${neg.value}")
     // EVERY snapshot equals the recompute of the net rows fed so far —
     // the q355 maintenance identity held per micro-batch online
     assert(captured.size == 3, s"expected 3 snapshots: ${captured.size}")
@@ -648,6 +676,38 @@ class StreamingSpec extends SparkSpecBase {
     // the full retraction DELETED (B,F): present after batch 2, gone after 3
     assert(captured(1)._2.exists(_._1 == "B") && !captured(2)._2.exists(_._1 == "B"),
       s"delete path failed: ${captured(2)._2}")
+  }
+
+  test("ivmStream: a retraction outrunning its insert raises the negative-group alarm") {
+    import EventStream.IvmDelta
+    // the contract violation ADVICE r9 named: the retraction of (A,O)
+    // arrives a batch BEFORE its insert. The merge's net count for the
+    // group goes to -1, the liveness filter silently drops it, and the
+    // later insert then double-counts — so the fold DIVERGES from
+    // recompute with no row-level signal. The accumulator is that
+    // signal: it must fire on the violating batch, and the divergence
+    // it warns about must actually be there.
+    val b1 = Seq(IvmDelta("A", "O", 10L, -1), IvmDelta("B", "F", 5L, 1))
+    val b2 = Seq(IvmDelta("A", "O", 10L, 1))
+    val mem = MemoryStream[IvmDelta](spark)
+    val neg = spark.sparkContext.longAccumulator
+    val captured =
+      scala.collection.mutable.ArrayBuffer.empty[(Long, Set[(String, String, Long, Long)])]
+    val q = EventStream.ivmStream(mem.toDF(), negativeGroups = Some(neg)) { (id, df) =>
+      captured += id -> df.select("rf", "ls", "n", "sq")
+        .as[(String, String, Long, Long)].collect().toSet
+    }
+    try {
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    assert(neg.value == 1L,
+      s"the out-of-order retraction must count exactly once: ${neg.value}")
+    // the documented consequence: net rows fed so far cancel to zero for
+    // (A,O), but the fold (having dropped the -1) now carries n=1 — the
+    // divergence the alarm exists to surface
+    assert(captured(1)._2.exists(r => r._1 == "A" && r._3 == 1L),
+      s"expected the double-counted insert in the fold: ${captured(1)._2}")
   }
 
   test("sketchQuantileStream: per-batch rolled sketch equals the batch sketch, out-of-range clamps") {
@@ -700,9 +760,10 @@ class StreamingSpec extends SparkSpecBase {
         .where(col("n") > 0)
         .as[(String, Long, Long)].collect().toSet
     val mem = MemoryStream[JvDelta](spark)
+    val neg = spark.sparkContext.longAccumulator
     val captured =
       scala.collection.mutable.ArrayBuffer.empty[(Long, Set[(String, Long, Long)])]
-    val q = EventStream.joinViewStream(mem.toDF(), dim) { (id, df) =>
+    val q = EventStream.joinViewStream(mem.toDF(), dim, negativeGroups = Some(neg)) { (id, df) =>
       captured += id -> df.select("seg", "n", "ck")
         .as[(String, Long, Long)].collect().toSet
     }
@@ -711,6 +772,7 @@ class StreamingSpec extends SparkSpecBase {
       mem.addData(b2: _*); q.processAllAvailable()
       mem.addData(b3: _*); q.processAllAvailable()
     } finally q.stop()
+    assert(neg.value == 0L, s"legal feed tripped the negative-group alarm: ${neg.value}")
     assert(captured.size == 3)
     val feeds = Seq(b1, b1 ++ b2, b1 ++ b2 ++ b3)
     captured.zip(feeds).foreach { case ((id, got), fed) =>
