@@ -21,7 +21,8 @@ object AllQueries {
       R31Queries.specs ++ R32Queries.specs ++ R33Queries.specs ++ R34Queries.specs ++ R35Queries.specs ++
       R36Queries.specs ++ R37Queries.specs ++ R38Queries.specs ++ R39Queries.specs ++
       R40Queries.specs ++ R41Queries.specs ++ R42Queries.specs ++
-      R43Queries.specs ++ R44Queries.specs ++ R45Queries.specs ++ R46Queries.specs ++ R47Queries.specs ++ R48Queries.specs
+      R43Queries.specs ++ R44Queries.specs ++ R45Queries.specs ++ R46Queries.specs ++ R47Queries.specs ++ R48Queries.specs ++
+      R49Queries.specs
 
   require(specs.map(_.name).distinct.size == specs.size, "duplicate query names")
 }
