@@ -73,12 +73,21 @@ object R46Queries {
     // row moves the sum (collision-canceling would need exact 40-bit
     // coincidence; at 100 TB carry the sum mod 2^61). Certified per
     // market segment so a single bad segment can't hide in a global
-    // total. Scale: two broadcast joins (delta- and base-sized) + keyed
-    // aggregates; the certification full join exists only to GRADE the
-    // maintenance and is what the delta path replaces in production.
+    // total. Round 10 adds the third real CDC case (VERDICT r9 ask #6):
+    // an UPDATE — every delta-day order's customer flips to the next
+    // market segment (cyclic over the 5-segment vocabulary), expressed
+    // the canonical CDC way as retract(old) + insert(new) IN ONE BATCH;
+    // jvMerge's algebra handles it with zero new code, and the merged
+    // MV is certified against a full recompute with the flip applied —
+    // the old segment must LOSE the rows and fingerprint mass the new
+    // one gains. Scale: two broadcast joins (delta- and base-sized) +
+    // keyed aggregates; the certification full join exists only to
+    // GRADE the maintenance and is what the delta path replaces in
+    // production.
     QuerySpec(
       "q366_join_view_ivm",
       (s, d) => {
+        import org.apache.spark.sql.expressions.Window
         val b = t(s, d, "orders").select(col("o_orderkey"), col("o_custkey"),
           expr("unix_timestamp(o_orderdate) div 86400").as("dk"))
         val bm = b.crossJoin(broadcast(b.agg(max("dk").as("dmax"))))
@@ -101,6 +110,28 @@ object R46Queries {
         val retracted = jvMerge(full, delta.select(col("seg"),
             (-col("n")).as("n"), (-col("ck")).as("ck")))
           .select(col("seg"), col("n").as("ivm_n"), col("ck").as("ivm_ck"))
+        // UPDATE path: delta-day orders flip to the next segment
+        // (cyclic; the 5-row mapping table is a window over the
+        // DISTINCT segment vocabulary, never over data rows)
+        val wSeg = Window.orderBy("oseg")
+        val segl = dim.select(col("c_mktsegment").as("oseg")).distinct()
+          .select(col("oseg"), row_number().over(wSeg).as("rn"),
+            count(lit(1)).over(
+              wSeg.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+              .as("ns"))
+        val segmap = segl.select(col("oseg"), col("rn"), col("ns"))
+          .join(segl.select(col("oseg").as("nseg"), col("rn").as("rn2")),
+            expr("rn2 = rn % ns + 1"))
+          .select(col("oseg"), col("nseg"))
+        val vd = view(bm.where("dk = dmax"))
+        val vdNew = vd.join(broadcast(segmap), col("seg") === col("oseg"))
+          .select(col("nseg").as("seg"), col("ck"))
+        val updDelta = vd.select(col("seg"), lit(-1L).as("sgn"), col("ck"))
+          .unionByName(vdNew.select(col("seg"), lit(1L).as("sgn"), col("ck")))
+          .groupBy("seg").agg(sum("sgn").as("n"), sum(expr("sgn * ck")).as("ck"))
+        val updMerged = jvMerge(full, updDelta)
+          .select(col("seg"), col("n").as("ivm_n"), col("ck").as("ivm_ck"))
+        val updExpect = summ(view(bm.where("dk < dmax")).unionByName(vdNew))
         val ins = merged.join(full.select(col("seg"),
             col("n").as("full_n"), col("ck").as("full_ck")), Seq("seg"))
           .select(lit("insert_delta").as("scenario"), col("seg"),
@@ -110,7 +141,12 @@ object R46Queries {
             Seq("seg"))
           .select(lit("delete_delta").as("scenario"), col("seg"),
             col("ivm_n"), col("ivm_ck"), col("full_n"), col("full_ck"))
-        ins.unionByName(del)
+        val upd = updMerged
+          .join(updExpect.select(col("seg"), col("n").as("full_n"), col("ck").as("full_ck")),
+            Seq("seg"))
+          .select(lit("update_delta").as("scenario"), col("seg"),
+            col("ivm_n"), col("ivm_ck"), col("full_n"), col("full_ck"))
+        ins.unionByName(del).unionByName(upd)
           .select(col("scenario"), col("seg").as("c_mktsegment"),
             col("ivm_n"), col("ivm_ck"), col("full_n"), col("full_ck"),
             expr("CAST(CASE WHEN ivm_n = full_n AND ivm_ck = full_ck THEN 1 ELSE 0 END AS BIGINT)")
@@ -118,8 +154,8 @@ object R46Queries {
           .orderBy("scenario", "c_mktsegment")
       },
       Some(
-        """WITH b AS (SELECT o_orderkey, o_custkey, CAST(floor(epoch(o_orderdate)) AS BIGINT) // 86400 AS dk FROM orders), mx AS (SELECT max(dk) AS dmax FROM b), v AS (SELECT b.dk, c.c_mktsegment AS seg, CAST(concat('0x', substr(md5(concat('jv:', CAST(b.o_orderkey AS VARCHAR))), 1, 10)) AS BIGINT) AS ck FROM b JOIN customer c ON c.c_custkey = b.o_custkey CROSS JOIN mx), base AS (SELECT seg, count(*) AS n, sum(ck) AS ckk FROM v CROSS JOIN mx WHERE dk < dmax GROUP BY 1), delta AS (SELECT seg, count(*) AS n, sum(ck) AS ckk FROM v CROSS JOIN mx WHERE dk = dmax GROUP BY 1), fullv AS (SELECT seg, count(*) AS n, sum(ck) AS ckk FROM v GROUP BY 1), merged AS (SELECT coalesce(a.seg, d.seg) AS seg, coalesce(a.n, 0) + coalesce(d.n, 0) AS n, coalesce(a.ckk, 0) + coalesce(d.ckk, 0) AS ckk FROM base a FULL JOIN delta d ON d.seg = a.seg), retracted AS (SELECT f.seg, f.n - coalesce(d.n, 0) AS n, f.ckk - coalesce(d.ckk, 0) AS ckk FROM fullv f LEFT JOIN delta d ON d.seg = f.seg), ins AS (SELECT 'insert_delta' AS scenario, m.seg, m.n AS ivm_n, m.ckk AS ivm_ck, f.n AS full_n, f.ckk AS full_ck FROM merged m JOIN fullv f ON f.seg = m.seg), del AS (SELECT 'delete_delta', r.seg, r.n, r.ckk, bb.n, bb.ckk FROM retracted r JOIN base bb ON bb.seg = r.seg), u AS (SELECT * FROM ins UNION ALL SELECT * FROM del) SELECT scenario, seg AS c_mktsegment, CAST(ivm_n AS BIGINT) AS ivm_n, CAST(ivm_ck AS BIGINT) AS ivm_ck, CAST(full_n AS BIGINT) AS full_n, CAST(full_ck AS BIGINT) AS full_ck, CAST(CASE WHEN ivm_n = full_n AND ivm_ck = full_ck THEN 1 ELSE 0 END AS BIGINT) AS matches FROM u ORDER BY scenario, c_mktsegment"""),
-      "A/J/S ext: join-view IVM — delta-join maintenance of the orders x customer view certified per segment by counts AND an order-independent md5 multiset fingerprint, both directions"),
+        """WITH b AS (SELECT o_orderkey, o_custkey, CAST(floor(epoch(o_orderdate)) AS BIGINT) // 86400 AS dk FROM orders), mx AS (SELECT max(dk) AS dmax FROM b), v AS (SELECT b.dk, c.c_mktsegment AS seg, CAST(concat('0x', substr(md5(concat('jv:', CAST(b.o_orderkey AS VARCHAR))), 1, 10)) AS BIGINT) AS ck FROM b JOIN customer c ON c.c_custkey = b.o_custkey CROSS JOIN mx), base AS (SELECT seg, count(*) AS n, sum(ck) AS ckk FROM v CROSS JOIN mx WHERE dk < dmax GROUP BY 1), delta AS (SELECT seg, count(*) AS n, sum(ck) AS ckk FROM v CROSS JOIN mx WHERE dk = dmax GROUP BY 1), fullv AS (SELECT seg, count(*) AS n, sum(ck) AS ckk FROM v GROUP BY 1), merged AS (SELECT coalesce(a.seg, d.seg) AS seg, coalesce(a.n, 0) + coalesce(d.n, 0) AS n, coalesce(a.ckk, 0) + coalesce(d.ckk, 0) AS ckk FROM base a FULL JOIN delta d ON d.seg = a.seg), retracted AS (SELECT f.seg, f.n - coalesce(d.n, 0) AS n, f.ckk - coalesce(d.ckk, 0) AS ckk FROM fullv f LEFT JOIN delta d ON d.seg = f.seg), segl AS (SELECT oseg, row_number() OVER (ORDER BY oseg) AS rn, count(*) OVER () AS ns FROM (SELECT DISTINCT c_mktsegment AS oseg FROM customer) z), segmap AS (SELECT a.oseg, b2.oseg AS nseg FROM segl a JOIN segl b2 ON b2.rn = a.rn % a.ns + 1), vd AS (SELECT seg, ck FROM v CROSS JOIN mx WHERE dk = dmax), vdn AS (SELECT m.nseg AS seg, vd.ck FROM vd JOIN segmap m ON m.oseg = vd.seg), upd AS (SELECT seg, sum(sgn) AS n, sum(sgn * ck) AS ckk FROM (SELECT seg, -1 AS sgn, ck FROM vd UNION ALL SELECT seg, 1, ck FROM vdn) z GROUP BY 1), updm AS (SELECT coalesce(f.seg, u2.seg) AS seg, coalesce(f.n, 0) + coalesce(u2.n, 0) AS n, coalesce(f.ckk, 0) + coalesce(u2.ckk, 0) AS ckk FROM fullv f FULL JOIN upd u2 ON u2.seg = f.seg WHERE coalesce(f.n, 0) + coalesce(u2.n, 0) > 0), upde AS (SELECT seg, count(*) AS n, sum(ck) AS ckk FROM (SELECT seg, ck FROM v CROSS JOIN mx WHERE dk < dmax UNION ALL SELECT seg, ck FROM vdn) z GROUP BY 1), ins AS (SELECT 'insert_delta' AS scenario, m.seg, m.n AS ivm_n, m.ckk AS ivm_ck, f.n AS full_n, f.ckk AS full_ck FROM merged m JOIN fullv f ON f.seg = m.seg), del AS (SELECT 'delete_delta', r.seg, r.n, r.ckk, bb.n, bb.ckk FROM retracted r JOIN base bb ON bb.seg = r.seg), updr AS (SELECT 'update_delta', m.seg, m.n, m.ckk, e.n, e.ckk FROM updm m JOIN upde e ON e.seg = m.seg), u AS (SELECT * FROM ins UNION ALL SELECT * FROM del UNION ALL SELECT * FROM updr) SELECT scenario, seg AS c_mktsegment, CAST(ivm_n AS BIGINT) AS ivm_n, CAST(ivm_ck AS BIGINT) AS ivm_ck, CAST(full_n AS BIGINT) AS full_n, CAST(full_ck AS BIGINT) AS full_ck, CAST(CASE WHEN ivm_n = full_n AND ivm_ck = full_ck THEN 1 ELSE 0 END AS BIGINT) AS matches FROM u ORDER BY scenario, c_mktsegment"""),
+      "A/J/S ext: join-view IVM — delta-join maintenance of the orders x customer view certified per segment by counts AND an order-independent md5 multiset fingerprint; insert, delete, AND update (retract+insert one batch, segment flip) paths"),
 
     // q367 — WATERMARK / ALLOWED-LATENESS CHOOSER: the knob every
     // Structured Streaming job sets blind, priced. Event lateness is

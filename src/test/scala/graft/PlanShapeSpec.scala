@@ -214,6 +214,11 @@ class PlanShapeSpec extends SparkSpecBase {
       // q362 — the q357 class at four bin widths (≤1024-row cum per
       //        leg) plus the 4-row frontier argmin window
       "q362_sketch_bin_chooser",
+      // q366 — update-path segment-flip mapping: rank window over the
+      //        DISTINCT market-segment vocabulary (5 rows forever; the
+      //        order rows contribute broadcast joins and keyed
+      //        aggregates, never a window input)
+      "q366_join_view_ivm",
       // q325/q367/q372 — the round-10 threshold-sweep rewrite: each row
       //        is classified map-side into its smallest/largest clearing
       //        bucket (the grids are constants), so every window runs

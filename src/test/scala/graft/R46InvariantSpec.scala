@@ -6,11 +6,11 @@ package graft
 class R46InvariantSpec extends SparkSpecBase {
   import spark.implicits._
 
-  test("q366 join-view IVM: fingerprinted identity holds both ways, delta moves a segment") {
+  test("q366 join-view IVM: fingerprinted identity holds all three ways, delta moves a segment") {
     val rows = SparkEntry.queries("q366_join_view_ivm")(spark, sf001)
       .select("scenario", "ivm_n", "full_n", "ivm_ck", "full_ck", "matches")
       .as[(String, Long, Long, Long, Long, Long)].collect()
-    assert(rows.length == 10, s"expected 5 segments x 2 scenarios: ${rows.length}")
+    assert(rows.length == 15, s"expected 5 segments x 3 scenarios: ${rows.length}")
     rows.foreach(r => assert(r._6 == 1, s"maintenance identity broken: $r"))
     // the fingerprint is not vacuous: checksums are large and distinct
     assert(rows.map(_._4).distinct.length >= 5, "fingerprints collapsed")
@@ -18,6 +18,14 @@ class R46InvariantSpec extends SparkSpecBase {
     val ins = rows.filter(_._1 == "insert_delta").map(_._2).sum
     val del = rows.filter(_._1 == "delete_delta").map(_._2).sum
     assert(ins > del, s"delta day empty: $ins vs $del")
+    // the update path preserves TOTAL mass (a segment flip moves rows,
+    // never creates or destroys them) while actually moving fingerprint
+    // mass between segments relative to the insert snapshot
+    val upd = rows.filter(_._1 == "update_delta")
+    assert(upd.map(_._2).sum == ins, s"update changed total row count: ${upd.toSeq}")
+    val insCks = rows.filter(_._1 == "insert_delta").map(_._4).sorted.toSeq
+    assert(upd.map(_._4).sorted.toSeq != insCks,
+      "update scenario did not move any fingerprint mass between segments")
   }
 
   test("q367 watermark chooser: loss monotone in W, argmin lands on the shipped 1-hour watermark") {

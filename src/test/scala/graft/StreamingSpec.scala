@@ -751,6 +751,11 @@ class StreamingSpec extends SparkSpecBase {
     // batch 3 retracts order 13 COMPLETELY (HOUSE must vanish) and one
     // of AUTO's three rows (count drops, fingerprint moves)
     val b3 = Seq(JvDelta(13, 4, -1), JvDelta(10, 1, -1))
+    // batch 4 is an UPDATE (VERDICT r9 ask #6): order 14's customer
+    // moves AUTO→BUILD, expressed CDC-style as retract(old) +
+    // insert(new) for the SAME order key in ONE batch — jvMerge's
+    // algebra must move both the count and the fingerprint mass
+    val b4 = Seq(JvDelta(14, 1, -1), JvDelta(14, 3, 1))
     def recompute(evs: Seq[JvDelta]): Set[(String, Long, Long)] =
       evs.toDS().toDF()
         .join(dim, col("o_custkey") === col("c_custkey"))
@@ -771,10 +776,11 @@ class StreamingSpec extends SparkSpecBase {
       mem.addData(b1: _*); q.processAllAvailable()
       mem.addData(b2: _*); q.processAllAvailable()
       mem.addData(b3: _*); q.processAllAvailable()
+      mem.addData(b4: _*); q.processAllAvailable()
     } finally q.stop()
     assert(neg.value == 0L, s"legal feed tripped the negative-group alarm: ${neg.value}")
-    assert(captured.size == 3)
-    val feeds = Seq(b1, b1 ++ b2, b1 ++ b2 ++ b3)
+    assert(captured.size == 4)
+    val feeds = Seq(b1, b1 ++ b2, b1 ++ b2 ++ b3, b1 ++ b2 ++ b3 ++ b4)
     captured.zip(feeds).foreach { case ((id, got), fed) =>
       assert(got == recompute(fed), s"batch $id view summary diverges (fingerprint-level)")
     }
@@ -783,6 +789,17 @@ class StreamingSpec extends SparkSpecBase {
       s"full retraction failed: ${captured(2)._2}")
     assert(captured(2)._2.find(_._1 == "AUTO").get._2 == 2L,
       s"partial retraction wrong: ${captured(2)._2}")
+    // the update path: order 14's row (and exactly its fingerprint
+    // mass) moved AUTO→BUILD in one batch — counts 2/2 became 1/3, and
+    // BUILD's fingerprint grew by precisely what AUTO lost
+    val auto3 = captured(2)._2.find(_._1 == "AUTO").get
+    val build3 = captured(2)._2.find(_._1 == "BUILD").get
+    val auto4 = captured(3)._2.find(_._1 == "AUTO").get
+    val build4 = captured(3)._2.find(_._1 == "BUILD").get
+    assert(auto4._2 == auto3._2 - 1 && build4._2 == build3._2 + 1,
+      s"update did not move the row: ${captured(3)._2}")
+    assert(auto3._3 - auto4._3 == build4._3 - build3._3,
+      s"fingerprint mass not conserved across the flip: ${captured(3)._2}")
   }
 
   test("hhSketchStream: accumulated count-min cells equal the batch sketch, state bounded") {
