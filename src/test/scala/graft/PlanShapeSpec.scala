@@ -225,7 +225,10 @@ class PlanShapeSpec extends SparkSpecBase {
       //        over the ≤10-row grid⋈bucket table — the corpus
       //        contributes one keyed aggregation and nothing else
       "q325_dedup_policy_sweep", "q367_watermark_chooser",
-      "q372_quality_gate_chooser")
+      "q372_quality_gate_chooser",
+      // q377 — budgeted compaction schedule: rank/prefix windows over
+      //        the 32-row per-file aggregate (the q326 waterfill class)
+      "q377_compaction_trigger")
     // balanced-paren extraction: a naive [^)]* capture truncates at the
     // first ')' inside an ORDER BY expression like round(x, 2), which
     // would hide its ASC/DESC marker and let a global window through
