@@ -316,6 +316,55 @@ object EventStream {
       .start()
   }
 
+  /** Idempotent join-view maintenance (q382's stream twin): the
+    * joinViewStream fold hardened against AT-LEAST-ONCE delivery. Each
+    * micro-batch carries an upstream batch id (`bid` column — the
+    * offset/epoch a real CDC source stamps); a batch whose id is ≤ the
+    * MV's applied HIGH-WATER MARK is a replay and is skipped WHOLESALE
+    * (counted into `replaysSkipped`, the tsRegressions observability
+    * pattern), so the additive jvMerge algebra — correct only under
+    * exactly-once — stays correct under the delivery semantics streams
+    * actually have. Same core as q366/q382, same eager-checkpoint state
+    * rule as ivmStream. Monotonicity contract: batch ids must be
+    * non-decreasing across deliveries (true of offsets/epochs); an
+    * out-of-order NEW batch would be indistinguishable from a replay,
+    * which is exactly why CDC sources stamp monotone epochs.
+    */
+  def idempotentViewStream(deltas: DataFrame, dim: DataFrame,
+      replaysSkipped: Option[org.apache.spark.util.LongAccumulator] = None)
+      (sink: (Long, DataFrame) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    var mv: DataFrame = null
+    var hwm: Long = Long.MinValue
+    deltas.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        // one upstream batch per micro-batch in this layer's contract;
+        // max() is the defensive read if a source coalesces deliveries
+        val bids = batch.select(max(col("bid").cast("long"))).collect()
+        val bid = if (bids.isEmpty || bids.head.isNullAt(0)) Long.MinValue
+          else bids.head.getLong(0)
+        if (bid <= hwm) {
+          replaysSkipped.foreach(_.add(1L))
+          if (mv != null) sink(id, mv) // re-emit unchanged state
+        } else {
+          hwm = bid
+          val part = batch.join(broadcast(dim), col("o_custkey") === col("c_custkey"))
+            .select(col("c_mktsegment").as("seg"), col("sign").cast("long").as("sgn"),
+              graft.queries.R46Queries.jvFingerprint(col("o_orderkey")).as("ck0"))
+            .groupBy("seg")
+            .agg(sum("sgn").as("n"), sum(expr("sgn * ck0")).as("ck"))
+          val merged =
+            (if (mv == null) part.where(col("n") > 0)
+             else graft.queries.R46Queries.jvMerge(mv, part))
+              .localCheckpoint(true) // eager: state must outlive the callback
+          mv = merged
+          sink(id, merged)
+        }
+      }
+      .outputMode("append")
+      .start()
+  }
+
   /** Streaming count-min sketch (q363's stream twin): the online half of
     * two-phase heavy-hitter detection. Every event expands to its d=3
     * count-min coordinates through the SAME R45Queries.cmCoords
@@ -385,6 +434,7 @@ object EventStream {
 
   /** One order delta for [[joinViewStream]]: sign = +1 insert, -1 retract. */
   case class JvDelta(o_orderkey: Long, o_custkey: Long, sign: Int)
+  case class IdemDelta(o_orderkey: Long, o_custkey: Long, sign: Int, bid: Long)
 
   /** Streaming NEAR-dup filter (E2 on a stream): drop a document whose
     * full 4-band MinHash signature was already seen inside the watermark

@@ -228,7 +228,11 @@ class PlanShapeSpec extends SparkSpecBase {
       "q372_quality_gate_chooser",
       // q377 — budgeted compaction schedule: rank/prefix windows over
       //        the 32-row per-file aggregate (the q326 waterfill class)
-      "q377_compaction_trigger")
+      "q377_compaction_trigger",
+      // q381 — the q357 class: rank cum over the ≤256-row sketch table
+      //        plus its sample leg's QuantileOps offset window (the
+      //        same ≤65536-row bucket-offset table as q182/q213)
+      "q381_quantile_shootout")
     // balanced-paren extraction: a naive [^)]* capture truncates at the
     // first ')' inside an ORDER BY expression like round(x, 2), which
     // would hide its ASC/DESC marker and let a global window through

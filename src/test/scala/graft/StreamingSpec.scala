@@ -802,6 +802,48 @@ class StreamingSpec extends SparkSpecBase {
       s"fingerprint mass not conserved across the flip: ${captured(3)._2}")
   }
 
+  test("idempotentViewStream: a replayed batch is skipped, state matches exactly-once recompute") {
+    import EventStream.IdemDelta
+    import graft.queries.R46Queries
+    val dim = Seq((1L, "AUTO"), (2L, "AUTO"), (3L, "BUILD"), (4L, "HOUSE"))
+      .toDF("c_custkey", "c_mktsegment")
+    val b1 = Seq(IdemDelta(10, 1, 1, 100), IdemDelta(11, 3, 1, 100))
+    val b2 = Seq(IdemDelta(12, 2, 1, 200), IdemDelta(13, 4, 1, 200))
+    val b2replay = b2 // at-least-once delivery sends batch 200 again
+    val b3 = Seq(IdemDelta(14, 3, 1, 300))
+    def recompute(evs: Seq[IdemDelta]): Set[(String, Long, Long)] =
+      evs.toDS().toDF()
+        .join(dim, col("o_custkey") === col("c_custkey"))
+        .select(col("c_mktsegment").as("seg"), col("sign").cast("long").as("sgn"),
+          R46Queries.jvFingerprint(col("o_orderkey")).as("ck0"))
+        .groupBy("seg").agg(sum("sgn").as("n"), sum(expr("sgn * ck0")).as("ck"))
+        .where(col("n") > 0)
+        .as[(String, Long, Long)].collect().toSet
+    val mem = MemoryStream[IdemDelta](spark)
+    val skipped = spark.sparkContext.longAccumulator
+    val captured =
+      scala.collection.mutable.ArrayBuffer.empty[(Long, Set[(String, Long, Long)])]
+    val q = EventStream.idempotentViewStream(mem.toDF(), dim,
+        replaysSkipped = Some(skipped)) { (id, df) =>
+      captured += id -> df.select("seg", "n", "ck")
+        .as[(String, Long, Long)].collect().toSet
+    }
+    try {
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+      mem.addData(b2replay: _*); q.processAllAvailable()
+      mem.addData(b3: _*); q.processAllAvailable()
+    } finally q.stop()
+    assert(skipped.value == 1L, s"exactly one replay must be skipped: ${skipped.value}")
+    assert(captured.size == 4)
+    // the replayed delivery leaves state UNCHANGED (snapshot 3 == 2),
+    // and the final state equals the exactly-once recompute — the
+    // naive fold would carry batch 200 twice
+    assert(captured(2)._2 == captured(1)._2, "replay mutated the MV")
+    assert(captured(3)._2 == recompute(b1 ++ b2 ++ b3),
+      s"final state diverges from exactly-once recompute: ${captured(3)._2}")
+  }
+
   test("hhSketchStream: accumulated count-min cells equal the batch sketch, state bounded") {
     import EventStream.TypedEvent
     import graft.queries.R45Queries
