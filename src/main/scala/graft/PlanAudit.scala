@@ -68,7 +68,21 @@ object PlanAudit {
     "q358_selinger_enum",
     "q359_lsh_br_chooser",
     "q361_countmin_joinsize",
-    "q362_sketch_bin_chooser")
+    "q362_sketch_bin_chooser",
+    // round-10 heavy tier (2.5-2.9 s warm at sf0.1): the quantile
+    // shootout deliberately carries THREE lineitem passes — the sketch
+    // build, the sample's QuantileOps exact ranks, and the 6-row
+    // broadcast rank probe that grades both estimators against truth;
+    // the pin protects the probe's build side staying the tiny
+    // estimate table (a flipped build side would broadcast the corpus)
+    "q381_quantile_shootout",
+    // q385 (3.6 s warm): three cross-table exact graders — each pair
+    // pays ONE keyed frequency pass per side (localCheckpointed; GEE
+    // and the weighted count-min build ride it) plus the bounded
+    // fr⋈fs equi-join; the pin protects the single-pass-per-side
+    // shape (a de-fused build would rescan each fact table three
+    // times per pair)
+    "q385_cross_joinsize")
 
   /** Node kinds whose counts define a plan's cost signature. Matched
     * against SparkPlan.nodeName ("Exchange" is ShuffleExchangeExec's

@@ -232,7 +232,11 @@ class PlanShapeSpec extends SparkSpecBase {
       // q381 — the q357 class: rank cum over the ≤256-row sketch table
       //        plus its sample leg's QuantileOps offset window (the
       //        same ≤65536-row bucket-offset table as q182/q213)
-      "q381_quantile_shootout")
+      "q381_quantile_shootout",
+      // q384 — the q367 sweep class: suffix-sum and argmin windows over
+      //        the ≤7-row TTL⋈bucket table (replays contribute one
+      //        map-side bucket classification + keyed aggregation)
+      "q384_dedup_retention")
     // balanced-paren extraction: a naive [^)]* capture truncates at the
     // first ')' inside an ORDER BY expression like round(x, 2), which
     // would hide its ASC/DESC marker and let a global window through

@@ -449,6 +449,45 @@ class StreamingSpec extends SparkSpecBase {
       s"expected pre-crash lead 1 and post-restart lead 3 only, got $got")
   }
 
+  test("ttlDedupStream at q384's chosen TTL leaks exactly the duplicates the chooser prices") {
+    // q384 prices the ttlSeconds knob ttlDedupStream exposes; this case
+    // closes the loop by RUNNING the operator at the chosen 6h TTL on
+    // the same planted delivery stream (R52Queries.plantedDeliveries —
+    // every sf0.001 event once, 20% of keys re-delivered at a planted
+    // heavy-tailed lag, keyed so each event_id is its own dedup key).
+    // Exactly-once downstream = one emission per key; a replay whose
+    // lag exceeds the TTL slips past the expired state and is emitted
+    // again. So emitted == n_keys + leaked(chosen), with leaked read
+    // from the q384 row itself — the batch sweep and the live stateful
+    // operator agree to the row.
+    import graft.queries.R52Queries
+    import EventStream.TypedEvent
+    val del = R52Queries.plantedDeliveries(spark, sf001)
+      .select(col("event_id"), expr("timestamp_seconds(es)").as("ts"),
+        col("event_id").as("user_id"), lit("dedup").as("event_type"))
+      .as[TypedEvent].collect().toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+    val q384 = SparkEntry.queries("q384_dedup_retention")(spark, sf001)
+      .where("chosen = 1")
+      .select("r_s", "leaked", "n_deliveries").as[(Long, Long, Long)].collect()
+    assert(q384.length == 1 && q384.head._1 == 21600L,
+      s"chooser moved off the 6h cell: ${q384.toSeq}")
+    val (ttl, leaked, nDeliveries) = q384.head
+    val nKeys = del.map(_.user_id).distinct.size.toLong
+    val mem = MemoryStream[TypedEvent](spark)
+    val q = EventStream.ttlDedupStream(mem.toDS(), ttlSeconds = ttl)
+      .writeStream.format("memory").queryName("ttl_chosen").outputMode("append").start()
+    try {
+      mem.addData(del: _*)
+      q.processAllAvailable()
+      val emitted = spark.table("ttl_chosen").count()
+      assert(del.size.toLong == nDeliveries,
+        s"fixture drift: stream has ${del.size} deliveries, q384 priced $nDeliveries")
+      val expected = nKeys + leaked
+      assert(emitted == expected,
+        s"ttlDedupStream(ttl=$ttl) emitted $emitted, chooser predicts n_keys+leaked=$expected")
+    } finally q.stop()
+  }
+
   test("funnelStream: stream-applied funnel equals q251's batch stages on the same delta") {
     import graft.queries.R14Queries
     import graft.streaming.EventStream.Doc
