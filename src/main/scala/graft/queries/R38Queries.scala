@@ -45,7 +45,7 @@ object R38Queries {
     * (the wide key owns every high bit) and the z layout stops pruning
     * on the narrow key at all — measured before this formulation.
     */
-  private def zInterleave(x: String, y: String, div: String): String = {
+  private[graft] def zInterleave(x: String, y: String, div: String): String = {
     val terms = (0 until 10).flatMap { i =>
       val p = 1L << i
       Seq(

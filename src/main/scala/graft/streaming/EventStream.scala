@@ -885,4 +885,78 @@ object EventStream {
       }
   }
 
+  /** Late-arriving-dimension maintenance (q383's stream twin): fact and
+    * dim rows share one tagged CDC stream (`kind` ∈ fact|dim — the shape
+    * a multiplexed changefeed delivers). Per micro-batch, the dim state
+    * grows FIRST, arriving facts join whatever dim rows exist, the
+    * misses PARK keyed by the missing dim key carrying (count,
+    * fingerprint mass), and the lot DRAINS by equi-join against exactly
+    * the batch's NEW dim slice — a lot entry can only ever match a dim
+    * row that arrived after it parked, so the drain probe never rescans
+    * the full dimension. Matched + drained mass folds into the MV
+    * through the same jvMerge core as q366/q382/q383. All three state
+    * handles (dim, lot, MV) are EAGER localCheckpoints (the ivmStream
+    * rule: state must outlive the callback). The parkedIn / drainedOut
+    * accumulators make q383's conservation theorem observable online:
+    * once the late slice lands, parkedIn == drainedOut iff the lot is
+    * empty — the lot neither eats nor invents facts. The lot is bounded
+    * by the orphan population and the dim by its natural size — the
+    * broadcast side at 100 TB stays the dimension, never the facts.
+    */
+  def lateDimStream(cdc: DataFrame,
+      parkedIn: Option[org.apache.spark.util.LongAccumulator] = None,
+      drainedOut: Option[org.apache.spark.util.LongAccumulator] = None)
+      (sink: (Long, DataFrame) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    var mv: DataFrame = null       // (seg, n, ck)
+    var dimState: DataFrame = null // (c_custkey, c_mktsegment)
+    var lot: DataFrame = null      // (o_custkey, pn, pck)
+    cdc.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val newDims = batch.where(col("kind") === "dim")
+          .select(col("c_custkey"), col("c_mktsegment"))
+        dimState =
+          (if (dimState == null) newDims else dimState.unionByName(newDims))
+            .localCheckpoint(true)
+        val facts = batch.where(col("kind") === "fact")
+          .select(col("o_custkey"),
+            graft.queries.R46Queries.jvFingerprint(col("o_orderkey")).as("ck0"))
+          .groupBy("o_custkey")
+          .agg(count(lit(1)).as("pn"), sum("ck0").as("pck"))
+        val matchedNew = facts
+          .join(broadcast(dimState), col("o_custkey") === col("c_custkey"))
+        val parkedNew = facts
+          .join(broadcast(dimState), col("o_custkey") === col("c_custkey"),
+            "left_anti")
+        val drained =
+          if (lot == null) null
+          else lot.join(broadcast(newDims), col("o_custkey") === col("c_custkey"))
+        parkedIn.foreach(_.add(parkedNew.agg(coalesce(sum("pn"), lit(0L)))
+          .head().getLong(0)))
+        drainedOut.foreach(d => if (drained != null)
+          d.add(drained.agg(coalesce(sum("pn"), lit(0L))).head().getLong(0)))
+        val arrivals =
+          if (drained == null) matchedNew
+          else matchedNew.unionByName(drained.select(matchedNew.columns.map(col): _*))
+        val part = arrivals.groupBy(col("c_mktsegment").as("seg"))
+          .agg(sum("pn").as("n"), sum("pck").as("ck"))
+        val merged =
+          (if (mv == null) part else graft.queries.R46Queries.jvMerge(mv, part))
+            .localCheckpoint(true)
+        mv = merged
+        val lotKept =
+          if (lot == null) parkedNew.select("o_custkey", "pn", "pck")
+          else lot
+            .join(broadcast(newDims), col("o_custkey") === col("c_custkey"),
+              "left_anti")
+            .unionByName(parkedNew.select("o_custkey", "pn", "pck"))
+            .groupBy("o_custkey")
+            .agg(sum("pn").as("pn"), sum("pck").as("pck"))
+        lot = lotKept.localCheckpoint(true)
+        sink(id, merged)
+      }
+      .outputMode("append")
+      .start()
+  }
+
 }

@@ -488,6 +488,61 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("lateDimStream: online park/drain equals the full recompute, conservation observable") {
+    // q383's fixture replayed as a multiplexed CDC stream: batch 1
+    // carries the on-time dim slice (c_custkey % 13 != 0) plus ALL the
+    // last-quarter facts — the % 13 == 0 facts must PARK; batch 2
+    // delivers only the late dim slice — the lot must fully DRAIN. The
+    // final MV equals the all-at-once recompute per segment (count AND
+    // fingerprint), and the parkedIn/drainedOut accumulators balance.
+    import graft.streaming.EventStream
+    import graft.queries.R46Queries
+    val ordersRaw = Tables.load(spark, sf001, "orders").select(col("o_orderkey"),
+      col("o_custkey"), expr("unix_timestamp(o_orderdate) div 86400").as("dk"))
+    val dmax = ordersRaw.agg(max("dk")).as[Long].head()
+    val facts = ordersRaw.where(col("dk") > dmax - 90)
+      .select("o_orderkey", "o_custkey").as[(Long, Long)].collect().toSeq
+    val dims = Tables.load(spark, sf001, "customer")
+      .select("c_custkey", "c_mktsegment").as[(Long, String)].collect().toSeq
+    val (lateDims, onTimeDims) = dims.partition(_._1 % 13 == 0)
+    assert(facts.exists(f => f._2 % 13 == 0), "fixture needs orphan facts")
+
+    // (kind, o_orderkey, o_custkey, c_custkey, c_mktsegment)
+    def factRow(f: (Long, Long)): (String, Long, Long, Long, String) =
+      ("fact", f._1, f._2, -1L, "")
+    def dimRow(c: (Long, String)): (String, Long, Long, Long, String) =
+      ("dim", -1L, -1L, c._1, c._2)
+
+    val parkedIn = spark.sparkContext.longAccumulator("parkedIn")
+    val drainedOut = spark.sparkContext.longAccumulator("drainedOut")
+    val mem = MemoryStream[(String, Long, Long, Long, String)](spark)
+    var last: org.apache.spark.sql.DataFrame = null
+    val q = EventStream.lateDimStream(
+      mem.toDF().toDF("kind", "o_orderkey", "o_custkey", "c_custkey", "c_mktsegment"),
+      Some(parkedIn), Some(drainedOut)) { (_, mv) => last = mv }
+    try {
+      mem.addData(onTimeDims.map(dimRow) ++ facts.map(factRow): _*)
+      q.processAllAvailable()
+      val parkedAfter1 = parkedIn.value
+      assert(parkedAfter1 > 0, "orphan facts never parked — dead fixture")
+      assert(drainedOut.value == 0, "nothing can drain before the late slice lands")
+      mem.addData(lateDims.map(dimRow): _*)
+      q.processAllAvailable()
+      assert(parkedIn.value == parkedAfter1, "the late dim slice is not a fact")
+      assert(parkedIn.value == drainedOut.value,
+        s"conservation broke: parked ${parkedIn.value}, drained ${drainedOut.value}")
+      val got = last.select("seg", "n", "ck").as[(String, Long, Long)].collect().toSet
+      val full = facts.toDF("o_orderkey", "o_custkey")
+        .join(dims.toDF("c_custkey", "c_mktsegment"),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment").as("seg"))
+        .agg(count(lit(1)).as("n"),
+          sum(R46Queries.jvFingerprint(col("o_orderkey"))).as("ck"))
+        .as[(String, Long, Long)].collect().toSet
+      assert(got == full, s"stream MV diverged from recompute:\n$got\nvs\n$full")
+    } finally q.stop()
+  }
+
   test("funnelStream: stream-applied funnel equals q251's batch stages on the same delta") {
     import graft.queries.R14Queries
     import graft.streaming.EventStream.Doc
