@@ -31,6 +31,13 @@ object R50Queries {
 
   private def t(s: SparkSession, d: String, n: String): DataFrame = Tables.load(s, d, n)
 
+  /** q380's frozen-boundary 16-bin rule (clamped equi-width on the stale
+    * range) — the additive-merge core shared verbatim by the batch
+    * scenarios and EventStream.histRefreshStream's online fold.
+    */
+  private[graft] def histBin16(v: String, vmin: String, w: String): String =
+    s"least(15, greatest(0, ($v - $vmin) * 16 div $w))"
+
   val specs: Seq[QuerySpec] = Seq(
 
     // q377 — COMPACTION TRIGGER CHOOSER: q375 proved the MoR read tax
@@ -256,7 +263,7 @@ object R50Queries {
           .select(expr("v + w").as("v"))
         def histOn(df: DataFrame, name: String): DataFrame =
           df.crossJoin(broadcast(mxS))
-            .groupBy(expr("least(15, greatest(0, (v - vmin) * 16 div w))").as("bin"))
+            .groupBy(expr(histBin16("v", "vmin", "w")).as("bin"))
             .agg(count(lit(1)).as(name))
         val hS = histOn(stale, "stale_cnt")
         def scenario(delta: DataFrame, name: String): DataFrame = {

@@ -959,4 +959,44 @@ object EventStream {
       .start()
   }
 
+  /** Incremental CBO-histogram maintenance (q380's stream twin): each
+    * micro-batch of values folds into the cross-batch 16-bin state by
+    * PLAIN ADDITION on the frozen (vmin, w) boundaries — the same
+    * R50Queries.histBin16 rule the batch scenarios certify (merge ==
+    * rebuild per bin), so nightly ANALYZE becomes a per-batch delta scan.
+    * What additivity cannot fix is boundary fidelity: a batch whose
+    * clamped out-of-range fraction exceeds 1% (q380's drift gate) bumps
+    * `refreshAlarms` — the signal to re-freeze boundaries with a full
+    * rebuild — while the merge itself stays exact either way, which is
+    * precisely the trap the gate exists to catch. State is 16 rows
+    * forever, eager-checkpointed (the ivmStream rule).
+    */
+  def histRefreshStream(values: DataFrame, vmin: Long, w: Long,
+      refreshAlarms: Option[org.apache.spark.util.LongAccumulator] = None)
+      (sink: (Long, DataFrame) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    var hist: DataFrame = null // (bin, cnt)
+    values.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val part = batch
+          .select(expr(graft.queries.R50Queries.histBin16("v", vmin.toString, w.toString))
+            .as("bin"))
+          .groupBy("bin").agg(count(lit(1)).as("cnt"))
+        val oor = batch.agg(
+          sum(when(expr(s"v < $vmin OR v > ${vmin + w - 1}"), 1L).otherwise(0L)).as("oor"),
+          count(lit(1)).as("n")).head()
+        if (oor.getLong(1) > 0 &&
+            oor.getLong(0) * 10000L / oor.getLong(1) > 100L)
+          refreshAlarms.foreach(_.add(1L))
+        val merged =
+          (if (hist == null) part
+           else hist.unionByName(part).groupBy("bin").agg(sum("cnt").as("cnt")))
+            .localCheckpoint(true) // eager: state must outlive the callback
+        hist = merged
+        sink(id, merged)
+      }
+      .outputMode("append")
+      .start()
+  }
+
 }

@@ -543,6 +543,50 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("histRefreshStream: additive bin fold equals the batch histogram, drift batch alarms") {
+    // q380's online half on its own fixture: the stale days arrive in
+    // two micro-batches, the observed delta day in a third, and the
+    // planted drifted delta (values shifted one full range width — the
+    // unit-change bug) in a fourth. The final 16-bin state must equal
+    // the all-at-once histogram of everything fed (merge == rebuild,
+    // now across four folds), and the refresh alarm must fire exactly
+    // once — on the drifted batch, never on in-range data.
+    import graft.streaming.EventStream
+    val c = Tables.load(spark, sf001, "orders").select(
+      expr("CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)").as("v"),
+      expr("unix_timestamp(o_orderdate) div 86400").as("dk"))
+    val dmax = c.agg(max("dk")).as[Long].head()
+    val stale = c.where(col("dk") < dmax).select("v").as[Long].collect().toSeq
+    val (vmin, vmax) = (stale.min, stale.max)
+    val w = vmax - vmin + 1
+    val deltaReal = c.where(col("dk") === dmax).select("v").as[Long].collect().toSeq
+    val deltaDrift = deltaReal.map(_ + w)
+    val (stale1, stale2) = stale.splitAt(stale.size / 2)
+
+    val alarms = spark.sparkContext.longAccumulator("refreshAlarms")
+    val mem = MemoryStream[Long](spark)
+    var last: org.apache.spark.sql.DataFrame = null
+    val q = EventStream.histRefreshStream(
+      mem.toDF().toDF("v"), vmin, w, Some(alarms)) { (_, h) => last = h }
+    try {
+      for (chunk <- Seq(stale1, stale2, deltaReal, deltaDrift)) {
+        mem.addData(chunk: _*)
+        q.processAllAvailable()
+      }
+      assert(alarms.value == 1L,
+        s"refresh alarm must fire exactly once (the drifted batch): ${alarms.value}")
+      val got = last.select("bin", "cnt").as[(Long, Long)].collect().toMap
+      val everything = (stale ++ deltaReal ++ deltaDrift).toDF("v")
+      val want = everything
+        .select(expr(graft.queries.R50Queries.histBin16("v", vmin.toString, w.toString))
+          .as("bin"))
+        .groupBy("bin").agg(count(lit(1)).as("cnt"))
+        .as[(Long, Long)].collect().toMap
+      assert(got == want, s"stream fold diverged from rebuild:\n$got\nvs\n$want")
+      assert(got.values.sum == stale.size + deltaReal.size + deltaDrift.size)
+    } finally q.stop()
+  }
+
   test("funnelStream: stream-applied funnel equals q251's batch stages on the same delta") {
     import graft.queries.R14Queries
     import graft.streaming.EventStream.Doc
