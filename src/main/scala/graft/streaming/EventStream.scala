@@ -329,9 +329,20 @@ object EventStream {
     * non-decreasing across deliveries (true of offsets/epochs); an
     * out-of-order NEW batch would be indistinguishable from a replay,
     * which is exactly why CDC sources stamp monotone epochs.
+    *
+    * Two ADVICE-r10 hardenings: (1) an EMPTY batch (or one whose bid
+    * column is all null — no stamp means no idempotency claim) is
+    * short-circuited BEFORE the high-water-mark check, so it neither
+    * counts as a replay nor can shadow a legitimate first batch; (2) if
+    * a source COALESCES a new batch with a replay, the replayed rows
+    * (bid ≤ hwm) inside the accepted batch are counted into
+    * `staleRowsDropped` and excluded from the fold — the silent-apply
+    * hazard the method doc used to merely document is now both
+    * observable and harmless.
     */
   def idempotentViewStream(deltas: DataFrame, dim: DataFrame,
-      replaysSkipped: Option[org.apache.spark.util.LongAccumulator] = None)
+      replaysSkipped: Option[org.apache.spark.util.LongAccumulator] = None,
+      staleRowsDropped: Option[org.apache.spark.util.LongAccumulator] = None)
       (sink: (Long, DataFrame) => Unit)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     var mv: DataFrame = null
@@ -341,14 +352,20 @@ object EventStream {
         // one upstream batch per micro-batch in this layer's contract;
         // max() is the defensive read if a source coalesces deliveries
         val bids = batch.select(max(col("bid").cast("long"))).collect()
-        val bid = if (bids.isEmpty || bids.head.isNullAt(0)) Long.MinValue
-          else bids.head.getLong(0)
-        if (bid <= hwm) {
+        val noBid = bids.isEmpty || bids.head.isNullAt(0)
+        if (noBid) {
+          // empty / unstamped: not a replay, not an advance — re-emit
+          if (mv != null) sink(id, mv)
+        } else if (bids.head.getLong(0) <= hwm) {
           replaysSkipped.foreach(_.add(1L))
           if (mv != null) sink(id, mv) // re-emit unchanged state
         } else {
-          hwm = bid
-          val part = batch.join(broadcast(dim), col("o_custkey") === col("c_custkey"))
+          val prevHwm = hwm
+          hwm = bids.head.getLong(0)
+          staleRowsDropped.foreach(_.add(
+            batch.where(col("bid").cast("long") <= prevHwm).count()))
+          val part = batch.where(col("bid").cast("long") > prevHwm)
+            .join(broadcast(dim), col("o_custkey") === col("c_custkey"))
             .select(col("c_mktsegment").as("seg"), col("sign").cast("long").as("sgn"),
               graft.queries.R46Queries.jvFingerprint(col("o_orderkey")).as("ck0"))
             .groupBy("seg")
@@ -896,27 +913,59 @@ object EventStream {
     * the full dimension. Matched + drained mass folds into the MV
     * through the same jvMerge core as q366/q382/q383. All three state
     * handles (dim, lot, MV) are EAGER localCheckpoints (the ivmStream
-    * rule: state must outlive the callback). The parkedIn / drainedOut
-    * accumulators make q383's conservation theorem observable online:
-    * once the late slice lands, parkedIn == drainedOut iff the lot is
-    * empty — the lot neither eats nor invents facts. The lot is bounded
-    * by the orphan population and the dim by its natural size — the
-    * broadcast side at 100 TB stays the dimension, never the facts.
+    * rule: state must outlive the callback). The parkedIn / drainedOut /
+    * expiredOut accumulators make q383's conservation theorem observable
+    * online: at every batch boundary parkedIn == drainedOut + expiredOut
+    * + (mass still in the lot) — the lot neither eats nor invents facts.
+    * The lot is bounded by the orphan population and the dim by its
+    * natural size — the broadcast side at 100 TB stays the dimension,
+    * never the facts.
+    *
+    * Two ADVICE-r10 / VERDICT-r10 hardenings: (1) the dim state is
+    * DEDUPED on c_custkey (first-arrival-wins via deterministic min —
+    * re-delivered dim rows are the same at-least-once hazard
+    * idempotentViewStream closes for facts; without dedup every matching
+    * fact would join twice and silently double-count the MV); duplicate
+    * key arrivals are counted into `dupDimArrivals`. (2) the parking lot
+    * carries a TTL: an orphan whose dim row has not arrived within
+    * `orphanTtlBatches` micro-batches is EXPIRED to the dead letter
+    * (counted into expiredOut), so lot state is provably bounded even
+    * when a dim row never arrives — the q384 unbounded-state hazard
+    * applied to the lot. A drain and an expiry in the same batch resolve
+    * in the drain's favor (the dim did arrive).
     */
   def lateDimStream(cdc: DataFrame,
       parkedIn: Option[org.apache.spark.util.LongAccumulator] = None,
-      drainedOut: Option[org.apache.spark.util.LongAccumulator] = None)
+      drainedOut: Option[org.apache.spark.util.LongAccumulator] = None,
+      orphanTtlBatches: Long = Long.MaxValue,
+      expiredOut: Option[org.apache.spark.util.LongAccumulator] = None,
+      dupDimArrivals: Option[org.apache.spark.util.LongAccumulator] = None)
       (sink: (Long, DataFrame) => Unit)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     var mv: DataFrame = null       // (seg, n, ck)
-    var dimState: DataFrame = null // (c_custkey, c_mktsegment)
-    var lot: DataFrame = null      // (o_custkey, pn, pck)
+    var dimState: DataFrame = null // (c_custkey, c_mktsegment), key-unique
+    var lot: DataFrame = null      // (o_custkey, pn, pck, pb)
     cdc.writeStream
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
-        val newDims = batch.where(col("kind") === "dim")
-          .select(col("c_custkey"), col("c_mktsegment"))
+        // within-batch dedup first (min = deterministic survivor), then
+        // cross-batch: only keys NOT already in the dim state are fresh
+        val newDimsD = batch.where(col("kind") === "dim")
+          .groupBy("c_custkey")
+          .agg(min("c_mktsegment").as("c_mktsegment"), count(lit(1)).as("arr"))
+        val fresh =
+          (if (dimState == null) newDimsD
+           else newDimsD.join(dimState.select("c_custkey"), Seq("c_custkey"),
+             "left_anti"))
+            .select("c_custkey", "c_mktsegment")
+            .localCheckpoint(true)
+        dupDimArrivals.foreach { a =>
+          val batchDup = newDimsD.agg(coalesce(sum(expr("arr - 1")), lit(0L)))
+            .head().getLong(0)
+          val crossDup = newDimsD.count() - fresh.count()
+          a.add(batchDup + crossDup)
+        }
         dimState =
-          (if (dimState == null) newDims else dimState.unionByName(newDims))
+          (if (dimState == null) fresh else dimState.unionByName(fresh))
             .localCheckpoint(true)
         val facts = batch.where(col("kind") === "fact")
           .select(col("o_custkey"),
@@ -928,9 +977,11 @@ object EventStream {
         val parkedNew = facts
           .join(broadcast(dimState), col("o_custkey") === col("c_custkey"),
             "left_anti")
+        // the drain probe is exactly the batch's fresh dim slice: a lot
+        // entry can only match a dim row that arrived after it parked
         val drained =
           if (lot == null) null
-          else lot.join(broadcast(newDims), col("o_custkey") === col("c_custkey"))
+          else lot.join(broadcast(fresh), col("o_custkey") === col("c_custkey"))
         parkedIn.foreach(_.add(parkedNew.agg(coalesce(sum("pn"), lit(0L)))
           .head().getLong(0)))
         drainedOut.foreach(d => if (drained != null)
@@ -944,15 +995,24 @@ object EventStream {
           (if (mv == null) part else graft.queries.R46Queries.jvMerge(mv, part))
             .localCheckpoint(true)
         mv = merged
-        val lotKept =
-          if (lot == null) parkedNew.select("o_custkey", "pn", "pck")
+        // undrained survivors age; past the TTL they leave for the dead
+        // letter so the lot cannot grow with the never-arriving orphans
+        val undrained =
+          if (lot == null) parkedNew.select(col("o_custkey"), col("pn"),
+            col("pck"), lit(id).as("pb"))
           else lot
-            .join(broadcast(newDims), col("o_custkey") === col("c_custkey"),
+            .join(broadcast(fresh), col("o_custkey") === col("c_custkey"),
               "left_anti")
-            .unionByName(parkedNew.select("o_custkey", "pn", "pck"))
+            .unionByName(parkedNew.select(col("o_custkey"), col("pn"),
+              col("pck"), lit(id).as("pb")))
             .groupBy("o_custkey")
-            .agg(sum("pn").as("pn"), sum("pck").as("pck"))
-        lot = lotKept.localCheckpoint(true)
+            .agg(sum("pn").as("pn"), sum("pck").as("pck"), min("pb").as("pb"))
+        val aged = undrained.localCheckpoint(true)
+        expiredOut.foreach(e => e.add(
+          aged.where(expr(s"$id - pb >= $orphanTtlBatches"))
+            .agg(coalesce(sum("pn"), lit(0L))).head().getLong(0)))
+        lot = aged.where(expr(s"$id - pb < $orphanTtlBatches"))
+          .localCheckpoint(true)
         sink(id, merged)
       }
       .outputMode("append")

@@ -543,6 +543,72 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("lateDimStream: never-arriving dims expire on the orphan TTL; re-delivered dims never double-count") {
+    // the VERDICT-r10 #4 / ADVICE-r10 hazards on one fixture: the % 13
+    // dim slice NEVER arrives (its facts must park, age past the 1-batch
+    // TTL, and leave for the dead letter — state provably bounded), the
+    // on-time dim slice is delivered TWICE (the at-least-once replay that
+    // used to double every matching fact), and conservation must close as
+    // parked == drained + expired with the lot empty at the end.
+    import graft.streaming.EventStream
+    import graft.queries.R46Queries
+    val ordersRaw = Tables.load(spark, sf001, "orders").select(col("o_orderkey"),
+      col("o_custkey"), expr("unix_timestamp(o_orderdate) div 86400").as("dk"))
+    val dmax = ordersRaw.agg(max("dk")).as[Long].head()
+    val facts = ordersRaw.where(col("dk") > dmax - 90)
+      .select("o_orderkey", "o_custkey").as[(Long, Long)].collect().toSeq
+    val dims = Tables.load(spark, sf001, "customer")
+      .select("c_custkey", "c_mktsegment").as[(Long, String)].collect().toSeq
+    val (neverDims, onTimeDims) = dims.partition(_._1 % 13 == 0)
+    val orphanFacts = facts.filter(f => f._2 % 13 == 0)
+    assert(orphanFacts.nonEmpty, "fixture needs facts whose dim never arrives")
+
+    def factRow(f: (Long, Long)): (String, Long, Long, Long, String) =
+      ("fact", f._1, f._2, -1L, "")
+    def dimRow(c: (Long, String)): (String, Long, Long, Long, String) =
+      ("dim", -1L, -1L, c._1, c._2)
+
+    val parkedIn = spark.sparkContext.longAccumulator("parkedIn")
+    val drainedOut = spark.sparkContext.longAccumulator("drainedOut")
+    val expired = spark.sparkContext.longAccumulator("expired")
+    val dimDups = spark.sparkContext.longAccumulator("dimDups")
+    val mem = MemoryStream[(String, Long, Long, Long, String)](spark)
+    var last: org.apache.spark.sql.DataFrame = null
+    val q = EventStream.lateDimStream(
+      mem.toDF().toDF("kind", "o_orderkey", "o_custkey", "c_custkey", "c_mktsegment"),
+      Some(parkedIn), Some(drainedOut),
+      orphanTtlBatches = 1L, expiredOut = Some(expired),
+      dupDimArrivals = Some(dimDups)) { (_, mv) => last = mv }
+    try {
+      // batch 0: on-time dims + all facts (orphans park)
+      mem.addData(onTimeDims.map(dimRow) ++ facts.map(factRow): _*)
+      q.processAllAvailable()
+      assert(parkedIn.value == orphanFacts.size.toLong,
+        s"every orphan fact must park: ${parkedIn.value} vs ${orphanFacts.size}")
+      assert(expired.value == 0L, "nothing can expire at age 0")
+      // batch 1: the on-time dims REPLAYED (no new keys) — the parked
+      // orphans age to the TTL and expire; the replay must be counted
+      // and must not double the MV
+      mem.addData(onTimeDims.map(dimRow): _*)
+      q.processAllAvailable()
+      assert(dimDups.value == onTimeDims.size.toLong,
+        s"every replayed dim key must be counted: ${dimDups.value} vs ${onTimeDims.size}")
+      assert(drainedOut.value == 0L, "a replayed dim key cannot drain anything")
+      assert(expired.value == parkedIn.value,
+        s"conservation: parked ${parkedIn.value} == drained ${drainedOut.value} + expired ${expired.value}")
+      val got = last.select("seg", "n", "ck").as[(String, Long, Long)].collect().toSet
+      val want = facts.toDF("o_orderkey", "o_custkey")
+        .join(onTimeDims.toDF("c_custkey", "c_mktsegment"),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment").as("seg"))
+        .agg(count(lit(1)).as("n"),
+          sum(R46Queries.jvFingerprint(col("o_orderkey"))).as("ck"))
+        .as[(String, Long, Long)].collect().toSet
+      assert(got == want,
+        s"MV must equal the on-time-only recompute (no double count, no orphans):\n$got\nvs\n$want")
+    } finally q.stop()
+  }
+
   test("histRefreshStream: additive bin fold equals the batch histogram, drift batch alarms") {
     // q380's online half on its own fixture: the stale days arrive in
     // two micro-batches, the observed delta day in a third, and the
@@ -980,6 +1046,54 @@ class StreamingSpec extends SparkSpecBase {
     assert(captured(2)._2 == captured(1)._2, "replay mutated the MV")
     assert(captured(3)._2 == recompute(b1 ++ b2 ++ b3),
       s"final state diverges from exactly-once recompute: ${captured(3)._2}")
+  }
+
+  test("idempotentViewStream: empty batches are not replays; coalesced stale rows are dropped and counted") {
+    // the two ADVICE-r10 hazards: (1) an EMPTY delivery must neither
+    // advance the high-water mark nor count as a replay (the old
+    // Long.MinValue sentinel made it indistinguishable from one);
+    // (2) a source that COALESCES a replay with a new batch must not
+    // silently re-apply the replayed rows — they are dropped from the
+    // fold and counted into staleRowsDropped.
+    import EventStream.IdemDelta
+    import graft.queries.R46Queries
+    val dim = Seq((1L, "AUTO"), (2L, "AUTO"), (3L, "BUILD"))
+      .toDF("c_custkey", "c_mktsegment")
+    val b1 = Seq(IdemDelta(10, 1, 1, 100), IdemDelta(11, 3, 1, 100))
+    val b2new = Seq(IdemDelta(12, 2, 1, 200), IdemDelta(13, 1, 1, 200))
+    // coalesced delivery: batch 100's first row rides along with batch 200
+    val b2coalesced = b1.take(1) ++ b2new
+    def recompute(evs: Seq[IdemDelta]): Set[(String, Long, Long)] =
+      evs.toDS().toDF()
+        .join(dim, col("o_custkey") === col("c_custkey"))
+        .select(col("c_mktsegment").as("seg"), col("sign").cast("long").as("sgn"),
+          R46Queries.jvFingerprint(col("o_orderkey")).as("ck0"))
+        .groupBy("seg").agg(sum("sgn").as("n"), sum(expr("sgn * ck0")).as("ck"))
+        .where(col("n") > 0)
+        .as[(String, Long, Long)].collect().toSet
+    val mem = MemoryStream[IdemDelta](spark)
+    val skipped = spark.sparkContext.longAccumulator
+    val stale = spark.sparkContext.longAccumulator
+    val captured =
+      scala.collection.mutable.ArrayBuffer.empty[Set[(String, Long, Long)]]
+    val q = EventStream.idempotentViewStream(mem.toDF(), dim,
+        replaysSkipped = Some(skipped), staleRowsDropped = Some(stale)) { (_, df) =>
+      captured += df.select("seg", "n", "ck")
+        .as[(String, Long, Long)].collect().toSet
+    }
+    try {
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(Seq.empty[IdemDelta]: _*); q.processAllAvailable()
+      mem.addData(b2coalesced: _*); q.processAllAvailable()
+    } finally q.stop()
+    assert(skipped.value == 0L,
+      s"neither the empty batch nor the coalesced one is a whole replay: ${skipped.value}")
+    assert(stale.value == 1L,
+      s"exactly the one coalesced stale row must be dropped and counted: ${stale.value}")
+    // the empty batch re-emitted state unchanged, and a LATER legitimate
+    // batch was still accepted (the Long.MinValue shadowing hazard)
+    assert(captured.last == recompute(b1 ++ b2new),
+      s"final state diverges from exactly-once recompute: ${captured.last}")
   }
 
   test("hhSketchStream: accumulated count-min cells equal the batch sketch, state bounded") {
