@@ -35,8 +35,12 @@ object R21Queries {
         .as("p_micro"),
         (col("label") < 5).cast("long").as("y"))
 
+  // CAST(... AS DOUBLE) is load-bearing: DuckDB promotes FLOAT + DECIMAL
+  // literal to FLOAT and evaluates the whole product in float32, while
+  // Spark promotes to DOUBLE — 1-ulp boundary rows then floor() apart
+  // (9 rows at sf0.001). The explicit cast pins both engines to double.
   private val scoredSql =
-    """SELECT greatest(0, least(1000000, CAST(floor((embedding[1] + 1.0) * 500000.0) AS BIGINT))) AS p_micro, CAST(CASE WHEN label < 5 THEN 1 ELSE 0 END AS BIGINT) AS y FROM embeddings"""
+    """SELECT greatest(0, least(1000000, CAST(floor((CAST(embedding[1] AS DOUBLE) + 1.0) * 500000.0) AS BIGINT))) AS p_micro, CAST(CASE WHEN label < 5 THEN 1 ELSE 0 END AS BIGINT) AS y FROM embeddings"""
 
   val specs: Seq[QuerySpec] = Seq(
 
