@@ -56,6 +56,22 @@ object R46Queries {
   private[graft] def jvMerge(base: DataFrame, delta: DataFrame): DataFrame =
     jvMergeRaw(base, delta).where(col("n") > 0)
 
+  /** q366's certification leg — FULL OUTER (ADVICE r10): a segment whose
+    * net count drains to zero on only ONE side must surface as a
+    * matches=0 row, not vanish from the report. Both sides are
+    * (seg, n/ivm_n, ck/ivm_ck) summaries; the absent side coalesces to 0
+    * so the downstream equality check grades it as empty.
+    */
+  private[graft] def jvCertify(scenario: String, got: DataFrame, want: DataFrame)
+      : DataFrame =
+    got.join(want.select(col("seg"), col("n").as("full_n"), col("ck").as("full_ck")),
+        Seq("seg"), "full_outer")
+      .select(lit(scenario).as("scenario"), col("seg"),
+        coalesce(col("ivm_n"), lit(0L)).as("ivm_n"),
+        coalesce(col("ivm_ck"), lit(0L)).as("ivm_ck"),
+        coalesce(col("full_n"), lit(0L)).as("full_n"),
+        coalesce(col("full_ck"), lit(0L)).as("full_ck"))
+
   val specs: Seq[QuerySpec] = Seq(
 
     // q366 — JOIN-VIEW IVM WITH MULTISET FINGERPRINTS: q355 maintained an
@@ -132,20 +148,11 @@ object R46Queries {
         val updMerged = jvMerge(full, updDelta)
           .select(col("seg"), col("n").as("ivm_n"), col("ck").as("ivm_ck"))
         val updExpect = summ(view(bm.where("dk < dmax")).unionByName(vdNew))
-        val ins = merged.join(full.select(col("seg"),
-            col("n").as("full_n"), col("ck").as("full_ck")), Seq("seg"))
-          .select(lit("insert_delta").as("scenario"), col("seg"),
-            col("ivm_n"), col("ivm_ck"), col("full_n"), col("full_ck"))
-        val del = retracted
-          .join(base.select(col("seg"), col("n").as("full_n"), col("ck").as("full_ck")),
-            Seq("seg"))
-          .select(lit("delete_delta").as("scenario"), col("seg"),
-            col("ivm_n"), col("ivm_ck"), col("full_n"), col("full_ck"))
-        val upd = updMerged
-          .join(updExpect.select(col("seg"), col("n").as("full_n"), col("ck").as("full_ck")),
-            Seq("seg"))
-          .select(lit("update_delta").as("scenario"), col("seg"),
-            col("ivm_n"), col("ivm_ck"), col("full_n"), col("full_ck"))
+        // certification legs through the fail-loud full-outer core
+        // (jvCertify, ADVICE r10) — one-sided segments emit matches=0
+        val ins = jvCertify("insert_delta", merged, full)
+        val del = jvCertify("delete_delta", retracted, base)
+        val upd = jvCertify("update_delta", updMerged, updExpect)
         ins.unionByName(del).unionByName(upd)
           .select(col("scenario"), col("seg").as("c_mktsegment"),
             col("ivm_n"), col("ivm_ck"), col("full_n"), col("full_ck"),
@@ -154,7 +161,7 @@ object R46Queries {
           .orderBy("scenario", "c_mktsegment")
       },
       Some(
-        """WITH b AS (SELECT o_orderkey, o_custkey, CAST(floor(epoch(o_orderdate)) AS BIGINT) // 86400 AS dk FROM orders), mx AS (SELECT max(dk) AS dmax FROM b), v AS (SELECT b.dk, c.c_mktsegment AS seg, CAST(concat('0x', substr(md5(concat('jv:', CAST(b.o_orderkey AS VARCHAR))), 1, 10)) AS BIGINT) AS ck FROM b JOIN customer c ON c.c_custkey = b.o_custkey CROSS JOIN mx), base AS (SELECT seg, count(*) AS n, sum(ck) AS ckk FROM v CROSS JOIN mx WHERE dk < dmax GROUP BY 1), delta AS (SELECT seg, count(*) AS n, sum(ck) AS ckk FROM v CROSS JOIN mx WHERE dk = dmax GROUP BY 1), fullv AS (SELECT seg, count(*) AS n, sum(ck) AS ckk FROM v GROUP BY 1), merged AS (SELECT coalesce(a.seg, d.seg) AS seg, coalesce(a.n, 0) + coalesce(d.n, 0) AS n, coalesce(a.ckk, 0) + coalesce(d.ckk, 0) AS ckk FROM base a FULL JOIN delta d ON d.seg = a.seg), retracted AS (SELECT f.seg, f.n - coalesce(d.n, 0) AS n, f.ckk - coalesce(d.ckk, 0) AS ckk FROM fullv f LEFT JOIN delta d ON d.seg = f.seg), segl AS (SELECT oseg, row_number() OVER (ORDER BY oseg) AS rn, count(*) OVER () AS ns FROM (SELECT DISTINCT c_mktsegment AS oseg FROM customer) z), segmap AS (SELECT a.oseg, b2.oseg AS nseg FROM segl a JOIN segl b2 ON b2.rn = a.rn % a.ns + 1), vd AS (SELECT seg, ck FROM v CROSS JOIN mx WHERE dk = dmax), vdn AS (SELECT m.nseg AS seg, vd.ck FROM vd JOIN segmap m ON m.oseg = vd.seg), upd AS (SELECT seg, sum(sgn) AS n, sum(sgn * ck) AS ckk FROM (SELECT seg, -1 AS sgn, ck FROM vd UNION ALL SELECT seg, 1, ck FROM vdn) z GROUP BY 1), updm AS (SELECT coalesce(f.seg, u2.seg) AS seg, coalesce(f.n, 0) + coalesce(u2.n, 0) AS n, coalesce(f.ckk, 0) + coalesce(u2.ckk, 0) AS ckk FROM fullv f FULL JOIN upd u2 ON u2.seg = f.seg WHERE coalesce(f.n, 0) + coalesce(u2.n, 0) > 0), upde AS (SELECT seg, count(*) AS n, sum(ck) AS ckk FROM (SELECT seg, ck FROM v CROSS JOIN mx WHERE dk < dmax UNION ALL SELECT seg, ck FROM vdn) z GROUP BY 1), ins AS (SELECT 'insert_delta' AS scenario, m.seg, m.n AS ivm_n, m.ckk AS ivm_ck, f.n AS full_n, f.ckk AS full_ck FROM merged m JOIN fullv f ON f.seg = m.seg), del AS (SELECT 'delete_delta', r.seg, r.n, r.ckk, bb.n, bb.ckk FROM retracted r JOIN base bb ON bb.seg = r.seg), updr AS (SELECT 'update_delta', m.seg, m.n, m.ckk, e.n, e.ckk FROM updm m JOIN upde e ON e.seg = m.seg), u AS (SELECT * FROM ins UNION ALL SELECT * FROM del UNION ALL SELECT * FROM updr) SELECT scenario, seg AS c_mktsegment, CAST(ivm_n AS BIGINT) AS ivm_n, CAST(ivm_ck AS BIGINT) AS ivm_ck, CAST(full_n AS BIGINT) AS full_n, CAST(full_ck AS BIGINT) AS full_ck, CAST(CASE WHEN ivm_n = full_n AND ivm_ck = full_ck THEN 1 ELSE 0 END AS BIGINT) AS matches FROM u ORDER BY scenario, c_mktsegment"""),
+        """WITH b AS (SELECT o_orderkey, o_custkey, CAST(floor(epoch(o_orderdate)) AS BIGINT) // 86400 AS dk FROM orders), mx AS (SELECT max(dk) AS dmax FROM b), v AS (SELECT b.dk, c.c_mktsegment AS seg, CAST(concat('0x', substr(md5(concat('jv:', CAST(b.o_orderkey AS VARCHAR))), 1, 10)) AS BIGINT) AS ck FROM b JOIN customer c ON c.c_custkey = b.o_custkey CROSS JOIN mx), base AS (SELECT seg, count(*) AS n, sum(ck) AS ckk FROM v CROSS JOIN mx WHERE dk < dmax GROUP BY 1), delta AS (SELECT seg, count(*) AS n, sum(ck) AS ckk FROM v CROSS JOIN mx WHERE dk = dmax GROUP BY 1), fullv AS (SELECT seg, count(*) AS n, sum(ck) AS ckk FROM v GROUP BY 1), merged AS (SELECT coalesce(a.seg, d.seg) AS seg, coalesce(a.n, 0) + coalesce(d.n, 0) AS n, coalesce(a.ckk, 0) + coalesce(d.ckk, 0) AS ckk FROM base a FULL JOIN delta d ON d.seg = a.seg WHERE coalesce(a.n, 0) + coalesce(d.n, 0) > 0), retracted AS (SELECT f.seg, f.n - coalesce(d.n, 0) AS n, f.ckk - coalesce(d.ckk, 0) AS ckk FROM fullv f LEFT JOIN delta d ON d.seg = f.seg WHERE f.n - coalesce(d.n, 0) > 0), segl AS (SELECT oseg, row_number() OVER (ORDER BY oseg) AS rn, count(*) OVER () AS ns FROM (SELECT DISTINCT c_mktsegment AS oseg FROM customer) z), segmap AS (SELECT a.oseg, b2.oseg AS nseg FROM segl a JOIN segl b2 ON b2.rn = a.rn % a.ns + 1), vd AS (SELECT seg, ck FROM v CROSS JOIN mx WHERE dk = dmax), vdn AS (SELECT m.nseg AS seg, vd.ck FROM vd JOIN segmap m ON m.oseg = vd.seg), upd AS (SELECT seg, sum(sgn) AS n, sum(sgn * ck) AS ckk FROM (SELECT seg, -1 AS sgn, ck FROM vd UNION ALL SELECT seg, 1, ck FROM vdn) z GROUP BY 1), updm AS (SELECT coalesce(f.seg, u2.seg) AS seg, coalesce(f.n, 0) + coalesce(u2.n, 0) AS n, coalesce(f.ckk, 0) + coalesce(u2.ckk, 0) AS ckk FROM fullv f FULL JOIN upd u2 ON u2.seg = f.seg WHERE coalesce(f.n, 0) + coalesce(u2.n, 0) > 0), upde AS (SELECT seg, count(*) AS n, sum(ck) AS ckk FROM (SELECT seg, ck FROM v CROSS JOIN mx WHERE dk < dmax UNION ALL SELECT seg, ck FROM vdn) z GROUP BY 1), ins AS (SELECT 'insert_delta' AS scenario, coalesce(m.seg, f.seg) AS seg, coalesce(m.n, 0) AS ivm_n, coalesce(m.ckk, 0) AS ivm_ck, coalesce(f.n, 0) AS full_n, coalesce(f.ckk, 0) AS full_ck FROM merged m FULL JOIN fullv f ON f.seg = m.seg), del AS (SELECT 'delete_delta', coalesce(r.seg, bb.seg), coalesce(r.n, 0), coalesce(r.ckk, 0), coalesce(bb.n, 0), coalesce(bb.ckk, 0) FROM retracted r FULL JOIN base bb ON bb.seg = r.seg), updr AS (SELECT 'update_delta', coalesce(m.seg, e.seg), coalesce(m.n, 0), coalesce(m.ckk, 0), coalesce(e.n, 0), coalesce(e.ckk, 0) FROM updm m FULL JOIN upde e ON e.seg = m.seg), u AS (SELECT * FROM ins UNION ALL SELECT * FROM del UNION ALL SELECT * FROM updr) SELECT scenario, seg AS c_mktsegment, CAST(ivm_n AS BIGINT) AS ivm_n, CAST(ivm_ck AS BIGINT) AS ivm_ck, CAST(full_n AS BIGINT) AS full_n, CAST(full_ck AS BIGINT) AS full_ck, CAST(CASE WHEN ivm_n = full_n AND ivm_ck = full_ck THEN 1 ELSE 0 END AS BIGINT) AS matches FROM u ORDER BY scenario, c_mktsegment"""),
       "A/J/S ext: join-view IVM — delta-join maintenance of the orders x customer view certified per segment by counts AND an order-independent md5 multiset fingerprint; insert, delete, AND update (retract+insert one batch, segment flip) paths"),
 
     // q367 — WATERMARK / ALLOWED-LATENESS CHOOSER: the knob every

@@ -28,6 +28,32 @@ class R46InvariantSpec extends SparkSpecBase {
       "update scenario did not move any fingerprint mass between segments")
   }
 
+  test("q366 certification is fail-loud: a one-sided segment surfaces as matches=0, never vanishes") {
+    // the ADVICE-r10 hazard planted directly through the production
+    // full-outer core (jvCertify): the maintained side carries a segment
+    // the recompute lacks AND vice versa — an inner-join certification
+    // would silently drop both rows and grade the scenario green
+    import graft.queries.R46Queries
+    import org.apache.spark.sql.functions.expr
+    val got = Seq(("AUTO", 3L, 111L), ("GHOST", 2L, 999L))
+      .toDF("seg", "ivm_n", "ivm_ck")
+    val want = Seq(("AUTO", 3L, 111L), ("LOST", 4L, 555L))
+      .toDF("seg", "n", "ck")
+    val rows = R46Queries.jvCertify("t", got, want)
+      .withColumn("matches",
+        expr("CAST(CASE WHEN ivm_n = full_n AND ivm_ck = full_ck THEN 1 ELSE 0 END AS BIGINT)"))
+      .select("seg", "ivm_n", "full_n", "matches")
+      .as[(String, Long, Long, Long)].collect().sortBy(_._1)
+    assert(rows.length == 3, s"one-sided segments vanished: ${rows.toSeq}")
+    assert(rows.find(_._1 == "AUTO").get._4 == 1)
+    val ghost = rows.find(_._1 == "GHOST").get
+    assert(ghost._2 == 2L && ghost._3 == 0L && ghost._4 == 0,
+      s"got-only segment must grade matches=0 against an empty want side: $ghost")
+    val lost = rows.find(_._1 == "LOST").get
+    assert(lost._2 == 0L && lost._3 == 4L && lost._4 == 0,
+      s"want-only segment must grade matches=0 against an empty got side: $lost")
+  }
+
   test("q367 watermark chooser: loss monotone in W, argmin lands on the shipped 1-hour watermark") {
     val rows = SparkEntry.queries("q367_watermark_chooser")(spark, sf001)
       .select("w_s", "n_dropped", "loss_bp", "meets_budget", "chosen")
