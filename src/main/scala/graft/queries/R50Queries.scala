@@ -38,6 +38,58 @@ object R50Queries {
   private[graft] def histBin16(v: String, vmin: String, w: String): String =
     s"least(15, greatest(0, ($v - $vmin) * 16 div $w))"
 
+  /** q377's simulated file layout: every order row keyed by the q368
+    * Knuth hash (h < 42949672 ⇒ a delete-vector victim) and bucketed
+    * into 32 value-width files. Shared with q387's apply pass, which
+    * re-scans it to physically drop the compacted files' victims.
+    */
+  private[queries] def orderFiles(s: SparkSession, d: String): DataFrame = {
+    val keyed = t(s, d, "orders").select(col("o_orderkey"),
+      expr("(o_custkey % 2147483648) * 2654435761 % 4294967296").as("h"))
+    keyed.crossJoin(broadcast(keyed.agg(max("o_orderkey").as("kmax"))))
+      .select(col("h"), expr("least(31, o_orderkey * 32 div (kmax + 1))").as("f"))
+  }
+
+  /** The q377 compaction schedule — per-file read-tax economics, payback
+    * ranking, and the budgeted greedy compact_now flags. q387 executes
+    * exactly this schedule and re-prices the post-compaction state.
+    */
+  private[queries] def compactionSchedule(s: SparkSession, d: String): DataFrame = {
+    val perFile = orderFiles(s, d).groupBy("f").agg(count(lit(1)).as("rows_f"),
+        sum(when(col("h") < 42949672L, 1L).otherwise(0L)).as("dv_rows"))
+      .withColumn("hf", expr(
+        "CAST(conv(substring(md5(concat('rd:', CAST(f AS STRING))), 1, 10), 16, 10) AS BIGINT)"))
+      .withColumn("reads_f", expr(
+        "CASE WHEN hf % 100 < 60 THEN hf % 3 " +
+          "WHEN hf % 100 < 90 THEN 5 + hf % 10 ELSE 50 + hf % 50 END"))
+    val econ = perFile.select(col("f"), col("rows_f"), col("dv_rows"), col("reads_f"),
+      expr("CASE WHEN dv_rows > 0 THEN reads_f * rows_f ELSE 0 END").as("tax_du"),
+      expr("rows_f * 10").as("rewrite_du"))
+      .withColumn("payback_cycles",
+        expr("CASE WHEN tax_du > 0 THEN (rewrite_du + tax_du - 1) div tax_du ELSE -1 END"))
+    val whole = Window.orderBy("payback_cycles", "f")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val run = Window.orderBy("payback_cycles", "f")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    econ
+      .withColumn("qual", expr(
+        "CAST(CASE WHEN dv_rows > 0 AND payback_cycles BETWEEN 1 AND 10 THEN 1 ELSE 0 END AS BIGINT)"))
+      .withColumn("budget", expr("sum(rows_f)").over(whole) / lit(4L))
+      .withColumn("cum_qual_rows",
+        sum(expr("CASE WHEN qual = 1 THEN rows_f ELSE 0 END")).over(run))
+      .select(col("f"), col("rows_f"), col("dv_rows"), col("reads_f"),
+        col("tax_du"), col("rewrite_du"), col("payback_cycles"), col("qual"),
+        col("budget").cast("long").as("budget_rows"),
+        expr("CAST(CASE WHEN qual = 1 AND cum_qual_rows <= budget THEN 1 ELSE 0 END AS BIGINT)")
+          .as("compact_now"))
+  }
+
+  /** The q377 oracle's CTE chain up to the schedule — shared verbatim by
+    * q387's oracle, which extends it with the apply + re-price passes.
+    */
+  private[queries] val compactionSchedCte: String =
+    """keyed AS (SELECT o_orderkey, (o_custkey % 2147483648) * 2654435761 % 4294967296 AS h FROM orders), mxk AS (SELECT max(o_orderkey) AS kmax FROM keyed), files AS (SELECT h, least(31, o_orderkey * 32 // (kmax + 1)) AS f FROM keyed CROSS JOIN mxk), pf AS (SELECT f, count(*) AS rows_f, sum(CASE WHEN h < 42949672 THEN 1 ELSE 0 END) AS dv_rows FROM files GROUP BY 1), pr AS (SELECT *, CAST(concat('0x', substr(md5('rd:' || CAST(f AS VARCHAR)), 1, 10)) AS BIGINT) AS hf FROM pf), pe AS (SELECT f, rows_f, dv_rows, CASE WHEN hf % 100 < 60 THEN hf % 3 WHEN hf % 100 < 90 THEN 5 + hf % 10 ELSE 50 + hf % 50 END AS reads_f FROM pr), econ AS (SELECT f, rows_f, dv_rows, reads_f, CASE WHEN dv_rows > 0 THEN reads_f * rows_f ELSE 0 END AS tax_du, rows_f * 10 AS rewrite_du FROM pe), pb AS (SELECT *, CASE WHEN tax_du > 0 THEN (rewrite_du + tax_du - 1) // tax_du ELSE -1 END AS payback_cycles FROM econ), q AS (SELECT *, CASE WHEN dv_rows > 0 AND payback_cycles BETWEEN 1 AND 10 THEN 1 ELSE 0 END AS qual, sum(rows_f) OVER () // 4 AS budget, sum(CASE WHEN dv_rows > 0 AND payback_cycles BETWEEN 1 AND 10 THEN rows_f ELSE 0 END) OVER (ORDER BY payback_cycles, f ROWS UNBOUNDED PRECEDING) AS cum_qual_rows FROM pb), sched AS (SELECT f, rows_f, dv_rows, reads_f, tax_du, rewrite_du, payback_cycles, qual, budget, CASE WHEN qual = 1 AND cum_qual_rows <= budget THEN 1 ELSE 0 END AS compact_now FROM q)"""
+
   val specs: Seq[QuerySpec] = Seq(
 
     // q377 — COMPACTION TRIGGER CHOOSER: q375 proved the MoR read tax
@@ -60,42 +112,9 @@ object R50Queries {
     // window over the 32-row file table (the q326 waterfill class).
     QuerySpec(
       "q377_compaction_trigger",
-      (s, d) => {
-        val keyed = t(s, d, "orders").select(col("o_orderkey"),
-          expr("(o_custkey % 2147483648) * 2654435761 % 4294967296").as("h"))
-        val files = keyed.crossJoin(broadcast(keyed.agg(max("o_orderkey").as("kmax"))))
-          .select(col("h"), expr("least(31, o_orderkey * 32 div (kmax + 1))").as("f"))
-        val perFile = files.groupBy("f").agg(count(lit(1)).as("rows_f"),
-            sum(when(col("h") < 42949672L, 1L).otherwise(0L)).as("dv_rows"))
-          .withColumn("hf", expr(
-            "CAST(conv(substring(md5(concat('rd:', CAST(f AS STRING))), 1, 10), 16, 10) AS BIGINT)"))
-          .withColumn("reads_f", expr(
-            "CASE WHEN hf % 100 < 60 THEN hf % 3 " +
-              "WHEN hf % 100 < 90 THEN 5 + hf % 10 ELSE 50 + hf % 50 END"))
-        val econ = perFile.select(col("f"), col("rows_f"), col("dv_rows"), col("reads_f"),
-          expr("CASE WHEN dv_rows > 0 THEN reads_f * rows_f ELSE 0 END").as("tax_du"),
-          expr("rows_f * 10").as("rewrite_du"))
-          .withColumn("payback_cycles",
-            expr("CASE WHEN tax_du > 0 THEN (rewrite_du + tax_du - 1) div tax_du ELSE -1 END"))
-        val whole = Window.orderBy("payback_cycles", "f")
-          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-        val run = Window.orderBy("payback_cycles", "f")
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        econ
-          .withColumn("qual", expr(
-            "CAST(CASE WHEN dv_rows > 0 AND payback_cycles BETWEEN 1 AND 10 THEN 1 ELSE 0 END AS BIGINT)"))
-          .withColumn("budget", expr("sum(rows_f)").over(whole) / lit(4L))
-          .withColumn("cum_qual_rows",
-            sum(expr("CASE WHEN qual = 1 THEN rows_f ELSE 0 END")).over(run))
-          .select(col("f"), col("rows_f"), col("dv_rows"), col("reads_f"),
-            col("tax_du"), col("rewrite_du"), col("payback_cycles"), col("qual"),
-            col("budget").cast("long").as("budget_rows"),
-            expr("CAST(CASE WHEN qual = 1 AND cum_qual_rows <= budget THEN 1 ELSE 0 END AS BIGINT)")
-              .as("compact_now"))
-          .orderBy("f")
-      },
+      (s, d) => compactionSchedule(s, d).orderBy("f"),
       Some(
-        """WITH keyed AS (SELECT o_orderkey, (o_custkey % 2147483648) * 2654435761 % 4294967296 AS h FROM orders), mxk AS (SELECT max(o_orderkey) AS kmax FROM keyed), files AS (SELECT h, least(31, o_orderkey * 32 // (kmax + 1)) AS f FROM keyed CROSS JOIN mxk), pf AS (SELECT f, count(*) AS rows_f, sum(CASE WHEN h < 42949672 THEN 1 ELSE 0 END) AS dv_rows FROM files GROUP BY 1), pr AS (SELECT *, CAST(concat('0x', substr(md5('rd:' || CAST(f AS VARCHAR)), 1, 10)) AS BIGINT) AS hf FROM pf), pe AS (SELECT f, rows_f, dv_rows, CASE WHEN hf % 100 < 60 THEN hf % 3 WHEN hf % 100 < 90 THEN 5 + hf % 10 ELSE 50 + hf % 50 END AS reads_f FROM pr), econ AS (SELECT f, rows_f, dv_rows, reads_f, CASE WHEN dv_rows > 0 THEN reads_f * rows_f ELSE 0 END AS tax_du, rows_f * 10 AS rewrite_du FROM pe), pb AS (SELECT *, CASE WHEN tax_du > 0 THEN (rewrite_du + tax_du - 1) // tax_du ELSE -1 END AS payback_cycles FROM econ), q AS (SELECT *, CASE WHEN dv_rows > 0 AND payback_cycles BETWEEN 1 AND 10 THEN 1 ELSE 0 END AS qual, sum(rows_f) OVER () // 4 AS budget, sum(CASE WHEN dv_rows > 0 AND payback_cycles BETWEEN 1 AND 10 THEN rows_f ELSE 0 END) OVER (ORDER BY payback_cycles, f ROWS UNBOUNDED PRECEDING) AS cum_qual_rows FROM pb) SELECT CAST(f AS BIGINT) AS f, CAST(rows_f AS BIGINT) AS rows_f, CAST(dv_rows AS BIGINT) AS dv_rows, CAST(reads_f AS BIGINT) AS reads_f, CAST(tax_du AS BIGINT) AS tax_du, CAST(rewrite_du AS BIGINT) AS rewrite_du, CAST(payback_cycles AS BIGINT) AS payback_cycles, CAST(qual AS BIGINT) AS qual, CAST(budget AS BIGINT) AS budget_rows, CAST(CASE WHEN qual = 1 AND cum_qual_rows <= budget THEN 1 ELSE 0 END AS BIGINT) AS compact_now FROM q ORDER BY f"""),
+        s"""WITH $compactionSchedCte SELECT CAST(f AS BIGINT) AS f, CAST(rows_f AS BIGINT) AS rows_f, CAST(dv_rows AS BIGINT) AS dv_rows, CAST(reads_f AS BIGINT) AS reads_f, CAST(tax_du AS BIGINT) AS tax_du, CAST(rewrite_du AS BIGINT) AS rewrite_du, CAST(payback_cycles AS BIGINT) AS payback_cycles, CAST(qual AS BIGINT) AS qual, CAST(budget AS BIGINT) AS budget_rows, CAST(compact_now AS BIGINT) AS compact_now FROM sched ORDER BY f"""),
       "S/E1 ext: compaction trigger chooser — q375's read-tax economics at file granularity: planted heavy-tailed read rates, per-file payback_cycles, budgeted greedy schedule in payback order (compact_now flagged)"),
 
     // q378 — NDV FROM A SAMPLE (GEE): the OTHER statistic ANALYZE

@@ -227,8 +227,9 @@ class PlanShapeSpec extends SparkSpecBase {
       "q325_dedup_policy_sweep", "q367_watermark_chooser",
       "q372_quality_gate_chooser",
       // q377 — budgeted compaction schedule: rank/prefix windows over
-      //        the 32-row per-file aggregate (the q326 waterfill class)
-      "q377_compaction_trigger",
+      //        the 32-row per-file aggregate (the q326 waterfill class);
+      //        q387 re-prices the same 32-row schedule after the apply
+      "q377_compaction_trigger", "q387_compaction_apply",
       // q381 — the q357 class: rank cum over the ≤256-row sketch table
       //        plus its sample leg's QuantileOps offset window (the
       //        same ≤65536-row bucket-offset table as q182/q213)
