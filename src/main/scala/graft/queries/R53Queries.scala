@@ -96,5 +96,107 @@ object R53Queries {
       },
       Some(
         s"""WITH ${R50Queries.compactionSchedCte}, post AS (SELECT fl.f, count(*) AS rows_post, sum(CASE WHEN fl.h < 42949672 THEN 1 ELSE 0 END) AS dv_post FROM files fl JOIN sched sc ON sc.f = fl.f WHERE NOT (sc.compact_now = 1 AND fl.h < 42949672) GROUP BY 1), pfr AS (SELECT sc.f, sc.rows_f, sc.dv_rows, sc.reads_f, sc.compact_now, sc.tax_du AS tax_pre_du, coalesce(p.rows_post, 0) AS rows_post, coalesce(p.dv_post, 0) AS dv_post, CASE WHEN coalesce(p.dv_post, 0) > 0 THEN sc.reads_f * coalesce(p.rows_post, 0) ELSE 0 END AS tax_post_du, sc.rewrite_du, sc.budget FROM sched sc LEFT JOIN post p ON p.f = sc.f), pr2 AS (SELECT *, tax_pre_du - tax_post_du AS reclaimed_du, CASE WHEN compact_now = 1 THEN rewrite_du ELSE 0 END AS rewrite_paid_du FROM pfr), fr AS (SELECT f, rows_f, dv_rows, compact_now, tax_pre_du, rows_post, dv_post, tax_post_du, reclaimed_du, rewrite_paid_du, CASE WHEN reclaimed_du = compact_now * tax_pre_du THEN 1 ELSE 0 END AS relief_ok FROM pr2), tot AS (SELECT -1 AS f, sum(rows_f) AS rows_f, sum(dv_rows) AS dv_rows, sum(compact_now) AS compact_now, sum(tax_pre_du) AS tax_pre_du, sum(rows_post) AS rows_post, sum(dv_post) AS dv_post, sum(tax_post_du) AS tax_post_du, sum(reclaimed_du) AS reclaimed_du, sum(rewrite_paid_du) AS rewrite_paid_du, CASE WHEN sum(reclaimed_du) = sum(compact_now * tax_pre_du) AND sum(compact_now * rows_f) <= max(budget) THEN 1 ELSE 0 END AS relief_ok FROM pr2), u AS (SELECT * FROM fr UNION ALL SELECT * FROM tot) SELECT CAST(f AS BIGINT) AS f, CAST(rows_f AS BIGINT) AS rows_f, CAST(dv_rows AS BIGINT) AS dv_rows, CAST(compact_now AS BIGINT) AS compact_now, CAST(tax_pre_du AS BIGINT) AS tax_pre_du, CAST(rows_post AS BIGINT) AS rows_post, CAST(dv_post AS BIGINT) AS dv_post, CAST(tax_post_du AS BIGINT) AS tax_post_du, CAST(reclaimed_du AS BIGINT) AS reclaimed_du, CAST(rewrite_paid_du AS BIGINT) AS rewrite_paid_du, CAST(relief_ok AS BIGINT) AS relief_ok FROM u ORDER BY f"""),
-      "S/E1 ext: compaction EXECUTED — q377's compact_now set applied (DV victims physically dropped in a rebuilt apply pass), post state re-priced from data, per-file and __total reclaimed tax certified equal to the schedule's priced relief within the budget"))
+      "S/E1 ext: compaction EXECUTED — q377's compact_now set applied (DV victims physically dropped in a rebuilt apply pass), post state re-priced from data, per-file and __total reclaimed tax certified equal to the schedule's priced relief within the budget"),
+
+    // q388 — HISTOGRAM REFRESH EXECUTED, RECOVERY CERTIFIED: q380's
+    // drift gate says WHEN the cheap additive merge must yield to a
+    // boundary rebuild; this performs the rebuild and certifies the
+    // repair the way q343/q374 grade histograms — per-predicate q-error
+    // back inside the band. The drifted slice is PLANTED dense (a
+    // hash-selected 10% shard of orders re-delivered one full range
+    // width up — the re-denomination/unit-change bug hitting one ingest
+    // shard; the natural delta day is 1 row at sf0.001, the q293
+    // dead-fixture rule). Two histograms price the SAME post-drift
+    // table: the stale-boundary merge (drifted mass clamped into bin
+    // 15 — the merge identity still holds, which is the trap) and the
+    // REFRESHED build on re-frozen boundaries over the true new range
+    // (the one full scan the refresh pays). Eight range predicates — four
+    // quarters of the old domain, four of the drifted shard's domain —
+    // are estimated from both against exact counts. The readout: every
+    // drifted-region predicate is catastrophically blown on the stale
+    // boundaries (est 0 — the histogram cannot see above its frozen
+    // range) and EVERY predicate returns inside the q-error<=2 band
+    // after the refresh (recovered), with refresh_fired carrying the
+    // q380 gate that mandated the rebuild (100% of the planted shard is
+    // out of range). Scale: two full scans (the sunk stale build + the
+    // refresh — the cost being priced), 16-row interpolation arithmetic
+    // downstream.
+    QuerySpec(
+      "q388_hist_refresh_apply",
+      (s, d) => {
+        val vAll = t(s, d, "orders").select(
+          expr("CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)").as("v"),
+          expr("CAST(conv(substring(md5(concat('dr388:', CAST(o_orderkey AS STRING))), 1, 10), 16, 10) AS BIGINT)")
+            .as("h"))
+        val stale = vAll.select("v")
+        val mxS = stale.agg(min("v").as("vmin"), max("v").as("vmax"),
+          expr("max(v) - min(v) + 1").as("w"))
+        val drift = vAll.where("h % 10 = 0").crossJoin(broadcast(mxS))
+          .select(expr("v + w").as("v"))
+        val full = stale.unionByName(drift)
+        val mxF = full.agg(min("v").as("vmin2"),
+          expr("max(v) - min(v) + 1").as("w2"))
+        val mxDr = drift.agg(min("v").as("dvmin"),
+          expr("max(v) - min(v) + 1").as("wd"))
+        // merged-on-stale-boundaries (drift clamps into bin 15) vs
+        // refreshed-on-new-boundaries — both over the post-drift table
+        val hbM = full.crossJoin(broadcast(mxS))
+          .groupBy(expr(R50Queries.histBin16("v", "vmin", "w")).as("b"))
+          .agg(count(lit(1)).as("cnt"))
+          .crossJoin(broadcast(mxS))
+          .select(col("cnt"),
+            expr("vmin + b * w div 16").as("blo"),
+            expr("vmin + (b + 1) * w div 16 - 1").as("bhi"))
+        val hbR = full.crossJoin(broadcast(mxF))
+          .groupBy(expr(R50Queries.histBin16("v", "vmin2", "w2")).as("b"))
+          .agg(count(lit(1)).as("cnt"))
+          .crossJoin(broadcast(mxF))
+          .select(col("cnt"),
+            expr("vmin2 + b * w2 div 16").as("blo"),
+            expr("vmin2 + (b + 1) * w2 div 16 - 1").as("bhi"))
+        val predsOld = s.range(0, 4).crossJoin(broadcast(mxS))
+          .select((col("id") + 1L).as("pred_id"),
+            expr("vmin + id * w div 4").as("lo"),
+            expr("vmin + (id + 1) * w div 4 - 1").as("hi"))
+        val predsNew = s.range(0, 4).crossJoin(broadcast(mxDr))
+          .select((col("id") + 5L).as("pred_id"),
+            expr("dvmin + id * wd div 4").as("lo"),
+            expr("dvmin + (id + 1) * wd div 4 - 1").as("hi"))
+        val preds = predsOld.unionByName(predsNew)
+        def estimate(hb: DataFrame, name: String): DataFrame =
+          preds.join(broadcast(hb), expr("bhi >= lo AND blo <= hi"), "left")
+            .groupBy("pred_id", "lo", "hi")
+            .agg(coalesce(sum(expr(
+              "(cnt * greatest(0, least(hi, bhi) - greatest(lo, blo) + 1) * 1000000) div (bhi - blo + 1)")),
+              lit(0L)).as(name))
+        val estM = estimate(hbM, "em_m")
+        val estR = estimate(hbR, "em_r")
+        val act = full.join(broadcast(preds), expr("v BETWEEN lo AND hi"))
+          .groupBy("pred_id").agg(count(lit(1)).as("act_rows"))
+        // the q380 gate that mandated this rebuild: 100% of the planted
+        // shard clamps out of the frozen range
+        val fired = drift.crossJoin(broadcast(mxS))
+          .agg(sum(when(expr("v < vmin OR v > vmax"), 1L).otherwise(0L)).as("oor"),
+            count(lit(1)).as("nd"))
+          .select(expr("CAST(CASE WHEN oor * 10000 div greatest(nd, 1) > 100 THEN 1 ELSE 0 END AS BIGINT)")
+            .as("refresh_fired"))
+        estM.join(estR, Seq("pred_id", "lo", "hi")).join(act, Seq("pred_id"))
+          .crossJoin(broadcast(fired))
+          .select(col("pred_id"), col("lo"), col("hi"), col("act_rows"),
+            expr("em_m div 1000000").as("est_stale"),
+            expr("em_r div 1000000").as("est_refresh"),
+            expr("greatest((em_m div 1000000) * 10000 div greatest(act_rows, 1), " +
+              "act_rows * 10000 div greatest(em_m div 1000000, 1))").as("qerr_stale_bp"),
+            expr("greatest((em_r div 1000000) * 10000 div greatest(act_rows, 1), " +
+              "act_rows * 10000 div greatest(em_r div 1000000, 1))").as("qerr_refresh_bp"),
+            col("refresh_fired"))
+          .withColumn("stale_blown",
+            expr("CAST(CASE WHEN qerr_stale_bp > 20000 THEN 1 ELSE 0 END AS BIGINT)"))
+          .withColumn("recovered",
+            expr("CAST(CASE WHEN qerr_refresh_bp <= 20000 THEN 1 ELSE 0 END AS BIGINT)"))
+          .orderBy("pred_id")
+      },
+      Some(
+        """WITH va AS (SELECT CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS v, CAST(concat('0x', substr(md5('dr388:' || CAST(o_orderkey AS VARCHAR)), 1, 10)) AS BIGINT) AS h FROM orders), stale AS (SELECT v FROM va), mxs AS (SELECT min(v) AS vmin, max(v) AS vmax, max(v) - min(v) + 1 AS w FROM stale), drift AS (SELECT v + w AS v FROM va CROSS JOIN mxs WHERE h % 10 = 0), fullt AS (SELECT v FROM stale UNION ALL SELECT v FROM drift), mxf AS (SELECT min(v) AS vmin2, max(v) - min(v) + 1 AS w2 FROM fullt), mxd AS (SELECT min(v) AS dvmin, max(v) - min(v) + 1 AS wd FROM drift), hbm AS (SELECT cnt, vmin + b * w // 16 AS blo, vmin + (b + 1) * w // 16 - 1 AS bhi FROM (SELECT least(15, greatest(0, (v - vmin) * 16 // w)) AS b, count(*) AS cnt FROM fullt CROSS JOIN mxs GROUP BY 1) h CROSS JOIN mxs), hbr AS (SELECT cnt, vmin2 + b * w2 // 16 AS blo, vmin2 + (b + 1) * w2 // 16 - 1 AS bhi FROM (SELECT least(15, greatest(0, (v - vmin2) * 16 // w2)) AS b, count(*) AS cnt FROM fullt CROSS JOIN mxf GROUP BY 1) h CROSS JOIN mxf), preds AS (SELECT j + 1 AS pred_id, vmin + j * w // 4 AS lo, vmin + (j + 1) * w // 4 - 1 AS hi FROM (SELECT unnest(generate_series(0, 3)) AS j) g CROSS JOIN mxs UNION ALL SELECT j + 5, dvmin + j * wd // 4, dvmin + (j + 1) * wd // 4 - 1 FROM (SELECT unnest(generate_series(0, 3)) AS j) g CROSS JOIN mxd), estm AS (SELECT p.pred_id, p.lo, p.hi, coalesce(sum((hb.cnt * greatest(0, least(p.hi, hb.bhi) - greatest(p.lo, hb.blo) + 1) * 1000000) // (hb.bhi - hb.blo + 1)), 0) AS em_m FROM preds p LEFT JOIN hbm hb ON hb.bhi >= p.lo AND hb.blo <= p.hi GROUP BY 1, 2, 3), estr AS (SELECT p.pred_id, p.lo, p.hi, coalesce(sum((hb.cnt * greatest(0, least(p.hi, hb.bhi) - greatest(p.lo, hb.blo) + 1) * 1000000) // (hb.bhi - hb.blo + 1)), 0) AS em_r FROM preds p LEFT JOIN hbr hb ON hb.bhi >= p.lo AND hb.blo <= p.hi GROUP BY 1, 2, 3), act AS (SELECT p.pred_id, count(*) AS act_rows FROM preds p JOIN fullt f ON f.v BETWEEN p.lo AND p.hi GROUP BY 1), fired AS (SELECT CASE WHEN sum(CASE WHEN v < vmin OR v > vmax THEN 1 ELSE 0 END) * 10000 // greatest(count(*), 1) > 100 THEN 1 ELSE 0 END AS refresh_fired FROM drift CROSS JOIN mxs), j AS (SELECT m.pred_id, m.lo, m.hi, a.act_rows, m.em_m // 1000000 AS est_stale, r.em_r // 1000000 AS est_refresh FROM estm m JOIN estr r ON r.pred_id = m.pred_id AND r.lo = m.lo AND r.hi = m.hi JOIN act a ON a.pred_id = m.pred_id), k AS (SELECT *, greatest(est_stale * 10000 // greatest(act_rows, 1), act_rows * 10000 // greatest(est_stale, 1)) AS qerr_stale_bp, greatest(est_refresh * 10000 // greatest(act_rows, 1), act_rows * 10000 // greatest(est_refresh, 1)) AS qerr_refresh_bp FROM j) SELECT CAST(pred_id AS BIGINT) AS pred_id, CAST(lo AS BIGINT) AS lo, CAST(hi AS BIGINT) AS hi, CAST(act_rows AS BIGINT) AS act_rows, CAST(est_stale AS BIGINT) AS est_stale, CAST(est_refresh AS BIGINT) AS est_refresh, CAST(qerr_stale_bp AS BIGINT) AS qerr_stale_bp, CAST(qerr_refresh_bp AS BIGINT) AS qerr_refresh_bp, CAST((SELECT refresh_fired FROM fired) AS BIGINT) AS refresh_fired, CAST(CASE WHEN qerr_stale_bp > 20000 THEN 1 ELSE 0 END AS BIGINT) AS stale_blown, CAST(CASE WHEN qerr_refresh_bp <= 20000 THEN 1 ELSE 0 END AS BIGINT) AS recovered FROM k ORDER BY pred_id"""),
+      "A/S ext: histogram refresh EXECUTED — q380's boundary-drift gate answered with the rebuild it mandates: boundaries re-frozen over the true post-drift range, per-predicate q-error certified back inside the q343/q374 band (recovered) while every drifted-region predicate shows the stale boundaries catastrophically blown"))
 }

@@ -44,4 +44,27 @@ class R53InvariantSpec extends SparkSpecBase {
     // rewrite within the 10-cycle qualification window
     assert(t._9 <= t._8 * 10L, s"rewrite cost outside the payback window: $t")
   }
+
+  test("q388 refresh apply: gate fired, drifted region blown on stale boundaries, every predicate recovered") {
+    val rows = SparkEntry.queries("q388_hist_refresh_apply")(spark, sf001)
+      .select("pred_id", "act_rows", "est_stale", "est_refresh",
+        "qerr_stale_bp", "qerr_refresh_bp", "refresh_fired", "stale_blown",
+        "recovered")
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().sortBy(_._1)
+    assert(rows.length == 8)
+    rows.foreach { r =>
+      assert(r._2 > 0L, s"dead predicate (no actual rows): $r")
+      assert(r._7 == 1L, "the q380 gate must fire on the planted shard")
+      assert(r._9 == 1L && r._6 <= 20000L,
+        s"predicate not recovered after the boundary rebuild: $r")
+    }
+    // the drifted-region predicates are INVISIBLE to the frozen
+    // boundaries — estimate zero, q-error catastrophically blown — which
+    // is exactly why the merge identity alone cannot certify freshness
+    rows.filter(_._1 >= 5L).foreach { r =>
+      assert(r._3 == 0L && r._8 == 1L && r._5 > 100000L,
+        s"drifted predicate not blown on stale boundaries: $r")
+    }
+  }
 }
