@@ -67,4 +67,44 @@ class R53InvariantSpec extends SparkSpecBase {
         s"drifted predicate not blown on stale boundaries: $r")
     }
   }
+
+  test("q389 cheap-ANALYZE bundle: rate chooser lands per column class, argmin stable on the optimum") {
+    val rows = SparkEntry.queries("q389_cheap_analyze_bundle")(spark, sf001)
+      .select("join_order", "cost_exact", "cost_cheap", "drift_bp",
+        "chosen_exact", "chosen_cheap", "argmin_stable",
+        "dn_lok", "gee_lok", "ndv_lok", "dn_ook", "gee_ook", "ndv_ook",
+        "dn_oc", "gee_oc", "ndv_oc", "dn_ck", "gee_ck", "ndv_ck")
+      .as[(String, Long, Long, Long, Long, Long, Long, Long, Long, Long,
+        Long, Long, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().sortBy(_._1)
+    assert(rows.length == 3)
+    // the full cheap stack never flips the join order, and both argmins
+    // land on the customer-first order q358 proved optimal
+    rows.foreach(r => assert(r._7 == 1L, s"argmin flipped under cheap stats: $r"))
+    rows.foreach { r =>
+      val isOpt = r._1.startsWith("2:")
+      assert(r._5 == (if (isOpt) 1L else 0L) && r._6 == r._5,
+        s"chosen flags off the customer-first optimum: $r")
+    }
+    // cheap costs drift but stay well inside the inter-order gap
+    rows.foreach(r => assert(r._4 <= 13000L, s"cheap-cost drift out of band: $r"))
+    val gap = rows.filter(_._6 == 0L).map(_._3).min
+    assert(rows.filter(_._6 == 1L).head._3 * 3L < gap * 2L,
+      "the cheap winner is not separated from the runner-up by the safety margin")
+    // per-column rate classes: the 10-repeat FK affords the cheapest 1/64
+    // rate within 1.5x; the unique keys are NEVER in budget (q386's
+    // hardness floor) and fall back to 1/4 sitting on the ndv/2 floor
+    val r0 = rows.head
+    assert(r0._14 == 64L && r0._15 * 3L >= r0._16 * 2L && r0._15 <= r0._16 * 2L,
+      s"o_custkey should be priced in budget at 1/64: $r0")
+    for ((dn, gee, ndv) <- Seq((r0._11, r0._12, r0._13), (r0._17, r0._18, r0._19))) {
+      assert(dn == 4L, s"unique key must fall back to the densest rate: $r0")
+      assert(gee < ndv && ndv <= gee * 2L + 2L,
+        s"unique-key GEE must sit on the ndv/2 hardness floor: $r0")
+    }
+    // the ~4-repeat lineitem FK is estimated within the 1.5x budget at
+    // whatever rate the chooser picked
+    assert(r0._9 * 2L >= r0._10 && r0._9 <= r0._10 * 2L,
+      s"l_orderkey GEE out of its band: $r0")
+  }
 }
