@@ -28,6 +28,17 @@ object R51Queries {
 
   private def t(s: SparkSession, d: String, n: String): DataFrame = Tables.load(s, d, n)
 
+  /** q381's honest grade: the TRUE rank of every estimate — the corpus
+    * stays on the PROBE side of a broadcast join against the tiny
+    * estimate table, so grading cost is one linear pass regardless of
+    * how many estimators compete. ScaleSlopeSpec measures this exact
+    * core (SLOPES artifact).
+    */
+  private[graft] def trueRankGrade(corpus: DataFrame, ests: DataFrame): DataFrame =
+    corpus.join(broadcast(ests), expr("v <= est_v"))
+      .groupBy("f_bp", "estimator", "est_v", "state_units")
+      .agg(count(lit(1)).as("true_rank"))
+
   val specs: Seq[QuerySpec] = Seq(
 
     // q381 — QUANTILE ESTIMATOR SHOOTOUT (sketch vs sample): q379
@@ -90,9 +101,7 @@ object R51Queries {
         val ests = skEst.unionByName(smEst)
         // the honest grade: TRUE rank of each returned value (corpus on
         // the PROBE side, 6-row estimate table on the build side)
-        val ranks = vm.select("v").join(broadcast(ests), expr("v <= est_v"))
-          .groupBy("f_bp", "estimator", "est_v", "state_units")
-          .agg(count(lit(1)).as("true_rank"))
+        val ranks = trueRankGrade(vm.select("v"), ests)
         ranks.crossJoin(broadcast(mx.select("n")))
           .select(col("f_bp"), col("estimator"), col("est_v"), col("state_units"),
             expr("true_rank * 10000 div n").as("true_rank_bp"),

@@ -33,6 +33,15 @@ object R52Queries {
   private def h40(tag: String, c: Column): Column =
     conv(substring(md5(concat(lit(tag), c.cast("string"))), 1, 10), 16, 10).cast("long")
 
+  /** q385's ONE keyed pass per join side over (k, hh) rows: the exact
+    * per-key frequency f plus the 25%-sample per-key count c that feeds
+    * GEE. ScaleSlopeSpec measures this exact core (SLOPES artifact).
+    */
+  private[graft] def keyedSideStats(x: DataFrame, tag: String): DataFrame =
+    x.groupBy("k")
+      .agg(count(lit(1)).as(s"f_$tag"),
+        sum(when(col("hh") < 1073741824L, 1L).otherwise(0L)).as("c"))
+
   /** q384's planted at-least-once delivery stream: every event delivered
     * once at its own ts, plus — for the 20% of keys the `dr:` hash
     * selects — ONE replay at ts + lag, lag drawn heavy-tailed from the
@@ -187,10 +196,7 @@ object R52Queries {
           // the keyed pass is already paid for the exact grader, so the
           // sketch rides it.)
           def stats(x: DataFrame, tag: String): (DataFrame, DataFrame, DataFrame) = {
-            val fr = x.groupBy("k")
-              .agg(count(lit(1)).as(s"f_$tag"),
-                sum(when(col("hh") < 1073741824L, 1L).otherwise(0L)).as("c"))
-              .localCheckpoint(false)
+            val fr = keyedSideStats(x, tag).localCheckpoint(false)
             val gee = fr.agg(
               (sum(when(col("c") > 0L, 1L).otherwise(0L)) +
                 sum(when(col("c") === 1L, 1L).otherwise(0L))).as(s"gee_$tag"),

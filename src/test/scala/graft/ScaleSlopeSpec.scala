@@ -286,6 +286,120 @@ class ScaleSlopeSpec extends SparkSpecBase {
     info(f"q363 slope: $t1%.2f s → $tk%.2f s over ×$K, exponent $e%.2f, cells $n1 → $nk, mass ×${mK / m1}")
   }
 
+  test("q385 keyed grader: ×8 disjoint key spaces → exactly ×8 matched keys and join mass, ~linear time") {
+    // the round-10 heavy core (VERDICT r10 ask #6): q385's exact grader
+    // is ONE keyed pass per side (keyedSideStats — the same function the
+    // query ships) plus a join that is keyed and bounded by ndv, never
+    // by raw rows. On ×8 disjoint key spaces the matched-key table and
+    // the exact join mass Σ f_r·f_s must both scale exactly ×8; a
+    // grader that degenerated to raw-row pairing would blow up ×64.
+    import graft.queries.R52Queries.keyedSideStats
+    val off = 100000000L
+    val liRows = Tables.load(spark, sf01, "lineitem").select(
+      col("l_orderkey").as("kk"),
+      expr("((l_orderkey * 7919 + l_linenumber) % 2147483648) * 2654435761 % 4294967296").as("hh"))
+      .localCheckpoint(false)
+    val orRows = Tables.load(spark, sf01, "orders").select(
+      col("o_orderkey").as("kk"),
+      expr("(o_orderkey % 2147483648) * 2654435761 % 4294967296").as("hh"))
+      .localCheckpoint(false)
+    def copies(df: DataFrame, n: Int): DataFrame = (0 until n).map { i =>
+      df.select((col("kk") + lit(i * off)).cast("string").as("k"), col("hh"))
+    }.reduce(_ unionByName _).localCheckpoint(false)
+    val (r1, rK) = (copies(liRows, 1), copies(liRows, K))
+    val (s1, sK) = (copies(orRows, 1), copies(orRows, K))
+    def grader(r: DataFrame, sd: DataFrame): DataFrame =
+      keyedSideStats(r, "r").join(keyedSideStats(sd, "s"), "k")
+    grader(r1, s1).count() // warm
+    val (t1, n1) = timedMin(grader(r1, s1), 3)
+    val (tk, nk) = timedMin(grader(rK, sK), 2)
+    assert(nk == K * n1,
+      s"matched-key count must scale exactly ×$K on disjoint key spaces (got $n1 → $nk)")
+    val m1 = grader(r1, s1).agg(sum(expr("f_r * f_s"))).head.getLong(0)
+    val mK = grader(rK, sK).agg(sum(expr("f_r * f_s"))).head.getLong(0)
+    assert(mK == K * m1, s"exact join mass must scale exactly ×$K (got $m1 → $mK)")
+    val e = exponent(t1, tk)
+    assert(e <= 1.45,
+      f"q385 grader exponent $e%.2f over ×$K ($t1%.2f s → $tk%.2f s) — " +
+        "superlinear; the keyed pass degenerated toward raw-row pairing")
+    measured("q385_grader") = e
+    info(f"q385 slope: $t1%.2f s → $tk%.2f s over ×$K, exponent $e%.2f, keys $n1 → $nk, mass ×${mK / m1}")
+  }
+
+  test("q381 sample-quantile pass: ×8 sample rows → IDENTICAL cuts, one row out, ~linear time") {
+    // q381's estimator B is exact quantiles OF the sample through the
+    // QuantileOps two-level rank core — the claim being measured is "no
+    // global sort": ×8 the sample and the pass stays ~linear. The value
+    // invariant is exact: on 8 identical copies every value's
+    // multiplicity is ×8, so cum_8(v) = 8·cum_1(v) and the selected
+    // element for rank ceil(8n·f) is THE SAME element as rank ceil(n·f)
+    // (nested-ceiling identity) — the cuts must be bit-equal.
+    import graft.ops.QuantileOps
+    val v1 = Tables.load(spark, sf01, "lineitem")
+      .select(expr("CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)").as("v"),
+        col("l_orderkey"), col("l_linenumber"))
+      .where(expr(
+        "((l_orderkey * 7919 + l_linenumber) % 2147483648) * 2654435761 % 4294967296 < 1073741824"))
+      .select("v").localCheckpoint(false)
+    val vK = (0 until K).map(_ => v1).reduce(_ unionByName _).localCheckpoint(false)
+    def cuts(df: DataFrame): DataFrame =
+      QuantileOps.exactElementQuantiles(df, "v", Seq.empty, Seq(0.5, 0.95, 0.99))
+    cuts(v1).count() // warm
+    val (t1, n1) = timedMin(cuts(v1), 3)
+    val (tk, nk) = timedMin(cuts(vK), 2)
+    assert(n1 == 1 && nk == 1, s"quantile pass must emit one row ($n1 → $nk)")
+    val c1 = cuts(v1).select("cut_1", "cut_2", "cut_3", "n").head
+    val cK = cuts(vK).select("cut_1", "cut_2", "cut_3", "n").head
+    assert(cK.getLong(3) == K * c1.getLong(3), "sample row count must scale ×8")
+    for (i <- 0 to 2)
+      assert(cK.getDouble(i) == c1.getDouble(i),
+        s"cut_${i + 1} drifted on ×$K identical copies: ${c1.getDouble(i)} → ${cK.getDouble(i)}")
+    val e = exponent(t1, tk)
+    assert(e <= 1.45,
+      f"q381 sample-quantile exponent $e%.2f over ×$K ($t1%.2f s → $tk%.2f s) — " +
+        "superlinear; the two-level rank core degenerated toward a global sort")
+    measured("q381_sample_quantile") = e
+    info(f"q381 sample slope: $t1%.2f s → $tk%.2f s over ×$K, exponent $e%.2f")
+  }
+
+  test("q381 true-rank grade: ×8 corpus → same 6 graded rows, exactly ×8 rank mass, ~linear time") {
+    // the other q381 pass: grading keeps the corpus on the PROBE side of
+    // a 6-row broadcast build (trueRankGrade — the same function the
+    // query ships), so ×8 corpus costs ~×8 with the output bounded by
+    // the estimator count, and every true_rank scales exactly ×8.
+    import graft.queries.R51Queries.trueRankGrade
+    val v1 = Tables.load(spark, sf01, "lineitem")
+      .select(expr("CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)").as("v"))
+      .localCheckpoint(false)
+    val vK = (0 until K).map(_ => v1).reduce(_ unionByName _).localCheckpoint(false)
+    // a fixed 6-row estimate table from the base corpus percentiles —
+    // the grade input, not the thing under test
+    val ests = v1.agg(
+        expr("percentile_approx(v, array(0.5, 0.95, 0.99), 1000)").as("p"))
+      .select(explode(array(
+        struct(lit(5000L).as("f_bp"), lit("a").as("estimator"),
+          expr("CAST(p[0] AS BIGINT)").as("est_v"), lit(1L).as("state_units")),
+        struct(lit(9500L).as("f_bp"), lit("b").as("estimator"),
+          expr("CAST(p[1] AS BIGINT)").as("est_v"), lit(1L).as("state_units")),
+        struct(lit(9900L).as("f_bp"), lit("c").as("estimator"),
+          expr("CAST(p[2] AS BIGINT)").as("est_v"), lit(1L).as("state_units")))).as("z"))
+      .select("z.*").localCheckpoint(false)
+    trueRankGrade(v1, ests).count() // warm
+    val (t1, n1) = timedMin(trueRankGrade(v1, ests), 3)
+    val (tk, nk) = timedMin(trueRankGrade(vK, ests), 2)
+    assert(n1 == 3 && nk == 3,
+      s"grade output must stay bounded by the estimate table ($n1 → $nk)")
+    val m1 = trueRankGrade(v1, ests).agg(sum("true_rank")).head.getLong(0)
+    val mK = trueRankGrade(vK, ests).agg(sum("true_rank")).head.getLong(0)
+    assert(mK == K * m1, s"true-rank mass must scale exactly ×$K (got $m1 → $mK)")
+    val e = exponent(t1, tk)
+    assert(e <= 1.45,
+      f"q381 rank-grade exponent $e%.2f over ×$K ($t1%.2f s → $tk%.2f s) — " +
+        "superlinear; the corpus left the probe side")
+    measured("q381_rank_grade") = e
+    info(f"q381 grade slope: $t1%.2f s → $tk%.2f s over ×$K, exponent $e%.2f, mass ×${mK / m1}")
+  }
+
   test("measured exponents are pinned in the committed SLOPES artifact (drift diffable)") {
     // VERDICT r7 #7: pass/fail at 1.45 hides slow drift (0.3 → 1.3
     // across rounds never trips the quadratic tripwire). Pinning the
@@ -294,7 +408,7 @@ class ScaleSlopeSpec extends SparkSpecBase {
     // lines always land in target/slopes_live.txt — after an
     // intentional change, copy that file to SLOPES_r{NN}.txt
     // (zero-padded) and commit.
-    if (measured.size < 7)
+    if (measured.size < 10)
       cancel("an upstream slope test failed — no complete live exponent set to diff")
     val lines = measured.map { case (k, e) => f"SLOPE $k $e%.2f" }.toSeq
     val live = java.nio.file.Paths.get("target", "slopes_live.txt")
