@@ -31,10 +31,10 @@ object R39Queries {
 
   private def t(s: SparkSession, d: String, n: String): DataFrame = Tables.load(s, d, n)
 
-  private def md5Bucket(c: Column, buckets: Int): Column =
+  private[graft] def md5Bucket(c: Column, buckets: Int): Column =
     pmod(conv(substring(md5(c), 1, 10), 16, 10).cast("long"), lit(buckets.toLong))
 
-  private def md5BucketSql(e: String, buckets: Int): String =
+  private[graft] def md5BucketSql(e: String, buckets: Int): String =
     s"CAST(concat('0x', substr(md5($e), 1, 10)) AS BIGINT) % $buckets"
 
   /** q347's fold from per-partition loads (p, c) to the one-row planner

@@ -57,4 +57,43 @@ class SkewSpec extends SparkSpecBase {
       case (k, None) => spark.conf.unset(k)
     }
   }
+
+  test("q390's salt decision validated against the REAL partitioner (engine repartition loads)") {
+    // q390 prices partition loads under the portable md5 partitioner (a
+    // MODEL — Spark's Murmur3 is not oracle-replayable). The decision it
+    // feeds is an engine decision, so the engine must agree (the
+    // PartitionGrainSpec/JoinCostSpec program applied to skew): actually
+    // repartition(32, key) the same rows, read the real per-partition
+    // loads via spark_partition_id, and check (a) the unsalted flag key
+    // funnels into <= 3 of 32 engine partitions at >= 6x uniform — the
+    // diagnosis; (b) the chosen 64-way salt uses (nearly) every engine
+    // partition and lands within the 2x-uniform band the chooser gated
+    // on, with max load an order of magnitude below the unsalted run —
+    // the decision, confirmed under the hash the model never saw.
+    import graft.queries.R39Queries.md5Bucket
+    import spark.implicits._
+    val li = Tables.load(spark, sf001, "lineitem")
+      .select(col("l_returnflag").as("fl"),
+        md5Bucket(concat(lit("salt:"), col("l_orderkey").cast("string")), 64).as("b64"))
+      .localCheckpoint(false)
+    def engineLoads(keyed: org.apache.spark.sql.DataFrame): Array[Long] =
+      keyed.repartition(32, col("ek"))
+        .select(spark_partition_id().as("p"))
+        .groupBy("p").agg(count(lit(1)).as("c"))
+        .select("c").as[Long].collect()
+    val n = li.count()
+    val raw = engineLoads(li.select(col("fl").as("ek")))
+    assert(raw.length <= 3,
+      s"3 flag keys must land on <= 3 engine partitions, got ${raw.length}")
+    assert(raw.max * 32L >= n * 6L,
+      s"unsalted max engine load ${raw.max} not >= 6x uniform (n=$n)")
+    val salted = engineLoads(li.select(
+      concat(col("fl"), lit(":"), (col("b64") % 64).cast("string")).as("ek")))
+    assert(salted.length >= 28,
+      s"192 salted sub-keys must spread over (nearly) all 32 engine partitions, got ${salted.length}")
+    assert(salted.max * 32L <= n * 2L,
+      s"salted max engine load ${salted.max} outside the 2x-uniform band the chooser gated on (n=$n)")
+    assert(salted.max * 5L <= raw.max,
+      s"salting must cut the engine hot partition >= 5x (raw ${raw.max} -> salted ${salted.max})")
+  }
 }
