@@ -1031,6 +1031,60 @@ object EventStream {
     * precisely the trap the gate exists to catch. State is 16 rows
     * forever, eager-checkpointed (the ivmStream rule).
     */
+  /** q391's online half: the per-shard top-k heavy-hitter summary
+    * maintained across micro-batches through the public Misra-Gries /
+    * SpaceSaving MERGE: each batch's exact per-(shard, key) counts are
+    * summed pointwise into the retained entries, the merged table is
+    * re-truncated to the k largest per shard (count desc, key asc —
+    * q391's ranking), and the (k+1)-th merged count joins the shard's
+    * ACCUMULATED error mass eps. The maintained invariant (certified per
+    * batch by StreamingSpec against an exact recompute of the fed
+    * prefix): retained c(x) ≤ f_shard(x) ≤ c(x) + eps_shard for EVERY
+    * key, retained or evicted — q391's two-sided bound with eps summed
+    * over truncations. The stream's eps dominates the one-shot build's
+    * (each truncation pays its own cut) — the classic price of never
+    * re-scanning, which is why the batch q391 stays the periodic
+    * deep pass and this is the ingest monitor. State: 8 shards × k
+    * entries + 8 eps scalars, bounded regardless of stream length;
+    * state rides an EAGER localCheckpoint so batch N+1 never references
+    * an expired batch-N source (the r10 expired-source convention).
+    */
+  def heavyHitterStream(events: DataFrame, k: Int = 8)
+      (sink: (Long, DataFrame) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import org.apache.spark.sql.expressions.Window
+    var state: DataFrame = null // (sh, k, c) retained entries
+    var eps: DataFrame = null   // (sh, eps) accumulated truncation mass
+    events.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val bc = graft.queries.R54Queries.hhKeyed(batch.toDF())
+          .groupBy("sh", "k").agg(count(lit(1)).as("c"))
+        val merged =
+          if (state == null) bc
+          else state.unionByName(bc).groupBy("sh", "k").agg(sum("c").as("c"))
+        val rk = merged.withColumn("r", row_number().over(
+            Window.partitionBy("sh").orderBy(col("c").desc, col("k"))))
+          .localCheckpoint(true)
+        val kept = rk.where(col("r") <= k).select("sh", "k", "c")
+        val cuts = rk.where(col("r") === k + 1)
+          .select(col("sh"), col("c").as("cut"))
+        val prevEps =
+          if (eps == null) rk.select("sh").distinct().withColumn("eps", lit(0L))
+          else eps
+        val epsNew = prevEps.join(cuts, Seq("sh"), "full_outer")
+          .select(col("sh"),
+            (coalesce(col("eps"), lit(0L)) + coalesce(col("cut"), lit(0L))).as("eps"))
+          .localCheckpoint(true)
+        state = kept.localCheckpoint(true)
+        eps = epsNew
+        sink(id, state.join(epsNew, Seq("sh"), "left")
+          .select(col("sh"), col("k"), col("c"),
+            coalesce(col("eps"), lit(0L)).as("eps")))
+      }
+      .outputMode("append")
+      .start()
+  }
+
   def histRefreshStream(values: DataFrame, vmin: Long, w: Long,
       refreshAlarms: Option[org.apache.spark.util.LongAccumulator] = None)
       (sink: (Long, DataFrame) => Unit)

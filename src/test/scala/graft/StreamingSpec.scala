@@ -1177,4 +1177,69 @@ class StreamingSpec extends SparkSpecBase {
     // complete-mode state is the 32-partition table, bounded forever
     captured.foreach { case (_, snap) => assert(snap.head._1 <= 32) }
   }
+
+  test("heavyHitterStream: SpaceSaving bound holds after EVERY batch, head survives, state bounded") {
+    // q391's online half on the same planted-zipf corpus, fed as four
+    // micro-batches. After each batch the state is certified against an
+    // exact recompute of the fed prefix: retained entries lower-bound
+    // the truth, every key (retained or evicted) is covered by
+    // c + eps_shard, and the state never exceeds 8 shards x 8 entries.
+    // After the last batch the planted head must still be in state with
+    // the big heavy keys certifiable from the summary alone — while the
+    // stream's accumulated eps is provably looser than the one-shot
+    // batch build's (the price of never re-scanning, stated in the
+    // operator doc and measured here).
+    import graft.queries.R54Queries
+    val ids = Tables.load(spark, sf001, "events")
+      .select("event_id").as[Long].collect().toSeq.sorted
+    val chunks = ids.grouped(ids.size / 4 + 1).toSeq
+    assert(chunks.size == 4)
+    val mem = MemoryStream[Long](spark)
+    var last: org.apache.spark.sql.DataFrame = null
+    val q = EventStream.heavyHitterStream(mem.toDF().toDF("event_id")) {
+      (_, s) => last = s
+    }
+    try {
+      var fed = Seq.empty[Long]
+      for (chunk <- chunks) {
+        mem.addData(chunk: _*)
+        q.processAllAvailable()
+        fed = fed ++ chunk
+        val exact = R54Queries.hhKeyed(fed.toDF("event_id"))
+          .groupBy("sh", "k").agg(count(lit(1)).as("f"))
+          .as[(Long, String, Long)].collect()
+          .map { case (sh, kk, f) => (sh, kk) -> f }.toMap
+        val st = last.select("sh", "k", "c", "eps")
+          .as[(Long, String, Long, Long)].collect()
+        assert(st.length <= 8 * 8, s"state grew past the summary: ${st.length}")
+        val epsBySh = st.map(r => r._1 -> r._4).toMap
+        st.foreach { case (sh, kk, c, e) =>
+          val f = exact((sh, kk))
+          assert(c <= f && f <= c + e,
+            s"bound violated for retained ($sh,$kk): c=$c f=$f eps=$e")
+        }
+        val keptKeys = st.map(r => (r._1, r._2)).toSet
+        exact.foreach { case ((sh, kk), f) =>
+          if (!keptKeys((sh, kk)))
+            assert(f <= epsBySh.getOrElse(sh, 0L),
+              s"evicted ($sh,$kk) f=$f exceeds shard eps ${epsBySh.get(sh)}")
+        }
+      }
+      // the head survives the stream and the big keys certify heavy
+      // from the final state alone (est >= tau n, tau = 2%)
+      val st = last.select("sh", "k", "c", "eps")
+        .as[(Long, String, Long, Long)].collect()
+      val est = st.groupBy(_._2).map { case (kk, rs) => kk -> rs.map(_._3).sum }
+      val n = ids.size.toLong
+      Seq("g3", "g4", "g5").foreach { g =>
+        assert(est.getOrElse(g, 0L) * 100L >= n * 2L,
+          s"$g not certifiable heavy from stream state: est=${est.get(g)} n=$n")
+      }
+      assert(est.contains("g2"), "g2 fell out of every shard's summary")
+      // the streaming eps is looser than the one-shot build's (q391's
+      // tot_eps at sf0.001 is 21): each truncation paid its own cut
+      val totEps = st.map(r => (r._1, r._4)).distinct.map(_._2).sum
+      assert(totEps >= 21L, s"stream eps cannot beat the one-shot build: $totEps")
+    } finally q.stop()
+  }
 }
