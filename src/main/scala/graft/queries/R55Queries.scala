@@ -299,5 +299,97 @@ object R55Queries {
       },
       Some(
         """WITH o AS (SELECT CAST(month(o_orderdate) AS BIGINT) AS m, CAST(quarter(o_orderdate) AS BIGINT) AS qr, o_orderpriority AS pri, CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS v FROM orders), n AS (SELECT count(*) AS n FROM o), fm3 AS (SELECT count(*) AS f_m3 FROM o WHERE m = 3), fq1 AS (SELECT count(*) AS f_q1 FROM o WHERE qr = 1), fpri AS (SELECT count(*) AS f_pri FROM o WHERE pri = '1-URGENT'), mx AS (SELECT min(v) AS vmin, max(v) AS vmax, max(v) - min(v) + 1 AS w FROM o), hb AS (SELECT cnt, vmin + b * w // 16 AS blo, vmin + (b + 1) * w // 16 - 1 AS bhi FROM (SELECT least(15, (v - vmin) * 16 // w) AS b, count(*) AS cnt FROM o CROSS JOIN mx GROUP BY 1) h CROSS JOIN mx), cut AS (SELECT vmin + (vmax - vmin) * 3 // 4 AS lo, vmax AS hi FROM mx), ep AS (SELECT coalesce(sum((hb.cnt * greatest(0, least(c.hi, hb.bhi) - greatest(c.lo, hb.blo) + 1) * 1000000) // (hb.bhi - hb.blo + 1)), 0) // 1000000 AS est_price FROM cut c LEFT JOIN hb ON hb.bhi >= c.lo AND hb.blo <= c.hi), ax AS (SELECT count(*) AS act_x FROM o WHERE m = 3 AND qr = 1), ay AS (SELECT count(*) AS act_y FROM o CROSS JOIN cut WHERE pri = '1-URGENT' AND v >= lo), base AS (SELECT n.n, act_x, act_y, f_m3 * f_q1 // n.n AS ind_x, f_m3 AS fd_x, f_pri * est_price // n.n AS est_y FROM n CROSS JOIN fm3 CROSS JOIN fq1 CROSS JOIN fpri CROSS JOIN ep CROSS JOIN ax CROSS JOIN ay), legs AS (SELECT '1:independence' AS estimator, ind_x AS est_x, est_y, act_x, act_y FROM base UNION ALL SELECT '2:fd_aware', fd_x, est_y, act_x, act_y FROM base UNION ALL SELECT '3:exact', act_x, act_y, act_x, act_y FROM base) SELECT estimator, CAST(est_x AS BIGINT) AS est_x, CAST(est_y AS BIGINT) AS est_y, CAST(act_x AS BIGINT) AS act_x, CAST(act_y AS BIGINT) AS act_y, CASE WHEN est_x <= est_y THEN 'X:orders_m3q1' ELSE 'Y:orders_urgent_p75' END AS build_side, CAST(CASE WHEN (est_x <= est_y) = (act_x <= act_y) THEN 1 ELSE 0 END AS BIGINT) AS correct_vs_exact, CAST(act_x * 10000 // greatest(est_x, 1) AS BIGINT) AS x_underest_bp FROM legs ORDER BY estimator"""),
-      "A/J ext: build-side chooser under correlation — independence prices the month/quarter side at n/48 and broadcasts it; in truth it is n/12, 1.6x the honest alternative (the 4x-over-priced-bytes broadcast-OOM shape); the FD-aware stats flip the choice back, all three certified against exact"))
+      "A/J ext: build-side chooser under correlation — independence prices the month/quarter side at n/48 and broadcasts it; in truth it is n/12, 1.6x the honest alternative (the 4x-over-priced-bytes broadcast-OOM shape); the FD-aware stats flip the choice back, all three certified against exact"),
+
+    // q397 — INCREMENTAL ANALYZE VIA KMV MERGE, EXECUTED: the pipeline
+    // q394's mergeability exists for. Twelve ingest steps (months
+    // arriving in order); after each, the global distinct-customer NDV
+    // is updated by MERGING the retained 32-value state with the new
+    // month's sketch — O(k) work — instead of rescanning the growing
+    // prefix. Certified per step, both ways: merge_ok proves the merged
+    // state IS the rebuilt prefix sketch (the q394 identity, now
+    // holding INDUCTIVELY along the whole chain — state_j correct
+    // because state_{j-1} was), and the estimate it yields is graded
+    // against the exact prefix NDV. The measured curve is the honest
+    // saturation story: the customer universe caps out (150 / 15000 by
+    // month ~8), the sketch tracks it inside the k = 32 band at every
+    // step, and rescan_rows_saved grows with the prefix — exactly the
+    // scan an incremental ANALYZE avoids, which at 100 TB is the whole
+    // point. Scale: production state is 32 values and each step is an
+    // O(k) merge; the per-step prefix rebuilds here are the GRADER
+    // (the certification cost, q385's convention), not the operator.
+    QuerySpec(
+      "q397_kmv_incremental",
+      (s, d) => {
+        val mc = t(s, d, "orders")
+          .select(month(col("o_orderdate")).cast("long").as("m"),
+            col("o_custkey").as("c"))
+          .distinct()
+        val hv = mc.select(col("m"),
+            expr("CAST(conv(substring(md5(concat('kmv:', CAST(c AS STRING))), 1, 10), 16, 10) AS BIGINT)")
+              .as("hv"))
+          .distinct().localCheckpoint(false)
+        val exact = mc.localCheckpoint(false)
+        def sk(cond: String): DataFrame =
+          hv.where(expr(cond)).select("hv").distinct()
+            .withColumn("r", row_number().over(Window.orderBy("hv")))
+            .where(col("r") <= 32).select("hv")
+        def leg(j: Int): DataFrame = {
+          val merged =
+            (if (j == 1) sk("m = 1")
+             else sk(s"m <= ${j - 1}").unionByName(sk(s"m = $j")).distinct()
+               .withColumn("r", row_number().over(Window.orderBy("hv")))
+               .where(col("r") <= 32).select("hv")).localCheckpoint(false)
+          val rebuilt = sk(s"m <= $j")
+          val mergeOk = merged.join(rebuilt, Seq("hv"), "full_outer")
+            .agg(sum(when(col("hv").isNull, 1L).otherwise(0L)).as("miss"),
+              count(lit(1)).as("tot"))
+            .select(expr("CAST(CASE WHEN miss = 0 AND tot = 32 THEN 1 ELSE 0 END AS BIGINT)")
+              .as("merge_ok"))
+          val est = merged.withColumn("r", row_number().over(Window.orderBy("hv")))
+            .where(col("r") === 32)
+            .select(expr("31 * 1099511627776 div hv").as("est_ndv"))
+          val ex = exact.where(expr(s"m <= $j"))
+            .agg(countDistinct("c").as("exact_ndv"))
+          val saved = exact.where(expr(s"m <= ${j - 1}"))
+            .agg(count(lit(1)).as("prefix_rows"))
+            .crossJoin(broadcast(exact.where(expr(s"m = $j"))
+              .agg(count(lit(1)).as("month_rows"))))
+          est.crossJoin(broadcast(ex)).crossJoin(broadcast(mergeOk))
+            .crossJoin(broadcast(saved))
+            .select(lit(j.toLong).as("step"), col("month_rows"),
+              col("est_ndv"), col("exact_ndv"),
+              expr("greatest(est_ndv * 10000 div greatest(exact_ndv, 1), exact_ndv * 10000 div greatest(est_ndv, 1))")
+                .as("qerr_bp"),
+              col("merge_ok"),
+              col("prefix_rows").as("rescan_rows_saved"),
+              lit(32L).as("state_units"))
+        }
+        (1 to 12).map(leg).reduce(_ unionByName _).orderBy("step")
+      },
+      Some {
+        def skSql(cte: String, cond: String): String =
+          s"$cte AS (SELECT hv FROM (SELECT hv, row_number() OVER (ORDER BY hv) AS r FROM (SELECT DISTINCT hv FROM hvt WHERE $cond) z) y WHERE r <= 32)"
+        def legSql(j: Int): String = {
+          val mergedSrc =
+            if (j == 1) s"SELECT hv FROM (SELECT hv, row_number() OVER (ORDER BY hv) AS r FROM (SELECT DISTINCT hv FROM hvt WHERE m = 1) z) y WHERE r <= 32"
+            else s"""SELECT hv FROM (SELECT hv, row_number() OVER (ORDER BY hv) AS r FROM (
+              SELECT DISTINCT hv FROM (
+                SELECT hv FROM (SELECT hv, row_number() OVER (ORDER BY hv) AS r2 FROM (SELECT DISTINCT hv FROM hvt WHERE m <= ${j - 1}) a) b WHERE r2 <= 32
+                UNION ALL
+                SELECT hv FROM (SELECT hv, row_number() OVER (ORDER BY hv) AS r3 FROM (SELECT DISTINCT hv FROM hvt WHERE m = $j) c) e WHERE r3 <= 32) u) z) y WHERE r <= 32"""
+          s"""l$j AS (
+            WITH mg AS ($mergedSrc),
+            ${skSql("rb", s"m <= $j")},
+            mok AS (SELECT CASE WHEN sum(CASE WHEN mg.hv IS NULL OR rb.hv IS NULL THEN 1 ELSE 0 END) = 0 AND count(*) = 32 THEN 1 ELSE 0 END AS merge_ok FROM mg FULL OUTER JOIN rb ON rb.hv = mg.hv),
+            es AS (SELECT 31 * 1099511627776 // hv AS est_ndv FROM (SELECT hv, row_number() OVER (ORDER BY hv) AS r FROM mg) z WHERE r = 32),
+            ex AS (SELECT count(DISTINCT c) AS exact_ndv FROM mc WHERE m <= $j),
+            sv AS (SELECT (SELECT count(*) FROM mc WHERE m <= ${j - 1}) AS prefix_rows, (SELECT count(*) FROM mc WHERE m = $j) AS month_rows)
+            SELECT $j AS step, month_rows, est_ndv, exact_ndv, merge_ok, prefix_rows FROM es CROSS JOIN ex CROSS JOIN mok CROSS JOIN sv)"""
+        }
+        val legs = (1 to 12).map(legSql).mkString(", ")
+        val union = (1 to 12).map(j => s"SELECT * FROM l$j").mkString(" UNION ALL ")
+        s"""WITH mc AS (SELECT DISTINCT CAST(month(o_orderdate) AS BIGINT) AS m, o_custkey AS c FROM orders), hvt AS (SELECT DISTINCT m, CAST(concat('0x', substr(md5('kmv:' || CAST(c AS VARCHAR)), 1, 10)) AS BIGINT) AS hv FROM mc), $legs, u AS ($union) SELECT CAST(step AS BIGINT) AS step, CAST(month_rows AS BIGINT) AS month_rows, CAST(est_ndv AS BIGINT) AS est_ndv, CAST(exact_ndv AS BIGINT) AS exact_ndv, CAST(greatest(est_ndv * 10000 // greatest(exact_ndv, 1), exact_ndv * 10000 // greatest(est_ndv, 1)) AS BIGINT) AS qerr_bp, CAST(merge_ok AS BIGINT) AS merge_ok, CAST(prefix_rows AS BIGINT) AS rescan_rows_saved, CAST(32 AS BIGINT) AS state_units FROM u ORDER BY step"""
+      },
+      "A/S ext: incremental ANALYZE via KMV merge EXECUTED — 12 ingest steps, each updating the global distinct-customer NDV by an O(k) sketch merge; merge == rebuild certified inductively along the whole chain, estimates graded against exact prefix NDV through saturation, rescan_rows_saved = the scan the merge avoids"))
 }

@@ -1085,6 +1085,43 @@ object EventStream {
       .start()
   }
 
+  /** q397's online half: the global KMV distinct-count sketch maintained
+    * across micro-batches by the exact merge — state is 32 hash minima,
+    * each batch contributes its own 32-minima sketch over column `c`,
+    * and the merged state is PROVABLY the sketch of everything fed (the
+    * q394 identity, certified per batch by StreamingSpec against a
+    * prefix rebuild, plus order-invariance: a different batching yields
+    * the bit-identical final state). The one summary in the family whose
+    * streaming degradation is ZERO — unlike heavyHitterStream's
+    * accumulating eps, the KMV merge is lossless for the estimator, so
+    * the monitor's NDV equals a full rescan's at 32 values of state.
+    */
+  def kmvStream(keys: DataFrame, k: Int = 32)
+      (sink: (Long, DataFrame) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import org.apache.spark.sql.expressions.Window
+    var state: DataFrame = null // (hv) k minima
+    keys.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val bsk = batch.toDF().select(
+            expr("CAST(conv(substring(md5(concat('kmv:', CAST(c AS STRING))), 1, 10), 16, 10) AS BIGINT)")
+              .as("hv"))
+          .distinct()
+          .withColumn("r", row_number().over(Window.orderBy("hv")))
+          .where(col("r") <= k).select("hv")
+        val merged =
+          (if (state == null) bsk
+           else state.unionByName(bsk).distinct()
+             .withColumn("r", row_number().over(Window.orderBy("hv")))
+             .where(col("r") <= k).select("hv"))
+            .localCheckpoint(true)
+        state = merged
+        sink(id, merged)
+      }
+      .outputMode("append")
+      .start()
+  }
+
   def histRefreshStream(values: DataFrame, vmin: Long, w: Long,
       refreshAlarms: Option[org.apache.spark.util.LongAccumulator] = None)
       (sink: (Long, DataFrame) => Unit)

@@ -81,4 +81,31 @@ class R55InvariantSpec extends SparkSpecBase {
     assert(fd._2 == ex._4 && fd._6.startsWith("Y") && fd._7 == 1L,
       s"FD-aware stats must repair the choice: $fd")
   }
+
+  test("q397 incremental KMV: merge chain certified at every step, estimate tracks saturation") {
+    val rows = SparkEntry.queries("q397_kmv_incremental")(spark, sf001)
+      .select("step", "month_rows", "est_ndv", "exact_ndv", "qerr_bp",
+        "merge_ok", "rescan_rows_saved", "state_units")
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().sortBy(_._1)
+    assert(rows.map(_._1).toSeq == (1L to 12L))
+    rows.foreach { r =>
+      // the inductive identity: merged state == rebuilt prefix sketch
+      assert(r._6 == 1L, s"merge chain broke at step ${r._1}: $r")
+      assert(r._8 == 32L && r._2 > 32L)
+      // every step's estimate inside the k = 32 band
+      assert(r._5 <= 14000L, s"estimate left the band at step ${r._1}: $r")
+    }
+    // saturation: the exact curve is nondecreasing and flattens; the
+    // estimate can only grow (merged minima only shrink, so theta only
+    // falls); the avoided rescan grows with the prefix
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b._4 >= a._4 && b._3 >= a._3 && b._7 > a._7,
+        s"saturation shape violated: $a -> $b")
+    }
+    assert(rows.last._4 == rows(7)._4,
+      "the customer universe must saturate before the final step")
+    assert(rows.head._7 == 0L && rows.last._7 > rows.last._2 * 10L,
+      "by step 12 the avoided rescan must dwarf the month's own rows")
+  }
 }

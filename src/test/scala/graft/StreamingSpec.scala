@@ -1242,4 +1242,49 @@ class StreamingSpec extends SparkSpecBase {
       assert(totEps >= 21L, s"stream eps cannot beat the one-shot build: $totEps")
     } finally q.stop()
   }
+
+  test("kmvStream: state IS the prefix sketch after every batch, and batching order cannot matter") {
+    // q397's online half: zero streaming degradation. After every batch
+    // the 32-minima state must be bit-equal to the sketch REBUILT from
+    // everything fed so far (the q394 merge identity, now inductive
+    // across the stream), and re-running the same rows under a
+    // different batching must land on the identical final state — the
+    // merge is a semilattice join, so delivery order is irrelevant.
+    def hv(keys: Seq[Long]): Set[Long] = keys.toDF("c").select(
+        expr("CAST(conv(substring(md5(concat('kmv:', CAST(c AS STRING))), 1, 10), 16, 10) AS BIGINT)")
+          .as("hv"))
+      .distinct().as[Long].collect().sorted.take(32).toSet
+    val keys = Tables.load(spark, sf001, "orders")
+      .select("o_custkey").as[Long].collect().toSeq
+    def run(chunks: Seq[Seq[Long]]): Seq[Set[Long]] = {
+      val mem = MemoryStream[Long](spark)
+      val states = scala.collection.mutable.ArrayBuffer.empty[Set[Long]]
+      val q = graft.streaming.EventStream.kmvStream(mem.toDF().toDF("c")) {
+        (_, s) => states += s.select("hv").as[Long].collect().toSet
+      }
+      try {
+        chunks.foreach { ch => mem.addData(ch: _*); q.processAllAvailable() }
+      } finally q.stop()
+      states.toSeq
+    }
+    val chunksA = keys.grouped(keys.size / 4 + 1).toSeq
+    val statesA = run(chunksA)
+    assert(statesA.size == 4)
+    var fed = Seq.empty[Long]
+    chunksA.zip(statesA).foreach { case (ch, st) =>
+      fed = fed ++ ch
+      assert(st == hv(fed), s"stream state diverged from the prefix rebuild at ${fed.size} rows")
+    }
+    // exact NDV from state: the 32nd minimum prices the 150-customer
+    // universe inside the k-band (q397's step-12 grade)
+    val theta = statesA.last.max
+    val est = 31L * 1099511627776L / theta
+    val exact = keys.distinct.size
+    val qerr = math.max(est * 10000 / exact, exact * 10000 / est)
+    assert(qerr <= 14000, s"final stream estimate outside the k=32 band: est=$est exact=$exact")
+    // order-invariance: reversed, differently-sized batches, same state
+    val statesB = run(keys.reverse.grouped(keys.size / 7 + 1).toSeq)
+    assert(statesB.last == statesA.last,
+      "final KMV state must be independent of batching and delivery order")
+  }
 }
