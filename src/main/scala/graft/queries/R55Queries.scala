@@ -71,21 +71,22 @@ object R55Queries {
             Window.partitionBy("m").orderBy("hv")))
           .where(col("r") <= 32).select("m", "hv").localCheckpoint(false)
         val nd = mc.groupBy("m").agg(count(lit(1)).as("nd")).localCheckpoint(false)
+        // a sketch is exactly 32 rows, so theta is its max — and every
+        // top-32 is a TakeOrdered (orderBy + limit), never a global
+        // window: the rebuild legs scan ndv-sized sets and a
+        // partition-by-nothing window there is the single worst
+        // scale-up operator (PlanShapeSpec's global-window audit)
         def estOf(sk: DataFrame, name: String): DataFrame =
-          sk.withColumn("r", row_number().over(Window.orderBy("hv")))
-            .where(col("r") === 32)
-            .select(expr("31 * 1099511627776 div hv").as(name))
+          sk.agg(expr("31 * 1099511627776 div max(hv)").as(name))
         def leg(pid: Long, a: Int, b: Int): DataFrame = {
           val skA = rk.where(col("m") === a).select("hv")
           val skB = rk.where(col("m") === b).select("hv")
           val merged = skA.unionByName(skB).distinct()
-            .withColumn("r", row_number().over(Window.orderBy("hv")))
-            .where(col("r") <= 32).select("hv").localCheckpoint(false)
+            .orderBy("hv").limit(32).localCheckpoint(false)
           val rebuilt = mc.where(col("m").isin(a, b)).select("c").distinct()
             .select(expr("CAST(conv(substring(md5(concat('kmv:', CAST(c AS STRING))), 1, 10), 16, 10) AS BIGINT)")
               .as("hv")).distinct()
-            .withColumn("r", row_number().over(Window.orderBy("hv")))
-            .where(col("r") <= 32).select("hv")
+            .orderBy("hv").limit(32)
           val mergeOk = merged.join(rebuilt, Seq("hv"), "full_outer")
             .agg(sum(when(col("hv").isNull, 1L).otherwise(0L)).as("miss"),
               count(lit(1)).as("tot"))
@@ -127,12 +128,12 @@ object R55Queries {
           s"""l$pid AS (
             WITH ska AS (SELECT hv FROM rk WHERE m = $a AND r <= 32),
             skb AS (SELECT hv FROM rk WHERE m = $b AND r <= 32),
-            mg AS (SELECT hv FROM (SELECT hv, row_number() OVER (ORDER BY hv) AS r FROM (SELECT DISTINCT hv FROM (SELECT hv FROM ska UNION ALL SELECT hv FROM skb) u) du) z WHERE r <= 32),
-            rb AS (SELECT hv FROM (SELECT hv, row_number() OVER (ORDER BY hv) AS r FROM (SELECT DISTINCT CAST(concat('0x', substr(md5('kmv:' || CAST(c AS VARCHAR)), 1, 10)) AS BIGINT) AS hv FROM mc WHERE m IN ($a, $b)) du) z WHERE r <= 32),
+            mg AS (SELECT hv FROM (SELECT DISTINCT hv FROM (SELECT hv FROM ska UNION ALL SELECT hv FROM skb) u) du ORDER BY hv LIMIT 32),
+            rb AS (SELECT hv FROM (SELECT DISTINCT CAST(concat('0x', substr(md5('kmv:' || CAST(c AS VARCHAR)), 1, 10)) AS BIGINT) AS hv FROM mc WHERE m IN ($a, $b)) du ORDER BY hv LIMIT 32),
             mok AS (SELECT CASE WHEN sum(CASE WHEN mg.hv IS NULL OR rb.hv IS NULL THEN 1 ELSE 0 END) = 0 AND count(*) = 32 THEN 1 ELSE 0 END AS merge_ok FROM mg FULL OUTER JOIN rb ON rb.hv = mg.hv),
-            ea AS (SELECT 31 * 1099511627776 // hv AS est_a FROM (SELECT hv, row_number() OVER (ORDER BY hv) AS r FROM ska) z WHERE r = 32),
-            eb AS (SELECT 31 * 1099511627776 // hv AS est_b FROM (SELECT hv, row_number() OVER (ORDER BY hv) AS r FROM skb) z WHERE r = 32),
-            eu AS (SELECT 31 * 1099511627776 // hv AS est_union FROM (SELECT hv, row_number() OVER (ORDER BY hv) AS r FROM mg) z WHERE r = 32),
+            ea AS (SELECT 31 * 1099511627776 // max(hv) AS est_a FROM ska),
+            eb AS (SELECT 31 * 1099511627776 // max(hv) AS est_b FROM skb),
+            eu AS (SELECT 31 * 1099511627776 // max(hv) AS est_union FROM mg),
             mt AS (SELECT count(*) AS matches FROM mg JOIN ska ON ska.hv = mg.hv JOIN skb ON skb.hv = mg.hv),
             ex AS (SELECT count(*) AS exact_union, sum(CASE WHEN nm = 2 THEN 1 ELSE 0 END) AS exact_inter FROM (SELECT c, count(DISTINCT m) AS nm FROM mc WHERE m IN ($a, $b) GROUP BY 1) g)
             SELECT $pid AS pair_id, 'm${"%02d".format(a)}_m${"%02d".format(b)}' AS pair, est_a, (SELECT nd FROM nd WHERE m = $a) AS nd_a, est_b, (SELECT nd FROM nd WHERE m = $b) AS nd_b, est_union, exact_union, matches, exact_inter, merge_ok
@@ -330,25 +331,25 @@ object R55Queries {
               .as("hv"))
           .distinct().localCheckpoint(false)
         val exact = mc.localCheckpoint(false)
+        // every top-32 is a TakeOrdered (orderBy + limit) — the rebuild
+        // legs scan prefix-ndv-sized sets where a global window would be
+        // the single worst scale-up operator; theta is the 32-row
+        // sketch's max
         def sk(cond: String): DataFrame =
           hv.where(expr(cond)).select("hv").distinct()
-            .withColumn("r", row_number().over(Window.orderBy("hv")))
-            .where(col("r") <= 32).select("hv")
+            .orderBy("hv").limit(32)
         def leg(j: Int): DataFrame = {
           val merged =
             (if (j == 1) sk("m = 1")
              else sk(s"m <= ${j - 1}").unionByName(sk(s"m = $j")).distinct()
-               .withColumn("r", row_number().over(Window.orderBy("hv")))
-               .where(col("r") <= 32).select("hv")).localCheckpoint(false)
+               .orderBy("hv").limit(32)).localCheckpoint(false)
           val rebuilt = sk(s"m <= $j")
           val mergeOk = merged.join(rebuilt, Seq("hv"), "full_outer")
             .agg(sum(when(col("hv").isNull, 1L).otherwise(0L)).as("miss"),
               count(lit(1)).as("tot"))
             .select(expr("CAST(CASE WHEN miss = 0 AND tot = 32 THEN 1 ELSE 0 END AS BIGINT)")
               .as("merge_ok"))
-          val est = merged.withColumn("r", row_number().over(Window.orderBy("hv")))
-            .where(col("r") === 32)
-            .select(expr("31 * 1099511627776 div hv").as("est_ndv"))
+          val est = merged.agg(expr("31 * 1099511627776 div max(hv)").as("est_ndv"))
           val ex = exact.where(expr(s"m <= $j"))
             .agg(countDistinct("c").as("exact_ndv"))
           val saved = exact.where(expr(s"m <= ${j - 1}"))
@@ -369,20 +370,20 @@ object R55Queries {
       },
       Some {
         def skSql(cte: String, cond: String): String =
-          s"$cte AS (SELECT hv FROM (SELECT hv, row_number() OVER (ORDER BY hv) AS r FROM (SELECT DISTINCT hv FROM hvt WHERE $cond) z) y WHERE r <= 32)"
+          s"$cte AS (SELECT hv FROM (SELECT DISTINCT hv FROM hvt WHERE $cond) z ORDER BY hv LIMIT 32)"
         def legSql(j: Int): String = {
           val mergedSrc =
-            if (j == 1) s"SELECT hv FROM (SELECT hv, row_number() OVER (ORDER BY hv) AS r FROM (SELECT DISTINCT hv FROM hvt WHERE m = 1) z) y WHERE r <= 32"
-            else s"""SELECT hv FROM (SELECT hv, row_number() OVER (ORDER BY hv) AS r FROM (
+            if (j == 1) s"SELECT hv FROM (SELECT DISTINCT hv FROM hvt WHERE m = 1) z ORDER BY hv LIMIT 32"
+            else s"""SELECT hv FROM (
               SELECT DISTINCT hv FROM (
-                SELECT hv FROM (SELECT hv, row_number() OVER (ORDER BY hv) AS r2 FROM (SELECT DISTINCT hv FROM hvt WHERE m <= ${j - 1}) a) b WHERE r2 <= 32
+                (SELECT hv FROM (SELECT DISTINCT hv FROM hvt WHERE m <= ${j - 1}) a ORDER BY hv LIMIT 32)
                 UNION ALL
-                SELECT hv FROM (SELECT hv, row_number() OVER (ORDER BY hv) AS r3 FROM (SELECT DISTINCT hv FROM hvt WHERE m = $j) c) e WHERE r3 <= 32) u) z) y WHERE r <= 32"""
+                (SELECT hv FROM (SELECT DISTINCT hv FROM hvt WHERE m = $j) c ORDER BY hv LIMIT 32)) u) z ORDER BY hv LIMIT 32"""
           s"""l$j AS (
             WITH mg AS ($mergedSrc),
             ${skSql("rb", s"m <= $j")},
             mok AS (SELECT CASE WHEN sum(CASE WHEN mg.hv IS NULL OR rb.hv IS NULL THEN 1 ELSE 0 END) = 0 AND count(*) = 32 THEN 1 ELSE 0 END AS merge_ok FROM mg FULL OUTER JOIN rb ON rb.hv = mg.hv),
-            es AS (SELECT 31 * 1099511627776 // hv AS est_ndv FROM (SELECT hv, row_number() OVER (ORDER BY hv) AS r FROM mg) z WHERE r = 32),
+            es AS (SELECT 31 * 1099511627776 // max(hv) AS est_ndv FROM mg),
             ex AS (SELECT count(DISTINCT c) AS exact_ndv FROM mc WHERE m <= $j),
             sv AS (SELECT (SELECT count(*) FROM mc WHERE m <= ${j - 1}) AS prefix_rows, (SELECT count(*) FROM mc WHERE m = $j) AS month_rows)
             SELECT $j AS step, month_rows, est_ndv, exact_ndv, merge_ok, prefix_rows FROM es CROSS JOIN ex CROSS JOIN mok CROSS JOIN sv)"""

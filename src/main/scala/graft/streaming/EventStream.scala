@@ -1099,21 +1099,20 @@ object EventStream {
   def kmvStream(keys: DataFrame, k: Int = 32)
       (sink: (Long, DataFrame) => Unit)
       : org.apache.spark.sql.streaming.StreamingQuery = {
-    import org.apache.spark.sql.expressions.Window
     var state: DataFrame = null // (hv) k minima
     keys.writeStream
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        // top-k as TakeOrdered (orderBy + limit), never a global window —
+        // the batch side scans ndv-sized sets (PlanShapeSpec hygiene)
         val bsk = batch.toDF().select(
             expr("CAST(conv(substring(md5(concat('kmv:', CAST(c AS STRING))), 1, 10), 16, 10) AS BIGINT)")
               .as("hv"))
           .distinct()
-          .withColumn("r", row_number().over(Window.orderBy("hv")))
-          .where(col("r") <= k).select("hv")
+          .orderBy("hv").limit(k)
         val merged =
           (if (state == null) bsk
            else state.unionByName(bsk).distinct()
-             .withColumn("r", row_number().over(Window.orderBy("hv")))
-             .where(col("r") <= k).select("hv"))
+             .orderBy("hv").limit(k))
             .localCheckpoint(true)
         state = merged
         sink(id, merged)
