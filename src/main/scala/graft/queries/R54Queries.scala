@@ -52,11 +52,12 @@ object R54Queries {
     events.select(
         expr("CAST(conv(substring(md5(concat('hh:', CAST(event_id AS STRING))), 1, 10), 16, 10) AS BIGINT) % 128")
           .as("pu"),
-        (col("event_id") % 8).as("sh"))
+        (col("event_id") % 8).as("sh"),
+        col("event_id").as("eid"))
       .select(expr(
         "CASE WHEN pu < 63 THEN concat('g', CAST(CAST(floor(log2(pu + 1)) AS BIGINT) AS STRING)) " +
           "ELSE concat('u', CAST(pu AS STRING)) END").as("k"),
-        col("sh"), col("pu"))
+        col("sh"), col("pu"), col("eid"))
 
   /** One keyed pass + one bounded window: per-shard key counts ranked
     * (count desc, key asc — deterministic). Everything q391/q392 read —

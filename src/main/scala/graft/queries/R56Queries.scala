@@ -114,7 +114,7 @@ object R56Queries {
         val scans = pr(2).crossJoin(broadcast(pr(3))).crossJoin(broadcast(pr(4)))
         val one = never.crossJoin(broadcast(every)).crossJoin(broadcast(gate))
           .crossJoin(broadcast(fires)).crossJoin(broadcast(scans))
-        one.select(explode(array(
+        val legs = one.select(explode(array(
             struct(lit("1:never").as("policy"), lit(0L).as("rebuilds"),
               lit(0L).as("extra_scan_rows"), col("w_never").as("worst_qerr_bp")),
             struct(lit("2:every_delta").as("policy"), lit(3L).as("rebuilds"),
@@ -127,8 +127,8 @@ object R56Queries {
             col("z.worst_qerr_bp").as("worst_qerr_bp"), col("gate_fires"))
           .withColumn("in_band",
             expr("CAST(CASE WHEN worst_qerr_bp <= 20000 THEN 1 ELSE 0 END AS BIGINT)"))
-          .withColumn("mn", min(when(col("in_band") === 1L, col("extra_scan_rows")))
-            .over(org.apache.spark.sql.expressions.Window.partitionBy(lit(1))))
+        legs.crossJoin(broadcast(legs.where(col("in_band") === 1L)
+            .agg(min("extra_scan_rows").as("mn"))))
           .select(col("policy"), col("rebuilds"), col("extra_scan_rows"),
             col("worst_qerr_bp"), col("gate_fires"), col("in_band"),
             expr("CAST(CASE WHEN in_band = 1 AND extra_scan_rows = mn THEN 1 ELSE 0 END AS BIGINT)")
@@ -162,5 +162,201 @@ object R56Queries {
           s"SELECT sum(CASE WHEN v < bmin OR v > bmin + bw - 1 THEN 1 ELSE 0 END) * 10000 // count(*) AS oor FROM o CROSS JOIN $mxCte WHERE st = $j"
         s"""WITH o0 AS (SELECT CAST(quarter(o_orderdate) AS BIGINT) AS st, CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS v FROM orders), w0 AS (SELECT max(v) - min(v) + 1 AS w0 FROM o0), o AS (SELECT st, CASE WHEN st >= 3 THEN v + (SELECT w0 FROM w0) ELSE v END AS v FROM o0), mx1 AS (${mxSql("st <= 1")}), mx2 AS (${mxSql("st <= 2")}), mx3 AS (${mxSql("st <= 3")}), mx4 AS (${mxSql("st <= 4")}), wn AS ($wNever), we AS ($wEvery), wg AS ($wGate), fires AS (SELECT (CASE WHEN (${oorSql(2, "mx1")}) > 100 THEN 1 ELSE 0 END) + (CASE WHEN (${oorSql(3, "mx1")}) > 100 THEN 1 ELSE 0 END) + (CASE WHEN (${oorSql(4, "mx3")}) > 100 THEN 1 ELSE 0 END) AS gate_fires), scans AS (SELECT (SELECT count(*) FROM o WHERE st <= 2) AS p2, (SELECT count(*) FROM o WHERE st <= 3) AS p3, (SELECT count(*) FROM o WHERE st <= 4) AS p4), legs AS (SELECT '1:never' AS policy, 0 AS rebuilds, 0 AS extra_scan_rows, (SELECT w FROM wn) AS worst_qerr_bp FROM scans UNION ALL SELECT '2:every_delta', 3, p2 + p3 + p4, (SELECT w FROM we) FROM scans UNION ALL SELECT '3:on_gate', (SELECT gate_fires FROM fires), p3, (SELECT w FROM wg) FROM scans), bands AS (SELECT *, CASE WHEN worst_qerr_bp <= 20000 THEN 1 ELSE 0 END AS in_band FROM legs), mn AS (SELECT min(CASE WHEN in_band = 1 THEN extra_scan_rows END) AS mn FROM bands) SELECT policy, CAST(rebuilds AS BIGINT) AS rebuilds, CAST(extra_scan_rows AS BIGINT) AS extra_scan_rows, CAST(worst_qerr_bp AS BIGINT) AS worst_qerr_bp, CAST((SELECT gate_fires FROM fires) AS BIGINT) AS gate_fires, CAST(in_band AS BIGINT) AS in_band, CAST(CASE WHEN in_band = 1 AND extra_scan_rows = (SELECT mn FROM mn) THEN 1 ELSE 0 END AS BIGINT) AS chosen FROM bands CROSS JOIN mn ORDER BY policy"""
       },
-      "A/S ext: ANALYZE-policy chooser EXECUTED — never / every-delta / on-gate histogram maintenance priced over a 4-step ingest with a persistent drift planted at step 3; never is blown (zero estimates + clamp-fattened bin), the q380 gate fires exactly once and matches every-delta's accuracy at one third of its rebuild scans — chosen = the gate"))
+      "A/S ext: ANALYZE-policy chooser EXECUTED — never / every-delta / on-gate histogram maintenance priced over a 4-step ingest with a persistent drift planted at step 3; never is blown (zero estimates + clamp-fattened bin), the q380 gate fires exactly once and matches every-delta's accuracy at one third of its rebuild scans — chosen = the gate"),
+
+    // q399 — ADAPTIVE PER-KEY SALT FRONTIER: q390 salted every sub-key
+    // uniformly; on a zipf key that buys balance by replicating the
+    // WHOLE dim 64x when only the head needed splitting. The adaptive
+    // rule salts each key by its own mass — salt_k = the smallest power
+    // of two with f_k / salt_k ≤ n / target — from the exact per-key
+    // frequency table (a legitimate ANALYZE stat here: the planted key
+    // domain is ≤ ~71 values; q386's bounded-domain class). Six
+    // strategies on the q391 zipf corpus: no salt (the 8.2x-uniform
+    // baseline — one partition owns g5), uniform 64-way (q390's answer:
+    // ~1.6x but 64 replicas of EVERY key = 4544 dim rows), and the
+    // adaptive rule at four nested targets (n/32 … n/256 — all four
+    // salt tables derive from the ONE frequency pass; coarser targets
+    // under-split the head and stall at ~2.6-3.7x because a 32-bucket
+    // hash placement adds collision mass on top of sub-key mass —
+    // the measured gap between the sub-key bound and what placement
+    // delivers). The frontier's answer at every SF: target n/256 is
+    // the first adaptive member inside q390's 2x gate, at ~368
+    // replicas — TWELVE times less replication than uniform for the
+    // same gate — and chosen picks it by min replication among gate
+    // members. Scale: one keyed frequency pass + one loads pass per
+    // candidate (the offline sweep); the shipped config is one
+    // broadcast salt table, and replication is the 100 TB bill here.
+    QuerySpec(
+      "q399_adaptive_salt",
+      (s, d) => {
+        import R39Queries.{md5Bucket, skewSummary}
+        val keyed = R54Queries.hhKeyed(t(s, d, "events"))
+          .select(col("k"),
+            expr("CAST(conv(substring(md5(concat('sl:', CAST(eid AS STRING))), 1, 10), 16, 10) AS BIGINT)")
+              .as("rh"))
+          .localCheckpoint(false)
+        val kc = keyed.groupBy("k").agg(count(lit(1)).as("f")).localCheckpoint(false)
+        val nk = kc.agg(count(lit(1)).as("n_keys"), sum("f").as("n"))
+        def saltOf(target: Int): DataFrame = kc.crossJoin(broadcast(nk))
+          .select(col("k"), expr(
+            s"CAST(CASE WHEN f * $target <= n THEN 1 WHEN f * $target <= 2 * n THEN 2 " +
+              s"WHEN f * $target <= 4 * n THEN 4 WHEN f * $target <= 8 * n THEN 8 " +
+              s"WHEN f * $target <= 16 * n THEN 16 WHEN f * $target <= 32 * n THEN 32 " +
+              "ELSE 64 END AS BIGINT)").as("sa"))
+        def summar(loads: DataFrame, name: String, repl: DataFrame): DataFrame =
+          skewSummary(loads).crossJoin(broadcast(repl))
+            .select(lit(name).as("strategy"), col("repl_rows"), col("parts_used"),
+              col("max_load"), col("skew_bp"),
+              expr("CAST(CASE WHEN skew_bp <= 20000 THEN 1 ELSE 0 END AS BIGINT)")
+                .as("meets_bal"))
+        val none = summar(
+          keyed.groupBy(md5Bucket(col("k"), 32).as("p")).agg(count(lit(1)).as("c")),
+          "1:none", nk.select(col("n_keys").as("repl_rows")))
+        val uni = summar(
+          keyed.groupBy(md5Bucket(concat(col("k"), lit(":"),
+            (col("rh") % 64).cast("string")), 32).as("p")).agg(count(lit(1)).as("c")),
+          "2:uniform64", nk.select(expr("n_keys * 64").as("repl_rows")))
+        val adapt = Seq(32, 64, 128, 256).map { tg =>
+          val sa = saltOf(tg).localCheckpoint(false)
+          summar(
+            keyed.join(broadcast(sa), "k")
+              .groupBy(md5Bucket(concat(col("k"), lit(":"),
+                pmod(col("rh"), col("sa")).cast("string")), 32).as("p"))
+              .agg(count(lit(1)).as("c")),
+            f"${2 + Seq(32, 64, 128, 256).indexOf(tg) + 1}%d:adaptive_t$tg",
+            sa.agg(sum("sa").as("repl_rows")))
+        }
+        val perS = (Seq(none, uni) ++ adapt).reduce(_ unionByName _)
+        perS.crossJoin(broadcast(perS.where(col("meets_bal") === 1L)
+            .agg(min("repl_rows").as("mn"))))
+          .select(col("strategy"), col("repl_rows"), col("parts_used"),
+            col("max_load"), col("skew_bp"), col("meets_bal"),
+            expr("CAST(CASE WHEN meets_bal = 1 AND repl_rows = mn THEN 1 ELSE 0 END AS BIGINT)")
+              .as("chosen"))
+          .orderBy("strategy")
+      },
+      Some {
+        import R39Queries.md5BucketSql
+        val keySql = "CASE WHEN pu < 63 THEN 'g' || CAST(CAST(floor(log2(pu + 1)) AS BIGINT) AS VARCHAR) ELSE 'u' || CAST(pu AS VARCHAR) END"
+        def adaptLeg(idx: Int, tg: Int): String =
+          s"""SELECT '$idx:adaptive_t$tg' AS strategy,
+            (SELECT sum(sa) FROM (SELECT CASE WHEN f * $tg <= (SELECT n FROM nk) THEN 1 WHEN f * $tg <= 2 * (SELECT n FROM nk) THEN 2 WHEN f * $tg <= 4 * (SELECT n FROM nk) THEN 4 WHEN f * $tg <= 8 * (SELECT n FROM nk) THEN 8 WHEN f * $tg <= 16 * (SELECT n FROM nk) THEN 16 WHEN f * $tg <= 32 * (SELECT n FROM nk) THEN 32 ELSE 64 END AS sa FROM kc) z) AS repl_rows,
+            count(*) AS parts_used, max(c) AS max_load, max(c) * 32 * 10000 // sum(c) AS skew_bp
+            FROM (SELECT ${md5BucketSql("ky.k || ':' || CAST(ky.rh % sa.sa AS VARCHAR)", 32)} AS p, count(*) AS c
+                  FROM keyed ky JOIN (SELECT k, CASE WHEN f * $tg <= (SELECT n FROM nk) THEN 1 WHEN f * $tg <= 2 * (SELECT n FROM nk) THEN 2 WHEN f * $tg <= 4 * (SELECT n FROM nk) THEN 4 WHEN f * $tg <= 8 * (SELECT n FROM nk) THEN 8 WHEN f * $tg <= 16 * (SELECT n FROM nk) THEN 16 WHEN f * $tg <= 32 * (SELECT n FROM nk) THEN 32 ELSE 64 END AS sa FROM kc) sa ON sa.k = ky.k GROUP BY 1) g"""
+        val legs = Seq(
+          s"""SELECT '1:none' AS strategy, (SELECT n_keys FROM nk) AS repl_rows, count(*) AS parts_used, max(c) AS max_load, max(c) * 32 * 10000 // sum(c) AS skew_bp FROM (SELECT ${md5BucketSql("k", 32)} AS p, count(*) AS c FROM keyed GROUP BY 1) g""",
+          s"""SELECT '2:uniform64', (SELECT n_keys * 64 FROM nk), count(*), max(c), max(c) * 32 * 10000 // sum(c) FROM (SELECT ${md5BucketSql("k || ':' || CAST(rh % 64 AS VARCHAR)", 32)} AS p, count(*) AS c FROM keyed GROUP BY 1) g""",
+          adaptLeg(3, 32), adaptLeg(4, 64), adaptLeg(5, 128), adaptLeg(6, 256))
+          .mkString(" UNION ALL ")
+        s"""WITH keyed AS (SELECT $keySql AS k, CAST(concat('0x', substr(md5('sl:' || CAST(event_id AS VARCHAR)), 1, 10)) AS BIGINT) AS rh FROM (SELECT event_id, CAST(concat('0x', substr(md5('hh:' || CAST(event_id AS VARCHAR)), 1, 10)) AS BIGINT) % 128 AS pu FROM events) z), kc AS (SELECT k, count(*) AS f FROM keyed GROUP BY 1), nk AS (SELECT count(*) AS n_keys, sum(f) AS n FROM kc), legs AS ($legs), bands AS (SELECT *, CASE WHEN skew_bp <= 20000 THEN 1 ELSE 0 END AS meets_bal FROM legs), mn AS (SELECT min(CASE WHEN meets_bal = 1 THEN repl_rows END) AS mn FROM bands) SELECT strategy, CAST(repl_rows AS BIGINT) AS repl_rows, CAST(parts_used AS BIGINT) AS parts_used, CAST(max_load AS BIGINT) AS max_load, CAST(skew_bp AS BIGINT) AS skew_bp, CAST(meets_bal AS BIGINT) AS meets_bal, CAST(CASE WHEN meets_bal = 1 AND repl_rows = (SELECT mn FROM mn) THEN 1 ELSE 0 END AS BIGINT) AS chosen FROM bands CROSS JOIN mn ORDER BY strategy"""
+      },
+      "S/J ext: adaptive per-key salt frontier — each key salted by its own mass (smallest power of two meeting the per-sub-key target), four nested targets from ONE frequency pass next to no-salt and q390's uniform 64-way; target n/256 is the first gate member and ships 12x less dim replication than uniform for the same 2x balance"),
+
+    // q400 — RANGE-PARTITION BOUNDARY CHOOSER (the write-side layout
+    // decision): a table sorted-by-value prunes value predicates, but
+    // WHERE the 32 boundaries sit decides whether the files are equal
+    // or one writer drowns. events.value is the one genuinely skewed
+    // numeric in the corpus (exponential-ish: equal-WIDTH boundaries
+    // put 5.5-9.3x uniform in the densest partition and leave 2-5
+    // partitions empty — measured, not planted). Four strategies, each
+    // APPLIED (every row assigned, real loads measured): row-hash
+    // (balanced ~1.0x but every partition spans the whole value range
+    // — 496 of 496 range pairs overlap, zero pruning); equal-width
+    // (range-disjoint but blown); boundaries read off the 256-bin
+    // sketch's cumulative (q357/q381's summary driving a LAYOUT: the
+    // bin→partition map is 256 rows of state, balance bounded by the
+    // heaviest bin at ≤1.8x — inside the 2x gate); and exact element
+    // quantiles (the ~1.0x gold standard, but its state is the full
+    // value multiset — the sort a 100 TB writer cannot afford).
+    // range_overlaps certifies disjointness from the APPLIED loads'
+    // own min/max (self-join on the 32-row table), and chosen = the
+    // cheapest strategy that is both in the balance gate and
+    // range-disjoint: the sketch, at 256 values of state. Scale: the
+    // sketch path is one map-side bin pass + a 256-row broadcast map —
+    // repartitionByRange semantics without sampling the corpus twice.
+    QuerySpec(
+      "q400_range_boundaries",
+      (s, d) => {
+        import R39Queries.{md5Bucket, skewSummary}
+        import org.apache.spark.sql.expressions.Window
+        val rows = t(s, d, "events").select(col("event_id").as("eid"),
+          expr("CAST(floor(value * 100.0 + 0.5) AS BIGINT)").as("v"))
+          .localCheckpoint(false)
+        val mx = rows.agg(min("v").as("a"), expr("max(v) - min(v) + 1").as("w"),
+          count(lit(1)).as("n")).localCheckpoint(false)
+        def summar(name: String, withP: DataFrame, state: DataFrame): DataFrame = {
+          val loads = withP.groupBy("p").agg(count(lit(1)).as("c"),
+            min("v").as("pmin"), max("v").as("pmax")).localCheckpoint(false)
+          val ov = loads.as("x").join(broadcast(loads.as("y")),
+              expr("x.p < y.p AND x.pmax >= y.pmin AND y.pmax >= x.pmin"))
+            .agg(count(lit(1)).as("range_overlaps"))
+          skewSummary(loads.select("p", "c"))
+            .crossJoin(broadcast(ov)).crossJoin(broadcast(state))
+            .select(lit(name).as("strategy"), col("parts_used"), col("max_load"),
+              col("skew_bp"), col("range_overlaps"), col("state_units"),
+              expr("CAST(CASE WHEN skew_bp <= 20000 THEN 1 ELSE 0 END AS BIGINT)")
+                .as("meets_bal"),
+              expr("CAST(CASE WHEN range_overlaps = 0 THEN 1 ELSE 0 END AS BIGINT)")
+                .as("disjoint"))
+        }
+        val hash = summar("1:hash",
+          rows.withColumn("p",
+            md5Bucket(concat(lit("h:"), col("eid").cast("string")), 32)),
+          mx.select(lit(0L).as("state_units")))
+        val width = summar("2:equal_width",
+          rows.crossJoin(broadcast(mx))
+            .withColumn("p", expr("least(31, (v - a) * 32 div w)")),
+          mx.select(lit(2L).as("state_units")))
+        val bmap = rows.crossJoin(broadcast(mx))
+          .groupBy(expr("least(255, (v - a) * 256 div w)").as("b"))
+          .agg(count(lit(1)).as("bc"))
+          .withColumn("cum", sum("bc").over(Window.orderBy("b")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .crossJoin(broadcast(mx))
+          .select(col("b"), expr("least(31, cum * 32 div (n + 1))").as("p"))
+        val sketch = summar("3:sketch_cum256",
+          rows.crossJoin(broadcast(mx))
+            .withColumn("b", expr("least(255, (v - a) * 256 div w)"))
+            .join(broadcast(bmap), "b"),
+          mx.select(lit(256L).as("state_units")))
+        val fracs = (1 to 31).map(_ / 32.0)
+        val cuts = graft.ops.QuantileOps.exactElementQuantiles(
+          rows.select("v"), "v", Seq.empty, fracs)
+        val pExpr = "CAST(" + (1 to 31).map(i =>
+          s"(CASE WHEN v > cut_$i THEN 1 ELSE 0 END)").mkString(" + ") + " AS BIGINT)"
+        val exact = summar("4:exact_quantile",
+          rows.crossJoin(broadcast(cuts)).withColumn("p", expr(pExpr)),
+          mx.select(col("n").as("state_units")))
+        val perS = Seq(hash, width, sketch, exact).reduce(_ unionByName _)
+        perS.crossJoin(broadcast(perS
+            .where(expr("meets_bal = 1 AND disjoint = 1"))
+            .agg(min("state_units").as("mn"))))
+          .select(col("strategy"), col("parts_used"), col("max_load"),
+            col("skew_bp"), col("range_overlaps"), col("state_units"),
+            col("meets_bal"), col("disjoint"),
+            expr("CAST(CASE WHEN meets_bal = 1 AND disjoint = 1 AND state_units = mn THEN 1 ELSE 0 END AS BIGINT)")
+              .as("chosen"))
+          .orderBy("strategy")
+      },
+      Some {
+        import R39Queries.md5BucketSql
+        val exQ = graft.ops.QuantileOps.oracleSql(
+          "(SELECT CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS v FROM events) t",
+          "v", Seq.empty, (1 to 31).map(_ / 32.0))
+        val pSum = (1 to 31).map(i =>
+          s"(CASE WHEN v > cut_$i THEN 1 ELSE 0 END)").mkString(" + ")
+        def legSql(name: String, pSrc: String, state: String): String =
+          s"""SELECT '$name' AS strategy, count(*) AS parts_used, max(c) AS max_load,
+            max(c) * 32 * 10000 // sum(c) AS skew_bp,
+            (SELECT count(*) FROM ($pSrc) x JOIN ($pSrc) y ON x.p < y.p AND x.pmax >= y.pmin AND y.pmax >= x.pmin) AS range_overlaps,
+            $state AS state_units
+            FROM ($pSrc) g"""
+        val hashSrc = s"SELECT ${md5BucketSql("'h:' || CAST(event_id AS VARCHAR)", 32)} AS p, count(*) AS c, min(v) AS pmin, max(v) AS pmax FROM rows_s GROUP BY 1"
+        val widthSrc = "SELECT least(31, (v - a) * 32 // w) AS p, count(*) AS c, min(v) AS pmin, max(v) AS pmax FROM rows_s CROSS JOIN mx GROUP BY 1"
+        val sketchSrc = "SELECT bm.p, count(*) AS c, min(v) AS pmin, max(v) AS pmax FROM (SELECT v, least(255, (v - a) * 256 // w) AS b FROM rows_s CROSS JOIN mx) r JOIN bmap bm ON bm.b = r.b GROUP BY 1"
+        val exactSrc = s"SELECT CAST($pSum AS BIGINT) AS p, count(*) AS c, min(v) AS pmin, max(v) AS pmax FROM rows_s CROSS JOIN cuts GROUP BY 1"
+        s"""WITH rows_s AS (SELECT event_id, CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS v FROM events), mx AS (SELECT min(v) AS a, max(v) - min(v) + 1 AS w, count(*) AS n FROM rows_s), bins AS (SELECT least(255, (v - a) * 256 // w) AS b, count(*) AS bc FROM rows_s CROSS JOIN mx GROUP BY 1), bmap AS (SELECT b, least(31, (sum(bc) OVER (ORDER BY b ROWS UNBOUNDED PRECEDING)) * 32 // ((SELECT n FROM mx) + 1)) AS p FROM bins), cuts AS (SELECT * FROM $exQ q), legs AS (${legSql("1:hash", hashSrc, "0")} UNION ALL ${legSql("2:equal_width", widthSrc, "2")} UNION ALL ${legSql("3:sketch_cum256", sketchSrc, "256")} UNION ALL ${legSql("4:exact_quantile", exactSrc, "(SELECT n FROM mx)")}), bands AS (SELECT *, CASE WHEN skew_bp <= 20000 THEN 1 ELSE 0 END AS meets_bal, CASE WHEN range_overlaps = 0 THEN 1 ELSE 0 END AS disjoint FROM legs), mn AS (SELECT min(CASE WHEN meets_bal = 1 AND disjoint = 1 THEN state_units END) AS mn FROM bands) SELECT strategy, CAST(parts_used AS BIGINT) AS parts_used, CAST(max_load AS BIGINT) AS max_load, CAST(skew_bp AS BIGINT) AS skew_bp, CAST(range_overlaps AS BIGINT) AS range_overlaps, CAST(state_units AS BIGINT) AS state_units, CAST(meets_bal AS BIGINT) AS meets_bal, CAST(disjoint AS BIGINT) AS disjoint, CAST(CASE WHEN meets_bal = 1 AND disjoint = 1 AND state_units = (SELECT mn FROM mn) THEN 1 ELSE 0 END AS BIGINT) AS chosen FROM bands CROSS JOIN mn ORDER BY strategy"""
+      },
+      "S/L ext: range-partition boundary chooser APPLIED — row-hash, equal-width, 256-bin-sketch-cumulative and exact-quantile boundaries all materialized into 32-way assignments of the naturally skewed events.value; balance and range-disjointness certified from the applied loads, and the sketch is chosen (in the 2x gate, zero overlapping ranges, 256 values of state vs the exact sort's full multiset)"))
 }

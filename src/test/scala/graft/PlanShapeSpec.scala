@@ -237,7 +237,12 @@ class PlanShapeSpec extends SparkSpecBase {
       // q384 — the q367 sweep class: suffix-sum and argmin windows over
       //        the ≤7-row TTL⋈bucket table (replays contribute one
       //        map-side bucket classification + keyed aggregation)
-      "q384_dedup_retention")
+      "q384_dedup_retention",
+      // q400 — two allowlisted classes in one query: the q357-class
+      //        cum over the ≤256-row bin table (the sketch boundary
+      //        map), and the q213-class ungrouped QuantileOps grid for
+      //        the exact-quantile grader leg
+      "q400_range_boundaries")
     // balanced-paren extraction: a naive [^)]* capture truncates at the
     // first ')' inside an ORDER BY expression like round(x, 2), which
     // would hide its ASC/DESC marker and let a global window through

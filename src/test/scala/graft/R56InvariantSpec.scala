@@ -30,4 +30,56 @@ class R56InvariantSpec extends SparkSpecBase {
       s"on_gate must scan less than half of every_delta: $gate vs $every")
     assert(gate._7 == 1L && never._7 == 0L && every._7 == 0L)
   }
+
+  test("q399 adaptive salt: frontier monotone in target, chosen is the cheapest gate member") {
+    val rows = SparkEntry.queries("q399_adaptive_salt")(spark, sf001)
+      .select("strategy", "repl_rows", "parts_used", "max_load", "skew_bp",
+        "meets_bal", "chosen")
+      .as[(String, Long, Long, Long, Long, Long, Long)]
+      .collect().sortBy(_._1)
+    assert(rows.length == 6)
+    val none = rows.head
+    val uni = rows(1)
+    val adapt = rows.drop(2)
+    // the diagnosis: unsalted zipf puts one key's whole mass on one
+    // partition (>= 8x uniform) — and pays no replication
+    assert(none._5 >= 80000L && none._6 == 0L)
+    // finer targets can only pay more replication, and the measured
+    // balance improves along the frontier's gate boundary
+    adapt.sliding(2).foreach { case Array(a, b) =>
+      assert(b._2 >= a._2, s"replication not monotone in target: $a -> $b")
+    }
+    // only the finest target joins uniform64 in the 2x gate...
+    assert(adapt.last._6 == 1L && uni._6 == 1L)
+    adapt.init.foreach(r => assert(r._6 == 0L,
+      s"a coarser target must miss the gate (collision mass): $r"))
+    // ...and it ships an order of magnitude less replication
+    assert(adapt.last._2 * 10L < uni._2,
+      s"adaptive must beat uniform replication 10x: ${adapt.last._2} vs ${uni._2}")
+    val chosen = rows.filter(_._7 == 1L)
+    assert(chosen.length == 1 && chosen.head._1 == "6:adaptive_t256")
+  }
+
+  test("q400 range boundaries: sketch is the only cheap strategy that is balanced AND prunable") {
+    val rows = SparkEntry.queries("q400_range_boundaries")(spark, sf001)
+      .select("strategy", "parts_used", "max_load", "skew_bp", "range_overlaps",
+        "state_units", "meets_bal", "disjoint", "chosen")
+      .as[(String, Long, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().sortBy(_._1)
+    assert(rows.length == 4)
+    val Array(hash, width, sketch, exact) = rows
+    // hash: balanced, but every partition spans the whole range — all
+    // 496 pairs overlap, nothing can ever be pruned
+    assert(hash._7 == 1L && hash._5 == 496L && hash._8 == 0L)
+    // equal width: disjoint but blown by the natural value skew
+    assert(width._8 == 1L && width._4 >= 40000L && width._7 == 0L)
+    // the sketch: in the gate, fully disjoint, 256 values of state
+    assert(sketch._7 == 1L && sketch._8 == 1L && sketch._6 == 256L)
+    // exact quantiles: the gold standard on balance, at full-multiset
+    // state — the sort the sketch exists to avoid
+    assert(exact._7 == 1L && exact._8 == 1L && exact._6 > sketch._6 * 3L)
+    assert(exact._4 <= sketch._4)
+    val chosen = rows.filter(_._9 == 1L)
+    assert(chosen.length == 1 && chosen.head._1 == "3:sketch_cum256")
+  }
 }
