@@ -82,7 +82,22 @@ object PlanAudit {
     // fr⋈fs equi-join; the pin protects the single-pass-per-side
     // shape (a de-fused build would rescan each fact table three
     // times per pair)
-    "q385_cross_joinsize")
+    "q385_cross_joinsize",
+    // round-11 heavy tier (2.8-4.0 s warm at sf0.1): q397 is the
+    // 12-step KMV merge chain — each step is two TakeOrdered sketches
+    // plus the prefix-rebuild grader (the certification cost; state in
+    // production is 32 values and each step O(k)); the pin protects
+    // every top-32 staying a TakeOrderedAndProject, never a global
+    // window over the ndv-sized hash set. q398 carries ten prefix
+    // histogram/battery passes across three policies — the grading
+    // convention — with every hist/preds build a broadcast-joined
+    // aggregate. q400 applies four partitioning strategies to every
+    // row; the pin protects the 256-row boundary map staying broadcast
+    // and the 32-row overlap self-join staying a BroadcastNestedLoop,
+    // never a cartesian
+    "q397_kmv_incremental",
+    "q398_analyze_policy",
+    "q400_range_boundaries")
 
   /** Node kinds whose counts define a plan's cost signature. Matched
     * against SparkPlan.nodeName ("Exchange" is ShuffleExchangeExec's
