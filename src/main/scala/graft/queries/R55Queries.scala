@@ -330,43 +330,54 @@ object R55Queries {
             expr("CAST(conv(substring(md5(concat('kmv:', CAST(c AS STRING))), 1, 10), 16, 10) AS BIGINT)")
               .as("hv"))
           .distinct().localCheckpoint(false)
-        val exact = mc.localCheckpoint(false)
-        // every top-32 is a TakeOrdered (orderBy + limit) — the rebuild
-        // legs scan prefix-ndv-sized sets where a global window would be
-        // the single worst scale-up operator; theta is the 32-row
-        // sketch's max
-        def sk(cond: String): DataFrame =
-          hv.where(expr(cond)).select("hv").distinct()
-            .orderBy("hv").limit(32)
+        // grader fusion (the r11 bench pass): all 12 exact prefix NDVs
+        // come from ONE first-seen pass (a customer counts at its min
+        // month; cumulating new-customer counts IS countDistinct per
+        // prefix), and all 24 row counts from one per-month count —
+        // instead of 12 countDistinct shuffles + 24 scans. The sketch
+        // legs read the per-hv min-month table (hvm), so each prefix
+        // top-32 is a TakeOrdered over the deduped ndv-sized set — and
+        // never a global window, the single worst scale-up operator.
+        val hvm = hv.groupBy("hv").agg(min("m").as("fm")).localCheckpoint(false)
+        val fsc = mc.groupBy("c").agg(min("m").as("fm"))
+          .groupBy("fm").agg(count(lit(1)).as("newc")).localCheckpoint(false)
+        val mrows = mc.groupBy("m").agg(count(lit(1)).as("mr")).localCheckpoint(false)
+        val steps = s.range(1, 13).toDF("step")
+        val exTbl = steps.crossJoin(broadcast(fsc)).groupBy("step")
+          .agg(sum(when(col("fm") <= col("step"), col("newc")).otherwise(0L))
+            .as("exact_ndv"))
+        val rowTbl = steps.crossJoin(broadcast(mrows)).groupBy("step")
+          .agg(sum(when(col("m") < col("step"), col("mr")).otherwise(0L))
+            .as("prefix_rows"),
+            sum(when(col("m") === col("step"), col("mr")).otherwise(0L))
+              .as("month_rows"))
+        def skP(j: Int): DataFrame =
+          hvm.where(col("fm") <= j).select("hv").orderBy("hv").limit(32)
+        def skM(j: Int): DataFrame =
+          hv.where(col("m") === j).select("hv").orderBy("hv").limit(32)
         def leg(j: Int): DataFrame = {
           val merged =
-            (if (j == 1) sk("m = 1")
-             else sk(s"m <= ${j - 1}").unionByName(sk(s"m = $j")).distinct()
+            (if (j == 1) skM(1)
+             else skP(j - 1).unionByName(skM(j)).distinct()
                .orderBy("hv").limit(32)).localCheckpoint(false)
-          val rebuilt = sk(s"m <= $j")
-          val mergeOk = merged.join(rebuilt, Seq("hv"), "full_outer")
+          val mergeOk = merged.join(skP(j), Seq("hv"), "full_outer")
             .agg(sum(when(col("hv").isNull, 1L).otherwise(0L)).as("miss"),
               count(lit(1)).as("tot"))
             .select(expr("CAST(CASE WHEN miss = 0 AND tot = 32 THEN 1 ELSE 0 END AS BIGINT)")
               .as("merge_ok"))
-          val est = merged.agg(expr("31 * 1099511627776 div max(hv)").as("est_ndv"))
-          val ex = exact.where(expr(s"m <= $j"))
-            .agg(countDistinct("c").as("exact_ndv"))
-          val saved = exact.where(expr(s"m <= ${j - 1}"))
-            .agg(count(lit(1)).as("prefix_rows"))
-            .crossJoin(broadcast(exact.where(expr(s"m = $j"))
-              .agg(count(lit(1)).as("month_rows"))))
-          est.crossJoin(broadcast(ex)).crossJoin(broadcast(mergeOk))
-            .crossJoin(broadcast(saved))
-            .select(lit(j.toLong).as("step"), col("month_rows"),
-              col("est_ndv"), col("exact_ndv"),
-              expr("greatest(est_ndv * 10000 div greatest(exact_ndv, 1), exact_ndv * 10000 div greatest(est_ndv, 1))")
-                .as("qerr_bp"),
-              col("merge_ok"),
-              col("prefix_rows").as("rescan_rows_saved"),
-              lit(32L).as("state_units"))
+          merged.agg(expr("31 * 1099511627776 div max(hv)").as("est_ndv"))
+            .crossJoin(broadcast(mergeOk))
+            .select(lit(j.toLong).as("step"), col("est_ndv"), col("merge_ok"))
         }
-        (1 to 12).map(leg).reduce(_ unionByName _).orderBy("step")
+        (1 to 12).map(leg).reduce(_ unionByName _)
+          .join(broadcast(exTbl), "step").join(broadcast(rowTbl), "step")
+          .select(col("step"), col("month_rows"), col("est_ndv"), col("exact_ndv"),
+            expr("greatest(est_ndv * 10000 div greatest(exact_ndv, 1), exact_ndv * 10000 div greatest(est_ndv, 1))")
+              .as("qerr_bp"),
+            col("merge_ok"),
+            col("prefix_rows").as("rescan_rows_saved"),
+            lit(32L).as("state_units"))
+          .orderBy("step")
       },
       Some {
         def skSql(cte: String, cond: String): String =
