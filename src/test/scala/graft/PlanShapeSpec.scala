@@ -242,7 +242,11 @@ class PlanShapeSpec extends SparkSpecBase {
       //        cum over the ≤256-row bin table (the sketch boundary
       //        map), and the q213-class ungrouped QuantileOps grid for
       //        the exact-quantile grader leg
-      "q400_range_boundaries")
+      "q400_range_boundaries",
+      // q401 — the same q357-class 256-row boundary cum, plus a
+      //        row_number over the 3-row probe battery (a TakeOrdered
+      //        limit(3) output)
+      "q401_zonemap_pruning")
     // balanced-paren extraction: a naive [^)]* capture truncates at the
     // first ')' inside an ORDER BY expression like round(x, 2), which
     // would hide its ASC/DESC marker and let a global window through

@@ -82,4 +82,32 @@ class R56InvariantSpec extends SparkSpecBase {
     val chosen = rows.filter(_._9 == 1L)
     assert(chosen.length == 1 && chosen.head._1 == "3:sketch_cum256")
   }
+
+  test("q401 zone-map pruning: range layout scans one partition per probe, hash scans everything, nothing missed") {
+    val rows = SparkEntry.queries("q401_zonemap_pruning")(spark, sf001)
+      .select("probe_id", "layout", "act_rows", "parts_touched", "rows_scanned",
+        "amp_bp", "missed", "pruned_bp")
+      .as[(Long, String, Long, Long, Long, Long, Long, Long)]
+      .collect()
+    assert(rows.length == 6)
+    // soundness everywhere: pruning never loses a matching row, and the
+    // touched set always covers the answer
+    rows.foreach { r =>
+      assert(r._7 == 0L, s"zone-map pruning lost rows: $r")
+      assert(r._5 >= r._3 && r._3 > 0L, s"touched set does not cover the probe: $r")
+    }
+    val (hash, range) = rows.partition(_._2.startsWith("1"))
+    // the range layout's zone maps are sharp: exactly one partition per
+    // probe, scan == answer (amp 1.0x), ~95% of the table pruned
+    range.foreach { r =>
+      assert(r._4 == 1L && r._6 == 10000L && r._8 >= 9000L,
+        s"range layout must touch exactly its one partition: $r")
+    }
+    // the hash layout's every zone spans the whole range: nearly all
+    // partitions touched, ~20x amplification, nothing pruned
+    hash.foreach { r =>
+      assert(r._4 >= 30L && r._6 >= 100000L && r._8 <= 500L,
+        s"hash layout must be unprunable: $r")
+    }
+  }
 }
