@@ -97,7 +97,14 @@ object PlanAudit {
     // never a cartesian
     "q397_kmv_incremental",
     "q398_analyze_policy",
-    "q400_range_boundaries")
+    "q400_range_boundaries",
+    // straddling the 2 s line run-to-run: q390's seven grid legs + the
+    // raw-row apply (the pin protects the 192-row grid staying the
+    // priced side — a de-fused frontier would rescan lineitem per
+    // factor), q394's three pair legs each carrying the exact
+    // union/intersection grader over the distinct-customer table
+    "q390_salt_chooser",
+    "q394_kmv_setops")
 
   /** Node kinds whose counts define a plan's cost signature. Matched
     * against SparkPlan.nodeName ("Exchange" is ShuffleExchangeExec's
