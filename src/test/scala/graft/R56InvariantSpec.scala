@@ -110,4 +110,32 @@ class R56InvariantSpec extends SparkSpecBase {
         s"hash layout must be unprunable: $r")
     }
   }
+
+  test("q402 runtime bloom: no false negatives, FPP inside the fill bound, decision splits the scenarios") {
+    val rows = SparkEntry.queries("q402_runtime_bloom")(spark, sf001)
+      .select("scenario", "n_keys", "bits_set", "fill_bp", "fact_rows",
+        "true_rows", "rows_pass", "fp_keys", "fpp_bp", "fpp_bound_bp",
+        "no_false_neg", "fp_ok", "reduction_bp", "apply_filter", "state_bits")
+      .as[(String, Long, Long, Long, Long, Long, Long, Long, Long, Long,
+        Long, Long, Long, Long, Long)]
+      .collect().sortBy(_._1)
+    assert(rows.length == 2)
+    rows.foreach { r =>
+      // the theorem, checked from data: a bloom filter never drops a
+      // true key, and everything it passes covers the true rows
+      assert(r._11 == 1L, s"false negative — not a bloom filter: $r")
+      assert(r._7 >= r._6, s"pass set must cover the true rows: $r")
+      assert(r._12 == 1L, s"measured FPP outside the fill^4 bound: $r")
+      assert(r._15 == 65536L && r._3 <= 65536L)
+    }
+    val Array(sel, broad) = rows
+    // the selective scenario: tiny fill, >=95% of fact rows never
+    // shuffle — the filter is applied
+    assert(sel._4 < 1000L && sel._13 >= 9500L && sel._14 == 1L,
+      s"selective scenario must justify the filter: $sel")
+    // the broad complement: the join keeps ~97% of rows, so even a
+    // perfect filter saves ~3% — refused on measured reduction
+    assert(broad._13 < 2500L && broad._14 == 0L,
+      s"broad scenario must be refused: $broad")
+  }
 }
