@@ -34,13 +34,15 @@ object R52Queries {
     conv(substring(md5(concat(lit(tag), c.cast("string"))), 1, 10), 16, 10).cast("long")
 
   /** q385's ONE keyed pass per join side over (k, hh) rows: the exact
-    * per-key frequency f plus the 25%-sample per-key count c that feeds
-    * GEE. ScaleSlopeSpec measures this exact core (SLOPES artifact).
+    * per-key frequency f_tag plus the 25%-sample per-key count sc_tag
+    * that feeds GEE (both tag-qualified so two sides join without
+    * ambiguous columns). ScaleSlopeSpec measures this exact core
+    * (SLOPES artifact).
     */
   private[graft] def keyedSideStats(x: DataFrame, tag: String): DataFrame =
     x.groupBy("k")
       .agg(count(lit(1)).as(s"f_$tag"),
-        sum(when(col("hh") < 1073741824L, 1L).otherwise(0L)).as("c"))
+        sum(when(col("hh") < 1073741824L, 1L).otherwise(0L)).as(s"sc_$tag"))
 
   /** q384's planted at-least-once delivery stream: every event delivered
     * once at its own ts, plus — for the 20% of keys the `dr:` hash
@@ -198,15 +200,15 @@ object R52Queries {
           def stats(x: DataFrame, tag: String): (DataFrame, DataFrame, DataFrame) = {
             val fr = keyedSideStats(x, tag).localCheckpoint(false)
             val gee = fr.agg(
-              (sum(when(col("c") > 0L, 1L).otherwise(0L)) +
-                sum(when(col("c") === 1L, 1L).otherwise(0L))).as(s"gee_$tag"),
-              sum("c").as(s"srows_$tag"))
+              (sum(when(col(s"sc_$tag") > 0L, 1L).otherwise(0L)) +
+                sum(when(col(s"sc_$tag") === 1L, 1L).otherwise(0L))).as(s"gee_$tag"),
+              sum(s"sc_$tag").as(s"srows_$tag"))
             val cm = fr.select(col(s"f_$tag").as("f"), explode(array((1 to 3).map(i =>
                 struct(lit(i.toLong).as("hr"),
                   pmod(h40(s"cm$i:", col("k")), lit(8192L)).as("cell"))): _*)).as("z"))
               .groupBy(col("z.hr").as("hr"), col("z.cell").as("cell"))
               .agg(sum("f").as(s"c_$tag"))
-            (fr.drop("c"), gee, cm)
+            (fr.drop(s"sc_$tag"), gee, cm)
           }
           val (fr, geeR, cmR) = stats(r, "r")
           val (fs, geeS, cmS) = stats(sd, "s")

@@ -102,10 +102,14 @@ object R56Queries {
           o.where(s"st <= $j").crossJoin(broadcast(preds(j)))
             .where(expr("v BETWEEN lo AND hi"))
             .groupBy("pred_id").agg(count(lit(1)).as("act"))
+        // left join from est to act with coalesce(act, 0): a phantom
+        // predicate (est > 0, act = 0 — no matching rows at a step) must
+        // blow worst_qerr_bp, not silently vanish from the max (the q395
+        // phantom_indep convention applied to the policy grader)
         def worstOf(steps: Seq[(Int, DataFrame)], name: String): DataFrame =
           steps.map { case (j, mx) =>
-            estB(j, mx).join(actB(j), "pred_id")
-              .select(expr("greatest(est * 10000 div greatest(act, 1), act * 10000 div greatest(est, 1))")
+            estB(j, mx).join(actB(j), Seq("pred_id"), "left")
+              .select(expr("greatest(est * 10000 div greatest(coalesce(act, 0), 1), coalesce(act, 0) * 10000 div greatest(est, 1))")
                 .as("qerr"))
           }.reduce(_ unionByName _)
             .agg(max("qerr").as(name))
@@ -160,10 +164,10 @@ object R56Queries {
             FROM (SELECT min(v) AS pmin, max(v) - min(v) + 1 AS pw FROM o WHERE st <= $j) m,
             (SELECT unnest(generate_series(0, 3)) AS j) g"""
         def qerrSql(j: Int, mxCte: String): String =
-          s"""SELECT greatest(est * 10000 // greatest(act, 1), act * 10000 // greatest(est, 1)) AS qerr
+          s"""SELECT greatest(est * 10000 // greatest(coalesce(act, 0), 1), coalesce(act, 0) * 10000 // greatest(est, 1)) AS qerr
             FROM (SELECT p.pred_id, coalesce(sum((hb.cnt * greatest(0, least(p.hi, hb.bhi) - greatest(p.lo, hb.blo) + 1) * 1000000) // (hb.bhi - hb.blo + 1)), 0) // 1000000 AS est
                   FROM (${predsSql(j)}) p LEFT JOIN (${histSql(j, mxCte)}) hb ON hb.bhi >= p.lo AND hb.blo <= p.hi GROUP BY 1) e
-            JOIN (SELECT p.pred_id, count(*) AS act FROM (${predsSql(j)}) p JOIN o ON o.st <= $j AND o.v BETWEEN p.lo AND p.hi GROUP BY 1) a ON a.pred_id = e.pred_id"""
+            LEFT JOIN (SELECT p.pred_id, count(*) AS act FROM (${predsSql(j)}) p JOIN o ON o.st <= $j AND o.v BETWEEN p.lo AND p.hi GROUP BY 1) a ON a.pred_id = e.pred_id"""
         def worstSql(steps: Seq[(Int, String)]): String =
           steps.map { case (j, mx) => qerrSql(j, mx) }
             .map(x => s"SELECT qerr FROM ($x) q")
@@ -485,7 +489,13 @@ object R56Queries {
     // ~100% at sf0.1). Certified per scenario: NO FALSE NEGATIVES
     // (every true key reaches nh = 4 — the theorem, checked from
     // data), the measured false-positive rate inside twice the
-    // realized-fill bound fill^4 (integer: fill_bp^4 / 1e12), and the
+    // realized-fill bound fill^4 (integer: fill_bp^4 / 1e12) PLUS a
+    // flat 100 bp small-sample slack — at the selective scenario's low
+    // fills the integer bound rounds to ~0 bp, so without the absolute
+    // term one unlucky fp key among a few thousand probed non-members
+    // (ordinary binomial noise) would fail a gate the theory never
+    // promised; once fill is large enough for the bound to be
+    // measurable the slack is negligible against it — and the
     // DECISION — apply_filter gates on measured row reduction >= 25%,
     // passing the selective scenario at every SF (96-99% of fact rows
     // never shuffle) and refusing the broad one (3% reduction at best,
@@ -588,5 +598,5 @@ object R56Queries {
         }
         s"""WITH o AS (SELECT o_orderkey AS k, CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS v FROM orders), pred AS (SELECT a + w // 2 - w // 64 AS lo, a + w // 2 + w // 64 AS hi FROM (SELECT min(v) AS a, max(v) - min(v) + 1 AS w FROM o) m), kc AS (SELECT l_orderkey AS k, count(*) AS f FROM lineitem GROUP BY 1), legs AS (${legSql("1:selective_midband", "sel", "v BETWEEN lo AND hi")} UNION ALL ${legSql("2:broad_complement", "broad", "v NOT BETWEEN lo AND hi")}) SELECT scenario, CAST(n_keys AS BIGINT) AS n_keys, CAST(bits_set AS BIGINT) AS bits_set, CAST(fill_bp AS BIGINT) AS fill_bp, CAST(fact_rows AS BIGINT) AS fact_rows, CAST(true_rows AS BIGINT) AS true_rows, CAST(rows_pass AS BIGINT) AS rows_pass, CAST(fp_keys AS BIGINT) AS fp_keys, CAST(fpp_bp AS BIGINT) AS fpp_bp, CAST(fpp_bound_bp AS BIGINT) AS fpp_bound_bp, CAST(no_false_neg AS BIGINT) AS no_false_neg, CAST(fp_ok AS BIGINT) AS fp_ok, CAST(reduction_bp AS BIGINT) AS reduction_bp, CAST(apply_filter AS BIGINT) AS apply_filter, CAST(65536 AS BIGINT) AS state_bits FROM legs ORDER BY scenario"""
       },
-      "S/J ext: runtime bloom semi-join filter EXECUTED — the filtered dim keys hashed 4 ways into a 65536-bit broadcast bitmap, the fact side probed in ONE keyed pass over distinct join keys; no-false-negative certified from data, measured FPP inside twice the realized-fill bound fill^4, and the apply decision gates on measured row reduction (selective mid-band passes at 96-99% reduction, the broad complement is refused for both reasons a runtime filter gets skipped: selectivity and bitmap saturation)"))
+      "S/J ext: runtime bloom semi-join filter EXECUTED — the filtered dim keys hashed 4 ways into a 65536-bit broadcast bitmap, the fact side probed in ONE keyed pass over distinct join keys; no-false-negative certified from data, measured FPP inside twice the realized-fill bound fill^4 plus a flat 100 bp small-sample slack (the bound rounds to 0 at low fills, where one noise fp key would otherwise fail an unpromised gate), and the apply decision gates on measured row reduction (selective mid-band passes at 96-99% reduction, the broad complement is refused for both reasons a runtime filter gets skipped: selectivity and bitmap saturation)"))
 }
