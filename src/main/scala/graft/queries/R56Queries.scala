@@ -35,6 +35,27 @@ object R56Queries {
 
   private def t(s: SparkSession, d: String, n: String): DataFrame = Tables.load(s, d, n)
 
+  /** q399's adaptive rule as a shared table builder: each key's salt is
+    * the smallest power of two with f_k / salt ≤ n / target, capped at
+    * 64. q403 executes the join at the chosen target through this SAME
+    * function, so the decision and the execution cannot drift.
+    */
+  private[graft] def adaptiveSaltTable(kc: DataFrame, nk: DataFrame, target: Int): DataFrame =
+    kc.crossJoin(broadcast(nk))
+      .select(col("k"), expr(
+        s"CAST(CASE WHEN f * $target <= n THEN 1 WHEN f * $target <= 2 * n THEN 2 " +
+          s"WHEN f * $target <= 4 * n THEN 4 WHEN f * $target <= 8 * n THEN 8 " +
+          s"WHEN f * $target <= 16 * n THEN 16 WHEN f * $target <= 32 * n THEN 32 " +
+          "ELSE 64 END AS BIGINT)").as("sa"))
+
+  /** The same ladder in DuckDB dialect over a `kc CROSS JOIN nk` scope
+    * exposing columns f and n.
+    */
+  private[graft] def saltLadderSql(target: Int): String =
+    s"CASE WHEN f * $target <= n THEN 1 WHEN f * $target <= 2 * n THEN 2 " +
+      s"WHEN f * $target <= 4 * n THEN 4 WHEN f * $target <= 8 * n THEN 8 " +
+      s"WHEN f * $target <= 16 * n THEN 16 WHEN f * $target <= 32 * n THEN 32 ELSE 64 END"
+
   val specs: Seq[QuerySpec] = Seq(
 
     // q398 — ANALYZE-POLICY CHOOSER, EXECUTED: q380 built the drift
@@ -214,12 +235,7 @@ object R56Queries {
           .localCheckpoint(false)
         val kc = keyed.groupBy("k").agg(count(lit(1)).as("f")).localCheckpoint(false)
         val nk = kc.agg(count(lit(1)).as("n_keys"), sum("f").as("n"))
-        def saltOf(target: Int): DataFrame = kc.crossJoin(broadcast(nk))
-          .select(col("k"), expr(
-            s"CAST(CASE WHEN f * $target <= n THEN 1 WHEN f * $target <= 2 * n THEN 2 " +
-              s"WHEN f * $target <= 4 * n THEN 4 WHEN f * $target <= 8 * n THEN 8 " +
-              s"WHEN f * $target <= 16 * n THEN 16 WHEN f * $target <= 32 * n THEN 32 " +
-              "ELSE 64 END AS BIGINT)").as("sa"))
+        def saltOf(target: Int): DataFrame = adaptiveSaltTable(kc, nk, target)
         def summar(loads: DataFrame, name: String, repl: DataFrame): DataFrame =
           skewSummary(loads).crossJoin(broadcast(repl))
             .select(lit(name).as("strategy"), col("repl_rows"), col("parts_used"),

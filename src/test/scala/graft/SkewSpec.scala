@@ -96,4 +96,44 @@ class SkewSpec extends SparkSpecBase {
     assert(salted.max * 5L <= raw.max,
       s"salting must cut the engine hot partition >= 5x (raw ${raw.max} -> salted ${salted.max})")
   }
+
+  test("q399/q403's adaptive salt validated against the REAL partitioner at the chosen target") {
+    // the q390 engine-validation program applied to the ADAPTIVE config
+    // q403 executes: build the per-key salt table at target n/256 via
+    // the same shared rule, actually repartition(32, salted_key), and
+    // check (a) the unsalted planted-zipf key funnels >= 6x uniform;
+    // (b) the adaptive salt lands inside the 2x band under the engine's
+    // Murmur3 (the hash the md5 pricing model never saw) across nearly
+    // all partitions; (c) the replication bill really is an order of
+    // magnitude below uniform64's n_keys * 64 — the 12x q399 priced.
+    import spark.implicits._
+    val keyed = graft.queries.R54Queries.hhKeyed(
+        Tables.load(spark, sf001, "events"))
+      .select(col("k"),
+        expr("CAST(conv(substring(md5(concat('sl:', CAST(eid AS STRING))), 1, 10), 16, 10) AS BIGINT)")
+          .as("rh"))
+      .localCheckpoint(false)
+    val kc = keyed.groupBy("k").agg(count(lit(1)).as("f")).localCheckpoint(false)
+    val nk = kc.agg(count(lit(1)).as("n_keys"), sum("f").as("n"))
+    val sa = graft.queries.R56Queries.adaptiveSaltTable(kc, nk, 256)
+      .localCheckpoint(false)
+    def engineLoads(df: org.apache.spark.sql.DataFrame): Array[Long] =
+      df.repartition(32, col("ek"))
+        .select(spark_partition_id().as("p"))
+        .groupBy("p").agg(count(lit(1)).as("c"))
+        .select("c").as[Long].collect()
+    val (nKeys, n) = nk.as[(Long, Long)].head()
+    val raw = engineLoads(keyed.select(col("k").as("ek")))
+    assert(raw.max * 32L >= n * 6L,
+      s"unsalted planted head not >= 6x uniform on engine partitions (max ${raw.max}, n=$n)")
+    val salted = engineLoads(keyed.join(broadcast(sa), "k")
+      .select(concat(col("k"), lit(":"), pmod(col("rh"), col("sa")).cast("string")).as("ek")))
+    assert(salted.length >= 28,
+      s"adaptive sub-keys must spread over (nearly) all 32 engine partitions, got ${salted.length}")
+    assert(salted.max * 32L <= n * 2L,
+      s"adaptive salt outside the 2x engine band q399 gated on (max ${salted.max}, n=$n)")
+    val replRows = sa.agg(sum("sa")).as[Long].head()
+    assert(replRows * 8L <= nKeys * 64L,
+      s"adaptive replication $replRows not >= 8x below uniform64's ${nKeys * 64}")
+  }
 }
