@@ -119,4 +119,100 @@ class LayoutSpec extends SparkSpecBase {
       }
     }
   }
+
+  test("q400/q401's sketch-range layout holds on physically-written files (real zone maps + engine partition pruning)") {
+    // VERDICT r11 ask #2: q400 chose the 256-bin-sketch boundaries and
+    // q401 priced the pruning on SIMULATED assignments; here both
+    // layouts are physically written (32 real parquet files each, one
+    // per partition), the writer's ACTUAL per-file zone maps are read
+    // back, and q401's model rows must hold on the artifact: one file
+    // touched per probe on the range layout with the model's exact
+    // rows_scanned, all 32 on hash; soundness (matching rows outside
+    // the touched files = 0) certified physically; and the probe,
+    // translated through the 256-row bin→partition map onto the
+    // partition column, must prune DIRECTORIES in the real plan
+    // (PartitionFilters — the engine-side read path a 100 TB scan
+    // takes). The q364/PartitionGrainSpec move applied to this round's
+    // range-layout arc.
+    import graft.queries.R39Queries.md5Bucket
+    val model = SparkEntry.queries("q401_zonemap_pruning")(spark, sf001)
+      .select("probe_id", "layout", "lo", "hi", "act_rows", "parts_touched", "rows_scanned")
+      .as[(Long, String, Long, Long, Long, Long, Long)].collect()
+    assert(model.length == 6)
+
+    val rows = Tables.load(spark, sf001, "events").select(col("event_id").as("eid"),
+      expr("CAST(floor(value * 100.0 + 0.5) AS BIGINT)").as("v"))
+      .localCheckpoint(false)
+    val (a, w, n) = rows.agg(min("v"), expr("max(v) - min(v) + 1"), count(lit(1)))
+      .as[(Long, Long, Long)].head()
+    val bmap = rows
+      .groupBy(expr(s"least(255, (v - $a) * 256 div $w)").as("b"))
+      .agg(count(lit(1)).as("bc"))
+      .withColumn("cum", sum("bc").over(
+        org.apache.spark.sql.expressions.Window.orderBy("b")
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.currentRow)))
+      .select(col("b"), expr(s"least(31, cum * 32 div ($n + 1))").as("p"))
+      .localCheckpoint(false)
+    val asgRange = rows
+      .withColumn("b", expr(s"least(255, (v - $a) * 256 div $w)"))
+      .join(broadcast(bmap), "b").select("eid", "v", "p")
+    val asgHash = rows.withColumn("p",
+      md5Bucket(concat(lit("h:"), col("eid").cast("string")), 32))
+      .select("eid", "v", "p")
+
+    def write(asg: org.apache.spark.sql.DataFrame, tag: String): String = {
+      val dir = java.nio.file.Files.createTempDirectory(s"graft_range_$tag").toString
+      // hash-repartition by p puts each partition value in exactly one
+      // task, so partitionBy writes exactly one physical file per p
+      asg.repartition(32, col("p")).write.partitionBy("p")
+        .mode("overwrite").parquet(dir)
+      dir
+    }
+    val rangeDir = write(asgRange, "sketch")
+    val hashDir = write(asgHash, "hash")
+    try {
+      for ((layout, dir) <- Seq("2:sketch_range" -> rangeDir, "1:hash" -> hashDir)) {
+        val part = spark.read.parquet(dir)
+        // the REAL zone map: per physical file, min/max/rows from the
+        // written artifact
+        val zm = part.groupBy(input_file_name().as("f"), col("p"))
+          .agg(min("v").as("zmin"), max("v").as("zmax"), count(lit(1)).as("rows_f"))
+          .as[(String, Int, Long, Long, Long)].collect()
+        assert(zm.length == 32, s"$layout: expected 32 physical files, got ${zm.length}")
+        for ((pid, _, lo, hi, act, mTouched, mScanned) <- model.filter(_._2 == layout)) {
+          val touched = zm.filter(z => z._4 >= lo && z._3 <= hi)
+          assert(touched.length.toLong == mTouched,
+            s"$layout probe $pid: ${touched.length} physical files touched, model priced $mTouched")
+          assert(touched.map(_._5).sum == mScanned,
+            s"$layout probe $pid: physical rows_scanned ${touched.map(_._5).sum} vs model $mScanned")
+          // soundness on the artifact: matching rows outside the touched
+          // file set must not exist
+          val touchedPs = touched.map(_._2.toLong)
+          val missed = part.where(col("v").between(lo, hi) &&
+            !col("p").cast("long").isin(touchedPs: _*)).count()
+          assert(missed == 0L, s"$layout probe $pid: $missed matching rows in pruned files")
+          // the engine read path: the probe translated onto the partition
+          // column prunes directories, not rows (PartitionFilters), and
+          // the post-scan filter returns the exact battery count
+          val pruned = part.where(col("p").cast("long").isin(touchedPs: _*))
+          val plan = pruned.queryExecution.explainString(
+            org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+          assert("PartitionFilters: \\[[^\\]]*p#".r.findFirstIn(plan).isDefined,
+            s"$layout probe $pid: probe on p did not become a PartitionFilter\n$plan")
+          assert(pruned.count() == touched.map(_._5).sum)
+          assert(pruned.where(col("v").between(lo, hi)).count() == act,
+            s"$layout probe $pid: post-prune exact rows diverge from act_rows $act")
+        }
+      }
+    } finally {
+      import scala.jdk.CollectionConverters._
+      for (d <- Seq(rangeDir, hashDir)) {
+        val p = java.nio.file.Paths.get(d)
+        if (java.nio.file.Files.exists(p))
+          java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+            .foreach(java.nio.file.Files.deleteIfExists(_))
+      }
+    }
+  }
 }
