@@ -653,6 +653,71 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("histPolicyStream: each policy's final state equals q398's batch leg, gate meters honest") {
+    // q398's online half (VERDICT r11 ask #5): the three ANALYZE
+    // maintenance policies run as streams over q398's own fixture — the
+    // four quarterly deltas with the persistent re-denomination drift
+    // planted from step 3. Per policy, the final (boundaries, 16-bin
+    // histogram) state must equal the corresponding batch leg computed
+    // here with q398's expressions (never → mx1 boundaries with
+    // clamp-fattened bins, every_delta → mx4, on_gate → mx3 rebuilt at
+    // the firing and merged additively after), and the cost meters must
+    // reproduce q398's pricing: rebuild counts 0/3/1, extra scan rows
+    // 0 / p2+p3+p4 / p3. gateFires counts firings against each
+    // policy's CURRENT boundaries — so never hears the alarm TWICE
+    // (steps 3 and 4 both out of its frozen range), the policies that
+    // rebuild hear it once.
+    import graft.streaming.EventStream
+    import graft.queries.R50Queries
+    val o0 = Tables.load(spark, sf001, "orders").select(
+      quarter(col("o_orderdate")).cast("long").as("st"),
+      expr("CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)").as("v"))
+    val w0 = o0.agg(expr("max(v) - min(v) + 1")).as[Long].head()
+    val dat = o0.select(col("st"),
+        expr(s"CASE WHEN st >= 3 THEN v + $w0 ELSE v END").as("v"))
+      .as[(Long, Long)].collect()
+    val chunks = (1L to 4L).map(j => dat.filter(_._1 == j).map(_._2).toSeq)
+    def prefix(j: Int): Seq[Long] = chunks.take(j).flatten
+    def mxOf(vs: Seq[Long]): (Long, Long) = (vs.min, vs.max - vs.min + 1)
+    def histOn(vs: Seq[Long], bmin: Long, bw: Long): Map[Long, Long] =
+      vs.toDF("v")
+        .select(expr(R50Queries.histBin16("v", bmin.toString, bw.toString)).as("bin"))
+        .groupBy("bin").agg(count(lit(1)).as("cnt"))
+        .as[(Long, Long)].collect().toMap
+    val Seq(p2, p3, p4) = Seq(2, 3, 4).map(prefix(_).size.toLong)
+    val cases = Seq(
+      ("never", mxOf(prefix(1)), 0L, 0L, 2L),
+      ("every_delta", mxOf(prefix(4)), 3L, p2 + p3 + p4, 1L),
+      ("on_gate", mxOf(prefix(3)), 1L, p3, 1L))
+    for ((policy, (bmin, bw), wantRebuilds, wantScan, wantFires) <- cases) {
+      val reb = spark.sparkContext.longAccumulator(s"reb_$policy")
+      val scan = spark.sparkContext.longAccumulator(s"scan_$policy")
+      val fires = spark.sparkContext.longAccumulator(s"fires_$policy")
+      val mem = MemoryStream[Long](spark)
+      var last: org.apache.spark.sql.DataFrame = null
+      val q = EventStream.histPolicyStream(mem.toDF().toDF("v"), policy,
+        rebuilds = Some(reb), extraScanRows = Some(scan),
+        gateFires = Some(fires)) { (_, h) => last = h }
+      try {
+        chunks.foreach { ch => mem.addData(ch: _*); q.processAllAvailable() }
+        assert(reb.value == wantRebuilds,
+          s"$policy: ${reb.value} rebuilds, q398 prices $wantRebuilds")
+        assert(scan.value == wantScan,
+          s"$policy: extra scan rows ${scan.value}, q398 prices $wantScan")
+        assert(fires.value == wantFires,
+          s"$policy: gate fired ${fires.value}x, expected $wantFires")
+        val gotBounds = last.select("bmin", "bw").distinct()
+          .as[(Long, Long)].collect().toSeq
+        assert(gotBounds == Seq((bmin, bw)),
+          s"$policy: final boundaries $gotBounds != batch leg ($bmin, $bw)")
+        val got = last.select("bin", "cnt").as[(Long, Long)].collect().toMap
+        val want = histOn(prefix(4), bmin, bw)
+        assert(got == want,
+          s"$policy: final histogram diverges from q398's batch leg:\n$got\nvs\n$want")
+      } finally q.stop()
+    }
+  }
+
   test("funnelStream: stream-applied funnel equals q251's batch stages on the same delta") {
     import graft.queries.R14Queries
     import graft.streaming.EventStream.Doc
@@ -1183,20 +1248,26 @@ class StreamingSpec extends SparkSpecBase {
     // micro-batches. After each batch the state is certified against an
     // exact recompute of the fed prefix: retained entries lower-bound
     // the truth, every key (retained or evicted) is covered by
-    // c + eps_shard, and the state never exceeds 8 shards x 8 entries.
-    // After the last batch the planted head must still be in state with
-    // the big heavy keys certifiable from the summary alone — while the
-    // stream's accumulated eps is provably looser than the one-shot
-    // batch build's (the price of never re-scanning, stated in the
-    // operator doc and measured here).
+    // c + eps_shard, and the state never exceeds 8 shards x k entries.
+    // The summary size is NOT hard-coded: k is read from q392's chosen
+    // frontier row at this SF (VERDICT r11 ask #7 — the monitor runs at
+    // the size the frontier certified detection-complete), and the
+    // stream's accumulated eps is compared against the same q392 row's
+    // one-shot blind spot sum_eps. After the last batch the planted
+    // head must still be in state with the big heavy keys certifiable
+    // from the summary alone — while the stream's eps is provably
+    // looser than the one-shot build's (the price of never re-scanning,
+    // stated in the operator doc and measured here).
     import graft.queries.R54Queries
+    val (chosenK, oneShotEps) = SparkEntry.queries("q392_hh_k_frontier")(spark, sf001)
+      .where("chosen = 1").select("kk", "sum_eps").as[(Long, Long)].head()
     val ids = Tables.load(spark, sf001, "events")
       .select("event_id").as[Long].collect().toSeq.sorted
     val chunks = ids.grouped(ids.size / 4 + 1).toSeq
     assert(chunks.size == 4)
     val mem = MemoryStream[Long](spark)
     var last: org.apache.spark.sql.DataFrame = null
-    val q = EventStream.heavyHitterStream(mem.toDF().toDF("event_id")) {
+    val q = EventStream.heavyHitterStream(mem.toDF().toDF("event_id"), chosenK.toInt) {
       (_, s) => last = s
     }
     try {
@@ -1211,7 +1282,7 @@ class StreamingSpec extends SparkSpecBase {
           .map { case (sh, kk, f) => (sh, kk) -> f }.toMap
         val st = last.select("sh", "k", "c", "eps")
           .as[(Long, String, Long, Long)].collect()
-        assert(st.length <= 8 * 8, s"state grew past the summary: ${st.length}")
+        assert(st.length <= 8 * chosenK, s"state grew past the summary: ${st.length}")
         val epsBySh = st.map(r => r._1 -> r._4).toMap
         st.foreach { case (sh, kk, c, e) =>
           val f = exact((sh, kk))
@@ -1236,10 +1307,12 @@ class StreamingSpec extends SparkSpecBase {
           s"$g not certifiable heavy from stream state: est=${est.get(g)} n=$n")
       }
       assert(est.contains("g2"), "g2 fell out of every shard's summary")
-      // the streaming eps is looser than the one-shot build's (q391's
-      // tot_eps at sf0.001 is 21): each truncation paid its own cut
+      // the streaming eps is looser than the one-shot build's blind
+      // spot at the SAME k (q392's sum_eps row): each truncation paid
+      // its own cut
       val totEps = st.map(r => (r._1, r._4)).distinct.map(_._2).sum
-      assert(totEps >= 21L, s"stream eps cannot beat the one-shot build: $totEps")
+      assert(totEps >= oneShotEps,
+        s"stream eps $totEps cannot beat the one-shot build's $oneShotEps at k=$chosenK")
     } finally q.stop()
   }
 
