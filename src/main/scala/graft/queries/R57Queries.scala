@@ -259,5 +259,188 @@ object R57Queries {
           s"greatest(($a) * 10000 // greatest($b, 1), ($b) * 10000 // greatest($a, 1))"
         s"""WITH steps AS (SELECT unnest(generate_series(1, 12)) AS step), om AS (SELECT o_orderkey AS k, CAST(month(o_orderdate) AS BIGINT) AS m, o_custkey AS c FROM orders), lim AS (SELECT l.l_orderkey AS k, om.m FROM lineitem l JOIN om ON om.k = l.l_orderkey), oc_src AS (SELECT c AS k, m FROM om), hvm_lok AS (${hvmSql("lim", "k4l")}), hvm_ook AS (${hvmSql("om", "k4o")}), hvm_oc AS (${hvmSql("oc_src", "k4u")}), e_lok AS (${estSql("hvm_lok", "est_lok")}), e_ook AS (${estSql("hvm_ook", "est_ook")}), e_oc AS (${estSql("hvm_oc", "est_oc")}), x_lok AS (${ndvSql("lim", "ndv_lok")}), x_ook AS (${ndvSql("om", "ndv_ook")}), x_oc AS (${ndvSql("oc_src", "ndv_oc")}), r_li AS (${rowsSql("lim", "n_li")}), r_or AS (${rowsSql("om", "n_ord")}), stat AS (SELECT (SELECT count(*) FROM customer) AS n_cust, (SELECT count(DISTINCT c_custkey) FROM customer) AS ndv_ck, (SELECT CASE WHEN count(*) < 32 THEN count(*) ELSE 31 * 1099511627776 // max(hvv) END FROM (SELECT DISTINCT CAST(concat('0x', substr(md5('k4c:' || CAST(c_custkey AS VARCHAR)), 1, 10)) AS BIGINT) AS hvv FROM customer ORDER BY 1 LIMIT 32) s) AS est_ck), stats AS (SELECT st.step, n_li, n_ord, est_lok, ndv_lok, est_ook, ndv_ook, est_oc, ndv_oc, n_cust, ndv_ck, est_ck FROM steps st JOIN e_lok USING (step) JOIN e_ook USING (step) JOIN e_oc USING (step) JOIN x_lok USING (step) JOIN x_ook USING (step) JOIN x_oc USING (step) JOIN r_li USING (step) JOIN r_or USING (step) CROSS JOIN stat) SELECT CAST(step AS BIGINT) AS step, CAST(n_li AS BIGINT) AS n_li, CAST(n_ord AS BIGINT) AS n_ord, CAST(est_lok AS BIGINT) AS est_lok, CAST(ndv_lok AS BIGINT) AS ndv_lok, CAST(${qerrSql("est_lok", "ndv_lok")} AS BIGINT) AS qerr_lok_bp, CAST(est_oc AS BIGINT) AS est_oc, CAST(ndv_oc AS BIGINT) AS ndv_oc, CAST(${qerrSql("est_oc", "ndv_oc")} AS BIGINT) AS qerr_oc_bp, CAST(CASE WHEN ($x1) <= ($x2) AND ($x1) <= ($x3) THEN 1 WHEN ($x2) <= ($x3) THEN 2 ELSE 3 END AS BIGINT) AS chosen_exact, CAST(CASE WHEN ($c1) <= ($c2) AND ($c1) <= ($c3) THEN 1 WHEN ($c2) <= ($c3) THEN 2 ELSE 3 END AS BIGINT) AS chosen_cheap, CAST(greatest(${qerrSql(s"($c1)", s"($x1)")}, ${qerrSql(s"($c2)", s"($x2)")}, ${qerrSql(s"($c3)", s"($x3)")}) AS BIGINT) AS worst_drift_bp, CAST(CASE WHEN (CASE WHEN ($x1) <= ($x2) AND ($x1) <= ($x3) THEN 1 WHEN ($x2) <= ($x3) THEN 2 ELSE 3 END) = (CASE WHEN ($c1) <= ($c2) AND ($c1) <= ($c3) THEN 1 WHEN ($c2) <= ($c3) THEN 2 ELSE 3 END) THEN 1 ELSE 0 END AS BIGINT) AS argmin_stable FROM stats ORDER BY step"""
       },
-      "A/J/S ext: incremental stats -> stable plans — q358's Selinger enumeration re-priced at every step of a 12-month ingest from the KMV state q397 maintains by O(k) merge (exact-fallback below k), row counts exact in both regimes; per-step sketch NDVs certified inside the k=32 band and the cheap argmin certified to track the exact argmin along the whole trajectory"))
+      "A/J/S ext: incremental stats -> stable plans — q358's Selinger enumeration re-priced at every step of a 12-month ingest from the KMV state q397 maintains by O(k) merge (exact-fallback below k), row counts exact in both regimes; per-step sketch NDVs certified inside the k=32 band and the cheap argmin certified to track the exact argmin along the whole trajectory"),
+
+    // q405 — PER-COLUMN DATA-SKIPPING CHOOSER: q401 proved zone maps on
+    // a range-clustered column, q402 proved the bloom on a selective
+    // key; the WRITE-SIDE decision is which structure each column
+    // EARNS. Three real column classes, each with a 32-file assignment
+    // and both structures APPLIED (per-file zone maps read back from
+    // the assignment; per-file 1024-bit bloom bitsets actually built)
+    // and a 3-probe battery priced against all three candidates:
+    //  - A:value_range — events.value on q400's chosen sketch-range
+    //    layout, range probes (q401's battery). Zone maps touch ~1
+    //    file/probe; a bloom CANNOT answer a range probe (membership
+    //    only — the leg honestly scans everything); chosen = zonemap
+    //    at 64 units of state.
+    //  - B:eid_point — event_id on the SAME value-clustered layout,
+    //    point probes. Every file's eid zone spans the domain (the
+    //    column is scattered by the OTHER column's sort), so zone maps
+    //    prune nothing; the per-file bloom passes the one true file
+    //    plus measured-FP files; chosen = bloom despite 512x the state.
+    //  - C:flag_dict — l_returnflag (3-value dict column) on a hash
+    //    layout, point probes. EVERY file contains every value: zone
+    //    maps span, blooms pass all 32 files with zero false positives
+    //    needed — no structure clears the gate and chosen falls to
+    //    NONE, the honest answer q344's dict arc predicts (state buys
+    //    nothing when the value lives everywhere).
+    // Soundness certified per structure x class (missed = 0: matching
+    // rows outside the touched files must not exist — the property that
+    // makes skipping an optimization, not a sample); the gate is
+    // "halves the battery scan"; chosen = min state among clearing
+    // structures, NONE when nothing clears. Scale: the structures are
+    // bounded per-file state read at planning time (32 x 2 values /
+    // 32 x 1024 bits); probes are arithmetic against broadcast state;
+    // only the grader touches exact row membership.
+    QuerySpec(
+      "q405_skipping_chooser",
+      (s, d) => {
+        import org.apache.spark.sql.Column
+        import org.apache.spark.sql.expressions.Window
+        import R39Queries.md5Bucket
+        def cellArr(vCol: String): Column = array((1 to 4).map(i =>
+          expr(s"CAST(conv(substring(md5(concat('fb$i:', CAST($vCol AS STRING))), 1, 10), 16, 10) AS BIGINT) % 1024")): _*)
+        def legsOf(cls: String, assigned: DataFrame, probes0: DataFrame,
+            point: Boolean): DataFrame = {
+          val probes = probes0.localCheckpoint(false)
+          val zones = assigned.groupBy("p").agg(count(lit(1)).as("c"),
+            min("v").as("zmin"), max("v").as("zmax")).localCheckpoint(false)
+          val nf = zones.agg(sum("c").as("n"), count(lit(1)).as("n_files"))
+          val cells = assigned.select(col("p"), explode(cellArr("v")).as("cell"))
+            .distinct().localCheckpoint(false)
+          val matched = assigned.crossJoin(broadcast(probes))
+            .where(expr("v BETWEEN lo AND hi"))
+            .select("probe_id", "p").localCheckpoint(false)
+          val exTot = matched.agg(count(lit(1)).as("rows_exact"))
+          def total(touched: DataFrame): DataFrame = {
+            val ts = touched.join(broadcast(zones), "p")
+              .agg(count(lit(1)).as("files_touched"), sum("c").as("rows_scanned"))
+            val ms = matched.join(broadcast(touched), Seq("probe_id", "p"), "left_anti")
+              .agg(count(lit(1)).as("missed"))
+            ts.crossJoin(broadcast(ms))
+          }
+          val noneT = total(probes.select("probe_id")
+            .crossJoin(broadcast(zones.select("p"))))
+          val zmT = total(probes.join(broadcast(zones),
+            expr("zmax >= lo AND zmin <= hi")).select("probe_id", "p"))
+          val blT =
+            if (point)
+              total(probes.select(col("probe_id"), explode(cellArr("lo")).as("cell"))
+                .join(broadcast(cells), "cell")
+                .groupBy("probe_id", "p").agg(count(lit(1)).as("nh"))
+                .where(col("nh") === 4).select("probe_id", "p"))
+            else noneT
+          Seq(("1:none", noneT, 0L), ("2:zonemap", zmT, 64L),
+            ("3:bloom1024", blT, 32768L)).map { case (st, tt, stateU) =>
+            tt.crossJoin(broadcast(nf)).crossJoin(broadcast(exTot))
+              .select(lit(cls).as("cls"), lit(st).as("structure"),
+                col("files_touched"), col("rows_scanned"), col("rows_exact"),
+                expr("n * 3").as("full_rows"), col("missed"),
+                lit(stateU).as("state_units"),
+                expr("CAST(CASE WHEN rows_scanned * 2 <= n * 3 THEN 1 ELSE 0 END AS BIGINT)")
+                  .as("clears_gate"))
+          }.reduce(_ unionByName _)
+        }
+        // class A + B share q400's chosen sketch-range layout of events
+        val ev = t(s, d, "events").select(col("event_id").as("eid"),
+          expr("CAST(floor(value * 100.0 + 0.5) AS BIGINT)").as("v"))
+          .localCheckpoint(false)
+        val mx = ev.agg(min("v").as("a"), expr("max(v) - min(v) + 1").as("w"),
+          count(lit(1)).as("n")).localCheckpoint(false)
+        val bmap = ev.crossJoin(broadcast(mx))
+          .groupBy(expr("least(255, (v - a) * 256 div w)").as("b"))
+          .agg(count(lit(1)).as("bc"))
+          .withColumn("cum", sum("bc").over(Window.orderBy("b")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .crossJoin(broadcast(mx))
+          .select(col("b"), expr("least(31, cum * 32 div (n + 1))").as("p"))
+        val asgAB = ev.crossJoin(broadcast(mx))
+          .withColumn("b", expr("least(255, (v - a) * 256 div w)"))
+          .join(broadcast(bmap), "b").select("eid", "v", "p")
+          .localCheckpoint(false)
+        val zonesA = asgAB.groupBy("p").agg(count(lit(1)).as("c"),
+          min("v").as("zmin"), max("v").as("zmax")).localCheckpoint(false)
+        val probesA = zonesA.orderBy(col("c").desc, col("p")).limit(3)
+          .select(col("zmin").as("lo"), col("zmax").as("hi"))
+          .withColumn("probe_id", expr("row_number() OVER (ORDER BY lo)"))
+          .select(col("probe_id").cast("long").as("probe_id"), col("lo"), col("hi"))
+        val asgB = asgAB.select(col("p"), col("eid").as("v"))
+        val probesB = asgB.groupBy("p").agg(count(lit(1)).as("c"),
+            min("v").as("emin"))
+          .orderBy(col("c").desc, col("p")).limit(3)
+          .select(col("emin").as("lo"), col("emin").as("hi"))
+          .withColumn("probe_id", expr("row_number() OVER (ORDER BY lo)"))
+          .select(col("probe_id").cast("long").as("probe_id"), col("lo"), col("hi"))
+        val asgC = t(s, d, "lineitem").select(
+          md5Bucket(concat(lit("lf:"), col("l_orderkey").cast("string")), 32).as("p"),
+          col("l_returnflag").as("v"))
+        val probesC = asgC.select("v").distinct()
+          .withColumn("probe_id", expr("row_number() OVER (ORDER BY v)"))
+          .select(col("probe_id").cast("long").as("probe_id"),
+            col("v").as("lo"), col("v").as("hi"))
+        val legs = legsOf("A:value_range", asgAB.select("p", "v"), probesA, point = false)
+          .unionByName(legsOf("B:eid_point", asgB, probesB, point = true))
+          .unionByName(legsOf("C:flag_dict", asgC, probesC, point = true))
+        val mn = legs.where(col("clears_gate") === 1L)
+          .groupBy("cls").agg(min("state_units").as("mn_state"))
+        legs.join(broadcast(mn), Seq("cls"), "left")
+          .select(col("cls"), col("structure"), col("files_touched"),
+            col("rows_scanned"), col("rows_exact"), col("full_rows"),
+            col("missed"), col("state_units"), col("clears_gate"),
+            expr("CAST(CASE WHEN clears_gate = 1 AND state_units = mn_state THEN 1 WHEN mn_state IS NULL AND structure = '1:none' THEN 1 ELSE 0 END AS BIGINT)")
+              .as("chosen"))
+          .orderBy("cls", "structure")
+      },
+      Some {
+        import R39Queries.md5BucketSql
+        def cellSql(i: Int, v: String): String =
+          s"CAST(concat('0x', substr(md5('fb$i:' || CAST($v AS VARCHAR)), 1, 10)) AS BIGINT) % 1024"
+        def classSql(cls: String, tag: String, point: Boolean): String = {
+          val cellsU = (1 to 4).map(i =>
+            s"SELECT p, ${cellSql(i, "v")} AS cell FROM asg_$tag").mkString(" UNION ALL ")
+          val probeCellsU = (1 to 4).map(i =>
+            s"SELECT probe_id, ${cellSql(i, "lo")} AS cell FROM pr_$tag").mkString(" UNION ALL ")
+          val bloomTouched =
+            if (point)
+              s"""SELECT probe_id, p FROM (
+                SELECT pc.probe_id, ce.p, count(*) AS nh
+                FROM ($probeCellsU) pc JOIN (SELECT DISTINCT p, cell FROM ($cellsU) cu) ce ON ce.cell = pc.cell
+                GROUP BY 1, 2) h WHERE nh = 4"""
+            else s"SELECT pr.probe_id, z.p FROM pr_$tag pr CROSS JOIN zn_$tag z"
+          def legSql(st: String, touched: String, stateU: Long): String =
+            s"""SELECT '$cls' AS cls, '$st' AS structure,
+              (SELECT count(*) FROM ($touched) t JOIN zn_$tag z ON z.p = t.p) AS files_touched,
+              (SELECT coalesce(sum(z.c), 0) FROM ($touched) t JOIN zn_$tag z ON z.p = t.p) AS rows_scanned,
+              (SELECT count(*) FROM mt_$tag) AS rows_exact,
+              (SELECT sum(c) * 3 FROM zn_$tag) AS full_rows,
+              (SELECT count(*) FROM mt_$tag m WHERE NOT EXISTS (SELECT 1 FROM ($touched) t WHERE t.probe_id = m.probe_id AND t.p = m.p)) AS missed,
+              $stateU AS state_units"""
+          val noneT = s"SELECT pr.probe_id, z.p FROM pr_$tag pr CROSS JOIN zn_$tag z"
+          val zmT = s"SELECT pr.probe_id, z.p FROM pr_$tag pr JOIN zn_$tag z ON z.zmax >= pr.lo AND z.zmin <= pr.hi"
+          Seq(legSql("1:none", noneT, 0L), legSql("2:zonemap", zmT, 64L),
+            legSql("3:bloom1024", bloomTouched, 32768L)).mkString(" UNION ALL ")
+        }
+        s"""WITH ev AS (SELECT event_id AS eid, CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS v FROM events),
+          mx AS (SELECT min(v) AS a, max(v) - min(v) + 1 AS w, count(*) AS n FROM ev),
+          bins AS (SELECT least(255, (v - a) * 256 // w) AS b, count(*) AS bc FROM ev CROSS JOIN mx GROUP BY 1),
+          bmap AS (SELECT b, least(31, (sum(bc) OVER (ORDER BY b ROWS UNBOUNDED PRECEDING)) * 32 // ((SELECT n FROM mx) + 1)) AS p FROM bins),
+          asg_a AS (SELECT r.eid, r.v, bm.p FROM (SELECT eid, v, least(255, (v - a) * 256 // w) AS b FROM ev CROSS JOIN mx) r JOIN bmap bm ON bm.b = r.b),
+          zn_a AS (SELECT p, count(*) AS c, min(v) AS zmin, max(v) AS zmax FROM asg_a GROUP BY 1),
+          pr_a AS (SELECT CAST(row_number() OVER (ORDER BY lo) AS BIGINT) AS probe_id, lo, hi FROM (SELECT zmin AS lo, zmax AS hi FROM zn_a ORDER BY c DESC, p LIMIT 3) t),
+          mt_a AS (SELECT pr.probe_id, a.p FROM asg_a a CROSS JOIN pr_a pr WHERE a.v BETWEEN pr.lo AND pr.hi),
+          asg_b AS (SELECT p, eid AS v FROM asg_a),
+          zn_b AS (SELECT p, count(*) AS c, min(v) AS zmin, max(v) AS zmax FROM asg_b GROUP BY 1),
+          pr_b AS (SELECT CAST(row_number() OVER (ORDER BY lo) AS BIGINT) AS probe_id, lo, hi FROM (SELECT zmin AS lo, zmin AS hi FROM zn_b ORDER BY c DESC, p LIMIT 3) t),
+          mt_b AS (SELECT pr.probe_id, a.p FROM asg_b a CROSS JOIN pr_b pr WHERE a.v BETWEEN pr.lo AND pr.hi),
+          asg_c AS (SELECT ${md5BucketSql("'lf:' || CAST(l_orderkey AS VARCHAR)", 32)} AS p, l_returnflag AS v FROM lineitem),
+          zn_c AS (SELECT p, count(*) AS c, min(v) AS zmin, max(v) AS zmax FROM asg_c GROUP BY 1),
+          pr_c AS (SELECT CAST(row_number() OVER (ORDER BY v) AS BIGINT) AS probe_id, v AS lo, v AS hi FROM (SELECT DISTINCT v FROM asg_c) d),
+          mt_c AS (SELECT pr.probe_id, a.p FROM asg_c a CROSS JOIN pr_c pr WHERE a.v BETWEEN pr.lo AND pr.hi),
+          legs AS (${classSql("A:value_range", "a", point = false)} UNION ALL ${classSql("B:eid_point", "b", point = true)} UNION ALL ${classSql("C:flag_dict", "c", point = true)}),
+          gated AS (SELECT *, CASE WHEN rows_scanned * 2 <= full_rows THEN 1 ELSE 0 END AS clears_gate FROM legs),
+          mn AS (SELECT cls, min(CASE WHEN clears_gate = 1 THEN state_units END) AS mn_state FROM gated GROUP BY 1)
+          SELECT g.cls AS cls, g.structure, CAST(files_touched AS BIGINT) AS files_touched, CAST(rows_scanned AS BIGINT) AS rows_scanned, CAST(rows_exact AS BIGINT) AS rows_exact, CAST(full_rows AS BIGINT) AS full_rows, CAST(missed AS BIGINT) AS missed, CAST(state_units AS BIGINT) AS state_units, CAST(clears_gate AS BIGINT) AS clears_gate, CAST(CASE WHEN clears_gate = 1 AND state_units = mn.mn_state THEN 1 WHEN mn.mn_state IS NULL AND g.structure = '1:none' THEN 1 ELSE 0 END AS BIGINT) AS chosen
+          FROM gated g JOIN mn ON mn.cls = g.cls ORDER BY g.cls, g.structure"""
+      },
+      "S/L ext: per-column data-skipping chooser — zone maps and per-file 1024-bit blooms both APPLIED on 32-file assignments of three real column classes (range-clustered numeric, point-lookup key scattered by the other column's sort, 3-value dict column) with a probe battery per class; soundness missed=0 certified per structure, and the chooser picks zonemap / bloom / NONE respectively — the dict column's honest answer is that state buys nothing"))
 }
