@@ -33,6 +33,20 @@ object Smoke {
     val pa = planOf("SELECT cosine_sim(embedding, reverse(embedding)) AS c FROM emb_smoke")
     val pb = planOf("SELECT cosine_sim(reverse(embedding), embedding) AS c FROM emb_smoke")
     println(s"EXT_RULE_CANONICAL=${pa == pb}")
+    // the injected RI-elimination rule consumes a constraint validated
+    // from data: once RiConstraints registers the audit, the PK-FK
+    // inner join against the bare dim-key subtree leaves the plan
+    val ordS = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    val cuS = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+    graft.plans.RiConstraints.validate(ordS, cuS, "o_custkey", "c_custkey")
+    val elim = ordS.join(cuS.select("c_custkey").distinct(),
+        ordS("o_custkey") === org.apache.spark.sql.functions.col("c_custkey"))
+      .select(ordS("o_orderkey"))
+      .queryExecution.optimizedPlan
+      .collect { case j: org.apache.spark.sql.catalyst.plans.logical.Join => j }
+      .isEmpty
+    println(s"EXT_RIELIM_OK=$elim")
+    graft.plans.RiConstraints.clear()
     val df = SparkEntry.entry(spark)
     println(s"ENTRY_ROWS=${df.count()}")
     df.show(false)

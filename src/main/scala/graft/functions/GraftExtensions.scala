@@ -25,6 +25,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
       (exprs: Seq[Expression]) => CosineSimilarity(exprs(0), exprs(1))))
     ext.injectOptimizerRule(_ => graft.plans.CosineSymmetryRule)
+    ext.injectOptimizerRule(_ => graft.plans.FkJoinEliminationRule)
     ext.injectPlannerStrategy(_ => graft.plans.TopKPerGroupStrategy)
   }
 }
