@@ -104,7 +104,20 @@ object PlanAudit {
     // factor), q394's three pair legs each carrying the exact
     // union/intersection grader over the distinct-customer table
     "q390_salt_chooser",
-    "q394_kmv_setops")
+    "q394_kmv_setops",
+    // round-12 heavy tier (~2-3.5 s warm at sf0.1): q404 is the 12-step
+    // incremental-stats enumeration — three KMV chains whose
+    // step-partitioned top-32 windows run over the per-month top-32
+    // PREFILTER (≤ 12x32 rows; the pin protects that containment
+    // prefilter staying in the plan — de-filtering would window the
+    // whole ndv-sized hash set twelve times); q405 applies zone maps
+    // AND per-file blooms on three 32-file assignments with a fused
+    // structure-tagged grading pass per class — the pin protects the
+    // one-touched-union shape (a de-fused grader would re-run the
+    // soundness anti-join once per structure) and every probe/zone/
+    // cell table staying broadcast
+    "q404_incr_stats_plans",
+    "q405_skipping_chooser")
 
   /** Node kinds whose counts define a plan's cost signature. Matched
     * against SparkPlan.nodeName ("Exchange" is ShuffleExchangeExec's

@@ -160,11 +160,20 @@ object R57Queries {
           expr(s"CAST(conv(substring(md5(concat('$tag:', CAST($kCol AS STRING))), 1, 10), 16, 10) AS BIGINT)")
         // the incremental KMV state at step j (q397's certified merge):
         // per-hash first month, prefix top-32 via one step-partitioned
-        // window over the ndv-sized hvm table
+        // window — over the per-month top-32s only, because a hash can
+        // be in a prefix's 32 minima only if it is among the 32 minima
+        // of its own first month (top32(∪ buckets) ⊆ ∪ top32(bucket) —
+        // containment, exact): the window input drops from ndv-sized to
+        // ≤ 12 x 32 rows
         def chain(src: DataFrame, tag: String, out: String): DataFrame = {
           val hvm = src.select(hv(tag, "k").as("hvv"), col("m"))
-            .groupBy("hvv").agg(min("m").as("fm")).localCheckpoint(false)
-          steps.join(hvm, col("fm") <= col("step"))
+            .groupBy("hvv").agg(min("m").as("fm"))
+          val hvm32 = hvm
+            .withColumn("rb", row_number().over(
+              Window.partitionBy("fm").orderBy("hvv")))
+            .where(col("rb") <= 32).select("hvv", "fm")
+            .localCheckpoint(false)
+          steps.join(hvm32, col("fm") <= col("step"))
             .withColumn("r", row_number().over(
               Window.partitionBy("step").orderBy("hvv")))
             .where(col("r") <= 32)
@@ -235,7 +244,7 @@ object R57Queries {
         def estSql(hvmCte: String, out: String): String =
           s"""SELECT step, CASE WHEN count(*) < 32 THEN count(*) ELSE 31 * 1099511627776 // max(hvv) END AS $out
             FROM (SELECT st.step, h.hvv, row_number() OVER (PARTITION BY st.step ORDER BY h.hvv) AS r
-                  FROM steps st JOIN $hvmCte h ON h.fm <= st.step) z
+                  FROM steps st JOIN (SELECT hvv, fm FROM (SELECT hvv, fm, row_number() OVER (PARTITION BY fm ORDER BY hvv) AS rb FROM $hvmCte) pf WHERE rb <= 32) h ON h.fm <= st.step) z
             WHERE r <= 32 GROUP BY 1"""
         def ndvSql(srcCte: String, out: String): String =
           s"""SELECT step, sum(CASE WHEN fm <= step THEN nc ELSE 0 END) AS $out
@@ -298,48 +307,64 @@ object R57Queries {
         import org.apache.spark.sql.Column
         import org.apache.spark.sql.expressions.Window
         import R39Queries.md5Bucket
-        def cellArr(vCol: String): Column = array((1 to 4).map(i =>
-          expr(s"CAST(conv(substring(md5(concat('fb$i:', CAST($vCol AS STRING))), 1, 10), 16, 10) AS BIGINT) % 1024")): _*)
-        def legsOf(cls: String, assigned: DataFrame, probes0: DataFrame,
-            point: Boolean): DataFrame = {
+        // 4 bloom cells sliced from ONE md5 (20 bits each → % 1024):
+        // a quarter of the hash work of four tagged digests in the
+        // hottest pass, same independence for the FP arithmetic
+        def cellArr(vCol: String): Column = array((0 to 3).map(i =>
+          expr(s"CAST(conv(substring(md5(concat('fb:', CAST($vCol AS STRING))), ${1 + i * 5}, 5), 16, 10) AS BIGINT) % 1024")): _*)
+        // one fused pass per class: the three structures' touched sets
+        // union into a single structure-tagged frame, so files/rows and
+        // the soundness anti-join each run ONCE per class instead of
+        // once per structure (the q361/q362 fusion applied to grading)
+        def legsOf(cls: String, assigned: DataFrame, zones: DataFrame,
+            probes0: DataFrame, point: Boolean, dedupVals: Boolean): DataFrame = {
           val probes = probes0.localCheckpoint(false)
-          val zones = assigned.groupBy("p").agg(count(lit(1)).as("c"),
-            min("v").as("zmin"), max("v").as("zmax")).localCheckpoint(false)
           val nf = zones.agg(sum("c").as("n"), count(lit(1)).as("n_files"))
-          val cells = assigned.select(col("p"), explode(cellArr("v")).as("cell"))
+          // low-NDV columns dedup (p, v) BEFORE hashing — the dict
+          // class's 600k rows collapse to ~96 before any md5
+          val cellSrc = if (dedupVals) assigned.select("p", "v").distinct()
+            else assigned.select("p", "v")
+          val cells = cellSrc.select(col("p"), explode(cellArr("v")).as("cell"))
             .distinct().localCheckpoint(false)
           val matched = assigned.crossJoin(broadcast(probes))
             .where(expr("v BETWEEN lo AND hi"))
             .select("probe_id", "p").localCheckpoint(false)
-          val exTot = matched.agg(count(lit(1)).as("rows_exact"))
-          def total(touched: DataFrame): DataFrame = {
-            val ts = touched.join(broadcast(zones), "p")
-              .agg(count(lit(1)).as("files_touched"), sum("c").as("rows_scanned"))
-            val ms = matched.join(broadcast(touched), Seq("probe_id", "p"), "left_anti")
-              .agg(count(lit(1)).as("missed"))
-            ts.crossJoin(broadcast(ms))
-          }
-          val noneT = total(probes.select("probe_id")
-            .crossJoin(broadcast(zones.select("p"))))
-          val zmT = total(probes.join(broadcast(zones),
-            expr("zmax >= lo AND zmin <= hi")).select("probe_id", "p"))
+          val noneT = probes.select("probe_id")
+            .crossJoin(broadcast(zones.select("p")))
+            .select(lit("1:none").as("structure"), col("probe_id"), col("p"))
+          val zmT = probes.join(broadcast(zones),
+              expr("zmax >= lo AND zmin <= hi")).select("probe_id", "p")
+            .select(lit("2:zonemap").as("structure"), col("probe_id"), col("p"))
           val blT =
-            if (point)
-              total(probes.select(col("probe_id"), explode(cellArr("lo")).as("cell"))
+            (if (point)
+              probes.select(col("probe_id"), explode(cellArr("lo")).as("cell"))
                 .join(broadcast(cells), "cell")
                 .groupBy("probe_id", "p").agg(count(lit(1)).as("nh"))
-                .where(col("nh") === 4).select("probe_id", "p"))
-            else noneT
-          Seq(("1:none", noneT, 0L), ("2:zonemap", zmT, 64L),
-            ("3:bloom1024", blT, 32768L)).map { case (st, tt, stateU) =>
-            tt.crossJoin(broadcast(nf)).crossJoin(broadcast(exTot))
-              .select(lit(cls).as("cls"), lit(st).as("structure"),
-                col("files_touched"), col("rows_scanned"), col("rows_exact"),
-                expr("n * 3").as("full_rows"), col("missed"),
-                lit(stateU).as("state_units"),
-                expr("CAST(CASE WHEN rows_scanned * 2 <= n * 3 THEN 1 ELSE 0 END AS BIGINT)")
-                  .as("clears_gate"))
-          }.reduce(_ unionByName _)
+                .where(col("nh") === 4).select("probe_id", "p")
+            else probes.select("probe_id")
+              .crossJoin(broadcast(zones.select("p"))))
+              .select(lit("3:bloom1024").as("structure"), col("probe_id"), col("p"))
+          val touched = noneT.unionByName(zmT).unionByName(blT)
+            .localCheckpoint(false)
+          val ts = touched.join(broadcast(zones), "p")
+            .groupBy("structure")
+            .agg(count(lit(1)).as("files_touched"), sum("c").as("rows_scanned"))
+          val ms = matched
+            .withColumn("structure", explode(array(
+              lit("1:none"), lit("2:zonemap"), lit("3:bloom1024"))))
+            .join(broadcast(touched), Seq("structure", "probe_id", "p"), "left_anti")
+            .groupBy("structure").agg(count(lit(1)).as("mz"))
+          val exTot = matched.agg(count(lit(1)).as("rows_exact"))
+          ts.join(broadcast(ms), Seq("structure"), "left")
+            .crossJoin(broadcast(nf)).crossJoin(broadcast(exTot))
+            .select(lit(cls).as("cls"), col("structure"),
+              col("files_touched"), col("rows_scanned"), col("rows_exact"),
+              expr("n * 3").as("full_rows"),
+              coalesce(col("mz"), lit(0L)).as("missed"),
+              expr("CAST(CASE WHEN structure = '1:none' THEN 0 WHEN structure = '2:zonemap' THEN 64 ELSE 32768 END AS BIGINT)")
+                .as("state_units"),
+              expr("CAST(CASE WHEN rows_scanned * 2 <= n * 3 THEN 1 ELSE 0 END AS BIGINT)")
+                .as("clears_gate"))
         }
         // class A + B share q400's chosen sketch-range layout of events
         val ev = t(s, d, "events").select(col("event_id").as("eid"),
@@ -365,22 +390,28 @@ object R57Queries {
           .withColumn("probe_id", expr("row_number() OVER (ORDER BY lo)"))
           .select(col("probe_id").cast("long").as("probe_id"), col("lo"), col("hi"))
         val asgB = asgAB.select(col("p"), col("eid").as("v"))
-        val probesB = asgB.groupBy("p").agg(count(lit(1)).as("c"),
-            min("v").as("emin"))
-          .orderBy(col("c").desc, col("p")).limit(3)
-          .select(col("emin").as("lo"), col("emin").as("hi"))
+        val zonesB = asgB.groupBy("p").agg(count(lit(1)).as("c"),
+          min("v").as("zmin"), max("v").as("zmax")).localCheckpoint(false)
+        val probesB = zonesB.orderBy(col("c").desc, col("p")).limit(3)
+          .select(col("zmin").as("lo"), col("zmin").as("hi"))
           .withColumn("probe_id", expr("row_number() OVER (ORDER BY lo)"))
           .select(col("probe_id").cast("long").as("probe_id"), col("lo"), col("hi"))
         val asgC = t(s, d, "lineitem").select(
           md5Bucket(concat(lit("lf:"), col("l_orderkey").cast("string")), 32).as("p"),
           col("l_returnflag").as("v"))
+          .localCheckpoint(false)
+        val zonesC = asgC.groupBy("p").agg(count(lit(1)).as("c"),
+          min("v").as("zmin"), max("v").as("zmax")).localCheckpoint(false)
         val probesC = asgC.select("v").distinct()
           .withColumn("probe_id", expr("row_number() OVER (ORDER BY v)"))
           .select(col("probe_id").cast("long").as("probe_id"),
             col("v").as("lo"), col("v").as("hi"))
-        val legs = legsOf("A:value_range", asgAB.select("p", "v"), probesA, point = false)
-          .unionByName(legsOf("B:eid_point", asgB, probesB, point = true))
-          .unionByName(legsOf("C:flag_dict", asgC, probesC, point = true))
+        val legs = legsOf("A:value_range", asgAB.select("p", "v"), zonesA, probesA,
+            point = false, dedupVals = false)
+          .unionByName(legsOf("B:eid_point", asgB, zonesB, probesB,
+            point = true, dedupVals = false))
+          .unionByName(legsOf("C:flag_dict", asgC, zonesC, probesC,
+            point = true, dedupVals = true))
         val mn = legs.where(col("clears_gate") === 1L)
           .groupBy("cls").agg(min("state_units").as("mn_state"))
         legs.join(broadcast(mn), Seq("cls"), "left")
@@ -394,11 +425,11 @@ object R57Queries {
       Some {
         import R39Queries.md5BucketSql
         def cellSql(i: Int, v: String): String =
-          s"CAST(concat('0x', substr(md5('fb$i:' || CAST($v AS VARCHAR)), 1, 10)) AS BIGINT) % 1024"
+          s"CAST(concat('0x', substr(md5('fb:' || CAST($v AS VARCHAR)), ${1 + i * 5}, 5)) AS BIGINT) % 1024"
         def classSql(cls: String, tag: String, point: Boolean): String = {
-          val cellsU = (1 to 4).map(i =>
+          val cellsU = (0 to 3).map(i =>
             s"SELECT p, ${cellSql(i, "v")} AS cell FROM asg_$tag").mkString(" UNION ALL ")
-          val probeCellsU = (1 to 4).map(i =>
+          val probeCellsU = (0 to 3).map(i =>
             s"SELECT probe_id, ${cellSql(i, "lo")} AS cell FROM pr_$tag").mkString(" UNION ALL ")
           val bloomTouched =
             if (point)
