@@ -19,7 +19,13 @@ import graft.Tables
   *    the legality verdict certified against the measured equality;
   *  - q414 pushes the aggregate through UNION ALL: per-branch partial
   *    dedup cuts the final distinct's shuffle to the partials' size,
-  *    certified equal to the naive global dedup.
+  *    certified equal to the naive global dedup;
+  *  - q415 answers min/max/count from zone-map footers alone, gated by
+  *    per-file delete vectors (stale footers provably diverge once
+  *    q368's victims are deleted — the gate refuses);
+  *  - q416 composes q409's inferred filter with a key-range layout:
+  *    only where the rewrite and the layout MEET does the scan bill
+  *    move (the 2x2's single pruned cell).
   */
 object R59Queries {
 
@@ -222,5 +228,164 @@ object R59Queries {
       },
       Some(
         """WITH o AS (SELECT o_custkey AS c, CAST(month(o_orderdate) AS BIGINT) AS m FROM orders), b1 AS (SELECT c FROM o WHERE m <= 6), b2 AS (SELECT c FROM o WHERE m > 6), ni AS (SELECT count(*) AS rows_naive FROM (SELECT c FROM b1 UNION ALL SELECT c FROM b2) u), na AS (SELECT count(*) AS nd_naive, sum(c) AS ck_naive FROM (SELECT DISTINCT c FROM (SELECT c FROM b1 UNION ALL SELECT c FROM b2) u) z), p1 AS (SELECT count(*) AS p1 FROM (SELECT DISTINCT c FROM b1) x), p2 AS (SELECT count(*) AS p2 FROM (SELECT DISTINCT c FROM b2) x), pu AS (SELECT count(*) AS nd_push, sum(c) AS ck_push FROM (SELECT DISTINCT c FROM (SELECT DISTINCT c FROM b1 UNION ALL SELECT DISTINCT c FROM b2) u) z), base AS (SELECT * FROM ni CROSS JOIN na CROSS JOIN p1 CROSS JOIN p2 CROSS JOIN pu), legs AS (SELECT '1:global_dedup' AS variant, rows_naive AS rows_into_final FROM base UNION ALL SELECT '2:pushed_dedup', p1 + p2 FROM base) SELECT variant, CAST(rows_into_final AS BIGINT) AS rows_into_final, CAST(nd_naive AS BIGINT) AS distinct_out, CAST(ck_naive AS BIGINT) AS checksum, CAST(CASE WHEN nd_naive = nd_push AND ck_naive = ck_push THEN 1 ELSE 0 END AS BIGINT) AS equal_results, CAST((rows_naive - (p1 + p2)) * 10000 // rows_naive AS BIGINT) AS saved_bp, CAST(CASE WHEN rows_into_final = least(rows_naive, p1 + p2) THEN 1 ELSE 0 END AS BIGINT) AS chosen FROM legs CROSS JOIN base ORDER BY variant"""),
-      "A/J ext: aggregate pushed through UNION ALL — per-branch dedup sends only the partial distinct sets (~10x fewer rows) into the final merge, certified exact by set algebra (count + checksum vs the global dedup); the push that makes branch-local pre-aggregation legal for any decomposable aggregate"))
+      "A/J ext: aggregate pushed through UNION ALL — per-branch dedup sends only the partial distinct sets (~10x fewer rows) into the final merge, certified exact by set algebra (count + checksum vs the global dedup); the push that makes branch-local pre-aggregation legal for any decomposable aggregate"),
+
+    // q415 — METADATA-ONLY AGGREGATION, GATED BY DELETE VECTORS:
+    // min/max/count over a table whose files carry zone maps never
+    // needs the rows — 32 footer entries answer all three exactly...
+    // until a delete vector makes the footers lie (they describe the
+    // FILE, not the live rows; q377's whole compaction economy exists
+    // because DVs accumulate). Both paths EXECUTED in both scenarios:
+    // clean (no DVs applied — metadata equals the scan on all three
+    // aggregates, at 32 rows read instead of the corpus) and deleted
+    // (q368's Knuth victims removed from the live set, the SAME stale
+    // zone maps answer — count provably diverges by dv_rows, min/max
+    // whenever a victim held an extremum). The gate is the q407
+    // convention: use_metadata iff dv_rows = 0, and audit_correct pins
+    // the gate predicting the measured equality in both scenarios.
+    // Scale: this is why engines track per-file DV counts — one
+    // integer per file decides whether the 100 TB scan is replaceable
+    // by 32 footer reads.
+    QuerySpec(
+      "q415_metadata_agg",
+      (s, d) => {
+        val keyed = t(s, d, "orders").select(col("o_orderkey").as("k"),
+          expr("CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)").as("v"),
+          expr("(o_custkey % 2147483648) * 2654435761 % 4294967296").as("h"))
+        val mxk = keyed.agg(max("k").as("kmax"))
+        val files = keyed.crossJoin(broadcast(mxk))
+          .select(expr("least(31, k * 32 div (kmax + 1))").as("f"),
+            col("v"), col("h"))
+          .localCheckpoint(false)
+        // the footers: written once over the FULL file contents
+        val zones = files.groupBy("f").agg(count(lit(1)).as("c"),
+          min("v").as("zmin"), max("v").as("zmax")).localCheckpoint(false)
+        val meta = zones.agg(sum("c").as("m_count"), min("zmin").as("m_min"),
+          max("zmax").as("m_max"), count(lit(1)).as("rows_read_meta"))
+        def leg(id: String, cond: String): DataFrame = {
+          val live = files.where(expr(cond))
+          val scan = live.agg(count(lit(1)).as("s_count"), min("v").as("s_min"),
+            max("v").as("s_max"))
+          val dv = files.agg(
+            sum(when(expr(s"NOT ($cond)"), 1L).otherwise(0L)).as("dv_rows"),
+            count(lit(1)).as("rows_read_scan"))
+          meta.crossJoin(broadcast(scan)).crossJoin(broadcast(dv))
+            .select(lit(id).as("scenario"), col("dv_rows"),
+              col("m_count"), col("s_count"), col("m_min"), col("s_min"),
+              col("m_max"), col("s_max"),
+              expr("CAST(CASE WHEN m_count = s_count AND m_min = s_min AND m_max = s_max THEN 1 ELSE 0 END AS BIGINT)")
+                .as("equal_results"),
+              expr("CAST(CASE WHEN dv_rows = 0 THEN 1 ELSE 0 END AS BIGINT)")
+                .as("use_metadata"),
+              col("rows_read_meta"), col("rows_read_scan"))
+        }
+        leg("1:clean", "1 = 1")
+          .unionByName(leg("2:with_deletes", "h >= 42949672"))
+          .withColumn("audit_correct",
+            expr("CAST(CASE WHEN use_metadata = equal_results THEN 1 ELSE 0 END AS BIGINT)"))
+          .orderBy("scenario")
+      },
+      Some {
+        def legSql(id: String, cond: String): String =
+          s"""SELECT '$id' AS scenario,
+            (SELECT sum(CASE WHEN NOT ($cond) THEN 1 ELSE 0 END) FROM files) AS dv_rows,
+            (SELECT sum(c) FROM zones) AS m_count,
+            (SELECT count(*) FROM files WHERE $cond) AS s_count,
+            (SELECT min(zmin) FROM zones) AS m_min,
+            (SELECT min(v) FROM files WHERE $cond) AS s_min,
+            (SELECT max(zmax) FROM zones) AS m_max,
+            (SELECT max(v) FROM files WHERE $cond) AS s_max,
+            (SELECT count(*) FROM zones) AS rows_read_meta,
+            (SELECT count(*) FROM files) AS rows_read_scan"""
+        s"""WITH keyed AS (SELECT o_orderkey AS k, CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS v, (o_custkey % 2147483648) * 2654435761 % 4294967296 AS h FROM orders), mxk AS (SELECT max(k) AS kmax FROM keyed), files AS (SELECT least(31, k * 32 // (kmax + 1)) AS f, v, h FROM keyed CROSS JOIN mxk), zones AS (SELECT f, count(*) AS c, min(v) AS zmin, max(v) AS zmax FROM files GROUP BY 1), legs AS (${legSql("1:clean", "1 = 1")} UNION ALL ${legSql("2:with_deletes", "h >= 42949672")}), k2 AS (SELECT *, CASE WHEN m_count = s_count AND m_min = s_min AND m_max = s_max THEN 1 ELSE 0 END AS equal_results, CASE WHEN dv_rows = 0 THEN 1 ELSE 0 END AS use_metadata FROM legs) SELECT scenario, CAST(dv_rows AS BIGINT) AS dv_rows, CAST(m_count AS BIGINT) AS m_count, CAST(s_count AS BIGINT) AS s_count, CAST(m_min AS BIGINT) AS m_min, CAST(s_min AS BIGINT) AS s_min, CAST(m_max AS BIGINT) AS m_max, CAST(s_max AS BIGINT) AS s_max, CAST(equal_results AS BIGINT) AS equal_results, CAST(use_metadata AS BIGINT) AS use_metadata, CAST(rows_read_meta AS BIGINT) AS rows_read_meta, CAST(rows_read_scan AS BIGINT) AS rows_read_scan, CAST(CASE WHEN use_metadata = equal_results THEN 1 ELSE 0 END AS BIGINT) AS audit_correct FROM k2 ORDER BY scenario"""
+      },
+      "A/L ext: metadata-only aggregation gated by delete vectors — min/max/count answered from 32 zone-map rows instead of the corpus, certified equal on the clean table; with q368's Knuth victims deleted the SAME stale footers provably diverge (count by exactly dv_rows) and the per-file-DV gate refuses — one integer per file decides whether the 100 TB scan is replaceable by footer reads"),
+
+    // q416 — INFERENCE × LAYOUT, THE COMPOSITION: q409 proved the
+    // transitive key-range closure cuts join input ~94%; q401 proved
+    // range layouts make zone maps sharp. COMPOSED they change the
+    // SCAN bill, not just the shuffle: only when the filter is inferred
+    // AND the fact is range-laid-out by the join key do the file
+    // footers get a predicate they can act on. The 2x2 is EXECUTED —
+    // hash layout × {no inference, inferred} and key-range layout ×
+    // the same — with per-cell files_touched / rows_scanned from the
+    // applied 32-file assignments, the join result certified equal
+    // across ALL FOUR cells (the closure is an equivalence; the layout
+    // is physical), and soundness (missed = 0) on the pruned cell.
+    // Measured: three cells scan everything (no predicate, or a
+    // predicate no hash footer can use); the composed cell touches ~2
+    // of 32 files. chosen = the composed cell. Scale: this is the
+    // whole point of clustering fact tables by their dominant join
+    // key — the rewrite and the layout are worthless for the scan
+    // bill until they meet.
+    QuerySpec(
+      "q416_inferred_pruning",
+      (s, d) => {
+        val li = t(s, d, "lineitem").select(col("l_orderkey").as("k"),
+          col("l_linenumber").as("ln"),
+          expr("CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)").as("cents"))
+        val o = t(s, d, "orders").select(col("o_orderkey").as("k"))
+        val mx = o.agg(min("k").as("a"), max("k").as("b"))
+        val pred = broadcast(mx).selectExpr(
+          "a + (b - a) * 2 div 5 AS lo", "a + (b - a) * 9 div 20 AS hi")
+          .localCheckpoint(false)
+        val fo = o.crossJoin(broadcast(pred)).where(expr("k BETWEEN lo AND hi"))
+          .select("k").localCheckpoint(false)
+        import R39Queries.md5Bucket
+        val asgHash = li.withColumn("p",
+          md5Bucket(concat(lit("rq:"), col("k").cast("string"),
+            lit(":"), col("ln").cast("string")), 32))
+          .localCheckpoint(false)
+        val asgRange = li.crossJoin(broadcast(mx))
+          .withColumn("p", expr("least(31, (k - a) * 32 div (b - a + 1))"))
+          .select("k", "ln", "cents", "p").localCheckpoint(false)
+        val joined = li.join(fo, "k")
+          .agg(count(lit(1)).as("r_join"), sum("cents").as("c_join"))
+          .localCheckpoint(false)
+        def leg(id: String, asg: DataFrame, inferred: Boolean): DataFrame = {
+          val zones = asg.groupBy("p").agg(count(lit(1)).as("c"),
+            min("k").as("zmin"), max("k").as("zmax")).localCheckpoint(false)
+          val touched =
+            if (inferred) zones.crossJoin(broadcast(pred))
+              .where(expr("zmax >= lo AND zmin <= hi")).select("p", "c")
+            else zones.select("p", "c")
+          val ts = touched.agg(count(lit(1)).as("files_touched"),
+            sum("c").as("rows_scanned"))
+          // soundness + equivalence: the join computed over ONLY the
+          // touched files must equal the full join
+          val cellJoin = asg.join(broadcast(touched.select("p")), "p")
+            .join(fo, "k")
+            .agg(count(lit(1)).as("r_cell"), coalesce(sum("cents"), lit(0L)).as("c_cell"))
+          ts.crossJoin(broadcast(cellJoin)).crossJoin(broadcast(joined))
+            .select(lit(id).as("cell"), col("files_touched"), col("rows_scanned"),
+              col("r_cell").as("result_rows"), col("c_cell").as("total_cents"),
+              expr("CAST(CASE WHEN r_cell = r_join AND c_cell = c_join THEN 1 ELSE 0 END AS BIGINT)")
+                .as("equal_results"))
+        }
+        val legs = leg("1:hash_no_infer", asgHash, inferred = false)
+          .unionByName(leg("2:hash_inferred", asgHash, inferred = true))
+          .unionByName(leg("3:range_no_infer", asgRange, inferred = false))
+          .unionByName(leg("4:range_inferred", asgRange, inferred = true))
+        legs.crossJoin(broadcast(legs.agg(min("rows_scanned").as("mn"))))
+          .select(col("cell"), col("files_touched"), col("rows_scanned"),
+            col("result_rows"), col("total_cents"), col("equal_results"),
+            expr("CAST(CASE WHEN rows_scanned = mn THEN 1 ELSE 0 END AS BIGINT)")
+              .as("chosen"))
+          .orderBy("cell")
+      },
+      Some {
+        import R39Queries.md5BucketSql
+        def legSql(id: String, asgCte: String, inferred: Boolean): String = {
+          val touched =
+            if (inferred) s"SELECT p, c FROM zn_$asgCte CROSS JOIN pred WHERE zmax >= lo AND zmin <= hi"
+            else s"SELECT p, c FROM zn_$asgCte"
+          s"""SELECT '$id' AS cell,
+            (SELECT count(*) FROM ($touched) t) AS files_touched,
+            (SELECT sum(c) FROM ($touched) t) AS rows_scanned,
+            (SELECT count(*) FROM $asgCte a JOIN fo ON fo.k = a.k WHERE a.p IN (SELECT p FROM ($touched) t)) AS result_rows,
+            (SELECT coalesce(sum(a.cents), 0) FROM $asgCte a JOIN fo ON fo.k = a.k WHERE a.p IN (SELECT p FROM ($touched) t)) AS total_cents"""
+        }
+        s"""WITH li AS (SELECT l_orderkey AS k, l_linenumber AS ln, CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS cents FROM lineitem), o AS (SELECT o_orderkey AS k FROM orders), mx AS (SELECT min(k) AS a, max(k) AS b FROM o), pred AS (SELECT a + (b - a) * 2 // 5 AS lo, a + (b - a) * 9 // 20 AS hi FROM mx), fo AS (SELECT k FROM o CROSS JOIN pred WHERE k BETWEEN lo AND hi), asgh AS (SELECT k, ln, cents, ${md5BucketSql("'rq:' || CAST(k AS VARCHAR) || ':' || CAST(ln AS VARCHAR)", 32)} AS p FROM li), asgr AS (SELECT k, ln, cents, least(31, (k - a) * 32 // (b - a + 1)) AS p FROM li CROSS JOIN mx), zn_asgh AS (SELECT p, count(*) AS c, min(k) AS zmin, max(k) AS zmax FROM asgh GROUP BY 1), zn_asgr AS (SELECT p, count(*) AS c, min(k) AS zmin, max(k) AS zmax FROM asgr GROUP BY 1), jn AS (SELECT count(*) AS r_join, sum(cents) AS c_join FROM li JOIN fo USING (k)), legs AS (${legSql("1:hash_no_infer", "asgh", inferred = false)} UNION ALL ${legSql("2:hash_inferred", "asgh", inferred = true)} UNION ALL ${legSql("3:range_no_infer", "asgr", inferred = false)} UNION ALL ${legSql("4:range_inferred", "asgr", inferred = true)}), mn AS (SELECT min(rows_scanned) AS mn FROM legs) SELECT cell, CAST(files_touched AS BIGINT) AS files_touched, CAST(rows_scanned AS BIGINT) AS rows_scanned, CAST(result_rows AS BIGINT) AS result_rows, CAST(total_cents AS BIGINT) AS total_cents, CAST(CASE WHEN result_rows = (SELECT r_join FROM jn) AND total_cents = (SELECT c_join FROM jn) THEN 1 ELSE 0 END AS BIGINT) AS equal_results, CAST(CASE WHEN rows_scanned = (SELECT mn FROM mn) THEN 1 ELSE 0 END AS BIGINT) AS chosen FROM legs CROSS JOIN mn ORDER BY cell"""
+      },
+      "J/S/L ext: inference x layout composition — the transitive key-range closure and the key-range file layout executed in a 2x2; the join result certified equal across all four cells, but only the COMPOSED cell (inferred filter on range-clustered files) touches ~2 of 32 files — the scan bill moves only when the rewrite and the layout meet"))
 }

@@ -1206,6 +1206,37 @@ object EventStream {
       .start()
   }
 
+  /** q410's online half: the (flag × status) micro-cube maintained
+    * additively across micro-batches — each batch is scanned ONCE into
+    * its partial cube and merged into the ≤6-row state, and BOTH
+    * standing reports are derived from state at every tick (any further
+    * report over the same grain is a free derivation, q410's claim now
+    * holding continuously). State is bounded by the grain's cardinality
+    * regardless of stream length and rides an eager localCheckpoint
+    * (the cross-batch handle convention). StreamingSpec certifies the
+    * derived reports equal the batch recompute of the fed prefix after
+    * every batch.
+    */
+  def scanShareStream(items: DataFrame)
+      (sink: (Long, DataFrame) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    var cube: DataFrame = null // (fl, st, cnt, sq, sc)
+    items.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val part = batch.toDF().groupBy("fl", "st")
+          .agg(count(lit(1)).as("cnt"), sum("qty").as("sq"), sum("cents").as("sc"))
+        val merged =
+          (if (cube == null) part
+           else cube.unionByName(part).groupBy("fl", "st")
+             .agg(sum("cnt").as("cnt"), sum("sq").as("sq"), sum("sc").as("sc")))
+            .localCheckpoint(true) // eager: state must outlive the callback
+        cube = merged
+        sink(id, merged)
+      }
+      .outputMode("append")
+      .start()
+  }
+
   def histRefreshStream(values: DataFrame, vmin: Long, w: Long,
       refreshAlarms: Option[org.apache.spark.util.LongAccumulator] = None)
       (sink: (Long, DataFrame) => Unit)

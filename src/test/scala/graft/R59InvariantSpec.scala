@@ -65,4 +65,39 @@ class R59InvariantSpec extends SparkSpecBase {
       s"partials must shrink the final exchange >= 4x: ${rows.toSeq}")
     assert(pushed._6 == 1L && global._6 == 0L)
   }
+
+  test("q415 metadata aggregation: exact on the clean table, refused once delete vectors exist") {
+    val rows = SparkEntry.queries("q415_metadata_agg")(spark, sf001)
+      .select("scenario", "dv_rows", "m_count", "s_count", "equal_results",
+        "use_metadata", "rows_read_meta", "audit_correct")
+      .as[(String, Long, Long, Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(rows.length == 2)
+    val Array(clean, deleted) = rows
+    assert(clean._2 == 0L && clean._5 == 1L && clean._6 == 1L,
+      s"clean table: metadata must answer exactly: $clean")
+    assert(clean._7 == 32L, "metadata path must read exactly the 32 footers")
+    // the stale footers provably over-count by exactly the victims
+    assert(deleted._2 > 0L && deleted._3 == deleted._4 + deleted._2,
+      s"stale count must diverge by dv_rows: $deleted")
+    assert(deleted._5 == 0L && deleted._6 == 0L,
+      s"the gate must refuse once DVs exist: $deleted")
+    assert(rows.forall(_._8 == 1L), "the DV gate failed to predict a scenario")
+  }
+
+  test("q416 inference x layout: only the composed cell prunes, all four cells agree") {
+    val rows = SparkEntry.queries("q416_inferred_pruning")(spark, sf001)
+      .select("cell", "files_touched", "rows_scanned", "equal_results", "chosen")
+      .as[(String, Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(rows.length == 4)
+    assert(rows.forall(_._4 == 1L), "a cell's join diverged from the full join")
+    val full = rows.head._3
+    // hash x {off,on} and range x off all scan everything
+    rows.take(3).foreach(r => assert(r._3 == full,
+      s"an uncomposed cell pretended to prune: $r"))
+    val composed = rows(3)
+    assert(composed._1 == "4:range_inferred" && composed._5 == 1L)
+    assert(composed._2 <= 4L && composed._3 * 8L <= full,
+      s"the composed cell must touch few files and prune >= 8x: $composed")
+    assert(rows.take(3).forall(_._5 == 0L))
+  }
 }

@@ -718,6 +718,48 @@ class StreamingSpec extends SparkSpecBase {
     }
   }
 
+  test("scanShareStream: micro-cube state derives BOTH reports exactly after every batch") {
+    // q410's online half: lineitem rows fed in four micro-batches; after
+    // each, report A (by returnflag) and report B (by linestatus) derived
+    // from the ≤6-row cube state must equal the direct recompute over the
+    // fed prefix — the one-scan sharing claim holding continuously. The
+    // state never exceeds the (flag x status) grain cardinality.
+    import graft.streaming.EventStream
+    val rows = Tables.load(spark, sf001, "lineitem").select(
+        col("l_returnflag").as("fl"), col("l_linestatus").as("st"),
+        expr("CAST(l_quantity AS BIGINT)").as("qty"),
+        expr("CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)").as("cents"))
+      .as[(String, String, Long, Long)].collect().toSeq
+    val chunks = rows.grouped(rows.size / 4 + 1).toSeq
+    assert(chunks.size == 4)
+    val grain = rows.map(r => (r._1, r._2)).distinct.size
+    val mem = MemoryStream[(String, String, Long, Long)](spark)
+    var last: org.apache.spark.sql.DataFrame = null
+    val q = EventStream.scanShareStream(
+      mem.toDF().toDF("fl", "st", "qty", "cents")) { (_, c) => last = c }
+    try {
+      var fed = Seq.empty[(String, String, Long, Long)]
+      for (chunk <- chunks) {
+        mem.addData(chunk: _*)
+        q.processAllAvailable()
+        fed = fed ++ chunk
+        val cube = last.select("fl", "st", "cnt", "sq", "sc")
+          .as[(String, String, Long, Long, Long)].collect()
+        assert(cube.length <= grain, s"cube state left the grain: ${cube.length} > $grain")
+        val repA = cube.groupBy(_._1).map { case (fl, rs) =>
+          fl -> (rs.map(_._3).sum, rs.map(_._4).sum) }
+        val wantA = fed.groupBy(_._1).map { case (fl, rs) =>
+          fl -> (rs.size.toLong, rs.map(_._3).sum) }
+        assert(repA == wantA, s"report A diverged from the prefix recompute at ${fed.size} rows")
+        val repB = cube.groupBy(_._2).map { case (st, rs) =>
+          st -> (rs.map(_._3).sum, rs.map(_._5).sum) }
+        val wantB = fed.groupBy(_._2).map { case (st, rs) =>
+          st -> (rs.size.toLong, rs.map(_._4).sum) }
+        assert(repB == wantB, s"report B diverged from the prefix recompute at ${fed.size} rows")
+      }
+    } finally q.stop()
+  }
+
   test("funnelStream: stream-applied funnel equals q251's batch stages on the same delta") {
     import graft.queries.R14Queries
     import graft.streaming.EventStream.Doc
