@@ -117,7 +117,12 @@ object PlanAudit {
     // soundness anti-join once per structure) and every probe/zone/
     // cell table staying broadcast
     "q404_incr_stats_plans",
-    "q405_skipping_chooser")
+    "q405_skipping_chooser",
+    // q416 carries the 2x2 composition grader — four cell-join legs
+    // over the two applied layouts; the pin protects the probe/zone
+    // tables staying broadcast and the full-join grader running ONCE
+    // (localCheckpointed) rather than per cell
+    "q416_inferred_pruning")
 
   /** Node kinds whose counts define a plan's cost signature. Matched
     * against SparkPlan.nodeName ("Exchange" is ShuffleExchangeExec's
