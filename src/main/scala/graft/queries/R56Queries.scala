@@ -56,6 +56,30 @@ object R56Queries {
       s"WHEN f * $target <= 4 * n THEN 4 WHEN f * $target <= 8 * n THEN 8 " +
       s"WHEN f * $target <= 16 * n THEN 16 WHEN f * $target <= 32 * n THEN 32 ELSE 64 END"
 
+  /** q400's CHOSEN boundary rule as a shared builder — the 256-bin
+    * sketch's cumulative mapped onto 32 partitions. q400 prices it,
+    * q401 prunes on it, q405 classifies columns on it and LayoutSpec
+    * writes it physically, all through these two functions, so the
+    * decision and its appliers cannot drift. `mx` is the one-row
+    * (a, w, n) stats frame over the value column `v`.
+    */
+  private[graft] def sketchBmap(rows: DataFrame, mx: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    rows.crossJoin(broadcast(mx))
+      .groupBy(expr("least(255, (v - a) * 256 div w)").as("b"))
+      .agg(count(lit(1)).as("bc"))
+      .withColumn("cum", sum("bc").over(Window.orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .crossJoin(broadcast(mx))
+      .select(col("b"), expr("least(31, cum * 32 div (n + 1))").as("p"))
+  }
+
+  /** Every row of `rows` with its assigned sketch-range partition `p`. */
+  private[graft] def sketchRangeAssign(rows: DataFrame, mx: DataFrame): DataFrame =
+    rows.crossJoin(broadcast(mx))
+      .withColumn("b", expr("least(255, (v - a) * 256 div w)"))
+      .join(broadcast(sketchBmap(rows, mx)), "b")
+
   val specs: Seq[QuerySpec] = Seq(
 
     // q398 — ANALYZE-POLICY CHOOSER, EXECUTED: q380 built the drift
@@ -341,17 +365,7 @@ object R56Queries {
           rows.crossJoin(broadcast(mx))
             .withColumn("p", expr("least(31, (v - a) * 32 div w)")),
           mx.select(lit(2L).as("state_units")))
-        val bmap = rows.crossJoin(broadcast(mx))
-          .groupBy(expr("least(255, (v - a) * 256 div w)").as("b"))
-          .agg(count(lit(1)).as("bc"))
-          .withColumn("cum", sum("bc").over(Window.orderBy("b")
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-          .crossJoin(broadcast(mx))
-          .select(col("b"), expr("least(31, cum * 32 div (n + 1))").as("p"))
-        val sketch = summar("3:sketch_cum256",
-          rows.crossJoin(broadcast(mx))
-            .withColumn("b", expr("least(255, (v - a) * 256 div w)"))
-            .join(broadcast(bmap), "b"),
+        val sketch = summar("3:sketch_cum256", sketchRangeAssign(rows, mx),
           mx.select(lit(256L).as("state_units")))
         val fracs = (1 to 31).map(_ / 32.0)
         val cuts = graft.ops.QuantileOps.exactElementQuantiles(
@@ -423,21 +437,10 @@ object R56Queries {
           .localCheckpoint(false)
         val mx = rows.agg(min("v").as("a"), expr("max(v) - min(v) + 1").as("w"),
           count(lit(1)).as("n")).localCheckpoint(false)
-        val bmap = rows.crossJoin(broadcast(mx))
-          .groupBy(expr("least(255, (v - a) * 256 div w)").as("b"))
-          .agg(count(lit(1)).as("bc"))
-          .withColumn("cum", sum("bc").over(
-            org.apache.spark.sql.expressions.Window.orderBy("b")
-              .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-                org.apache.spark.sql.expressions.Window.currentRow)))
-          .crossJoin(broadcast(mx))
-          .select(col("b"), expr("least(31, cum * 32 div (n + 1))").as("p"))
         def zones(assigned: DataFrame): DataFrame =
           assigned.groupBy("p").agg(count(lit(1)).as("c"),
             min("v").as("zmin"), max("v").as("zmax")).localCheckpoint(false)
-        val zR = zones(rows.crossJoin(broadcast(mx))
-          .withColumn("b", expr("least(255, (v - a) * 256 div w)"))
-          .join(broadcast(bmap), "b"))
+        val zR = zones(sketchRangeAssign(rows, mx))
         val zH = zones(rows.withColumn("p",
           md5Bucket(concat(lit("h:"), col("eid").cast("string")), 32)))
         // the probe battery: the three heaviest range partitions' own
@@ -457,9 +460,7 @@ object R56Queries {
             .where(expr("v BETWEEN lo AND hi"))
             .groupBy("probe_id").agg(count(lit(1)).as("act_rows"))
           // soundness: matching rows OUTSIDE the touched partitions
-          val missed = rows.crossJoin(broadcast(mx))
-            .withColumn("b", expr("least(255, (v - a) * 256 div w)"))
-            .join(broadcast(bmap), "b")
+          val missed = sketchRangeAssign(rows, mx)
             .withColumn("ph", md5Bucket(concat(lit("h:"), col("eid").cast("string")), 32))
             .select(col("v"), if (name.startsWith("1")) col("ph").as("p") else col("p"))
             .join(broadcast(z.select(col("p"), col("zmin"), col("zmax"))), "p")

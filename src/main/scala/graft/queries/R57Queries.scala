@@ -305,7 +305,6 @@ object R57Queries {
       "q405_skipping_chooser",
       (s, d) => {
         import org.apache.spark.sql.Column
-        import org.apache.spark.sql.expressions.Window
         import R39Queries.md5Bucket
         // 4 bloom cells sliced from ONE md5 (20 bits each → % 1024):
         // a quarter of the hash work of four tagged digests in the
@@ -372,16 +371,9 @@ object R57Queries {
           .localCheckpoint(false)
         val mx = ev.agg(min("v").as("a"), expr("max(v) - min(v) + 1").as("w"),
           count(lit(1)).as("n")).localCheckpoint(false)
-        val bmap = ev.crossJoin(broadcast(mx))
-          .groupBy(expr("least(255, (v - a) * 256 div w)").as("b"))
-          .agg(count(lit(1)).as("bc"))
-          .withColumn("cum", sum("bc").over(Window.orderBy("b")
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-          .crossJoin(broadcast(mx))
-          .select(col("b"), expr("least(31, cum * 32 div (n + 1))").as("p"))
-        val asgAB = ev.crossJoin(broadcast(mx))
-          .withColumn("b", expr("least(255, (v - a) * 256 div w)"))
-          .join(broadcast(bmap), "b").select("eid", "v", "p")
+        // q400's chosen layout through the SHARED builder (decision and
+        // applier cannot drift)
+        val asgAB = R56Queries.sketchRangeAssign(ev, mx).select("eid", "v", "p")
           .localCheckpoint(false)
         val zonesA = asgAB.groupBy("p").agg(count(lit(1)).as("c"),
           min("v").as("zmin"), max("v").as("zmax")).localCheckpoint(false)

@@ -32,6 +32,15 @@ object R58Queries {
 
   private def t(s: SparkSession, d: String, n: String): DataFrame = Tables.load(s, d, n)
 
+  /** q409's mid-band key predicate over a single-column frame `k` —
+    * shared with q416, whose whole point is composing THIS predicate
+    * (not a retyped sibling that could silently drift) with the
+    * key-range layout.
+    */
+  private[graft] def keyMidband(keys: DataFrame): DataFrame =
+    broadcast(keys.agg(min("k").as("a"), max("k").as("b")))
+      .selectExpr("a + (b - a) * 2 div 5 AS lo", "a + (b - a) * 9 div 20 AS hi")
+
   val specs: Seq[QuerySpec] = Seq(
 
     // q406 — EAGER AGGREGATION (partial groupBy below the join): the
@@ -125,7 +134,11 @@ object R58Queries {
         def leg(id: String, dim: DataFrame): DataFrame = {
           val dk = dim.select(col("c_custkey").as("pk")).localCheckpoint(false)
           val nulls = o.agg(sum(when(col("fk").isNull, 1L).otherwise(0L)).as("fk_nulls"))
-          val orphans = o.join(dk, col("fk") === col("pk"), "left_anti")
+          // orphans count NON-NULL unmatched fks only (nulls are their
+          // own audit column) — on both sides, so the oracle's NOT IN
+          // and this anti-join cannot diverge on a null-carrying fixture
+          val orphans = o.where(col("fk").isNotNull)
+            .join(dk.where(col("pk").isNotNull), col("fk") === col("pk"), "left_anti")
             .agg(count(lit(1)).as("orphans"))
           val dups = dk.groupBy("pk").agg(count(lit(1)).as("c"))
             .agg(sum(when(col("c") > 1L, 1L).otherwise(0L)).as("dup_keys"))
@@ -155,7 +168,7 @@ object R58Queries {
         def legSql(id: String, dimCond: String): String =
           s"""SELECT '$id' AS scenario,
             (SELECT sum(CASE WHEN fk IS NULL THEN 1 ELSE 0 END) FROM o) AS fk_nulls,
-            (SELECT count(*) FROM o WHERE fk NOT IN (SELECT pk FROM ($dimCond) dkx)) AS orphans,
+            (SELECT count(*) FROM o WHERE fk IS NOT NULL AND fk NOT IN (SELECT pk FROM ($dimCond) dkx WHERE pk IS NOT NULL)) AS orphans,
             (SELECT sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) FROM (SELECT pk, count(*) AS c FROM ($dimCond) dky GROUP BY 1) g) AS dup_keys,
             (SELECT count(*) FROM o JOIN ($dimCond) dkj ON dkj.pk = o.fk) AS rows_join,
             (SELECT count(*) FROM o) AS rows_elim,
@@ -243,10 +256,7 @@ object R58Queries {
       "q409_transitive_pred",
       (s, d) => {
         val o = t(s, d, "orders").select(col("o_orderkey").as("k"))
-        val mx = o.agg(min("k").as("a"), max("k").as("b"))
-        val pred = broadcast(mx).selectExpr(
-          "a + (b - a) * 2 div 5 AS lo", "a + (b - a) * 9 div 20 AS hi")
-          .localCheckpoint(false)
+        val pred = keyMidband(o).localCheckpoint(false)
         val fo = o.crossJoin(broadcast(pred)).where(expr("k BETWEEN lo AND hi"))
           .select("k").localCheckpoint(false)
         val li = t(s, d, "lineitem").select(col("l_orderkey").as("k"),

@@ -59,9 +59,13 @@ object R59Queries {
           val p = dim.select(col(pk).as("pk")).localCheckpoint(false)
           val nulls = f.agg(sum(when(col("fk").isNull, 1L).otherwise(0L)).as("fk_nulls"),
             count(lit(1)).as("fact_rows"))
-          val orphans = f.join(p, col("fk") === col("pk"), "left_anti")
+          // non-null keys only on both sides of the orphan/uniqueness
+          // audits, matching the oracle's NOT IN / DISTINCT semantics
+          // exactly even on a null-carrying fixture
+          val orphans = f.where(col("fk").isNotNull)
+            .join(p.where(col("pk").isNotNull), col("fk") === col("pk"), "left_anti")
             .agg(count(lit(1)).as("orphans"))
-          val dups = p.groupBy("pk").agg(count(lit(1)).as("c"))
+          val dups = p.where(col("pk").isNotNull).groupBy("pk").agg(count(lit(1)).as("c"))
             .agg(sum(when(col("c") > 1L, 1L).otherwise(0L)).as("dup_pks"),
               count(lit(1)).as("pk_keys"))
           nulls.crossJoin(broadcast(orphans)).crossJoin(broadcast(dups))
@@ -91,8 +95,8 @@ object R59Queries {
             (SELECT count(*) FROM $factT) AS fact_rows,
             (SELECT count(DISTINCT $pk) FROM $dimT) AS pk_keys,
             (SELECT sum(CASE WHEN $fk IS NULL THEN 1 ELSE 0 END) FROM $factT) AS fk_nulls,
-            (SELECT count(*) FROM $factT WHERE $fk NOT IN (SELECT $pk FROM $dimT)) AS orphans,
-            (SELECT sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) FROM (SELECT $pk, count(*) AS c FROM $dimT GROUP BY 1) g) AS dup_pks"""
+            (SELECT count(*) FROM $factT WHERE $fk IS NOT NULL AND $fk NOT IN (SELECT $pk FROM $dimT WHERE $pk IS NOT NULL)) AS orphans,
+            (SELECT sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) FROM (SELECT $pk, count(*) AS c FROM $dimT WHERE $pk IS NOT NULL GROUP BY 1) g) AS dup_pks"""
         val edges = Seq(
           edgeSql("1:lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
           edgeSql("2:lineitem.l_partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
@@ -326,9 +330,9 @@ object R59Queries {
           expr("CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)").as("cents"))
         val o = t(s, d, "orders").select(col("o_orderkey").as("k"))
         val mx = o.agg(min("k").as("a"), max("k").as("b"))
-        val pred = broadcast(mx).selectExpr(
-          "a + (b - a) * 2 div 5 AS lo", "a + (b - a) * 9 div 20 AS hi")
-          .localCheckpoint(false)
+        // q409's predicate through the SHARED builder — the composition
+        // certifies that predicate, not a retyped sibling
+        val pred = R58Queries.keyMidband(o).localCheckpoint(false)
         val fo = o.crossJoin(broadcast(pred)).where(expr("k BETWEEN lo AND hi"))
           .select("k").localCheckpoint(false)
         import R39Queries.md5Bucket

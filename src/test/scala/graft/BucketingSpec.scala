@@ -22,8 +22,10 @@ class BucketingSpec extends SparkSpecBase {
       val p = java.nio.file.Paths.get("spark-warehouse", t)
       if (java.nio.file.Files.exists(p)) {
         import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
-          .foreach(java.nio.file.Files.deleteIfExists(_))
+        { val st = java.nio.file.Files.walk(p)
+          try st.iterator().asScala.toSeq.reverse
+            .foreach(java.nio.file.Files.deleteIfExists(_))
+          finally st.close() }
       }
     }
 

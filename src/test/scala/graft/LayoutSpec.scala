@@ -114,8 +114,10 @@ class LayoutSpec extends SparkSpecBase {
       for (d <- Seq(lexDir, zDir)) {
         val p = java.nio.file.Paths.get(d)
         if (java.nio.file.Files.exists(p))
-          java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
-            .foreach(java.nio.file.Files.deleteIfExists(_))
+          { val st = java.nio.file.Files.walk(p)
+            try st.iterator().asScala.toSeq.reverse
+              .foreach(java.nio.file.Files.deleteIfExists(_))
+            finally st.close() }
       }
     }
   }
@@ -143,20 +145,12 @@ class LayoutSpec extends SparkSpecBase {
     val rows = Tables.load(spark, sf001, "events").select(col("event_id").as("eid"),
       expr("CAST(floor(value * 100.0 + 0.5) AS BIGINT)").as("v"))
       .localCheckpoint(false)
-    val (a, w, n) = rows.agg(min("v"), expr("max(v) - min(v) + 1"), count(lit(1)))
-      .as[(Long, Long, Long)].head()
-    val bmap = rows
-      .groupBy(expr(s"least(255, (v - $a) * 256 div $w)").as("b"))
-      .agg(count(lit(1)).as("bc"))
-      .withColumn("cum", sum("bc").over(
-        org.apache.spark.sql.expressions.Window.orderBy("b")
-          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-            org.apache.spark.sql.expressions.Window.currentRow)))
-      .select(col("b"), expr(s"least(31, cum * 32 div ($n + 1))").as("p"))
-      .localCheckpoint(false)
-    val asgRange = rows
-      .withColumn("b", expr(s"least(255, (v - $a) * 256 div $w)"))
-      .join(broadcast(bmap), "b").select("eid", "v", "p")
+    val mx = rows.agg(min("v").as("a"), expr("max(v) - min(v) + 1").as("w"),
+      count(lit(1)).as("n")).localCheckpoint(false)
+    // the layout under test is built by the SAME shared builder the
+    // chooser (q400), the pruner (q401) and the classifier (q405) use
+    val asgRange = graft.queries.R56Queries.sketchRangeAssign(rows, mx)
+      .select("eid", "v", "p")
     val asgHash = rows.withColumn("p",
       md5Bucket(concat(lit("h:"), col("eid").cast("string")), 32))
       .select("eid", "v", "p")
@@ -210,8 +204,10 @@ class LayoutSpec extends SparkSpecBase {
       for (d <- Seq(rangeDir, hashDir)) {
         val p = java.nio.file.Paths.get(d)
         if (java.nio.file.Files.exists(p))
-          java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
-            .foreach(java.nio.file.Files.deleteIfExists(_))
+          { val st = java.nio.file.Files.walk(p)
+            try st.iterator().asScala.toSeq.reverse
+              .foreach(java.nio.file.Files.deleteIfExists(_))
+            finally st.close() }
       }
     }
   }

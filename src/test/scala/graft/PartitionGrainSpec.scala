@@ -81,8 +81,10 @@ class PartitionGrainSpec extends SparkSpecBase {
         import scala.jdk.CollectionConverters._
         val p = java.nio.file.Paths.get(dir)
         if (java.nio.file.Files.exists(p))
-          java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
-            .foreach(java.nio.file.Files.deleteIfExists(_))
+          { val st = java.nio.file.Files.walk(p)
+            try st.iterator().asScala.toSeq.reverse
+              .foreach(java.nio.file.Files.deleteIfExists(_))
+            finally st.close() }
       }
     }
   }

@@ -103,6 +103,39 @@ class RewritePlanSpec extends SparkSpecBase {
       assert(joinsIn(li.join(sup, col("l_suppkey") === col("s_suppkey"))
         .select(col("l_orderkey"))) == 1,
         "rule fired on a never-validated pair")
+      // (d) a CHECKPOINTED subset of the dim collapses to a leaf — the
+      // plan-shape Filter guard cannot see the cut, but the leaf is not
+      // the registered constraint source, so the rule must refuse
+      val subsetLeaf = cust.where(col("c_custkey") % 2 === 0)
+        .select(col("c_custkey")).distinct().localCheckpoint(true)
+      val qLeaf = orders.join(subsetLeaf, col("o_custkey") === col("c_custkey"))
+        .select(col("o_orderkey"))
+      assert(joinsIn(qLeaf) == 1,
+        "rule dropped a join against a checkpointed dim SUBSET (lineage hole)")
+    }
+    RiConstraints.clear()
+  }
+
+  test("FkJoinEliminationRule is an identity even on a null-carrying derived left side") {
+    // the validated fact table has no null fks, but the rule may see
+    // ANY left plan — e.g. one null-extended by an upstream outer join,
+    // where the inner join drops the null rows. The kept IsNotNull(fk)
+    // filter must preserve that semantics exactly.
+    RiConstraints.clear()
+    assert(RiConstraints.validate(orders, cust, "o_custkey", "c_custkey"))
+    val nation = Tables.load(spark, sf001, "nation").select(col("n_nationkey"))
+    // left side: nation left-joined to orders on a non-key — null-extends
+    // o_custkey for every unmatched nation row
+    val left = nation.join(orders, col("n_nationkey") === col("o_orderkey"), "left_outer")
+    def q = left.join(dimKeys, col("o_custkey") === col("c_custkey"))
+      .select(col("n_nationkey"), col("o_orderkey"))
+    val baseRows = q.count()
+    withRule {
+      val r = q
+      assert(joinsIn(r) == 1,
+        "the customer join must be eliminated (one upstream join remains)")
+      assert(r.count() == baseRows,
+        "rule changed results on a null-carrying left side — IsNotNull(fk) guard broken")
     }
     RiConstraints.clear()
   }
