@@ -26,6 +26,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[Expression]) => CosineSimilarity(exprs(0), exprs(1))))
     ext.injectOptimizerRule(_ => graft.plans.CosineSymmetryRule)
     ext.injectOptimizerRule(_ => graft.plans.FkJoinEliminationRule)
+    ext.injectOptimizerRule(_ => graft.plans.MvRewriteRule)
     ext.injectPlannerStrategy(_ => graft.plans.TopKPerGroupStrategy)
   }
 }
