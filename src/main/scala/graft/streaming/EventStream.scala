@@ -1265,4 +1265,41 @@ object EventStream {
       .start()
   }
 
+  /** q421's online half: the versioned table maintained from a CHANGELOG
+    * stream — the manifest ops of the snapshot arc as they'd arrive from
+    * a commit log. Each micro-batch is one commit carrying rows tagged
+    *   'I' add rows (load/append),    'D' delete by key (MoR DV),
+    *   'X' drop a whole file by id,   'R' add replacement-file rows;
+    * the fold is (state ∖ X-files ∖ D-keys) ∪ I ∪ R — a compaction
+    * commit is X+R in ONE batch and must leave content untouched, which
+    * StreamingSpec certifies against R61Queries' logical states after
+    * every commit (the q421 time-travel law, inductive over the stream).
+    * State here IS the table content — in production the sink table
+    * itself — so the operator carries no state beyond the data it
+    * maintains; the delete/drop sides of each batch are broadcast-sized
+    * commit metadata, never a second corpus.
+    */
+  def changelogStream(ops: DataFrame)
+      (sink: (Long, DataFrame) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    var state: DataFrame = null // (k, v, f)
+    ops.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val b = batch.toDF().localCheckpoint(true)
+        val adds = b.where("op = 'I' OR op = 'R'").select("k", "v", "f")
+        val delKeys = b.where("op = 'D'").select("k").distinct()
+        val delFiles = b.where("op = 'X'").select("f").distinct()
+        val kept =
+          if (state == null) adds.limit(0)
+          else state.join(broadcast(delFiles), Seq("f"), "left_anti")
+            .join(broadcast(delKeys), Seq("k"), "left_anti")
+        val merged = kept.unionByName(adds)
+          .localCheckpoint(true) // eager: state must outlive the callback
+        state = merged
+        sink(id, merged)
+      }
+      .outputMode("append")
+      .start()
+  }
+
 }

@@ -1402,4 +1402,61 @@ class StreamingSpec extends SparkSpecBase {
     assert(statesB.last == statesA.last,
       "final KMV state must be independent of batching and delivery order")
   }
+
+  test("changelogStream: the table maintained from commit ops equals every snapshot; the compaction commit is content-neutral and moves the files") {
+    // q421's online half: the four snapshot-arc commits (load, MoR
+    // delete, append, compaction = X+R in one batch) fed as a changelog
+    // stream; after every commit the maintained table must equal the
+    // corresponding logical state, and the compaction batch must leave
+    // the content signature untouched while relocating every rewritten
+    // file id.
+    val rows = graft.queries.R61Queries.keyedFrame(spark, sf001)
+      .select("k", "v", "h", "kcut", "f")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    val kcut = rows.head._4
+    def vic(h: Long, f: Long): Boolean = f < 20 && h < 171798691L
+    val orig = rows.filter(_._1 <= kcut)
+    val app = rows.filter(_._1 > kcut)
+    val rwFiles = orig.filter(r => vic(r._3, r._5)).map(_._5).toSet
+    assert(rwFiles.nonEmpty && rwFiles.size < 32, "dead fixture: rewrite set must be a proper subset")
+    val commits: Seq[Seq[(String, Long, Long, Long)]] = Seq(
+      orig.map(r => ("I", r._1, r._2, r._5)),
+      orig.filter(r => vic(r._3, r._5)).map(r => ("D", r._1, 0L, 0L)),
+      app.map(r => ("I", r._1, r._2, r._5)),
+      rwFiles.toSeq.sorted.map(f => ("X", 0L, 0L, f)) ++
+        orig.filter(r => rwFiles(r._5) && !vic(r._3, r._5))
+          .map(r => ("R", r._1, r._2, r._5 + 100L)))
+    def sigOf(rs: Seq[(Long, Long, Long, Long, Long)]): (Long, Long, Long) =
+      (rs.size.toLong, rs.map(_._2).sum,
+        rs.map(r => (r._1 % 999983L) * (r._1 % 999983L)).sum)
+    val expected = Seq(
+      sigOf(orig),
+      sigOf(orig.filterNot(r => vic(r._3, r._5))),
+      sigOf(orig.filterNot(r => vic(r._3, r._5)) ++ app),
+      sigOf(orig.filterNot(r => vic(r._3, r._5)) ++ app))
+    val mem = MemoryStream[(String, Long, Long, Long)](spark)
+    val sigs = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+    val fileSets = scala.collection.mutable.ArrayBuffer.empty[Set[Long]]
+    val q = graft.streaming.EventStream.changelogStream(
+        mem.toDF().toDF("op", "k", "v", "f")) { (_, st) =>
+      sigs += st.agg(count(lit(1)), coalesce(sum("v"), lit(0L)),
+          coalesce(expr("sum((k % 999983) * (k % 999983))"), lit(0L)))
+        .as[(Long, Long, Long)].head()
+      fileSets += st.select("f").distinct().as[Long].collect().toSet
+    }
+    try {
+      commits.foreach { c => mem.addData(c: _*); q.processAllAvailable() }
+    } finally q.stop()
+    assert(sigs.size == 4)
+    sigs.zip(expected).zipWithIndex.foreach { case ((got, want), i) =>
+      assert(got == want, s"commit $i: maintained table diverged from the logical snapshot")
+    }
+    assert(sigs(3) == sigs(2), "the compaction commit must be content-neutral")
+    assert(fileSets(3).intersect(rwFiles).isEmpty,
+      "every rewritten file id must be gone after the compaction commit")
+    val replIds = orig.filter(r => rwFiles(r._5) && !vic(r._3, r._5))
+      .map(_._5 + 100L).toSet
+    assert(fileSets(3).filter(_ >= 100L) == replIds,
+      "exactly the replacement file ids must be present after the compaction commit")
+  }
 }
