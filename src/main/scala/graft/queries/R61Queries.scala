@@ -74,9 +74,9 @@ object R61Queries {
     * subset of the layout and files 20..31 stay untouched (the class
     * every GC/compaction law needs as its negative space).
     */
-  private val victimPred = "f < 20 AND h < 171798691"
+  private[graft] val victimPred = "f < 20 AND h < 171798691"
 
-  private val keyedSql: String =
+  private[graft] val keyedSql: String =
     "keyed0 AS (SELECT o_orderkey AS k, CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS v, " +
       "(o_custkey % 2147483648) * 2654435761 % 4294967296 AS h FROM orders), " +
       "mxk AS (SELECT (max(k) + 1) * 4 // 5 AS kcut FROM keyed0), " +
@@ -89,12 +89,12 @@ object R61Queries {
   /** Content signature: modular key checksum (with rows and value sum,
     * the compare unit every certificate in the arc uses).
     */
-  private val chkExpr = "sum((k % 999983) * (k % 999983))"
+  private[graft] val chkExpr = "sum((k % 999983) * (k % 999983))"
 
   /** The four manifest-fold states and three logical states as shared
     * oracle CTEs (m3 splices untouched + replacements + appends).
     */
-  private val statesSql: String =
+  private[graft] val statesSql: String =
     s"m0 AS (SELECT k, v, f FROM orig), " +
       s"m1 AS (SELECT k, v, f FROM orig WHERE NOT ($victimPred)), " +
       s"m2 AS (SELECT k, v, f FROM orig WHERE NOT ($victimPred) UNION ALL SELECT k, v, f FROM app), " +
