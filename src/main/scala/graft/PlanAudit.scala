@@ -122,7 +122,28 @@ object PlanAudit {
     // over the two applied layouts; the pin protects the probe/zone
     // tables staying broadcast and the full-join grader running ONCE
     // (localCheckpointed) rather than per cell
-    "q416_inferred_pruning")
+    "q416_inferred_pruning",
+    // round-12 second-half heavy tier (~2-2.8 s warm at sf0.1,
+    // QTime-measured): q419's one-pass CUBE grader (16x Expand over the
+    // corpus — the pin protects the single-Expand shape; a per-node
+    // grader would scan 16 times) next to the grain-cube serving leg;
+    // q423's three GC-rule content re-reads over the row-tag frame (the
+    // pin protects the survivor/DV joins staying broadcast); q427's
+    // fused all-versions folds (ONE signed-partial pass + ONE x4
+    // rebuild pass — de-fusing re-runs the corpus per version); the
+    // privacy pair q428/q429 rides the 18-way lattice Expand over the
+    // catalog-sized grain with the corpus touched once by the 4-table
+    // grain join (the pin protects the single-Expand lattice and the
+    // broadcast dim joins), q430 the same frame plus the rank window;
+    // q432's class-tagged duel (both frequency classes riding the same
+    // keyed aggregates, the indep self-join on (class, key, band))
+    "q419_mv_dispatch",
+    "q423_snapshot_expiry",
+    "q427_mv_versioned",
+    "q428_kanon_lattice",
+    "q429_kanon_applied",
+    "q430_ldiversity_escalation",
+    "q432_sampling_duel")
 
   /** Node kinds whose counts define a plan's cost signature. Matched
     * against SparkPlan.nodeName ("Exchange" is ShuffleExchangeExec's

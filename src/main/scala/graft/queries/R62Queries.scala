@@ -229,51 +229,48 @@ object R62Queries {
         val banded = keyed.crossJoin(broadcast(mxv))
           .select(col("k"), col("v"), col("h"), col("f"), col("kcut"),
             expr(bandOf).as("b")).localCheckpoint(false)
-        // CDC deltas per version (q422): signed partials per band
-        def partial(df: DataFrame, sign: Int): DataFrame =
-          df.groupBy("b").agg((count(lit(1)) * sign).as("dc"),
-            (sum("v") * sign).as("dv"))
-        val d0 = partial(banded.where(expr("k <= kcut")), 1)
-        val d1 = partial(banded.where(expr(s"k <= kcut AND ($vp)")), -1)
-        val d2 = partial(banded.where(expr("k > kcut")), 1)
-        // v3 is the REPLACE snapshot: the CDC delta is empty
-        val d3 = d0.limit(0)
-        val logical = Seq(
-          banded.where(expr("k <= kcut")),
-          banded.where(expr(s"k <= kcut AND NOT ($vp)")),
-          banded.where(expr(s"NOT ($vp) OR k > kcut")),
-          banded.where(expr(s"NOT ($vp) OR k > kcut")))
-        val deltas = Seq(d0, d1, d2, d3)
-        var state: DataFrame = null
-        val legs = (0 to 3).map { ver =>
-          val next =
-            (if (state == null) deltas(ver)
-             else state.select(col("b"), col("cnt").as("dc"), col("sv").as("dv"))
-               .unionByName(deltas(ver)))
-              .groupBy("b").agg(sum("dc").as("cnt"), sum("dv").as("sv"))
-              .where(col("cnt") > 0L)
-              .localCheckpoint(false)
-          state = next
-          val rebuild = logical(ver).groupBy("b")
-            .agg(count(lit(1)).as("cnt"), sum("v").as("sv"))
-          val eq = next.select(col("b"), col("cnt").as("a1"), col("sv").as("a2"))
-            .join(rebuild.select(col("b"), col("cnt").as("b1"), col("sv").as("b2")),
-              Seq("b"), "full_outer")
-            .agg(sum(when(expr(
-                "a1 IS NULL OR b1 IS NULL OR a1 <> b1 OR a2 <> b2"), 1L)
-              .otherwise(0L)).as("bad"))
-            .select(expr("CAST(CASE WHEN bad = 0 THEN 1 ELSE 0 END AS BIGINT)")
-              .as("view_equal_rebuild"))
-          val mrows = deltas(ver).agg(coalesce(sum(abs(col("dc"))), lit(0L))
-            .as("maint_rows"))
-          val rrows = logical(ver).agg(count(lit(1)).as("rebuild_rows"))
-          val bands = next.agg(count(lit(1)).as("bands"))
-          broadcast(bands).crossJoin(broadcast(mrows)).crossJoin(broadcast(rrows))
-            .crossJoin(broadcast(eq))
-            .select(lit(ver.toLong).as("version"), col("bands"),
-              col("maint_rows"), col("rebuild_rows"), col("view_equal_rebuild"))
-        }
-        val all = legs.reduce(_ unionByName _).localCheckpoint(false)
+        // ONE pass for all signed CDC partials: each row contributes to
+        // its load/append delta (+1,+v) and, if a victim, to the delete
+        // delta (-1,-v); v3's REPLACE delta is empty by construction
+        val cIns = struct(lit(0L).as("dver"), lit(1L).as("sc"), col("v").as("sv"))
+        val cDel = struct(lit(1L).as("dver"), lit(-1L).as("sc"), (-col("v")).as("sv"))
+        val cApp = struct(lit(2L).as("dver"), lit(1L).as("sc"), col("v").as("sv"))
+        val dd = banded.select(col("b"), explode(
+            when(expr(s"k <= kcut AND ($vp)"), array(cIns, cDel))
+              .when(expr("k <= kcut"), array(cIns)).otherwise(array(cApp))).as("z"))
+          .select(col("b"), col("z.dver").as("dver"), col("z.sc").as("sc"),
+            col("z.sv").as("sv"))
+          .groupBy("dver", "b").agg(sum("sc").as("dc"), sum("sv").as("dvv"))
+          .localCheckpoint(false) // <= 48 rows
+        val vers = s.range(4).select(col("id").as("ver")).localCheckpoint(false)
+        // every version's maintained state from ONE cumulative fold
+        val states = dd.join(broadcast(vers), expr("dver <= ver"))
+          .groupBy("ver", "b").agg(sum("dc").as("cnt"), sum("dvv").as("sv"))
+          .where(col("cnt") > 0L).localCheckpoint(false)
+        // every version's rebuild grader from ONE corpus pass (x4 rows)
+        val rc = banded.crossJoin(broadcast(vers)).where(expr(
+            s"(ver = 0 AND k <= kcut) OR (ver = 1 AND k <= kcut AND NOT ($vp)) " +
+              s"OR (ver >= 2 AND (NOT ($vp) OR k > kcut))"))
+          .groupBy("ver", "b").agg(count(lit(1)).as("cnt"), sum("v").as("sv"))
+          .localCheckpoint(false)
+        val eq = states.select(col("ver"), col("b"), col("cnt").as("a1"), col("sv").as("a2"))
+          .join(rc.select(col("ver"), col("b"), col("cnt").as("b1"), col("sv").as("b2")),
+            Seq("ver", "b"), "full_outer")
+          .groupBy("ver").agg(sum(when(expr(
+              "a1 IS NULL OR b1 IS NULL OR a1 <> b1 OR a2 <> b2"), 1L)
+            .otherwise(0L)).as("bad"))
+          .select(col("ver"), expr("CAST(CASE WHEN bad = 0 THEN 1 ELSE 0 END AS BIGINT)")
+            .as("view_equal_rebuild"))
+        val bands = states.groupBy("ver").agg(count(lit(1)).as("bands"))
+        val maint = dd.groupBy("dver").agg(sum(abs(col("dc"))).as("maint_rows"))
+          .select(col("dver").as("ver"), col("maint_rows"))
+        val rrows = rc.groupBy("ver").agg(sum("cnt").as("rebuild_rows"))
+        val all = vers.join(bands, Seq("ver")).join(maint, Seq("ver"), "left")
+          .join(rrows, Seq("ver")).join(eq, Seq("ver"))
+          .select(col("ver").as("version"), col("bands"),
+            coalesce(col("maint_rows"), lit(0L)).as("maint_rows"),
+            col("rebuild_rows"), col("view_equal_rebuild"))
+          .localCheckpoint(false)
         val wdw = org.apache.spark.sql.expressions.Window.orderBy("version")
           .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
             org.apache.spark.sql.expressions.Window.currentRow)

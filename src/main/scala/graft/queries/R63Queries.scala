@@ -85,27 +85,32 @@ object R63Queries {
   private val lattice: Seq[(Int, Int, Int)] =
     for { g <- 0 to 2; s2 <- 0 to 1; y <- 0 to 2 } yield (g, s2, y)
 
-  /** Node-level group stats from the grain (Spark side). */
-  private def nodeGroups(grain: DataFrame, g: Int, s2: Int, y: Int): DataFrame = {
-    val (gx, sx, yx) = qiExprs(g, s2, y, "div")
-    grain.groupBy(expr(gx).as("qg"), expr(sx).as("qs"), expr(yx).cast("string").as("qy"))
+  /** ALL 18 nodes' group frames from ONE Expand pass over the grain:
+    * each grain row explodes into its 18 generalized keys, one
+    * aggregation grades every lattice node at once (the q419 cube
+    * pattern — at 100 TB this is one grain-sized shuffle, not 18
+    * re-aggregations).
+    */
+  private def nodeGroupsAll(grain: DataFrame): DataFrame =
+    grain.select(col("sens"), col("cnt"), explode(array(lattice.map { case (g, s2, y) =>
+        val (gx, sx, yx) = qiExprs(g, s2, y, "div")
+        struct(lit(g.toLong).as("g"), lit(s2.toLong).as("s"), lit(y.toLong).as("y"),
+          expr(gx).as("qg"), expr(sx).as("qs"), expr(yx).cast("string").as("qy"))
+      }: _*)).as("z"))
+      .select(col("z.g").as("g"), col("z.s").as("s"), col("z.y").as("y"),
+        col("z.qg").as("qg"), col("z.qs").as("qs"), col("z.qy").as("qy"),
+        col("sens"), col("cnt"))
+      .groupBy("g", "s", "y", "qg", "qs", "qy")
       .agg(sum("cnt").as("size"), countDistinct("sens").cast("long").as("sdiv"))
-  }
 
-  private def nodeStats(grain: DataFrame, g: Int, s2: Int, y: Int): DataFrame =
-    nodeGroups(grain, g, s2, y).agg(
+  private def allNodes(grain: DataFrame): DataFrame =
+    nodeGroupsAll(grain).groupBy("g", "s", "y").agg(
       count(lit(1)).as("groups"), min("size").as("min_group"),
       sum(when(col("size") < K, col("size")).otherwise(0L)).as("suppressed"),
       sum(when(col("size") >= K, 1L).otherwise(0L)).as("kept_groups"),
       coalesce(min(when(col("size") >= K, col("sdiv"))), lit(0L)).as("min_sdiv_kept"),
       sum(when(col("size") >= K, col("size") * col("size")).otherwise(0L)).as("kept_disc"))
-      .select(lit(g.toLong).as("g"), lit(s2.toLong).as("s"), lit(y.toLong).as("y"),
-        col("groups"), col("min_group"), col("suppressed"), col("kept_groups"),
-        col("min_sdiv_kept"), col("kept_disc"))
-
-  private def allNodes(grain: DataFrame): DataFrame =
-    lattice.map { case (g, s2, y) => nodeStats(grain, g, s2, y) }
-      .reduce(_ unionByName _).localCheckpoint(false)
+      .localCheckpoint(false)
 
   /** The same 18 node legs as oracle SQL. */
   private def nodesSql: String =
@@ -201,11 +206,7 @@ object R63Queries {
         val nodes = allNodes(grain)
         val nn = grain.agg(sum("cnt").as("n")).localCheckpoint(false)
         val pick = pickFrame(nodes, nn)
-        val all18 = lattice.map { case (g, s2, y) =>
-          nodeGroups(grain, g, s2, y)
-            .select(lit(g.toLong).as("g"), lit(s2.toLong).as("s"), lit(y.toLong).as("y"),
-              col("qg"), col("qs"), col("qy"), col("size"), col("sdiv"))
-        }.reduce(_ unionByName _)
+        val all18 = nodeGroupsAll(grain)
         val bill = nodes.crossJoin(broadcast(pick))
           .where(expr("g = pg AND s = ps AND y = py"))
           .crossJoin(broadcast(nn))

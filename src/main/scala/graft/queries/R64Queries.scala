@@ -126,53 +126,58 @@ object R64Queries {
     QuerySpec(
       "q432_sampling_duel",
       (s, d) => {
-        def duel(rows: DataFrame, cls: String): DataFrame = {
-          // rows: (rid, c) — row id and join key, both exact integers
-          val cnts = rows.groupBy("c").agg(count(lit(1)).as("cnt")).localCheckpoint(false)
-          val truth = cnts.agg(sum(expr("cnt * cnt")).as("truth"),
-            count(lit(1)).as("keys")).localCheckpoint(false)
-          val corr = cnts.select(
-              R39Queries.md5Bucket(concat(lit("cs:"), col("c").cast("string")), 16)
-                .as("band"), expr("cnt * cnt").as("m"))
-            .groupBy("band").agg((sum("m") * 16L).as("est_corr"))
-          val a = rows.select(col("c"),
-              R39Queries.md5Bucket(concat(lit("ia:"), col("rid").cast("string")), 16)
-                .as("band"))
-            .groupBy("c", "band").agg(count(lit(1)).as("ca"))
-          val b = rows.select(col("c"),
-              R39Queries.md5Bucket(concat(lit("ib:"), col("rid").cast("string")), 16)
-                .as("band"))
-            .groupBy("c", "band").agg(count(lit(1)).as("cb"))
-          val indep = a.join(b, Seq("c", "band"))
-            .groupBy("band").agg((sum(expr("ca * cb")) * 256L).as("est_indep"))
-          val bands = s.range(16).select(col("id").as("band"))
-          val per = bands.join(corr, Seq("band"), "left").join(indep, Seq("band"), "left")
-            .crossJoin(broadcast(truth))
-            .select(col("band"), coalesce(col("est_corr"), lit(0L)).as("est_corr"),
-              coalesce(col("est_indep"), lit(0L)).as("est_indep"),
-              col("truth"), col("keys").cast("long").as("keys"))
-            .select(col("band"), col("est_corr"), col("est_indep"), col("truth"), col("keys"),
-              expr("greatest(est_corr * 10000 div truth, truth * 10000 div greatest(est_corr, 1))")
-                .as("qerr_corr_bp"),
-              expr("greatest(est_indep * 10000 div truth, truth * 10000 div greatest(est_indep, 1))")
-                .as("qerr_indep_bp"))
-            .localCheckpoint(false)
-          val fr = per.agg(max("qerr_corr_bp").as("worst_corr_bp"),
-            max("qerr_indep_bp").as("worst_indep_bp"))
-          per.crossJoin(broadcast(fr))
-            .select(lit(cls).as("class"), col("band"), col("keys"), col("truth"),
-              expr("truth div 256").as("exp_pairs_per_band"),
-              col("est_corr"), col("qerr_corr_bp"), col("est_indep"), col("qerr_indep_bp"),
-              col("worst_corr_bp"), col("worst_indep_bp"),
-              expr("CAST(CASE WHEN worst_corr_bp < worst_indep_bp THEN 1 ELSE 0 END AS BIGINT)")
-                .as("corr_wins"))
-        }
         val dense = t(s, d, "orders")
-          .select(col("o_orderkey").as("rid"), col("o_custkey").as("c"))
+          .select(lit("1:dense_custkey").as("class"),
+            col("o_orderkey").as("rid"), col("o_custkey").as("c"))
         val sparse = Tables.events(s, d)
-          .select(col("event_id").as("rid"),
+          .select(lit("2:sparse_value").as("class"), col("event_id").as("rid"),
             expr("CAST(floor(value * 100.0 + 0.5) AS BIGINT)").as("c"))
-        duel(dense, "1:dense_custkey").unionByName(duel(sparse, "2:sparse_value"))
+        // one class-tagged pipeline: every aggregate below carries the
+        // class key, so both duels ride the same jobs
+        val rows = dense.unionByName(sparse).localCheckpoint(false)
+        val cnts = rows.groupBy("class", "c").agg(count(lit(1)).as("cnt"))
+          .localCheckpoint(false)
+        val truth = cnts.groupBy("class").agg(sum(expr("cnt * cnt")).as("truth"),
+          count(lit(1)).as("keys")).localCheckpoint(false)
+        val corr = cnts.select(col("class"),
+            R39Queries.md5Bucket(concat(lit("cs:"), col("c").cast("string")), 16)
+              .as("band"), expr("cnt * cnt").as("m"))
+          .groupBy("class", "band").agg((sum("m") * 16L).as("est_corr"))
+        val a = rows.select(col("class"), col("c"),
+            R39Queries.md5Bucket(concat(lit("ia:"), col("rid").cast("string")), 16)
+              .as("band"))
+          .groupBy("class", "c", "band").agg(count(lit(1)).as("ca"))
+        val b = rows.select(col("class"), col("c"),
+            R39Queries.md5Bucket(concat(lit("ib:"), col("rid").cast("string")), 16)
+              .as("band"))
+          .groupBy("class", "c", "band").agg(count(lit(1)).as("cb"))
+        val indep = a.join(b, Seq("class", "c", "band"))
+          .groupBy("class", "band").agg((sum(expr("ca * cb")) * 256L).as("est_indep"))
+        val bands = truth.select("class")
+          .crossJoin(s.range(16).select(col("id").as("band")))
+        val per = bands.join(corr, Seq("class", "band"), "left")
+          .join(indep, Seq("class", "band"), "left")
+          .join(broadcast(truth), Seq("class"))
+          .select(col("class"), col("band"),
+            coalesce(col("est_corr"), lit(0L)).as("est_corr"),
+            coalesce(col("est_indep"), lit(0L)).as("est_indep"),
+            col("truth"), col("keys").cast("long").as("keys"))
+          .select(col("class"), col("band"), col("est_corr"), col("est_indep"),
+            col("truth"), col("keys"),
+            expr("greatest(est_corr * 10000 div truth, truth * 10000 div greatest(est_corr, 1))")
+              .as("qerr_corr_bp"),
+            expr("greatest(est_indep * 10000 div truth, truth * 10000 div greatest(est_indep, 1))")
+              .as("qerr_indep_bp"))
+          .localCheckpoint(false)
+        val fr = per.groupBy("class").agg(max("qerr_corr_bp").as("worst_corr_bp"),
+          max("qerr_indep_bp").as("worst_indep_bp"))
+        per.join(broadcast(fr), Seq("class"))
+          .select(col("class"), col("band"), col("keys"), col("truth"),
+            expr("truth div 256").as("exp_pairs_per_band"),
+            col("est_corr"), col("qerr_corr_bp"), col("est_indep"), col("qerr_indep_bp"),
+            col("worst_corr_bp"), col("worst_indep_bp"),
+            expr("CAST(CASE WHEN worst_corr_bp < worst_indep_bp THEN 1 ELSE 0 END AS BIGINT)")
+              .as("corr_wins"))
           .orderBy("class", "band")
       },
       Some {

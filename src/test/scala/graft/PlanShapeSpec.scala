@@ -246,7 +246,17 @@ class PlanShapeSpec extends SparkSpecBase {
       // q401 — the same q357-class 256-row boundary cum, plus a
       //        row_number over the 3-row probe battery (a TakeOrdered
       //        limit(3) output)
-      "q401_zonemap_pruning")
+      "q401_zonemap_pruning",
+      // q427 — cumulative maintenance/rebuild bills over the 4-row
+      //        per-version summary (one row per snapshot forever; the
+      //        corpus contributes the fused partial/rebuild aggregation
+      //        passes and never enters the window)
+      "q427_mv_versioned",
+      // q430 — preference rank over the 18-row generalization lattice
+      //        (fixed node count by construction — the q326 class: the
+      //        corpus contributes one grain aggregation, the window
+      //        sees only lattice nodes)
+      "q430_ldiversity_escalation")
     // balanced-paren extraction: a naive [^)]* capture truncates at the
     // first ')' inside an ORDER BY expression like round(x, 2), which
     // would hide its ASC/DESC marker and let a global window through
