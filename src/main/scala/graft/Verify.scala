@@ -25,17 +25,38 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Incremental per-query record (JSONL): one line per query as it
+    // completes, flushed immediately — so even if the driver's own
+    // CORRECTNESS_r{N}.json comes back empty (as in round 12), the round
+    // still carries an auditable per-query artifact. Each line:
+    // {"name":…,"rows":N,"ms":N,"err":null|"…"}.
+    val jsonl = new java.io.PrintWriter(
+      new java.io.FileWriter(s"$outDir/verify_progress.jsonl"), true)
     SparkEntry.queries.filter(kv => keep(kv._1)).foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      val t0 = System.nanoTime()
+      try {
+        val df = fn(spark, sfDir)
+        df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+        val rows = spark.read.parquet(s"$outDir/$name").count()
+        val ms = (System.nanoTime() - t0) / 1000000
+        jsonl.println(s"""{"name":${q(name)},"rows":$rows,"ms":$ms,"err":null}""")
+      } catch { case e: Throwable =>
+        val ms = (System.nanoTime() - t0) / 1000000
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        jsonl.println(s"""{"name":${q(name)},"rows":-1,"ms":$ms,"err":${q(String.valueOf(e.getMessage).take(300))}}""")
       }
     }
-    // JSON string escape: backslash, quote, and ALL control chars (<0x20)
-    // — a tab or CR in builder-authored SQL would otherwise make the
-    // driver's json.load fail and silently zero the round's correctness.
-    def q(s: String): String = "\"" + s.flatMap {
+    jsonl.close()
+    val json = SparkEntry.oracleSql.filter(kv => keep(kv._1))
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    spark.stop()
+  }
+
+  // JSON string escape: backslash, quote, and ALL control chars (<0x20)
+  // — a tab or CR in builder-authored SQL would otherwise make the
+  // driver's json.load fail and silently zero the round's correctness.
+  private def q(s: String): String = "\"" + s.flatMap {
       case '"'  => "\\\""
       case '\\' => "\\\\"
       case '\n' => "\\n"
@@ -44,9 +65,4 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql.filter(kv => keep(kv._1))
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
-    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
-    spark.stop()
-  }
 }

@@ -2,8 +2,9 @@ package graft.plans
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.catalyst.analysis.MultiInstanceRelation
-import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Expression, Literal, NamedExpression}
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Max, Min, Sum}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Cast, Coalesce, Divide, Expression, Literal, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, Max, Min, Sum}
+import org.apache.spark.sql.types.DoubleType
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LeafNode, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.functions.{col, count, lit, sum}
@@ -32,20 +33,56 @@ object MvCatalog {
       viewLeaf: LeafNode,
       dims: Seq[String],
       cntCol: String,
-      sumCols: Map[String, String])
+      sumCols: Map[String, String],
+      /** Measures proven null-free at registration (COUNT(m) == COUNT(*)
+        * over the view's input) — the data proof that makes the
+        * AVG(m) → SUM(sum_m)/SUM(cnt) rewrite sound: with any NULL in
+        * the measure, AVG's denominator is COUNT(m), not COUNT(*).
+        */
+      avgSafe: Set[String],
+      /** Name-normalized conjuncts the view was built under (empty = the
+        * full grain). A query rewrites only when its own filter
+        * conjuncts SUBSUME these — every view conjunct matched verbatim
+        * (so even measure predicates are answerable when the view
+        * carries them), residual conjuncts dim-only and re-applied.
+        */
+      viewPreds: Seq[Expression])
 
   private val registered =
     new java.util.concurrent.ConcurrentHashMap[LogicalPlan, Mv]()
 
+  private[plans] def splitAnd(e: Expression): Seq[Expression] = e match {
+    case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
+      splitAnd(l) ++ splitAnd(r)
+    case x => Seq(x)
+  }
+
+  /** Normalize a predicate for cross-plan comparison: attributes reduced
+    * to lowercase name (exprId/qualifier/metadata dropped — both sides
+    * reference the same single leaf, where names are unique), then
+    * canonicalized so commuted comparisons still match.
+    */
+  private[plans] def normByName(p: Expression): Expression =
+    p.transform { case a: AttributeReference =>
+      AttributeReference(a.name.toLowerCase, a.dataType, nullable = true)(
+        exprId = org.apache.spark.sql.catalyst.expressions.ExprId(0),
+        qualifier = Seq.empty)
+    }.canonicalized
+
   /** Validate `view` as the exact (dims, COUNT(*), SUM(measures)) grain
-    * of `base` and register it. `sumCols` maps each base measure column
-    * to the view column holding its per-group SUM partial. Refuses
-    * (returns false) when either side is not a single-leaf plan, a
-    * named column is missing, or the recomputed grain differs from the
-    * offered view in either direction.
+    * of `base` — or, when `where` is given, of `base.where(and(where))`
+    * (a PARTIAL view; queries must subsume the predicate to use it) —
+    * and register it. `sumCols` maps each base measure column to the
+    * view column holding its per-group SUM partial. Refuses (returns
+    * false) when either side is not a single-leaf plan, a named column
+    * is missing, a `where` predicate is non-deterministic, or the
+    * recomputed grain differs from the offered view in either
+    * direction. Also records, per measure, whether the view's input had
+    * zero NULLs in it — the proof that arms the AVG rewrite.
     */
   def register(base: DataFrame, view: DataFrame, dims: Seq[String],
-      cntCol: String, sumCols: Map[String, String]): Boolean = {
+      cntCol: String, sumCols: Map[String, String],
+      where: Seq[org.apache.spark.sql.Column] = Nil): Boolean = {
     val baseLeaves = base.queryExecution.analyzed.collect { case l: LeafNode => l }
     val viewLeaves = view.queryExecution.analyzed.collect { case l: LeafNode => l }
     val shapesOk = baseLeaves.size == 1 && viewLeaves.size == 1 &&
@@ -55,17 +92,36 @@ object MvCatalog {
       sumCols.forall { case (m, v) => base.columns.contains(m) && view.columns.contains(v) } &&
       view.columns.contains(cntCol) && dims.forall(view.columns.contains)
     if (!shapesOk) return false
+    val filtered = where.foldLeft(base)((df, c) => df.where(c))
+    // resolved conjuncts, pulled from the analyzed Filter nodes
+    val resolvedPreds = filtered.queryExecution.analyzed
+      .collect { case Filter(cond, _) => splitAnd(cond) }.flatten
+    if (!resolvedPreds.forall(_.deterministic)) return false
     val aggs = count(lit(1)).cast("long").as(cntCol) +:
       sumCols.toSeq.sortBy(_._1).map { case (m, v) => sum(col(m)).as(v) }
-    val grain = base.groupBy(dims.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    val grain = filtered.groupBy(dims.map(col): _*).agg(aggs.head, aggs.tail: _*)
     val offered = view.select((dims ++ Seq(cntCol) ++ sumCols.toSeq.sortBy(_._1).map(_._2)).map(col): _*)
     val recomputed = grain.select(offered.columns.toIndexedSeq.map(col): _*)
     val ok = recomputed.exceptAll(offered).isEmpty && offered.exceptAll(recomputed).isEmpty
-    if (ok) registered.put(baseLeaves.head.canonicalized,
+    if (!ok) return false
+    // per-measure NULL census over the view's input — zero nulls makes
+    // AVG(m) = SUM(sum_m)/SUM(cnt) exact (COUNT(m) == COUNT(*))
+    val avgSafe: Set[String] =
+      if (sumCols.isEmpty) Set.empty
+      else {
+        val census = filtered.select(sumCols.keys.toSeq.sorted.map(m =>
+          org.apache.spark.sql.functions.coalesce(
+            sum(org.apache.spark.sql.functions.when(col(m).isNull, 1L)
+              .otherwise(0L)), lit(0L)).as(m)): _*).head()
+        sumCols.keys.filter(m => census.getAs[Long](m) == 0L)
+          .map(_.toLowerCase).toSet
+      }
+    registered.put(baseLeaves.head.canonicalized,
       Mv(baseLeaves.head.canonicalized, viewLeaves.head.asInstanceOf[LeafNode],
         dims.map(_.toLowerCase), cntCol.toLowerCase,
-        sumCols.map { case (m, v) => m.toLowerCase -> v.toLowerCase }))
-    ok
+        sumCols.map { case (m, v) => m.toLowerCase -> v.toLowerCase },
+        avgSafe, resolvedPreds.map(normByName)))
+    true
   }
 
   def lookup(leaf: LogicalPlan): Option[Mv] = Option(registered.get(leaf.canonicalized))
@@ -101,9 +157,13 @@ object MvCatalog {
   */
 object MvRewriteRule extends Rule[LogicalPlan] {
 
-  /** Unwrap pruning Projects / dim-only Filters down to the registered
-    * leaf; returns the conjunct filter predicates (in original order)
-    * iff every step is legal.
+  /** Unwrap pruning Projects / Filters down to the registered leaf;
+    * returns the RESIDUAL conjunct predicates (in original order) iff
+    * every step is legal: all query conjuncts deterministic and
+    * subquery-free, every view conjunct matched verbatim by a query
+    * conjunct (filter subsumption — a PARTIAL view answers only
+    * queries at least as restrictive), and every residual conjunct
+    * dim-only (re-applied on the view's own columns).
     */
   private def unwrap(plan: LogicalPlan, preds: Seq[Expression]):
       Option[(LeafNode, Seq[Expression], MvCatalog.Mv)] =
@@ -113,13 +173,31 @@ object MvRewriteRule extends Rule[LogicalPlan] {
       case Filter(cond, child) =>
         unwrap(child, preds :+ cond)
       case leaf: LeafNode =>
-        MvCatalog.lookup(leaf) match {
-          case Some(mv)
-              if preds.forall(p => p.deterministic && !p.containsPattern(
-                  org.apache.spark.sql.catalyst.trees.TreePattern.PLAN_EXPRESSION) &&
-                p.references.forall(a => mv.dims.contains(a.name.toLowerCase))) =>
-            Some((leaf, preds, mv))
-          case _ => None
+        MvCatalog.lookup(leaf).flatMap { mv =>
+          val conj = preds.flatMap(MvCatalog.splitAnd)
+          val basicOk = conj.forall(p => p.deterministic && !p.containsPattern(
+            org.apache.spark.sql.catalyst.trees.TreePattern.PLAN_EXPRESSION))
+          if (!basicOk) None
+          else {
+            val normed = conj.map(p => (p, MvCatalog.normByName(p)))
+            val subsumes = mv.viewPreds.forall(vp => normed.exists(_._2 == vp))
+            val residual = normed.collect {
+              case (p, n) if !mv.viewPreds.contains(n) => p
+            }.filterNot {
+              // IsNotNull over a measure PROVEN null-free at registration
+              // (over the view's own filtered input) is vacuously true —
+              // the optimizer infers these from the very conjuncts we
+              // just matched, and they must not block the rewrite.
+              case org.apache.spark.sql.catalyst.expressions.IsNotNull(
+                  a: AttributeReference) =>
+                !mv.dims.contains(a.name.toLowerCase) &&
+                  mv.avgSafe.contains(a.name.toLowerCase)
+              case _ => false
+            }
+            val residualOk = residual.forall(
+              _.references.forall(a => mv.dims.contains(a.name.toLowerCase)))
+            if (subsumes && residualOk) Some((leaf, residual, mv)) else None
+          }
         }
       case _ => None
     }
@@ -153,8 +231,14 @@ object MvRewriteRule extends Rule[LogicalPlan] {
       ae match {
         case AggregateExpression(_, _, true, _, _) => None // DISTINCT
         case AggregateExpression(_, _, _, Some(_), _) => None // FILTER clause
-        case AggregateExpression(Count(Seq(Literal(_, _))), _, false, None, _) =>
-          Some(Sum(viewAttr(mv.cntCol)).toAggregateExpression())
+        case AggregateExpression(Count(Seq(Literal(v, _))), _, false, None, _)
+            if v != null => // COUNT(NULL) is constant-0, NOT row count — refuse
+          val s = Sum(viewAttr(mv.cntCol)).toAggregateExpression()
+          // Global aggregate (no GROUP BY) + a dim filter matching zero
+          // view rows: COUNT(*) is 0 but SUM(cnt) is NULL — coalesce
+          // restores the contract. Grouped aggregates never hit this
+          // (every surviving group has >=1 view row with cnt >= 1).
+          Some(if (groupings.isEmpty) Coalesce(Seq(s, Literal(0L))) else s)
         case AggregateExpression(Sum(a: AttributeReference, _), _, false, None, _)
             if mv.sumCols.contains(a.name.toLowerCase) =>
           Some(Sum(viewAttr(mv.sumCols(a.name.toLowerCase))).toAggregateExpression())
@@ -162,6 +246,17 @@ object MvRewriteRule extends Rule[LogicalPlan] {
           dimAttr(a.name).map(v => Min(v).toAggregateExpression())
         case AggregateExpression(Max(a: AttributeReference), _, false, None, _) =>
           dimAttr(a.name).map(v => Max(v).toAggregateExpression())
+        // AVG(m) = SUM(sum_m) / SUM(cnt) — sound ONLY under the
+        // registration-time data proof that m is null-free (avgSafe):
+        // with a NULL the true denominator is COUNT(m), not COUNT(*).
+        // The caller's dataType check refuses decimal AVG (Spark gives
+        // it a widened decimal type, Divide-of-doubles does not).
+        case AggregateExpression(Average(a: AttributeReference, _), _, false, None, _)
+            if mv.sumCols.contains(a.name.toLowerCase) &&
+              mv.avgSafe.contains(a.name.toLowerCase) =>
+          val s = Sum(viewAttr(mv.sumCols(a.name.toLowerCase))).toAggregateExpression()
+          val c = Sum(viewAttr(mv.cntCol)).toAggregateExpression()
+          Some(Divide(Cast(s, DoubleType), Cast(c, DoubleType)))
         case _ => None
       }
 

@@ -350,12 +350,15 @@ object R60Queries {
           val dispatched = cachePart.unionByName(patch)
           val direct = o.where(col("y").between(lo.toLong, hi.toLong))
             .groupBy("y").agg(count(lit(1)).as("v1"), sum("cents").as("v2"))
+          // coalesce: on the disjoint scenario BOTH legs are empty, the
+          // full-outer compare has zero rows and sum() is NULL — the
+          // vacuously-equal certificate must read 1, not fold to 0.
           val eq = dispatched.select(col("y"), col("v1").as("a1"), col("v2").as("a2"))
             .join(direct.select(col("y"), col("v1").as("b1"), col("v2").as("b2")),
               Seq("y"), "full_outer")
-            .agg(sum(when(expr(
+            .agg(coalesce(sum(when(expr(
                 "a1 IS NULL OR b1 IS NULL OR a1 <> b1 OR a2 <> b2"), 1L)
-              .otherwise(0L)).as("bad"))
+              .otherwise(0L)), lit(0L)).as("bad"))
             .select(expr("CAST(CASE WHEN bad = 0 THEN 1 ELSE 0 END AS BIGINT)")
               .as("equal_results"))
           val bills = cache.where(col("y").between(lo.toLong, hi.toLong))
@@ -383,7 +386,7 @@ object R60Queries {
       Some {
         def scenSql(id: String, lo: Int, hi: Int): String = {
           val patchPred = s"y BETWEEN $lo AND $hi AND NOT (y BETWEEN 1995 AND 1997)"
-          s"""SELECT '$id' AS scenario, (SELECT count(*) FROM (SELECT y FROM o WHERE y BETWEEN $lo AND $hi GROUP BY y) z) AS years, (SELECT count(*) FROM cache WHERE y BETWEEN $lo AND $hi) AS cache_rows_used, (SELECT count(*) FROM o WHERE $patchPred) AS patch_base_rows, (SELECT count(*) FROM o WHERE y BETWEEN $lo AND $hi) AS direct_base_rows, (SELECT coalesce(sum(cents), 0) FROM o WHERE y BETWEEN $lo AND $hi) AS total_cents, (SELECT CASE WHEN sum(CASE WHEN a.v1 IS NULL OR b.v1 IS NULL OR a.v1 <> b.v1 OR a.v2 <> b.v2 THEN 1 ELSE 0 END) = 0 THEN 1 ELSE 0 END FROM (SELECT y, sum(cnt) AS v1, sum(sc) AS v2 FROM cache WHERE y BETWEEN $lo AND $hi GROUP BY y UNION ALL SELECT y, count(*) AS v1, sum(cents) AS v2 FROM o WHERE $patchPred GROUP BY y) a FULL JOIN (SELECT y, count(*) AS v1, sum(cents) AS v2 FROM o WHERE y BETWEEN $lo AND $hi GROUP BY y) b ON a.y = b.y) AS equal_results"""
+          s"""SELECT '$id' AS scenario, (SELECT count(*) FROM (SELECT y FROM o WHERE y BETWEEN $lo AND $hi GROUP BY y) z) AS years, (SELECT count(*) FROM cache WHERE y BETWEEN $lo AND $hi) AS cache_rows_used, (SELECT count(*) FROM o WHERE $patchPred) AS patch_base_rows, (SELECT count(*) FROM o WHERE y BETWEEN $lo AND $hi) AS direct_base_rows, (SELECT coalesce(sum(cents), 0) FROM o WHERE y BETWEEN $lo AND $hi) AS total_cents, (SELECT CASE WHEN coalesce(sum(CASE WHEN a.v1 IS NULL OR b.v1 IS NULL OR a.v1 <> b.v1 OR a.v2 <> b.v2 THEN 1 ELSE 0 END), 0) = 0 THEN 1 ELSE 0 END FROM (SELECT y, sum(cnt) AS v1, sum(sc) AS v2 FROM cache WHERE y BETWEEN $lo AND $hi GROUP BY y UNION ALL SELECT y, count(*) AS v1, sum(cents) AS v2 FROM o WHERE $patchPred GROUP BY y) a FULL JOIN (SELECT y, count(*) AS v1, sum(cents) AS v2 FROM o WHERE y BETWEEN $lo AND $hi GROUP BY y) b ON a.y = b.y) AS equal_results"""
         }
         s"""WITH o AS (SELECT CAST(year(o_orderdate) AS BIGINT) AS y, CAST(month(o_orderdate) AS BIGINT) AS m, CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents FROM orders), cache AS (SELECT y, m, count(*) AS cnt, sum(cents) AS sc FROM o WHERE y BETWEEN 1995 AND 1997 GROUP BY y, m), legs AS (${scenSql("1:contained", 1996, 1997)} UNION ALL ${scenSql("2:overlap", 1996, 1999)} UNION ALL ${scenSql("3:disjoint", 2000, 2001)}) SELECT scenario, CAST(years AS BIGINT) AS years, CAST(cache_rows_used AS BIGINT) AS cache_rows_used, CAST(patch_base_rows AS BIGINT) AS patch_base_rows, CAST(direct_base_rows AS BIGINT) AS direct_base_rows, CAST(direct_base_rows - patch_base_rows AS BIGINT) AS saved_rows, CAST(total_cents AS BIGINT) AS total_cents, CAST(equal_results AS BIGINT) AS equal_results FROM legs ORDER BY scenario"""
       },

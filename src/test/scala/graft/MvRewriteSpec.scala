@@ -133,8 +133,6 @@ class MvRewriteSpec extends SparkSpecBase {
       .groupBy("f").agg(count(lit(1)).as("n")))
     // DISTINCT aggregate — the grain folded the detail away
     baseLeafStays(base.groupBy("f").agg(countDistinct("cents").as("n")))
-    // AVG is not stored as a partial
-    baseLeafStays(base.groupBy("f").agg(avg("cents").as("a")))
     // MIN over a measure — only SUM partials exist
     baseLeafStays(base.groupBy("f").agg(min("cents").as("mn")))
     // a same-shaped but UNREGISTERED twin relation
@@ -150,6 +148,88 @@ class MvRewriteSpec extends SparkSpecBase {
       assert(leaves(q).exists(_.canonicalized == bl.canonicalized),
         "rule fired on an unregistered relation")
     }
+  }
+
+  test("AVG over a null-free measure rewrites to SUM(sum_m)/SUM(cnt); view-only scan") {
+    registerOnce()
+    def q = base.groupBy("f", "s").agg(avg("cents").as("a"), count(lit(1)).as("n"))
+    val rewritten = sameResult(q)
+    withRule { assert(viewLeafOnly(rewritten)) }
+  }
+
+  test("AVG over a null-carrying measure refuses — the avgSafe data proof is absent") {
+    MvCatalog.clear()
+    val nb = base.withColumn("cents",
+      when(col("cents") % 7L === 0L, lit(null).cast("long")).otherwise(col("cents")))
+      .localCheckpoint(false)
+    val nv = nb.groupBy("f", "s", "y", "m")
+      .agg(count(lit(1)).as("cnt"), sum("cents").as("sum_cents"))
+      .localCheckpoint(false)
+    assert(MvCatalog.register(nb, nv, Seq("f", "s", "y", "m"),
+      "cnt", Map("cents" -> "sum_cents")), "null-carrying registration still validates")
+    // SUM still rewrites (SUM ignores nulls symmetrically on both sides) …
+    def sumQ = nb.groupBy("f").agg(sum("cents").as("tc"))
+    val off = sumQ.collect().toSeq.sortBy(_.toString)
+    withRule {
+      assert(sumQ.collect().toSeq.sortBy(_.toString) == off,
+        "SUM rewrite changed results on the null-carrying measure")
+      // … but AVG must keep the base scan: SUM(cnt) counts null rows
+      val q = nb.groupBy("f").agg(avg("cents").as("a"))
+      val bl = nb.queryExecution.analyzed.asInstanceOf[LeafNode]
+      assert(leaves(q).exists(_.canonicalized == bl.canonicalized),
+        "AVG rewrote without the null-free proof")
+    }
+    MvCatalog.clear()
+  }
+
+  test("global COUNT with an empty-match dim filter is 0, not NULL, after rewrite") {
+    registerOnce()
+    def q = base.where(col("y") === 1871L).agg(count(lit(1)).as("n"))
+    val rewritten = sameResult(q) // rule-off = 0; rewrite must coalesce SUM(cnt)
+    withRule {
+      assert(viewLeafOnly(rewritten))
+      assert(rewritten.collect().head.getLong(0) == 0L)
+    }
+    // COUNT(NULL) is constant-0, never the row count — with or without a rule
+    withRule {
+      assert(base.agg(count(lit(null)).as("n")).collect().head.getLong(0) == 0L)
+      assert(base.groupBy("f").agg(count(lit(null)).as("n"))
+        .collect().forall(_.getLong(1) == 0L))
+    }
+  }
+
+  test("filter subsumption: a PARTIAL view answers only queries that carry its predicate") {
+    MvCatalog.clear()
+    val pview = base.where(col("cents") > 100000L)
+      .groupBy("f", "s", "y", "m")
+      .agg(count(lit(1)).as("cnt"), sum("cents").as("sum_cents"))
+      .localCheckpoint(false)
+    assert(MvCatalog.register(base, pview, Seq("f", "s", "y", "m"),
+      "cnt", Map("cents" -> "sum_cents"), Seq(col("cents") > 100000L)),
+      "partial-view registration must validate against the filtered grain")
+    // query carrying the view predicate (+ an extra dim conjunct) rewrites
+    def q = base.where(col("cents") > 100000L && col("s") === "F")
+      .groupBy("f").agg(sum("cents").as("tc"), count(lit(1)).as("n"))
+    val rewritten = sameResult(q)
+    withRule {
+      val ls = leaves(rewritten)
+      val vl = pview.queryExecution.analyzed.asInstanceOf[LeafNode]
+      assert(ls.size == 1 && ls.head.getClass == vl.getClass &&
+        ls.head.schema.fieldNames.sameElements(vl.schema.fieldNames),
+        s"expected only the partial-view leaf:\n${rewritten.queryExecution.optimizedPlan}")
+    }
+    // a query NOT carrying the view predicate must refuse — the view
+    // is missing rows the query needs
+    withRule {
+      val q2 = base.groupBy("f").agg(sum("cents").as("tc"))
+      val bl = base.queryExecution.analyzed.asInstanceOf[LeafNode]
+      assert(leaves(q2).exists(_.canonicalized == bl.canonicalized),
+        "rule fired although the query does not subsume the view predicate")
+      val q3 = base.where(col("s") === "F").groupBy("f").agg(sum("cents").as("tc"))
+      assert(leaves(q3).exists(_.canonicalized == bl.canonicalized),
+        "dim-only filter must not satisfy subsumption of a measure-filtered view")
+    }
+    MvCatalog.clear()
   }
 
   test("registration refuses a lying offer and non-leaf plans") {
