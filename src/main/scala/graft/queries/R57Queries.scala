@@ -153,9 +153,21 @@ object R57Queries {
         val om = t(s, d, "orders").select(col("o_orderkey").as("k"),
           month(col("o_orderdate")).cast("long").as("m"), col("o_custkey").as("c"))
           .localCheckpoint(false)
-        val lim = t(s, d, "lineitem").select(col("l_orderkey").as("k"))
+        // ONE heavy pass over the lineitem⋈orders join: per-key (month,
+        // row count). Every later statistic — the hash-sketch chain, the
+        // exact prefix NDV, the prefix row counts — derives from this
+        // |orders|-sized frame; the old shape re-aggregated the
+        // lineitem-sized join three separate times (and paid the md5 per
+        // lineitem ROW where per KEY suffices — sound because an order
+        // key has exactly one month, so groupBy(hash).min(m) over keys
+        // equals it over rows).
+        val liKey = t(s, d, "lineitem").select(col("l_orderkey").as("k"))
           .join(om.select("k", "m"), "k")
+          .groupBy("k").agg(min("m").as("m"), count(lit(1)).as("cnt"))
           .localCheckpoint(false)
+        // per-customer first month — the oc chain and NDV derive from
+        // this |customers|-of-orders-sized frame, not |orders| rows
+        val ocKey = om.groupBy(col("c").as("k")).agg(min("m").as("m"))
         def hv(tag: String, kCol: String): org.apache.spark.sql.Column =
           expr(s"CAST(conv(substring(md5(concat('$tag:', CAST($kCol AS STRING))), 1, 10), 16, 10) AS BIGINT)")
         // the incremental KMV state at step j (q397's certified merge):
@@ -172,7 +184,6 @@ object R57Queries {
             .withColumn("rb", row_number().over(
               Window.partitionBy("fm").orderBy("hvv")))
             .where(col("rb") <= 32).select("hvv", "fm")
-            .localCheckpoint(false)
           steps.join(hvm32, col("fm") <= col("step"))
             .withColumn("r", row_number().over(
               Window.partitionBy("step").orderBy("hvv")))
@@ -182,16 +193,17 @@ object R57Queries {
               expr("CASE WHEN cnt < 32 THEN cnt ELSE 31 * 1099511627776 div mx END")
                 .as(out))
         }
-        // exact prefix NDV from ONE first-seen pass (q397's grader fusion)
-        def exactNdv(src: DataFrame, out: String): DataFrame =
+        // exact prefix NDV from the per-key frame — each row IS a
+        // first-seen key, so the per-month new-key census is one tiny
+        // groupBy over keys (q397's grader fusion, now shared with the
+        // sketch chain's input)
+        def exactNdv(perKey: DataFrame, out: String): DataFrame =
           steps.crossJoin(broadcast(
-              src.groupBy("k").agg(min("m").as("fm"))
-                .groupBy("fm").agg(count(lit(1)).as("nc"))))
+              perKey.groupBy("m").agg(count(lit(1)).as("fm_nc"))))
             .groupBy("step")
-            .agg(sum(when(col("fm") <= col("step"), col("nc")).otherwise(0L)).as(out))
-        def prefixRows(src: DataFrame, out: String): DataFrame =
-          steps.crossJoin(broadcast(
-              src.groupBy("m").agg(count(lit(1)).as("mc"))))
+            .agg(sum(when(col("m") <= col("step"), col("fm_nc")).otherwise(0L)).as(out))
+        def prefixRows(monthCounts: DataFrame, out: String): DataFrame =
+          steps.crossJoin(broadcast(monthCounts))
             .groupBy("step")
             .agg(sum(when(col("m") <= col("step"), col("mc")).otherwise(0L)).as(out))
         val cu = t(s, d, "customer")
@@ -204,14 +216,16 @@ object R57Queries {
             countDistinct("c_custkey").as("ndv_ck"))
           .crossJoin(broadcast(ckSketch))
         val stats = steps
-          .join(broadcast(chain(lim, "k4l", "est_lok")), "step")
-          .join(broadcast(exactNdv(lim, "ndv_lok")), "step")
+          .join(broadcast(chain(liKey.select("k", "m"), "k4l", "est_lok")), "step")
+          .join(broadcast(exactNdv(liKey, "ndv_lok")), "step")
           .join(broadcast(chain(om.select("k", "m"), "k4o", "est_ook")), "step")
-          .join(broadcast(exactNdv(om.select("k", "m"), "ndv_ook")), "step")
-          .join(broadcast(chain(om.select(col("c").as("k"), col("m")), "k4u", "est_oc")), "step")
-          .join(broadcast(exactNdv(om.select(col("c").as("k"), col("m")), "ndv_oc")), "step")
-          .join(broadcast(prefixRows(lim, "n_li")), "step")
-          .join(broadcast(prefixRows(om, "n_ord")), "step")
+          .join(broadcast(exactNdv(om, "ndv_ook")), "step")
+          .join(broadcast(chain(ocKey, "k4u", "est_oc")), "step")
+          .join(broadcast(exactNdv(ocKey, "ndv_oc")), "step")
+          .join(broadcast(prefixRows(
+            liKey.groupBy("m").agg(sum("cnt").as("mc")), "n_li")), "step")
+          .join(broadcast(prefixRows(
+            om.groupBy("m").agg(count(lit(1)).as("mc")), "n_ord")), "step")
           .crossJoin(broadcast(stat))
         def costs(lok: String, ook: String, oc: String, ck: String)
             : (String, String, String) = {
