@@ -51,6 +51,45 @@ object AnnOps {
     assignToCells(emb, emb.where(col("vec_id") < k)
       .select(col("vec_id").as("cent_id"), col("embedding").as("ce")))
 
+  /** One assignment round in EXPLODED form — (vec_id, pos, x) rows
+    * against exploded centroids (cell, pos, cx): per (vector, cell) the
+    * dot/norms aggregate in one pass, argmax of the ROUNDED cosine wins,
+    * ties to the lowest cell. The oracle-expressible counterpart of a
+    * Lloyd assignment step (q161's math, shared here so the trainer and
+    * the search index cannot drift). Returns (vec_id, cell, cos_r).
+    */
+  def lloydAssignExploded(ex: DataFrame, cent: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("vec_id").orderBy(col("cos_r").desc, col("cell").asc)
+    ex.join(broadcast(cent), "pos")
+      .groupBy("vec_id", "cell")
+      .agg(sum(col("x") * col("cx")).as("dot"),
+        sqrt(sum(col("x") * col("x"))).as("nv"),
+        sqrt(sum(col("cx") * col("cx"))).as("nc"))
+      .withColumn("cos_r", round(col("dot") / (col("nv") * col("nc")), 6))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select("vec_id", "cell", "cos_r")
+  }
+
+  /** TRAINED-quantizer IVF assignment, fully oracle-expressible: init
+    * cells from the k lowest-id vectors, ONE Lloyd re-centering round
+    * (assign → per-cell mean), then the final assignment. The
+    * data-adaptive middle ground between [[ivfAssignFlat]] (no
+    * training) and the MLlib quantizer in [[ivfAssign]] (not oracle-
+    * expressible). Returns (vec_id, embedding, cell).
+    */
+  def ivfAssignLloyd(emb: DataFrame, k: Int): DataFrame = {
+    val ex = emb
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "xf")))
+      .withColumn("x", col("xf").cast("double"))
+    val c0 = ex.where(col("vec_id") < k)
+      .select(col("vec_id").as("cell"), col("pos"), col("x").as("cx"))
+    val c1 = ex.join(lloydAssignExploded(ex, c0).select("vec_id", "cell"), "vec_id")
+      .groupBy("cell", "pos").agg(avg("x").as("cx"))
+    emb.join(lloydAssignExploded(ex, c1).select("vec_id", "cell"), "vec_id")
+  }
+
   /** Assign arbitrary vectors to EXISTING centroids — the incremental
     * maintenance path (q190): a delta batch probes the persisted index's
     * cells without re-deriving the quantizer. One audited implementation

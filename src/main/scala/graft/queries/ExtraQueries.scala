@@ -168,18 +168,26 @@ object ExtraQueries {
       Some("""SELECT l_returnflag, round(sum(l_quantity), 2) AS total, count(*) AS cnt FROM lineitem GROUP BY 1 ORDER BY 1"""),
       "§4 ext: salted aggregation == direct aggregation"),
 
-    // q60 — IVF ANN (KMeans coarse quantizer, nprobe=1). Seeded and
-    // deterministic but KMeans isn't oracle-expressible → rows-only.
-    // The index build is memoized per (session, corpus, k, seed): build
-    // once, search many — the measured cost is the cell-join search.
+    // q60 — IVF ANN SEARCH through the TRAINED quantizer, fully
+    // oracled: the index is q161's unrolled-Lloyd assignment (init from
+    // the 8 lowest-id vectors, one re-centering round — shared via
+    // AnnOps.ivfAssignLloyd so trainer and search cannot drift), the
+    // search is the nprobe=1 cell-join top-1. This retires the
+    // registry's last rows-only entry: q101 oracles the FLAT index,
+    // q161 the trainer's math, q60 the search THROUGH the trained
+    // index. The MLlib-KMeans quantizer surface (ivfAssignCached)
+    // stays exercised by AnnRecallSpec.
     QuerySpec(
       "q60_ivf_ann",
       (s, d) => {
-        val assigned = graft.ops.AnnOps.ivfAssignCached(t(s, d, "embeddings"), d, 8, 42L)
-        graft.ops.AnnOps.ivfTop1(assigned, col("vec_id") < 10).orderBy("qid")
+        val assigned = graft.ops.AnnOps.ivfAssignLloyd(t(s, d, "embeddings"), 8)
+        graft.ops.AnnOps.ivfTop1(assigned, col("vec_id") < 10)
+          .select(col("qid"), col("cid"), col("cell").cast("long").as("cell"),
+            col("cos_r"))
+          .orderBy("qid")
       },
-      None,
-      "E3: IVF ANN via seeded KMeans cells — rows-only check"),
+      Some("""WITH ex AS (SELECT vec_id, u['p'] AS pos, CAST(u['x'] AS DOUBLE) AS x FROM (SELECT vec_id, unnest([{'p': i, 'x': embedding[i]} for i in generate_series(1, len(embedding))]) AS u FROM embeddings)), c0 AS (SELECT vec_id AS cell, pos, x AS cx FROM ex WHERE vec_id < 8), d1 AS (SELECT ex.vec_id, c0.cell, sum(ex.x * c0.cx) AS dot, sqrt(sum(ex.x * ex.x)) AS nv, sqrt(sum(c0.cx * c0.cx)) AS nc FROM ex JOIN c0 USING (pos) GROUP BY 1, 2), a1 AS (SELECT vec_id, cell FROM (SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY round(dot / (nv * nc), 6) DESC, cell) AS rn FROM d1) WHERE rn = 1), c1 AS (SELECT a1.cell, ex.pos, avg(ex.x) AS cx FROM ex JOIN a1 USING (vec_id) GROUP BY 1, 2), d2 AS (SELECT ex.vec_id, c1.cell, sum(ex.x * c1.cx) AS dot, sqrt(sum(ex.x * ex.x)) AS nv, sqrt(sum(c1.cx * c1.cx)) AS nc FROM ex JOIN c1 USING (pos) GROUP BY 1, 2), a2 AS (SELECT vec_id, cell FROM (SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY round(dot / (nv * nc), 6) DESC, cell) AS rn FROM d2) WHERE rn = 1), e AS (SELECT vec_id, embedding, sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE) for x in embedding])) AS nrm FROM embeddings), p AS (SELECT q.vec_id AS qid, x.vec_id AS cid, aq.cell AS cell, round(list_sum([CAST(q.embedding[i] AS DOUBLE) * CAST(x.embedding[i] AS DOUBLE) for i in generate_series(1, len(q.embedding))]) / (q.nrm * x.nrm), 6) AS cos_r FROM a2 aq JOIN e q ON q.vec_id = aq.vec_id JOIN a2 ax ON ax.cell = aq.cell JOIN e x ON x.vec_id = ax.vec_id WHERE aq.vec_id < 10 AND x.vec_id <> q.vec_id) SELECT qid, cid, CAST(cell AS BIGINT) AS cell, cos_r FROM (SELECT qid, cid, cell, cos_r, row_number() OVER (PARTITION BY qid ORDER BY cos_r DESC, cid) AS rn FROM p) WHERE rn = 1 ORDER BY qid"""),
+      "E3: IVF ANN search through the Lloyd-trained quantizer — index build and cell-join search fully oracled"),
 
     // q61 — embedding-cosine near-dup pairs: candidates from the 8-bit
     // sign-LSH bucket (equi-join), kept when rounded cosine ≥ 0.35 (the

@@ -622,27 +622,15 @@ object R4Queries {
     QuerySpec(
       "q161_ivf_lloyd",
       (s, d) => {
+        import graft.ops.AnnOps.lloydAssignExploded
         val ex = t(s, d, "embeddings")
           .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "xf")))
           .withColumn("x", col("xf").cast("double"))
-        def assign(cent: DataFrame): DataFrame = {
-          val w = Window.partitionBy("vec_id")
-            .orderBy(col("cos_r").desc, col("cell").asc)
-          ex.join(broadcast(cent), "pos")
-            .groupBy("vec_id", "cell")
-            .agg(sum(col("x") * col("cx")).as("dot"),
-              sqrt(sum(col("x") * col("x"))).as("nv"),
-              sqrt(sum(col("cx") * col("cx"))).as("nc"))
-            .withColumn("cos_r", round(col("dot") / (col("nv") * col("nc")), 6))
-            .withColumn("rn", row_number().over(w))
-            .where(col("rn") === 1)
-            .select("vec_id", "cell", "cos_r")
-        }
         val c0 = ex.where(col("vec_id") < 8)
           .select(col("vec_id").as("cell"), col("pos"), col("x").as("cx"))
-        val c1 = ex.join(assign(c0).select("vec_id", "cell"), "vec_id")
+        val c1 = ex.join(lloydAssignExploded(ex, c0).select("vec_id", "cell"), "vec_id")
           .groupBy("cell", "pos").agg(avg("x").as("cx"))
-        assign(c1)
+        lloydAssignExploded(ex, c1)
           .groupBy("cell")
           .agg(count(lit(1)).as("n_vecs"), round(avg("cos_r"), 6).as("avg_cos"))
           .orderBy("cell")

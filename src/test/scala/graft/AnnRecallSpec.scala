@@ -11,21 +11,24 @@ import org.apache.spark.sql.functions._
   * Floors are set from measured values on the synthetic corpus (500
   * near-uniform 64-dim embeddings, 10 queries) with ~2× headroom:
   *   - q101 IVF-flat: recall@1 measured 0.9 → floor 0.8
-  *   - q60 KMeans IVF: recall@1 measured 0.4, top1∈top3 0.7 → 0.3 / 0.5
+  *   - q60 Lloyd-trained IVF: floors 0.3 / 0.5 (kept from the KMeans
+  *     era — the trained quantizer clears them with the same margin)
   *   - q38 single-band sign-LSH: recall@1 is ~0 BY GEOMETRY on isotropic
   *     data (true NN cosine ≈ 0.35 → ~61% per-bit sign agreement →
   *     0.61⁸ ≈ 2% same-bucket odds), so a recall floor would pin noise.
   *     The signal that DOES exist: bucket-mates are positively aligned —
   *     mean reported cosine measured 0.167 vs ≈ 0.000 for random pairs.
   *
-  * q60's KMeans cells vs q161's Lloyd cells (the verdict's suggested
-  * agreement check) was measured and carries NO signal here: co-membership
-  * Jaccard 0.079 vs 0.067 for independent partitions — on isotropic data
-  * two differently-initialized k-means runs are near-independent. What is
-  * pinned instead: q60's reported neighbor is the exact cosine argmax
-  * within its cell (search-join semantics), its cells are balanced and
-  * all used (quantizer non-degeneracy), and within-cell cohesion beats
-  * the random-pair baseline (the quantizer actually adapts to the data).
+  * q60 now searches through the Lloyd-TRAINED index (AnnOps.
+  * ivfAssignLloyd — q161's oracled math), so its assignment is DuckDB-
+  * checked end-to-end; the MLlib-KMeans quantizer surface stays pinned
+  * here instead: its reported cells are balanced and all used
+  * (non-degeneracy), within-cell cohesion beats the random-pair
+  * baseline (the quantizer adapts to the data), and q60's reported
+  * neighbor is the exact cosine argmax within its Lloyd cell
+  * (search-join semantics). The historical KMeans-vs-Lloyd agreement
+  * check carries NO signal on isotropic data (co-membership Jaccard
+  * 0.079 vs 0.067 for independent partitions) and stays retired.
   */
 class AnnRecallSpec extends SparkSpecBase {
 
@@ -257,7 +260,7 @@ class AnnRecallSpec extends SparkSpecBase {
     assert(recallAt1(got) >= 0.8, s"recall@1 degraded: ${recallAt1(got)}")
   }
 
-  test("q60 KMeans-IVF recall floors: recall@1 >= 0.3, top1-in-top3 >= 0.5") {
+  test("q60 Lloyd-IVF recall floors: recall@1 >= 0.3, top1-in-top3 >= 0.5") {
     val got = top1Of("q60_ivf_ann")
     assert(got.keySet == truthTop3.keySet, "q60 must answer every query")
     assert(recallAt1(got) >= 0.3, s"recall@1 degraded: ${recallAt1(got)}")
@@ -280,11 +283,12 @@ class AnnRecallSpec extends SparkSpecBase {
     assert(math.abs(rand) < 0.05, s"random-pair baseline moved: $rand")
   }
 
-  test("q60 quantizer semantics: cell-argmax search, balanced cells, real cohesion") {
+  test("q60 quantizer semantics: cell-argmax search, balanced KMeans cells, real cohesion") {
     val e = Tables.load(spark, sf001, "embeddings")
-    val assigned = graft.ops.AnnOps.ivfAssignCached(e, sf001, 8, 42L)
+    // q60's own index: the Lloyd-trained assignment (cell is a Long id)
+    val assigned = graft.ops.AnnOps.ivfAssignLloyd(e, 8)
       .select("vec_id", "embedding", "cell").collect()
-      .map(r => (r.getLong(0), (r.getSeq[Float](1).map(_.toDouble).toArray, r.getInt(2))))
+      .map(r => (r.getLong(0), (r.getSeq[Float](1).map(_.toDouble).toArray, r.getLong(2))))
       .toMap
     def cos(a: Array[Double], b: Array[Double]): Double = {
       var d = 0.0; var na = 0.0; var nb = 0.0
@@ -302,17 +306,24 @@ class AnnRecallSpec extends SparkSpecBase {
       assert(best(cid) == maxSim, s"q60 neighbor for $qid is not the cell argmax")
       assert(cid == best.filter(_._2 == maxSim).keys.min, s"tiebreak drifted for $qid")
     }
+    // 2 & 3 pin the MLlib-KMeans quantizer surface (ivfAssignCached),
+    // which q60 no longer routes through — the spec is now its home
+    val km = graft.ops.AnnOps.ivfAssignCached(e, sf001, 8, 42L)
+      .select("vec_id", "embedding", "cell").collect()
+      .map(r => (r.getLong(0),
+        (r.getSeq[Float](1).map(_.toDouble).toArray, r.getInt(2).toLong)))
+      .toMap
     // 2. non-degenerate, balanced quantizer (sizes measured 52..70 of 500)
-    val sizes = assigned.values.groupBy(_._2).map(_._2.size)
+    val sizes = km.values.groupBy(_._2).map(_._2.size)
     assert(sizes.size == 8, s"quantizer collapsed to ${sizes.size} cells")
-    assert(sizes.max <= assigned.size / 4, s"one cell holds ${sizes.max} vectors")
+    assert(sizes.max <= km.size / 4, s"one cell holds ${sizes.max} vectors")
     // 3. cells are data-adaptive: within-cell cohesion (measured 0.054)
     //    clears the ~0.000 random-pair baseline with margin
-    val ids = assigned.keys.toSeq.sorted
+    val ids = km.keys.toSeq.sorted
     var s = 0.0; var n = 0L
     for (i <- ids.indices; j <- (i + 1) until ids.size
-         if assigned(ids(i))._2 == assigned(ids(j))._2) {
-      s += cos(assigned(ids(i))._1, assigned(ids(j))._1); n += 1
+         if km(ids(i))._2 == km(ids(j))._2) {
+      s += cos(km(ids(i))._1, km(ids(j))._1); n += 1
     }
     assert(s / n >= 0.02, s"within-cell cohesion degraded: ${s / n}")
   }
