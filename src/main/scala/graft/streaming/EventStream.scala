@@ -1295,8 +1295,22 @@ object EventStream {
             .join(broadcast(delKeys), Seq("k"), "left_anti")
         val merged = kept.unionByName(adds)
           .localCheckpoint(true) // eager: state must outlive the callback
+        // Unlike the tiny cube/hist states above, this checkpoint IS the
+        // whole maintained table — without releasing the superseded
+        // version, executor storage grows with batches × table size on a
+        // long-running stream. merged has its own blocks now, so the
+        // previous state's checkpoint (and this batch's, folded into
+        // merged) can go; the sink contract is that each delivered frame
+        // is consumed within its callback.
+        def release(df: DataFrame): Unit = df.queryExecution.analyzed match {
+          case lr: org.apache.spark.sql.execution.LogicalRDD =>
+            lr.rdd.unpersist(blocking = false)
+          case _ => ()
+        }
+        if (state != null) release(state)
         state = merged
         sink(id, merged)
+        release(b)
       }
       .outputMode("append")
       .start()

@@ -1437,6 +1437,7 @@ class StreamingSpec extends SparkSpecBase {
     val mem = MemoryStream[(String, Long, Long, Long)](spark)
     val sigs = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
     val fileSets = scala.collection.mutable.ArrayBuffer.empty[Set[Long]]
+    val persistedBefore = spark.sparkContext.getPersistentRDDs.size
     val q = graft.streaming.EventStream.changelogStream(
         mem.toDF().toDF("op", "k", "v", "f")) { (_, st) =>
       sigs += st.agg(count(lit(1)), coalesce(sum("v"), lit(0L)),
@@ -1447,6 +1448,15 @@ class StreamingSpec extends SparkSpecBase {
     try {
       commits.foreach { c => mem.addData(c: _*); q.processAllAvailable() }
     } finally q.stop()
+    // superseded states must be RELEASED: the whole-table checkpoint
+    // would otherwise grow executor storage by batches × table size.
+    // Per batch the operator checkpoints the incoming micro-batch and
+    // the merged state and releases both once superseded — only the
+    // LIVE state may remain (slack 2 for unpersist-vs-stop races).
+    val persistedAfter = spark.sparkContext.getPersistentRDDs.size
+    assert(persistedAfter - persistedBefore <= 2,
+      s"changelogStream leaked superseded state checkpoints: " +
+        s"$persistedBefore -> $persistedAfter persistent RDDs over ${commits.size} commits")
     assert(sigs.size == 4)
     sigs.zip(expected).zipWithIndex.foreach { case ((got, want), i) =>
       assert(got == want, s"commit $i: maintained table diverged from the logical snapshot")
