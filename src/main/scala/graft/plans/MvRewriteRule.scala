@@ -260,21 +260,48 @@ object MvRewriteRule extends Rule[LogicalPlan] {
         case _ => None
       }
 
-    val rewritten: Seq[Option[NamedExpression]] = aggExprs.map {
+    // General output rewrite: CollapseProject folds wrappers (round,
+    // literals, arithmetic over aggregates) into the Aggregate before
+    // this rule runs, so an output is an arbitrary expression tree over
+    // AggregateExpressions, grouping attrs and literals. Rewrite every
+    // aggregate inside via rewriteAgg, remap every remaining base attr
+    // to its view dim, and refuse if any piece has no sound rewrite or
+    // the result's dataType drifts.
+    def rewriteNamed(ne0: NamedExpression): Option[NamedExpression] = ne0 match {
       case a: AttributeReference =>
         dimAttr(a.name).collect {
           case v if v.dataType == a.dataType => Alias(v, a.name)(exprId = a.exprId)
         }
-      case al @ Alias(ae: AggregateExpression, name) =>
-        rewriteAgg(ae).collect {
-          case e if e.dataType == al.dataType => Alias(e, name)(exprId = al.exprId)
+      case al @ Alias(e, name) =>
+        var ok = true
+        // identity-keyed: a rewritten aggregate may itself contain new
+        // AggregateExpressions (SUM over view cols) that must NOT be
+        // re-entered by the transform below
+        val done = new java.util.IdentityHashMap[AggregateExpression, Expression]()
+        e.foreach {
+          case ae: AggregateExpression if !done.containsKey(ae) =>
+            rewriteAgg(ae) match {
+              case Some(x) => done.put(ae, x)
+              case None => ok = false
+            }
+          case _ => ()
         }
-      case al @ Alias(a: AttributeReference, name) =>
-        dimAttr(a.name).collect {
-          case v if v.dataType == al.dataType => Alias(v, name)(exprId = al.exprId)
+        val withAggs = e.transformDown {
+          case ae: AggregateExpression if done.containsKey(ae) => done.get(ae)
         }
+        val remapped = withAggs.transformDown {
+          case a: AttributeReference if !fresh.outputSet.contains(a) =>
+            dimAttr(a.name) match {
+              case Some(v) => v
+              case None => ok = false; a
+            }
+        }
+        if (ok && remapped.dataType == al.dataType)
+          Some(Alias(remapped, name)(exprId = al.exprId))
+        else None
       case _ => None
     }
+    val rewritten: Seq[Option[NamedExpression]] = aggExprs.map(rewriteNamed)
     val newGroupings: Seq[Option[Expression]] = groupings.map {
       case a: AttributeReference => dimAttr(a.name).map(identity[Expression])
       case _ => None

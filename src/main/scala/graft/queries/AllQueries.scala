@@ -25,7 +25,8 @@ object AllQueries {
       R49Queries.specs ++ R50Queries.specs ++ R51Queries.specs ++ R52Queries.specs ++
       R53Queries.specs ++ R54Queries.specs ++ R55Queries.specs ++ R56Queries.specs ++
       R57Queries.specs ++ R58Queries.specs ++ R59Queries.specs ++ R60Queries.specs ++
-      R61Queries.specs ++ R62Queries.specs ++ R63Queries.specs ++ R64Queries.specs
+      R61Queries.specs ++ R62Queries.specs ++ R63Queries.specs ++ R64Queries.specs ++
+      R65Queries.specs
 
   require(specs.map(_.name).distinct.size == specs.size, "duplicate query names")
 }

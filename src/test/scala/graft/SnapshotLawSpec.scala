@@ -16,6 +16,11 @@ import graft.queries.R61Queries
   *  - OCC commutativity: compaction and a (rebased) delete land on
   *    the same content in either serial order — the row-level fact
   *    that makes q424's rebase the correct conflict resolution;
+  *  - OCC schema evolution (q434's law half): a data commit and a
+  *    concurrent schema commit commute under FIELD-ID resolution,
+  *    and the rename counterexample shows name-at-commit binding
+  *    diverging between serial orders — losing exactly the appended
+  *    rows' renamed column;
   *  - the MV catalog is keyed by RELATION, not content: a
   *    content-identical state materialized as a DIFFERENT relation
   *    (the post-compaction checkpoint) must refuse the rewrite until
@@ -88,6 +93,55 @@ class SnapshotLawSpec extends SparkSpecBase {
     // and both equal the declarative truth
     val truth = orig.filter(r => !vic(r._3, r._5) && !vic2(r._3)).map(r => (r._1, r._2))
     assert(sig(order1) == sig(truth))
+  }
+
+  test("OCC schema evolution: a data commit and a schema commit commute under field-id resolution; name binding diverges on rename") {
+    // q434's law half. A table is (rows as field-id→value maps, schema
+    // as ordered (id, name) labels). Two concurrent writers: W1 appends
+    // rows VALIDATED against schema [1:k, 2:v, 3:p]; W2 commits
+    // RENAME v→amount (metadata only — id 2 keeps its bytes). The OCC
+    // question is whether the serial orders agree.
+    type IdRow = Map[Int, Long]
+    val believed = Seq(1 -> "k", 2 -> "v", 3 -> "p")
+    val renamed = Seq(1 -> "k", 2 -> "amount", 3 -> "p")
+    val baseRows: Seq[IdRow] =
+      orig.take(200).map(r => Map(1 -> r._1, 2 -> r._2)) // pre-ADD files: no id 3
+    val appendRows: Seq[IdRow] =
+      app.take(200).map(r => Map(1 -> r._1, 2 -> r._2, 3 -> r._1 % 5))
+    def read(rows: Seq[IdRow], schema: Seq[(Int, String)]): Seq[Seq[(String, Option[Long])]] =
+      rows.map(r => schema.map { case (id, nm) => nm -> r.get(id) })
+    // FIELD-ID engine: the append's columns were bound to ids at
+    // validation time; the rename touches only labels, so either serial
+    // order lands on the same (rows, schema) pair.
+    def idApply(renameFirst: Boolean): Seq[Seq[(String, Option[Long])]] = {
+      val _ = renameFirst // binding happened at validation — order can't matter
+      read(baseRows ++ appendRows, renamed)
+    }
+    assert(idApply(renameFirst = false) == idApply(renameFirst = true),
+      "field-id resolution must make the data and schema commits commute")
+    // NAME engine: the append binds its columns to ids BY NAME at
+    // commit time. rename-then-append: the writer's 'v' no longer
+    // resolves and the value is discarded — the appended rows read
+    // amount = NULL; append-then-rename keeps them. The orders diverge,
+    // which is exactly why id resolution is the law, not a style choice.
+    def nameApply(renameFirst: Boolean): Seq[Seq[(String, Option[Long])]] = {
+      val atCommit = (if (renameFirst) renamed else believed).map(_.swap).toMap
+      val appended = appendRows.map { r =>
+        believed.flatMap { case (id, nm) =>
+          atCommit.get(nm).flatMap(tid => r.get(id).map(tid -> _))
+        }.toMap
+      }
+      read(baseRows ++ appended, renamed)
+    }
+    assert(nameApply(renameFirst = false) == idApply(renameFirst = false),
+      "the lucky name order must agree with the id engine")
+    assert(nameApply(renameFirst = false) != nameApply(renameFirst = true),
+      "name binding must diverge across orders — the counterexample is the law's point")
+    // and the divergence is precisely the appended rows' renamed column
+    val lost = nameApply(renameFirst = true)
+      .count(_.exists { case (nm, v) => nm == "amount" && v.isEmpty })
+    assert(lost == appendRows.size,
+      "every appended row (and only those) must lose its amount under rename-first name binding")
   }
 
   test("MvCatalog keys on the relation: a content-identical post-compaction twin refuses until re-registered") {
