@@ -37,8 +37,22 @@ object R60Queries {
 
   private def t(s: SparkSession, d: String, n: String): DataFrame = Tables.load(s, d, n)
 
+  /** One-pass CUBE grader over a (f, s, y, m, cents) frame: all 16
+    * lattice nodes' (group count, Σcnt², Σ(value checksum)²) graded from
+    * a single Expand shuffle — q419's certification core, shared with
+    * ScaleSlopeSpec so the measured exponent is the shipped operator's.
+    */
+  private[graft] def cubeGrader(li: DataFrame): DataFrame =
+    li.cube("f", "s", "y", "m")
+      .agg(grouping_id().as("gid"), count(lit(1)).as("cg"), sum("cents").as("vg"))
+      .groupBy("gid")
+      .agg(count(lit(1)).as("groups_b"), sum(expr("cg * cg")).as("chk_cnt_b"),
+        sum(expr("(vg % 1000003) * (vg % 1000003)")).as("chk_val_b"))
+      .select(expr("CAST(15 - gid AS BIGINT)").as("mask"),
+        col("groups_b").cast("long").as("groups_b"), col("chk_cnt_b"), col("chk_val_b"))
+
   /** The 4-dim + cents lineitem frame every member of the arc shares. */
-  private def liFrame(s: SparkSession, d: String): DataFrame =
+  private[graft] def liFrame(s: SparkSession, d: String): DataFrame =
     t(s, d, "lineitem").select(
       col("l_returnflag").as("f"), col("l_linestatus").as("s"),
       year(col("l_shipdate")).cast("long").as("y"),
@@ -273,13 +287,7 @@ object R60Queries {
         val nodes = latticeNodes(li)
         val nn = li.agg(count(lit(1)).as("n")).localCheckpoint(false)
         val (_, p1, _, _, p2) = hruSteps(nodes, nn)
-        val grader = li.cube("f", "s", "y", "m")
-          .agg(grouping_id().as("gid"), count(lit(1)).as("cg"), sum("cents").as("vg"))
-          .groupBy("gid")
-          .agg(count(lit(1)).as("groups_b"), sum(expr("cg * cg")).as("chk_cnt_b"),
-            sum(expr("(vg % 1000003) * (vg % 1000003)")).as("chk_val_b"))
-          .select(expr("CAST(15 - gid AS BIGINT)").as("mask"),
-            col("groups_b").cast("long").as("groups_b"), col("chk_cnt_b"), col("chk_val_b"))
+        val grader = cubeGrader(li)
         val grain = li.groupBy("f", "s", "y", "m")
           .agg(count(lit(1)).as("cnt"), sum("cents").as("sv"))
         val served = grain.cube("f", "s", "y", "m")

@@ -48,7 +48,7 @@ object R63Queries {
   private val L = 4L
 
   /** One corpus pass: the (geo0, geo1, seg, year, priority) grain. */
-  private def grainFrame(s: SparkSession, d: String): DataFrame =
+  private[graft] def grainFrame(s: SparkSession, d: String): DataFrame =
     t(s, d, "orders")
       .join(t(s, d, "customer"), col("c_custkey") === col("o_custkey"))
       .join(t(s, d, "nation"), col("n_nationkey") === col("c_nationkey"))
@@ -91,7 +91,7 @@ object R63Queries {
     * pattern — at 100 TB this is one grain-sized shuffle, not 18
     * re-aggregations).
     */
-  private def nodeGroupsAll(grain: DataFrame): DataFrame =
+  private[graft] def nodeGroupsAll(grain: DataFrame): DataFrame =
     grain.select(col("sens"), col("cnt"), explode(array(lattice.map { case (g, s2, y) =>
         val (gx, sx, yx) = qiExprs(g, s2, y, "div")
         struct(lit(g.toLong).as("g"), lit(s2.toLong).as("s"), lit(y.toLong).as("y"),
@@ -103,7 +103,7 @@ object R63Queries {
       .groupBy("g", "s", "y", "qg", "qs", "qy")
       .agg(sum("cnt").as("size"), countDistinct("sens").cast("long").as("sdiv"))
 
-  private def allNodes(grain: DataFrame): DataFrame =
+  private[graft] def allNodes(grain: DataFrame): DataFrame =
     nodeGroupsAll(grain).groupBy("g", "s", "y").agg(
       count(lit(1)).as("groups"), min("size").as("min_group"),
       sum(when(col("size") < K, col("size")).otherwise(0L)).as("suppressed"),

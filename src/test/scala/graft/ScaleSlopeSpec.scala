@@ -400,6 +400,74 @@ class ScaleSlopeSpec extends SparkSpecBase {
     info(f"q381 grade slope: $t1%.2f s → $tk%.2f s over ×$K, exponent $e%.2f, mass ×${mK / m1}")
   }
 
+  test("q419 cube grader: ×8 disjoint dims → per-node groups ×8 (apex 1), ~linear time") {
+    // the MV arc's certification core (VERDICT r12 ask #7): ONE Expand
+    // pass grades all 16 lattice nodes. With every dimension offset per
+    // copy, each node's groups are copy-disjoint and must scale exactly
+    // ×8 — except the apex (everything aggregated away), which is one
+    // group at any scale. A grader that re-aggregated per node, or an
+    // Expand that lost its map-side partial, shows up in the exponent.
+    import graft.queries.R60Queries.{cubeGrader, liFrame}
+    val li1 = liFrame(spark, sf01).localCheckpoint(false)
+    def copies(n: Int): DataFrame = (0 until n).map { i =>
+      li1.select(concat(col("f"), lit(s"_$i")).as("f"),
+        concat(col("s"), lit(s"_$i")).as("s"),
+        (col("y") + lit(i * 100L)).as("y"), (col("m") + lit(i * 100L)).as("m"),
+        col("cents"))
+    }.reduce(_ unionByName _).localCheckpoint(false)
+    val (c1, cK) = (copies(1), copies(K))
+    cubeGrader(c1).count() // warm
+    val (t1, n1) = timedMin(cubeGrader(c1), 3)
+    val (tk, nk) = timedMin(cubeGrader(cK), 2)
+    assert(n1 == 16 && nk == 16, "the grader must always produce one row per lattice node")
+    val g1 = cubeGrader(c1).select("mask", "groups_b").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val gK = cubeGrader(cK).select("mask", "groups_b").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for (mask <- g1.keys) {
+      val want = if (mask == 0L) 1L else K * g1(mask)
+      assert(gK(mask) == want,
+        s"node $mask groups must scale ×$K on disjoint dims (got ${g1(mask)} → ${gK(mask)})")
+    }
+    val e = exponent(t1, tk)
+    assert(e <= 1.45,
+      f"q419 grader exponent $e%.2f over ×$K ($t1%.2f s → $tk%.2f s) — superlinear")
+    measured("q419_cube_grader") = e
+    info(f"q419 slope: $t1%.2f s → $tk%.2f s over ×$K, exponent $e%.2f")
+  }
+
+  test("q428 lattice grading: ×8 disjoint grain → per-node groups ×8 (apex 1), ~linear time") {
+    // the privacy arc's core: nodeGroupsAll explodes each grain row into
+    // its 18 generalized keys and grades the whole lattice in ONE
+    // grain-sized shuffle. QI attributes offset per copy (years by 1000
+    // so the 2-year banding stays disjoint); the all-star node is the
+    // only cross-copy merge point. allNodes must stay 18 rows at any
+    // scale — the lattice is catalog-sized, the grain pass is the cost.
+    import graft.queries.R63Queries.{allNodes, grainFrame, nodeGroupsAll}
+    val g1 = grainFrame(spark, sf01)
+    def copies(n: Int): DataFrame = (0 until n).map { i =>
+      g1.select(concat(col("geo0"), lit(s"_$i")).as("geo0"),
+        concat(col("geo1"), lit(s"_$i")).as("geo1"),
+        concat(col("seg0"), lit(s"_$i")).as("seg0"),
+        (col("yr0") + lit(i * 1000L)).as("yr0"), col("sens"), col("cnt"))
+    }.reduce(_ unionByName _).localCheckpoint(false)
+    val (c1, cK) = (copies(1), copies(K))
+    nodeGroupsAll(c1).count() // warm
+    val (t1, n1) = timedMin(nodeGroupsAll(c1), 3)
+    val (tk, nk) = timedMin(nodeGroupsAll(cK), 2)
+    // 17 nodes' groups are copy-disjoint (×8); the all-star node is one
+    // group at any scale
+    assert(nk == K * (n1 - 1) + 1,
+      s"lattice group rows must scale ×$K outside the apex (got $n1 → $nk)")
+    assert(allNodes(c1).count() == 18 && allNodes(cK).count() == 18,
+      "the priced lattice must stay exactly 18 nodes at any scale")
+    val e = exponent(t1, tk)
+    assert(e <= 1.45,
+      f"q428 lattice exponent $e%.2f over ×$K ($t1%.2f s → $tk%.2f s) — superlinear")
+    measured("q428_lattice") = e
+    info(f"q428 slope: $t1%.2f s → $tk%.2f s over ×$K, exponent $e%.2f")
+  }
+
   test("measured exponents are pinned in the committed SLOPES artifact (drift diffable)") {
     // VERDICT r7 #7: pass/fail at 1.45 hides slow drift (0.3 → 1.3
     // across rounds never trips the quadratic tripwire). Pinning the
@@ -408,7 +476,7 @@ class ScaleSlopeSpec extends SparkSpecBase {
     // lines always land in target/slopes_live.txt — after an
     // intentional change, copy that file to SLOPES_r{NN}.txt
     // (zero-padded) and commit.
-    if (measured.size < 10)
+    if (measured.size < 12)
       cancel("an upstream slope test failed — no complete live exponent set to diff")
     val lines = measured.map { case (k, e) => f"SLOPE $k $e%.2f" }.toSeq
     val live = java.nio.file.Paths.get("target", "slopes_live.txt")
