@@ -72,6 +72,10 @@ object R57Queries {
           .select(col("k"), col("attr"),
             explode(expr("sequence(0, sa - 1)")).as("r"))
           .localCheckpoint(false)
+        // factSalted is deliberately checkpointed: both the certified
+        // join and the placement fold re-scan it, and an A/B measured
+        // the checkpoint 2x faster than recomputing the salted map pass
+        // per consumer
         val factSalted = keyed.join(broadcast(sa), "k")
           .select(col("k"), col("pu"), pmod(col("rh"), col("sa")).as("r"))
           .localCheckpoint(false)
@@ -331,17 +335,21 @@ object R57Queries {
         // once per structure (the q361/q362 fusion applied to grading)
         def legsOf(cls: String, assigned: DataFrame, zones: DataFrame,
             probes0: DataFrame, point: Boolean, dedupVals: Boolean): DataFrame = {
-          val probes = probes0.localCheckpoint(false)
+          // probes is a <=3-row sort-limit over the checkpointed zones;
+          // cells feeds ONE join and matched's two consumers re-scan the
+          // cached assignment instead — three checkpoint block-writes
+          // deleted from the hottest pass (driver-bench contention, r12)
+          val probes = probes0
           val nf = zones.agg(sum("c").as("n"), count(lit(1)).as("n_files"))
           // low-NDV columns dedup (p, v) BEFORE hashing — the dict
           // class's 600k rows collapse to ~96 before any md5
           val cellSrc = if (dedupVals) assigned.select("p", "v").distinct()
             else assigned.select("p", "v")
           val cells = cellSrc.select(col("p"), explode(cellArr("v")).as("cell"))
-            .distinct().localCheckpoint(false)
+            .distinct()
           val matched = assigned.crossJoin(broadcast(probes))
             .where(expr("v BETWEEN lo AND hi"))
-            .select("probe_id", "p").localCheckpoint(false)
+            .select("probe_id", "p")
           val noneT = probes.select("probe_id")
             .crossJoin(broadcast(zones.select("p")))
             .select(lit("1:none").as("structure"), col("probe_id"), col("p"))
