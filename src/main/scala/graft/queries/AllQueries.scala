@@ -26,7 +26,7 @@ object AllQueries {
       R53Queries.specs ++ R54Queries.specs ++ R55Queries.specs ++ R56Queries.specs ++
       R57Queries.specs ++ R58Queries.specs ++ R59Queries.specs ++ R60Queries.specs ++
       R61Queries.specs ++ R62Queries.specs ++ R63Queries.specs ++ R64Queries.specs ++
-      R65Queries.specs
+      R65Queries.specs ++ R66Queries.specs
 
   require(specs.map(_.name).distinct.size == specs.size, "duplicate query names")
 }

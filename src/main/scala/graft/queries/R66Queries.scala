@@ -1,0 +1,254 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.QuerySpec
+import graft.Tables
+
+/** Round-13 second widening — the MV arc's MAINTENANCE half and the
+  * snapshot arc's remaining physical-metadata dimensions:
+  *
+  *  - q435 maintains a grain view INCREMENTALLY through an insert and a
+  *    delete commit: COUNT/SUM self-maintain under both (certified
+  *    equal to the rebuild), while MIN/MAX self-maintain only under
+  *    insert — the delete commit shows the classic non-self-
+  *    maintainability result AS DATA: the naive carry-forward diverges
+  *    from the rebuild in exactly (a subset of) the groups whose
+  *    deleted rows touched the old extreme, and the containment law is
+  *    certified group by group;
+  *  - q436 evolves the PARTITION SPEC mid-table (month-range files,
+  *    then hash-bucket files): a partition-pruning read must prune
+  *    each file through its OWN spec — the month predicate prunes the
+  *    old files to one month and the new files not at all, the key
+  *    point probe prunes the new files to one bucket and the old files
+  *    not at all — with every pruned read certified against the direct
+  *    scan and the mixed-spec bill priced next to single-spec layouts.
+  *
+  * Scale: q435's incremental path touches |Δ| + |grain| rows per
+  * commit (the rebuilds are the graders); q436's pruning decisions are
+  * metadata arithmetic over a file-count-sized manifest, and only the
+  * graders read the corpus.
+  */
+object R66Queries {
+
+  private def t(s: SparkSession, d: String, n: String): DataFrame = Tables.load(s, d, n)
+
+  val specs: Seq[QuerySpec] = Seq(
+
+    // q435 — INCREMENTAL VIEW MAINTENANCE vs REBUILD: the q417–q420 /
+    // q433 arc registers and serves grain views; this maintains one.
+    // State 0 loads the ≤80%-key orders slice; commit 1 INSERTS the
+    // late slice; commit 2 DELETES a 10% Knuth-hash band. The view is
+    // the (year, month) grain carrying COUNT/SUM/MIN/MAX.
+    //   - insert: all four aggregates fold the delta in (v ⊕ Δgrain,
+    //     one |grain|-sized merge) — certified equal to the rebuild;
+    //   - delete: COUNT/SUM subtract the delta grain (groups reaching
+    //     cnt=0 drop) — certified equal; MIN/MAX carry forward (the
+    //     naive incremental) and DIVERGE from the rebuild in exactly
+    //     the groups where the delete removed the last row achieving
+    //     the old extreme. mm_del_hit counts the groups whose deleted
+    //     rows TOUCHED the old extreme (computable from the delta
+    //     alone); mm_diverged counts the measured divergence (needs
+    //     the rebuild); div_in_hit certifies diverged ⊆ hit — the gap
+    //     between them is the tie-saved set, which is WHY delta-only
+    //     maintenance of MIN/MAX under deletes is impossible and a
+    //     real maintainer escalates those groups to a rebuild.
+    // Scale: each incremental commit is delta-grain + one grain-sized
+    // merge; the per-state rebuilds are the graders (q385 convention).
+    QuerySpec(
+      "q435_mv_incremental",
+      (s, d) => {
+        val keyed0 = t(s, d, "orders").select(col("o_orderkey").as("k"),
+          year(col("o_orderdate")).cast("long").as("y"),
+          month(col("o_orderdate")).cast("long").as("m"),
+          expr("CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)").as("v"),
+          expr("(o_custkey % 2147483648) * 2654435761 % 4294967296").as("h"))
+        val mxk = keyed0.agg(expr("(max(k) + 1) * 4 div 5").as("kcut"))
+        val kk = keyed0.crossJoin(broadcast(mxk)).localCheckpoint(false)
+        val delT = 429496729L // 10% of the 2^32 hash space
+        def grain(df: DataFrame): DataFrame =
+          df.groupBy("y", "m").agg(count(lit(1)).as("cnt"), sum("v").as("sv"),
+            min("v").as("mn"), max("v").as("mx"))
+        val v0 = grain(kk.where(col("k") <= col("kcut"))).localCheckpoint(false)
+        // commit 1: INSERT — v1 = v0 ⊕ Δgrain(b1), all four self-maintain
+        val v1 = v0.unionByName(grain(kk.where(col("k") > col("kcut"))))
+          .groupBy("y", "m").agg(sum("cnt").as("cnt"), sum("sv").as("sv"),
+            min("mn").as("mn"), max("mx").as("mx"))
+          .localCheckpoint(false)
+        val reb1 = grain(kk)
+        // commit 2: DELETE the hash band — COUNT/SUM subtract, MIN/MAX
+        // carry forward naively (divergence is the finding)
+        val d2 = kk.where(col("h") < delT)
+          .groupBy("y", "m").agg(count(lit(1)).as("dcnt"), sum("v").as("dsv"),
+            min("v").as("dmn"), max("v").as("dmx"))
+        val v2n = v1.join(d2, Seq("y", "m"), "left")
+          .select(col("y"), col("m"),
+            (col("cnt") - coalesce(col("dcnt"), lit(0L))).as("cnt"),
+            (col("sv") - coalesce(col("dsv"), lit(0L))).as("sv"),
+            col("mn"), col("mx"), col("dmn"), col("dmx"))
+          .where(col("cnt") > 0L)
+          .localCheckpoint(false)
+        val reb2 = grain(kk.where(col("h") >= delT)).localCheckpoint(false)
+        // certificates
+        def eqAll(a: DataFrame, b: DataFrame, cols: Seq[String]): DataFrame = {
+          val an = a.select(col("y") +: col("m") +: cols.map(c => col(c).as(s"a_$c")): _*)
+          val bn = b.select(col("y") +: col("m") +: cols.map(c => col(c).as(s"b_$c")): _*)
+          val bad = cols.map(c => s"a_$c IS NULL OR b_$c IS NULL OR a_$c <> b_$c")
+            .mkString(" OR ")
+          an.join(bn, Seq("y", "m"), "full_outer")
+            .agg(coalesce(sum(when(expr(bad), 1L).otherwise(0L)), lit(0L)).as("bad"))
+            .select(expr("CAST(CASE WHEN bad = 0 THEN 1 ELSE 0 END AS BIGINT)").as("eq"))
+        }
+        val mm = v2n.join(reb2.select(col("y"), col("m"),
+            col("mn").as("rmn"), col("mx").as("rmx")), Seq("y", "m"), "full_outer")
+          .agg(
+            coalesce(sum(when(expr(
+              "mn IS NULL OR rmn IS NULL OR mn <> rmn OR mx <> rmx"), 1L)
+              .otherwise(0L)), lit(0L)).as("mm_diverged"),
+            coalesce(sum(when(expr("dmn = mn OR dmx = mx"), 1L)
+              .otherwise(0L)), lit(0L)).as("mm_del_hit"),
+            coalesce(sum(when(expr(
+              "(mn IS NULL OR rmn IS NULL OR mn <> rmn OR mx <> rmx) AND NOT coalesce(dmn = mn OR dmx = mx, false)"),
+              1L).otherwise(0L)), lit(0L)).as("div_not_hit"))
+          .select(col("mm_diverged"), col("mm_del_hit"),
+            expr("CAST(CASE WHEN div_not_hit = 0 THEN 1 ELSE 0 END AS BIGINT)")
+              .as("div_in_hit"))
+          .localCheckpoint(false)
+        def stateRow(id: String, view: DataFrame, scEq: DataFrame,
+            mmEq: DataFrame, mmStats: DataFrame): DataFrame =
+          view.agg(count(lit(1)).as("groups"), sum("cnt").as("rows_total"),
+              sum("sv").as("sv_total"))
+            .crossJoin(broadcast(scEq.select(col("eq").as("sc_equal"))))
+            .crossJoin(broadcast(mmEq.select(col("eq").as("mm_equal"))))
+            .crossJoin(broadcast(mmStats))
+            .select(lit(id).as("commit"), col("groups"), col("rows_total"),
+              col("sv_total"), col("sc_equal"), col("mm_equal"),
+              col("mm_diverged"), col("mm_del_hit"), col("div_in_hit"))
+        val one = stateRow("0:load", v0, eqAll(v0, v0, Seq("cnt", "sv")),
+          eqAll(v0, v0, Seq("mn", "mx")),
+          mm.select(lit(0L).as("mm_diverged"), lit(0L).as("mm_del_hit"),
+            lit(1L).as("div_in_hit")))
+        val two = stateRow("1:insert", v1, eqAll(v1, reb1, Seq("cnt", "sv")),
+          eqAll(v1, reb1, Seq("mn", "mx")),
+          mm.select(lit(0L).as("mm_diverged"), lit(0L).as("mm_del_hit"),
+            lit(1L).as("div_in_hit")))
+        val three = stateRow("2:delete", v2n, eqAll(v2n, reb2, Seq("cnt", "sv")),
+          eqAll(v2n, reb2, Seq("mn", "mx")), mm)
+        one.unionByName(two).unionByName(three).orderBy("commit")
+      },
+      Some {
+        val grainCols = "count(*) AS cnt, sum(v) AS sv, min(v) AS mn, max(v) AS mx"
+        def eqSql(aSel: String, bSel: String, cols: Seq[String]): String = {
+          val bad = cols.map(c => s"a.$c IS NULL OR b.$c IS NULL OR a.$c <> b.$c")
+            .mkString(" OR ")
+          s"(SELECT CASE WHEN coalesce(sum(CASE WHEN $bad THEN 1 ELSE 0 END), 0) = 0 THEN 1 ELSE 0 END FROM ($aSel) a FULL JOIN ($bSel) b ON a.y = b.y AND a.m = b.m)"
+        }
+        s"""WITH keyed0 AS (SELECT o_orderkey AS k, CAST(year(o_orderdate) AS BIGINT) AS y, CAST(month(o_orderdate) AS BIGINT) AS m, CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS v, (o_custkey % 2147483648) * 2654435761 % 4294967296 AS h FROM orders), mxk AS (SELECT (max(k) + 1) * 4 // 5 AS kcut FROM keyed0), kk AS (SELECT * FROM keyed0 CROSS JOIN mxk), v0 AS (SELECT y, m, $grainCols FROM kk WHERE k <= kcut GROUP BY 1, 2), db1 AS (SELECT y, m, $grainCols FROM kk WHERE k > kcut GROUP BY 1, 2), v1 AS (SELECT y, m, sum(cnt) AS cnt, sum(sv) AS sv, min(mn) AS mn, max(mx) AS mx FROM (SELECT * FROM v0 UNION ALL SELECT * FROM db1) u GROUP BY 1, 2), reb1 AS (SELECT y, m, $grainCols FROM kk GROUP BY 1, 2), d2 AS (SELECT y, m, count(*) AS dcnt, sum(v) AS dsv, min(v) AS dmn, max(v) AS dmx FROM kk WHERE h < 429496729 GROUP BY 1, 2), v2n AS (SELECT v1.y, v1.m, v1.cnt - coalesce(d2.dcnt, 0) AS cnt, v1.sv - coalesce(d2.dsv, 0) AS sv, v1.mn, v1.mx, d2.dmn, d2.dmx FROM v1 LEFT JOIN d2 ON d2.y = v1.y AND d2.m = v1.m WHERE v1.cnt - coalesce(d2.dcnt, 0) > 0), reb2 AS (SELECT y, m, $grainCols FROM kk WHERE h >= 429496729 GROUP BY 1, 2), mm AS (SELECT coalesce(sum(CASE WHEN a.mn IS NULL OR b.mn IS NULL OR a.mn <> b.mn OR a.mx <> b.mx THEN 1 ELSE 0 END), 0) AS mm_diverged, coalesce(sum(CASE WHEN a.dmn = a.mn OR a.dmx = a.mx THEN 1 ELSE 0 END), 0) AS mm_del_hit, coalesce(sum(CASE WHEN (a.mn IS NULL OR b.mn IS NULL OR a.mn <> b.mn OR a.mx <> b.mx) AND NOT coalesce(a.dmn = a.mn OR a.dmx = a.mx, false) THEN 1 ELSE 0 END), 0) AS div_not_hit FROM v2n a FULL JOIN reb2 b ON a.y = b.y AND a.m = b.m), legs AS (SELECT '0:load' AS commit, (SELECT count(*) FROM v0) AS groups, (SELECT sum(cnt) FROM v0) AS rows_total, (SELECT sum(sv) FROM v0) AS sv_total, 1 AS sc_equal, 1 AS mm_equal, 0 AS mm_diverged, 0 AS mm_del_hit, 1 AS div_in_hit UNION ALL SELECT '1:insert', (SELECT count(*) FROM v1), (SELECT sum(cnt) FROM v1), (SELECT sum(sv) FROM v1), ${eqSql("SELECT * FROM v1", "SELECT * FROM reb1", Seq("cnt", "sv"))}, ${eqSql("SELECT * FROM v1", "SELECT * FROM reb1", Seq("mn", "mx"))}, 0, 0, 1 UNION ALL SELECT '2:delete', (SELECT count(*) FROM v2n), (SELECT sum(cnt) FROM v2n), (SELECT sum(sv) FROM v2n), ${eqSql("SELECT * FROM v2n", "SELECT * FROM reb2", Seq("cnt", "sv"))}, ${eqSql("SELECT * FROM v2n", "SELECT * FROM reb2", Seq("mn", "mx"))}, (SELECT mm_diverged FROM mm), (SELECT mm_del_hit FROM mm), (SELECT CASE WHEN div_not_hit = 0 THEN 1 ELSE 0 END FROM mm)) SELECT commit, CAST(groups AS BIGINT) AS groups, CAST(rows_total AS BIGINT) AS rows_total, CAST(sv_total AS BIGINT) AS sv_total, CAST(sc_equal AS BIGINT) AS sc_equal, CAST(mm_equal AS BIGINT) AS mm_equal, CAST(mm_diverged AS BIGINT) AS mm_diverged, CAST(mm_del_hit AS BIGINT) AS mm_del_hit, CAST(div_in_hit AS BIGINT) AS div_in_hit FROM legs ORDER BY commit"""
+      },
+      "A/S ext: incremental view maintenance vs rebuild — COUNT/SUM fold both an insert and a delete commit exactly (certified equal to the rebuild), MIN/MAX self-maintain only under insert, and the delete commit certifies the classic non-self-maintainability result as data: the naive carry-forward diverges in a certified SUBSET of the groups whose deleted rows touched the old extreme"),
+
+    // q436 — PARTITION SPEC EVOLUTION: q434 evolved the columns; this
+    // evolves the LAYOUT. The early slice was written under spec A
+    // (partition by order month — the classic time-series layout), the
+    // late slice under spec B (16 md5 key buckets — the point-lookup
+    // layout); old files are never rewritten (the Iceberg rule), so the
+    // table is permanently mixed-spec and every reader must prune each
+    // file through the spec THAT FILE was written under:
+    //   - the month probe prunes A to one file and B not at all (a
+    //     hash bucket says nothing about months);
+    //   - the key point probe prunes B to one bucket and A not at all;
+    //   - the combined probe (key AND its month) prunes both sides.
+    // Soundness per probe: rows read from ONLY the pruned files must
+    // equal the direct full-scan answer (missed = 0) — the property
+    // that makes pruning an optimization. The bill prices the mixed
+    // manifest next to the two single-spec counterfactuals, showing
+    // exactly what the unrewritten history costs each probe class.
+    // Scale: pruning is arithmetic over a file-count manifest; only
+    // the graders (direct scans) touch the corpus.
+    QuerySpec(
+      "q436_partition_spec_evolution",
+      (s, d) => {
+        import R39Queries.md5Bucket
+        val keyed0 = t(s, d, "orders").select(col("o_orderkey").as("k"),
+          (year(col("o_orderdate")) * 100 + month(col("o_orderdate")))
+            .cast("long").as("ym"),
+          expr("CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)").as("v"))
+        val mxk = keyed0.agg(expr("(max(k) + 1) * 4 div 5").as("kcut"))
+        // per-row file assignment under the spec its slice was written
+        // with: A = month partition, B = 1000 + md5 key bucket
+        val rows = keyed0.crossJoin(broadcast(mxk))
+          .select(col("k"), col("ym"), col("v"),
+            when(col("k") <= col("kcut"), col("ym"))
+              .otherwise(lit(1000L) + md5Bucket(col("k").cast("string"), 16))
+              .as("part"),
+            when(col("k") <= col("kcut"), "A").otherwise("B").as("spec"))
+          .localCheckpoint(false)
+        val manifest = rows.groupBy("spec", "part")
+          .agg(count(lit(1)).as("c")).localCheckpoint(false)
+        val nFiles = manifest.agg(count(lit(1)).as("files_total"),
+          sum(when(col("spec") === "A", 1L).otherwise(0L)).as("a_files"),
+          sum(when(col("spec") === "B", 1L).otherwise(0L)).as("b_files"))
+          .localCheckpoint(false)
+        // deterministic probes: the most-populated A month; the max key
+        // (a B row) with its month
+        val pm = manifest.where(col("spec") === "A")
+          .orderBy(col("c").desc, col("part")).limit(1)
+          .select(col("part").as("probe_ym")).localCheckpoint(false)
+        val pk = rows.agg(max("k").as("probe_k"))
+          .join(rows.select(col("k").as("probe_k"), col("ym").as("probe_k_ym")),
+            "probe_k")
+          .localCheckpoint(false)
+        // single-spec counterfactual manifests over the same rows
+        val allMonth = keyed0.groupBy("ym").agg(count(lit(1)).as("c"))
+          .agg(count(lit(1)).as("n")).localCheckpoint(false)
+        def probeLeg(id: String, prunedFiles: DataFrame, direct: DataFrame,
+            billMonth: org.apache.spark.sql.Column,
+            billHash: org.apache.spark.sql.Column): DataFrame = {
+          val pruned = rows.join(broadcast(prunedFiles), Seq("spec", "part"))
+          val prunedMatch = pruned.join(broadcast(direct.select(col("k").as("mk"))),
+              col("k") === col("mk"))
+            .agg(count(lit(1)).as("pruned_rows"))
+          val dTot = direct.agg(count(lit(1)).as("direct_rows"))
+          broadcast(dTot).crossJoin(broadcast(prunedMatch))
+            .crossJoin(broadcast(prunedFiles.agg(count(lit(1)).as("files_read"))))
+            .crossJoin(broadcast(nFiles)).crossJoin(broadcast(allMonth))
+            .select(lit(id).as("probe"), col("direct_rows"), col("pruned_rows"),
+              (col("direct_rows") - col("pruned_rows")).as("missed"),
+              col("files_read"), col("files_total"),
+              billMonth.as("bill_monthspec"), billHash.as("bill_hashspec"))
+        }
+        val rp = rows.crossJoin(broadcast(pm)).crossJoin(broadcast(pk))
+          .localCheckpoint(false)
+        val mfp = manifest.crossJoin(broadcast(pm)).crossJoin(broadcast(pk))
+        // probe 1: month — A prunes to the month file, B reads fully
+        val l1 = probeLeg("1:month",
+          mfp.where(expr("(spec = 'A' AND part = probe_ym) OR spec = 'B'"))
+            .select("spec", "part"),
+          rp.where(col("ym") === col("probe_ym")).select("k"),
+          lit(1L), allMonth("n"))
+        // probe 2: key point — B prunes to the bucket, A reads fully
+        val l2 = probeLeg("2:key_point",
+          mfp.where(col("spec") === "A" || (col("spec") === "B" &&
+              col("part") === lit(1000L) + md5Bucket(col("probe_k").cast("string"), 16)))
+            .select("spec", "part"),
+          rp.where(col("k") === col("probe_k")).select("k"),
+          allMonth("n"), lit(1L))
+        // probe 3: key AND its month — both specs prune
+        val l3 = probeLeg("3:key_and_month",
+          mfp.where((col("spec") === "A" && col("part") === col("probe_k_ym")) ||
+              (col("spec") === "B" &&
+                col("part") === lit(1000L) + md5Bucket(col("probe_k").cast("string"), 16)))
+            .select("spec", "part"),
+          rp.where(col("k") === col("probe_k") && col("ym") === col("probe_k_ym"))
+            .select("k"),
+          lit(1L), lit(1L))
+        l1.unionByName(l2).unionByName(l3).orderBy("probe")
+      },
+      Some {
+        import R39Queries.md5BucketSql
+        val bsql = md5BucketSql("CAST(probe_k AS VARCHAR)", 16)
+        s"""WITH keyed0 AS (SELECT o_orderkey AS k, CAST(year(o_orderdate) * 100 + month(o_orderdate) AS BIGINT) AS ym, CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS v FROM orders), mxk AS (SELECT (max(k) + 1) * 4 // 5 AS kcut FROM keyed0), rows0 AS (SELECT k, ym, v, CASE WHEN k <= kcut THEN ym ELSE 1000 + ${md5BucketSql("CAST(k AS VARCHAR)", 16)} END AS part, CASE WHEN k <= kcut THEN 'A' ELSE 'B' END AS spec FROM keyed0 CROSS JOIN mxk), manifest AS (SELECT spec, part, count(*) AS c FROM rows0 GROUP BY 1, 2), nf AS (SELECT count(*) AS files_total FROM manifest), pm AS (SELECT part AS probe_ym FROM manifest WHERE spec = 'A' ORDER BY c DESC, part LIMIT 1), pk AS (SELECT k AS probe_k, ym AS probe_k_ym FROM rows0 WHERE k = (SELECT max(k) FROM rows0)), am AS (SELECT count(*) AS n FROM (SELECT ym FROM keyed0 GROUP BY ym) z), l1 AS (SELECT '1:month' AS probe, (SELECT count(*) FROM rows0 CROSS JOIN pm WHERE ym = probe_ym) AS direct_rows, (SELECT count(*) FROM rows0 r CROSS JOIN pm WHERE ((r.spec = 'A' AND r.part = probe_ym) OR r.spec = 'B') AND r.ym = probe_ym) AS pruned_rows, (SELECT count(*) FROM manifest CROSS JOIN pm WHERE (spec = 'A' AND part = probe_ym) OR spec = 'B') AS files_read, (SELECT files_total FROM nf) AS files_total, 1 AS bill_monthspec, (SELECT n FROM am) AS bill_hashspec), l2 AS (SELECT '2:key_point', (SELECT count(*) FROM rows0 CROSS JOIN pk WHERE k = probe_k), (SELECT count(*) FROM rows0 r CROSS JOIN pk WHERE (r.spec = 'A' OR (r.spec = 'B' AND r.part = 1000 + $bsql)) AND r.k = probe_k), (SELECT count(*) FROM manifest CROSS JOIN pk WHERE spec = 'A' OR (spec = 'B' AND part = 1000 + $bsql)), (SELECT files_total FROM nf), (SELECT n FROM am), 1), l3 AS (SELECT '3:key_and_month', (SELECT count(*) FROM rows0 CROSS JOIN pk WHERE k = probe_k AND ym = probe_k_ym), (SELECT count(*) FROM rows0 r CROSS JOIN pk WHERE ((r.spec = 'A' AND r.part = probe_k_ym) OR (r.spec = 'B' AND r.part = 1000 + $bsql)) AND r.k = probe_k AND r.ym = probe_k_ym), (SELECT count(*) FROM manifest CROSS JOIN pk WHERE (spec = 'A' AND part = probe_k_ym) OR (spec = 'B' AND part = 1000 + $bsql)), (SELECT files_total FROM nf), 1, 1) SELECT probe, CAST(direct_rows AS BIGINT) AS direct_rows, CAST(pruned_rows AS BIGINT) AS pruned_rows, CAST(direct_rows - pruned_rows AS BIGINT) AS missed, CAST(files_read AS BIGINT) AS files_read, CAST(files_total AS BIGINT) AS files_total, CAST(bill_monthspec AS BIGINT) AS bill_monthspec, CAST(bill_hashspec AS BIGINT) AS bill_hashspec FROM (SELECT * FROM l1 UNION ALL SELECT * FROM l2 UNION ALL SELECT * FROM l3) z ORDER BY probe"""
+      },
+      "A/S ext: partition spec evolution — month-partitioned history plus hash-bucketed tail, never rewritten; each probe prunes every file through the spec that file was written under (month probe: one A file + all of B; point probe: one B bucket + all of A; combined: both prune), soundness certified per probe (missed = 0) and the mixed bill priced against both single-spec counterfactuals"))
+}
