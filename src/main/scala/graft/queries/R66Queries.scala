@@ -250,5 +250,84 @@ object R66Queries {
         val bsql = md5BucketSql("CAST(probe_k AS VARCHAR)", 16)
         s"""WITH keyed0 AS (SELECT o_orderkey AS k, CAST(year(o_orderdate) * 100 + month(o_orderdate) AS BIGINT) AS ym, CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS v FROM orders), mxk AS (SELECT (max(k) + 1) * 4 // 5 AS kcut FROM keyed0), rows0 AS (SELECT k, ym, v, CASE WHEN k <= kcut THEN ym ELSE 1000 + ${md5BucketSql("CAST(k AS VARCHAR)", 16)} END AS part, CASE WHEN k <= kcut THEN 'A' ELSE 'B' END AS spec FROM keyed0 CROSS JOIN mxk), manifest AS (SELECT spec, part, count(*) AS c FROM rows0 GROUP BY 1, 2), nf AS (SELECT count(*) AS files_total FROM manifest), pm AS (SELECT part AS probe_ym FROM manifest WHERE spec = 'A' ORDER BY c DESC, part LIMIT 1), pk AS (SELECT k AS probe_k, ym AS probe_k_ym FROM rows0 WHERE k = (SELECT max(k) FROM rows0)), am AS (SELECT count(*) AS n FROM (SELECT ym FROM keyed0 GROUP BY ym) z), l1 AS (SELECT '1:month' AS probe, (SELECT count(*) FROM rows0 CROSS JOIN pm WHERE ym = probe_ym) AS direct_rows, (SELECT count(*) FROM rows0 r CROSS JOIN pm WHERE ((r.spec = 'A' AND r.part = probe_ym) OR r.spec = 'B') AND r.ym = probe_ym) AS pruned_rows, (SELECT count(*) FROM manifest CROSS JOIN pm WHERE (spec = 'A' AND part = probe_ym) OR spec = 'B') AS files_read, (SELECT files_total FROM nf) AS files_total, 1 AS bill_monthspec, (SELECT n FROM am) AS bill_hashspec), l2 AS (SELECT '2:key_point', (SELECT count(*) FROM rows0 CROSS JOIN pk WHERE k = probe_k), (SELECT count(*) FROM rows0 r CROSS JOIN pk WHERE (r.spec = 'A' OR (r.spec = 'B' AND r.part = 1000 + $bsql)) AND r.k = probe_k), (SELECT count(*) FROM manifest CROSS JOIN pk WHERE spec = 'A' OR (spec = 'B' AND part = 1000 + $bsql)), (SELECT files_total FROM nf), (SELECT n FROM am), 1), l3 AS (SELECT '3:key_and_month', (SELECT count(*) FROM rows0 CROSS JOIN pk WHERE k = probe_k AND ym = probe_k_ym), (SELECT count(*) FROM rows0 r CROSS JOIN pk WHERE ((r.spec = 'A' AND r.part = probe_k_ym) OR (r.spec = 'B' AND r.part = 1000 + $bsql)) AND r.k = probe_k AND r.ym = probe_k_ym), (SELECT count(*) FROM manifest CROSS JOIN pk WHERE (spec = 'A' AND part = probe_k_ym) OR (spec = 'B' AND part = 1000 + $bsql)), (SELECT files_total FROM nf), 1, 1) SELECT probe, CAST(direct_rows AS BIGINT) AS direct_rows, CAST(pruned_rows AS BIGINT) AS pruned_rows, CAST(direct_rows - pruned_rows AS BIGINT) AS missed, CAST(files_read AS BIGINT) AS files_read, CAST(files_total AS BIGINT) AS files_total, CAST(bill_monthspec AS BIGINT) AS bill_monthspec, CAST(bill_hashspec AS BIGINT) AS bill_hashspec FROM (SELECT * FROM l1 UNION ALL SELECT * FROM l2 UNION ALL SELECT * FROM l3) z ORDER BY probe"""
       },
-      "A/S ext: partition spec evolution — month-partitioned history plus hash-bucketed tail, never rewritten; each probe prunes every file through the spec that file was written under (month probe: one A file + all of B; point probe: one B bucket + all of A; combined: both prune), soundness certified per probe (missed = 0) and the mixed bill priced against both single-spec counterfactuals"))
+      "A/S ext: partition spec evolution — month-partitioned history plus hash-bucketed tail, never rewritten; each probe prunes every file through the spec that file was written under (month probe: one A file + all of B; point probe: one B bucket + all of A; combined: both prune), soundness certified per probe (missed = 0) and the mixed bill priced against both single-spec counterfactuals"),
+
+    // q437 — TYPE PROMOTION ACROSS SNAPSHOTS: the third evolution
+    // dimension (q434 columns, q436 layout, here the PHYSICAL TYPE).
+    // v0 stores cents as INT32 (every value fits); v1 PROMOTES the
+    // field to BIGINT because the late slice lands in micro-dollar
+    // units (cents × 1000) — values that straddle the int32 boundary.
+    //   - 0:v0_int32      — the old files as written; no value needs
+    //                       more than 32 bits (lossless = 1 is a
+    //                       measured fact, not an assumption);
+    //   - 1:promoted_read — the v1 read upcasts old files int32→int64
+    //                       (the lossless direction — certified: the
+    //                       upcast old-file sum equals the v0 sum) and
+    //                       reads new files natively;
+    //   - 2:narrowed_read — the counterexample: a reader still bound
+    //                       to int32 wraps every value above 2³¹−1
+    //                       (two's-complement truncation, computed by
+    //                       the same formula in both engines since
+    //                       DuckDB refuses the overflowing CAST);
+    //                       corrupt_rows counts exactly the straddling
+    //                       values and the wrapped sum shows the silent
+    //                       damage a schema registry must prevent.
+    // Scale: one corpus pass per leg; the type decisions are pure
+    // metadata. The promotion rule (widen-only, never narrow) is the
+    // law the corrupt_rows column prices.
+    QuerySpec(
+      "q437_type_promotion",
+      (s, d) => {
+        val keyed0 = t(s, d, "orders").select(col("o_orderkey").as("k"),
+          expr("CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)").as("c0"))
+        val mxk = keyed0.agg(expr("(max(k) + 1) * 4 div 5").as("kcut"))
+        // old files: cents (int32-safe); new files: micro-dollars
+        // (cents × 1000 — many straddle the int32 boundary)
+        val rows = keyed0.crossJoin(broadcast(mxk))
+          .select(col("k"),
+            when(col("k") <= col("kcut"), col("c0"))
+              .otherwise(col("c0") * 1000L).as("v"),
+            when(col("k") <= col("kcut"), 0L).otherwise(1L).as("fv"))
+          .localCheckpoint(false)
+        // two's-complement int32 wrap, portable to both engines
+        val wrap = "((v % 4294967296) + 4294967296 + 2147483648) % 4294967296 - 2147483648"
+        val a = rows.where(col("fv") === 0L)
+          .agg(count(lit(1)).as("a_rows"), sum("v").as("a_sum"),
+            sum(when(expr("v > 2147483647 OR v < -2147483648"), 1L)
+              .otherwise(0L)).as("a_over"))
+        val full = rows.agg(count(lit(1)).as("rows"), sum("v").as("sum_true"),
+          sum(expr(wrap)).as("sum_wrapped"),
+          sum(when(expr("v > 2147483647 OR v < -2147483648"), 1L)
+            .otherwise(0L)).as("overflow_rows"))
+        // the v1 upcast of old files, exercised through an ACTUAL Spark
+        // cast chain (int32 decode → int64 read schema)
+        val upcast = rows.where(col("fv") === 0L)
+          .agg(sum(col("v").cast("int").cast("long")).as("up_sum"))
+        broadcast(a).crossJoin(broadcast(full)).crossJoin(broadcast(upcast))
+          .select(explode(array(
+            struct(lit("0:v0_int32").as("ver"), lit("int32").as("vtype"),
+              col("a_rows").as("rows"), col("a_sum").as("sum_v"),
+              col("a_over").as("corrupt_rows"),
+              expr("CAST(CASE WHEN a_over = 0 THEN 1 ELSE 0 END AS BIGINT)")
+                .as("lossless")),
+            struct(lit("1:promoted_read").as("ver"), lit("bigint").as("vtype"),
+              col("rows"), col("sum_true").as("sum_v"),
+              lit(0L).as("corrupt_rows"),
+              expr("CAST(CASE WHEN up_sum = a_sum THEN 1 ELSE 0 END AS BIGINT)")
+                .as("lossless")),
+            struct(lit("2:narrowed_read").as("ver"), lit("int32").as("vtype"),
+              col("rows"), col("sum_wrapped").as("sum_v"),
+              col("overflow_rows").as("corrupt_rows"),
+              expr("CAST(CASE WHEN overflow_rows = 0 THEN 1 ELSE 0 END AS BIGINT)")
+                .as("lossless")))).as("z"))
+          .select(col("z.ver").as("ver"), col("z.vtype").as("vtype"),
+            col("z.rows").as("rows"), col("z.sum_v").as("sum_v"),
+            col("z.corrupt_rows").as("corrupt_rows"), col("z.lossless").as("lossless"))
+          .orderBy("ver")
+      },
+      Some {
+        val wrap = "((v % 4294967296) + 4294967296 + 2147483648) % 4294967296 - 2147483648"
+        s"""WITH keyed0 AS (SELECT o_orderkey AS k, CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS c0 FROM orders), mxk AS (SELECT (max(k) + 1) * 4 // 5 AS kcut FROM keyed0), rows0 AS (SELECT k, CASE WHEN k <= kcut THEN c0 ELSE c0 * 1000 END AS v, CASE WHEN k <= kcut THEN 0 ELSE 1 END AS fv FROM keyed0 CROSS JOIN mxk), a AS (SELECT count(*) AS a_rows, sum(v) AS a_sum, sum(CASE WHEN v > 2147483647 OR v < -2147483648 THEN 1 ELSE 0 END) AS a_over FROM rows0 WHERE fv = 0), f AS (SELECT count(*) AS rows, sum(v) AS sum_true, sum($wrap) AS sum_wrapped, sum(CASE WHEN v > 2147483647 OR v < -2147483648 THEN 1 ELSE 0 END) AS overflow_rows FROM rows0), up AS (SELECT sum(CAST(CAST(v AS INTEGER) AS BIGINT)) AS up_sum FROM rows0 WHERE fv = 0), legs AS (SELECT '0:v0_int32' AS ver, 'int32' AS vtype, a_rows AS rows, a_sum AS sum_v, a_over AS corrupt_rows, CASE WHEN a_over = 0 THEN 1 ELSE 0 END AS lossless FROM a UNION ALL SELECT '1:promoted_read', 'bigint', f.rows, f.sum_true, 0, CASE WHEN up.up_sum = a.a_sum THEN 1 ELSE 0 END FROM f CROSS JOIN up CROSS JOIN a UNION ALL SELECT '2:narrowed_read', 'int32', f.rows, f.sum_wrapped, f.overflow_rows, CASE WHEN f.overflow_rows = 0 THEN 1 ELSE 0 END FROM f) SELECT ver, vtype, CAST(rows AS BIGINT) AS rows, CAST(sum_v AS BIGINT) AS sum_v, CAST(corrupt_rows AS BIGINT) AS corrupt_rows, CAST(lossless AS BIGINT) AS lossless FROM legs ORDER BY ver"""
+      },
+      "A/S ext: type promotion across snapshots — int32 history promoted to bigint when the late slice outgrows 32 bits; the upcast read certified lossless against the pre-promotion sum, and the narrowing counterexample priced exactly (two's-complement wrap count + the silently damaged sum a widen-only promotion rule exists to prevent)"))
 }
