@@ -329,5 +329,95 @@ object R66Queries {
         val wrap = "((v % 4294967296) + 4294967296 + 2147483648) % 4294967296 - 2147483648"
         s"""WITH keyed0 AS (SELECT o_orderkey AS k, CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS c0 FROM orders), mxk AS (SELECT (max(k) + 1) * 4 // 5 AS kcut FROM keyed0), rows0 AS (SELECT k, CASE WHEN k <= kcut THEN c0 ELSE c0 * 1000 END AS v, CASE WHEN k <= kcut THEN 0 ELSE 1 END AS fv FROM keyed0 CROSS JOIN mxk), a AS (SELECT count(*) AS a_rows, sum(v) AS a_sum, sum(CASE WHEN v > 2147483647 OR v < -2147483648 THEN 1 ELSE 0 END) AS a_over FROM rows0 WHERE fv = 0), f AS (SELECT count(*) AS rows, sum(v) AS sum_true, sum($wrap) AS sum_wrapped, sum(CASE WHEN v > 2147483647 OR v < -2147483648 THEN 1 ELSE 0 END) AS overflow_rows FROM rows0), up AS (SELECT sum(CAST(CAST(v AS INTEGER) AS BIGINT)) AS up_sum FROM rows0 WHERE fv = 0), legs AS (SELECT '0:v0_int32' AS ver, 'int32' AS vtype, a_rows AS rows, a_sum AS sum_v, a_over AS corrupt_rows, CASE WHEN a_over = 0 THEN 1 ELSE 0 END AS lossless FROM a UNION ALL SELECT '1:promoted_read', 'bigint', f.rows, f.sum_true, 0, CASE WHEN up.up_sum = a.a_sum THEN 1 ELSE 0 END FROM f CROSS JOIN up CROSS JOIN a UNION ALL SELECT '2:narrowed_read', 'int32', f.rows, f.sum_wrapped, f.overflow_rows, CASE WHEN f.overflow_rows = 0 THEN 1 ELSE 0 END FROM f) SELECT ver, vtype, CAST(rows AS BIGINT) AS rows, CAST(sum_v AS BIGINT) AS sum_v, CAST(corrupt_rows AS BIGINT) AS corrupt_rows, CAST(lossless AS BIGINT) AS lossless FROM legs ORDER BY ver"""
       },
-      "A/S ext: type promotion across snapshots — int32 history promoted to bigint when the late slice outgrows 32 bits; the upcast read certified lossless against the pre-promotion sum, and the narrowing counterexample priced exactly (two's-complement wrap count + the silently damaged sum a widen-only promotion rule exists to prevent)"))
+      "A/S ext: type promotion across snapshots — int32 history promoted to bigint when the late slice outgrows 32 bits; the upcast read certified lossless against the pre-promotion sum, and the narrowing counterexample priced exactly (two's-complement wrap count + the silently damaged sum a widen-only promotion rule exists to prevent)"),
+
+    // q438 — COMMIT-TIME CONSTRAINT VALIDATION, DELTA-ONLY: q412 mined
+    // the RELY catalog from data; this is the ENFORCEMENT half — the
+    // commit pipeline that keeps UNIQUE(k) and CHECK(v > 0) true by
+    // validating each incoming delta against ITSELF (|Δ| self-grouping),
+    // against the STATE (|Δ| keyed probes — never a state scan), and
+    // row-local for CHECK. Three commits exercise every verdict:
+    //   A: clean slice — admitted, state advances;
+    //   B: carries an intra-delta duplicate AND a CHECK-violating row —
+    //      refused by the |Δ|-sized self checks alone;
+    //   C: carries a key already in the state — only the keyed probe
+    //      can catch it, and does.
+    // Every incremental verdict is certified against FULL revalidation
+    // of the candidate state (incr_eq_full) — the law that makes
+    // delta-only enforcement sound: state ⊎ admitted-deltas never needs
+    // re-checking because induction carries the invariant. The bill
+    // prices |Δ| + |Δ| probes against the full candidate scan — at
+    // 100 TB the difference between validating a commit and re-reading
+    // the table. Refused commits do NOT advance the state (C probes the
+    // state AFTER A, not after B).
+    QuerySpec(
+      "q438_commit_constraints",
+      (s, d) => {
+        val keyed0 = t(s, d, "orders").select(col("o_orderkey").as("k"),
+          expr("CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)").as("v"))
+        val cuts = keyed0.agg(
+          expr("(max(k) + 1) * 4 div 5").as("kcut"),
+          expr("(max(k) + 1) * 4 div 5 + (max(k) - (max(k) + 1) * 4 div 5) div 3").as("c2"),
+          expr("(max(k) + 1) * 4 div 5 + 2 * ((max(k) - (max(k) + 1) * 4 div 5) div 3)").as("c3"))
+        val kk = keyed0.crossJoin(broadcast(cuts)).localCheckpoint(false)
+        val state0 = kk.where(col("k") <= col("kcut")).select("k", "v")
+        val d1 = kk.where(col("k") > col("kcut") && col("k") <= col("c2"))
+          .select("k", "v")
+        val d2raw = kk.where(col("k") > col("c2") && col("k") <= col("c3"))
+          .select("k", "v")
+        // B's poison: its own lowest row duplicated + a CHECK violator
+        val d2 = d2raw
+          .unionByName(d2raw.orderBy("k").limit(1))
+          .unionByName(d2raw.agg((max("k") + 1000000L).as("k"), lit(-5L).as("v")))
+        val d3raw = kk.where(col("k") > col("c3")).select("k", "v")
+        // C's poison: a key the state already owns
+        val d3 = d3raw.unionByName(
+          state0.orderBy("k").limit(1).select(col("k"), lit(777L).as("v")))
+        val state1 = state0.unionByName(d1).localCheckpoint(false) // A admits
+        def leg(id: String, delta0: DataFrame, st: DataFrame): DataFrame = {
+          val delta = delta0.localCheckpoint(false)
+          val intra = delta.groupBy("k").agg(count(lit(1)).as("n"))
+            .agg(coalesce(sum(when(col("n") > 1L, 1L).otherwise(0L)), lit(0L))
+              .as("dup_keys"))
+          val probe = delta.join(st.select("k"), "k")
+            .agg(count(lit(1)).as("state_hits"))
+          val chk = delta.agg(
+            coalesce(sum(when(col("v") <= 0L, 1L).otherwise(0L)), lit(0L))
+              .as("bad_check"), count(lit(1)).as("delta_rows"))
+          val full = st.unionByName(delta)
+          val fullUniq = full.groupBy("k").agg(count(lit(1)).as("n"))
+            .agg(coalesce(sum(when(col("n") > 1L, 1L).otherwise(0L)), lit(0L))
+              .as("f_dups"), count(lit(1)).as("f_keys"))
+          val fullChk = full.agg(
+            coalesce(sum(when(col("v") <= 0L, 1L).otherwise(0L)), lit(0L))
+              .as("f_bad"), count(lit(1)).as("f_rows"))
+          val stn = st.agg(count(lit(1)).as("state_rows"))
+          broadcast(intra).crossJoin(broadcast(probe)).crossJoin(broadcast(chk))
+            .crossJoin(broadcast(fullUniq)).crossJoin(broadcast(fullChk))
+            .crossJoin(broadcast(stn))
+            .select(lit(id).as("commit"), col("delta_rows"), col("state_rows"),
+              expr("CAST(CASE WHEN dup_keys = 0 THEN 1 ELSE 0 END AS BIGINT)")
+                .as("uniq_intra_ok"),
+              expr("CAST(CASE WHEN state_hits = 0 THEN 1 ELSE 0 END AS BIGINT)")
+                .as("uniq_state_ok"),
+              expr("CAST(CASE WHEN bad_check = 0 THEN 1 ELSE 0 END AS BIGINT)")
+                .as("check_ok"),
+              expr("CAST(CASE WHEN dup_keys = 0 AND state_hits = 0 AND bad_check = 0 THEN 1 ELSE 0 END AS BIGINT)")
+                .as("admit"),
+              expr("CAST(CASE WHEN (CASE WHEN dup_keys = 0 AND state_hits = 0 AND bad_check = 0 THEN 1 ELSE 0 END) = (CASE WHEN f_dups = 0 AND f_bad = 0 THEN 1 ELSE 0 END) THEN 1 ELSE 0 END AS BIGINT)")
+                .as("incr_eq_full"),
+              expr("delta_rows * 2").as("rows_checked_incr"),
+              expr("state_rows + delta_rows").as("rows_checked_full"))
+        }
+        leg("A:clean", d1, state0)
+          .unionByName(leg("B:intra_poison", d2, state1))
+          .unionByName(leg("C:state_collision", d3, state1))
+          .orderBy("commit")
+      },
+      Some {
+        def legSql(id: String, deltaCte: String, stCte: String): String =
+          s"""SELECT '$id' AS commit, (SELECT count(*) FROM $deltaCte) AS delta_rows, (SELECT count(*) FROM $stCte) AS state_rows, (SELECT CASE WHEN count(*) = 0 THEN 1 ELSE 0 END FROM (SELECT k FROM $deltaCte GROUP BY k HAVING count(*) > 1) z) AS uniq_intra_ok, (SELECT CASE WHEN count(*) = 0 THEN 1 ELSE 0 END FROM $deltaCte dd JOIN $stCte ss ON ss.k = dd.k) AS uniq_state_ok, (SELECT CASE WHEN sum(CASE WHEN v <= 0 THEN 1 ELSE 0 END) = 0 THEN 1 ELSE 0 END FROM $deltaCte) AS check_ok, (SELECT CASE WHEN (SELECT count(*) FROM (SELECT k FROM $deltaCte GROUP BY k HAVING count(*) > 1) z) = 0 AND (SELECT count(*) FROM $deltaCte dd JOIN $stCte ss ON ss.k = dd.k) = 0 AND (SELECT sum(CASE WHEN v <= 0 THEN 1 ELSE 0 END) FROM $deltaCte) = 0 THEN 1 ELSE 0 END) AS admit, (SELECT CASE WHEN (CASE WHEN (SELECT count(*) FROM (SELECT k FROM $deltaCte GROUP BY k HAVING count(*) > 1) z) = 0 AND (SELECT count(*) FROM $deltaCte dd JOIN $stCte ss ON ss.k = dd.k) = 0 AND (SELECT sum(CASE WHEN v <= 0 THEN 1 ELSE 0 END) FROM $deltaCte) = 0 THEN 1 ELSE 0 END) = (CASE WHEN (SELECT count(*) FROM (SELECT k FROM (SELECT * FROM $stCte UNION ALL SELECT * FROM $deltaCte) u GROUP BY k HAVING count(*) > 1) z2) = 0 AND (SELECT sum(CASE WHEN v <= 0 THEN 1 ELSE 0 END) FROM (SELECT * FROM $stCte UNION ALL SELECT * FROM $deltaCte) u2) = 0 THEN 1 ELSE 0 END) THEN 1 ELSE 0 END) AS incr_eq_full, (SELECT count(*) * 2 FROM $deltaCte) AS rows_checked_incr, (SELECT count(*) FROM $stCte) + (SELECT count(*) FROM $deltaCte) AS rows_checked_full"""
+        s"""WITH keyed0 AS (SELECT o_orderkey AS k, CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS v FROM orders), cuts AS (SELECT (max(k) + 1) * 4 // 5 AS kcut, (max(k) + 1) * 4 // 5 + (max(k) - (max(k) + 1) * 4 // 5) // 3 AS c2, (max(k) + 1) * 4 // 5 + 2 * ((max(k) - (max(k) + 1) * 4 // 5) // 3) AS c3 FROM keyed0), kk AS (SELECT * FROM keyed0 CROSS JOIN cuts), st0 AS (SELECT k, v FROM kk WHERE k <= kcut), d1 AS (SELECT k, v FROM kk WHERE k > kcut AND k <= c2), d2raw AS (SELECT k, v FROM kk WHERE k > c2 AND k <= c3), d2 AS (SELECT * FROM d2raw UNION ALL SELECT * FROM (SELECT k, v FROM d2raw ORDER BY k LIMIT 1) lo UNION ALL SELECT max(k) + 1000000, -5 FROM d2raw), d3raw AS (SELECT k, v FROM kk WHERE k > c3), d3 AS (SELECT * FROM d3raw UNION ALL SELECT k, 777 FROM (SELECT k FROM st0 ORDER BY k LIMIT 1) z), st1 AS (SELECT * FROM st0 UNION ALL SELECT * FROM d1), legs AS (${legSql("A:clean", "d1", "st0")} UNION ALL ${legSql("B:intra_poison", "d2", "st1")} UNION ALL ${legSql("C:state_collision", "d3", "st1")}) SELECT commit, CAST(delta_rows AS BIGINT) AS delta_rows, CAST(state_rows AS BIGINT) AS state_rows, CAST(uniq_intra_ok AS BIGINT) AS uniq_intra_ok, CAST(uniq_state_ok AS BIGINT) AS uniq_state_ok, CAST(check_ok AS BIGINT) AS check_ok, CAST(admit AS BIGINT) AS admit, CAST(incr_eq_full AS BIGINT) AS incr_eq_full, CAST(rows_checked_incr AS BIGINT) AS rows_checked_incr, CAST(rows_checked_full AS BIGINT) AS rows_checked_full FROM legs ORDER BY commit"""
+      },
+      "J/S ext: commit-time constraint enforcement, delta-only — UNIQUE validated by |delta| self-grouping plus |delta| keyed state probes (never a state scan), CHECK row-local; a clean commit admits, an intra-delta duplicate + CHECK violator refuses on the self checks, a state collision refuses on the probe, and every incremental verdict is certified equal to full candidate revalidation with the bill priced next to it"))
 }
