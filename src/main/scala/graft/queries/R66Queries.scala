@@ -419,5 +419,117 @@ object R66Queries {
           s"""SELECT '$id' AS commit, (SELECT count(*) FROM $deltaCte) AS delta_rows, (SELECT count(*) FROM $stCte) AS state_rows, (SELECT CASE WHEN count(*) = 0 THEN 1 ELSE 0 END FROM (SELECT k FROM $deltaCte GROUP BY k HAVING count(*) > 1) z) AS uniq_intra_ok, (SELECT CASE WHEN count(*) = 0 THEN 1 ELSE 0 END FROM $deltaCte dd JOIN $stCte ss ON ss.k = dd.k) AS uniq_state_ok, (SELECT CASE WHEN sum(CASE WHEN v <= 0 THEN 1 ELSE 0 END) = 0 THEN 1 ELSE 0 END FROM $deltaCte) AS check_ok, (SELECT CASE WHEN (SELECT count(*) FROM (SELECT k FROM $deltaCte GROUP BY k HAVING count(*) > 1) z) = 0 AND (SELECT count(*) FROM $deltaCte dd JOIN $stCte ss ON ss.k = dd.k) = 0 AND (SELECT sum(CASE WHEN v <= 0 THEN 1 ELSE 0 END) FROM $deltaCte) = 0 THEN 1 ELSE 0 END) AS admit, (SELECT CASE WHEN (CASE WHEN (SELECT count(*) FROM (SELECT k FROM $deltaCte GROUP BY k HAVING count(*) > 1) z) = 0 AND (SELECT count(*) FROM $deltaCte dd JOIN $stCte ss ON ss.k = dd.k) = 0 AND (SELECT sum(CASE WHEN v <= 0 THEN 1 ELSE 0 END) FROM $deltaCte) = 0 THEN 1 ELSE 0 END) = (CASE WHEN (SELECT count(*) FROM (SELECT k FROM (SELECT * FROM $stCte UNION ALL SELECT * FROM $deltaCte) u GROUP BY k HAVING count(*) > 1) z2) = 0 AND (SELECT sum(CASE WHEN v <= 0 THEN 1 ELSE 0 END) FROM (SELECT * FROM $stCte UNION ALL SELECT * FROM $deltaCte) u2) = 0 THEN 1 ELSE 0 END) THEN 1 ELSE 0 END) AS incr_eq_full, (SELECT count(*) * 2 FROM $deltaCte) AS rows_checked_incr, (SELECT count(*) FROM $stCte) + (SELECT count(*) FROM $deltaCte) AS rows_checked_full"""
         s"""WITH keyed0 AS (SELECT o_orderkey AS k, CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS v FROM orders), cuts AS (SELECT (max(k) + 1) * 4 // 5 AS kcut, (max(k) + 1) * 4 // 5 + (max(k) - (max(k) + 1) * 4 // 5) // 3 AS c2, (max(k) + 1) * 4 // 5 + 2 * ((max(k) - (max(k) + 1) * 4 // 5) // 3) AS c3 FROM keyed0), kk AS (SELECT * FROM keyed0 CROSS JOIN cuts), st0 AS (SELECT k, v FROM kk WHERE k <= kcut), d1 AS (SELECT k, v FROM kk WHERE k > kcut AND k <= c2), d2raw AS (SELECT k, v FROM kk WHERE k > c2 AND k <= c3), d2 AS (SELECT * FROM d2raw UNION ALL SELECT * FROM (SELECT k, v FROM d2raw ORDER BY k LIMIT 1) lo UNION ALL SELECT max(k) + 1000000, -5 FROM d2raw), d3raw AS (SELECT k, v FROM kk WHERE k > c3), d3 AS (SELECT * FROM d3raw UNION ALL SELECT k, 777 FROM (SELECT k FROM st0 ORDER BY k LIMIT 1) z), st1 AS (SELECT * FROM st0 UNION ALL SELECT * FROM d1), legs AS (${legSql("A:clean", "d1", "st0")} UNION ALL ${legSql("B:intra_poison", "d2", "st1")} UNION ALL ${legSql("C:state_collision", "d3", "st1")}) SELECT commit, CAST(delta_rows AS BIGINT) AS delta_rows, CAST(state_rows AS BIGINT) AS state_rows, CAST(uniq_intra_ok AS BIGINT) AS uniq_intra_ok, CAST(uniq_state_ok AS BIGINT) AS uniq_state_ok, CAST(check_ok AS BIGINT) AS check_ok, CAST(admit AS BIGINT) AS admit, CAST(incr_eq_full AS BIGINT) AS incr_eq_full, CAST(rows_checked_incr AS BIGINT) AS rows_checked_incr, CAST(rows_checked_full AS BIGINT) AS rows_checked_full FROM legs ORDER BY commit"""
       },
-      "J/S ext: commit-time constraint enforcement, delta-only — UNIQUE validated by |delta| self-grouping plus |delta| keyed state probes (never a state scan), CHECK row-local; a clean commit admits, an intra-delta duplicate + CHECK violator refuses on the self checks, a state collision refuses on the probe, and every incremental verdict is certified equal to full candidate revalidation with the bill priced next to it"))
+      "J/S ext: commit-time constraint enforcement, delta-only — UNIQUE validated by |delta| self-grouping plus |delta| keyed state probes (never a state scan), CHECK row-local; a clean commit admits, an intra-delta duplicate + CHECK violator refuses on the self checks, a state collision refuses on the probe, and every incremental verdict is certified equal to full candidate revalidation with the bill priced next to it"),
+
+    // q439 — SNAPSHOT-VERSIONED RESULT CACHE with PARTITION-LEVEL
+    // INVALIDATION: q420 patched a cached aggregate by predicate range;
+    // this is the orthogonal axis — the cache entry is keyed by
+    // (query, snapshot version, read-partition set) and a commit
+    // invalidates it ONLY when the commit's touched partitions
+    // intersect the entry's read set. Two cached queries (Q1: 1995
+    // revenue — reads 12 month-partitions; Q2: global count — reads
+    // all) replay through two commits:
+    //   v1 appends 1998 rows — disjoint from Q1's read set, so Q1's
+    //      v0 entry stays VALID (certified: the cached value still
+    //      equals the direct recompute at v1) while Q2 invalidates;
+    //   v2 appends new-key rows INTO 1995 — Q1 invalidates too, and
+    //      the direct recompute measurably moves.
+    // The read set needs care: Q2 carries NO partition predicate, and
+    // its observed-partition read set (the months that existed at v0)
+    // silently misses a commit that CREATES partitions — naive_valid
+    // stays 1 at v1 while the global count moved, the classic read-set
+    // unsoundness this query pins as its counterexample column. The
+    // SOUND rule marks predicate-free queries reads_all: any non-empty
+    // commit invalidates. audit_correct pins the sound verdict to the
+    // measured (cached == direct) truth on every row; naive_correct
+    // fails exactly on (Q2, v1).
+    // Scale: invalidation is a set-intersection over file-count
+    // manifests; only direct recomputes (the graders) read rows.
+    QuerySpec(
+      "q439_result_cache",
+      (s, d) => {
+        val base0 = t(s, d, "orders").select(col("o_orderkey").as("k"),
+          year(col("o_orderdate")).cast("long").as("yr"),
+          (year(col("o_orderdate")) * 100 + month(col("o_orderdate")))
+            .cast("long").as("ym"),
+          expr("CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)").as("v"))
+          .localCheckpoint(false)
+        val v0 = base0.where(col("yr") <= 1997L)
+        val d1 = base0.where(col("yr") === 1998L)
+        // v2's delta: fresh keys landing back inside 1995
+        val d2 = base0.where(col("yr") === 1995L)
+          .select((col("k") + 1000000000L).as("k"), col("yr"), col("ym"), col("v"))
+        val v1 = v0.unionByName(d1)
+        val v2 = v1.unionByName(d2)
+        def parts(df: DataFrame): DataFrame = df.select("ym").distinct()
+        def q1Val(df: DataFrame): DataFrame =
+          df.where(col("yr") === 1995L)
+            .agg(count(lit(1)).as("cnt"), coalesce(sum("v"), lit(0L)).as("sv"))
+        def q2Val(df: DataFrame): DataFrame =
+          df.agg(count(lit(1)).as("cnt"), coalesce(sum("v"), lit(0L)).as("sv"))
+        val cache1 = q1Val(v0).localCheckpoint(false)
+        val cache2 = q2Val(v0).localCheckpoint(false)
+        val q1Parts = parts(v0.where(col("yr") === 1995L)).localCheckpoint(false)
+        val allParts = parts(v0).localCheckpoint(false)
+        def leg(qid: String, ver: String, cached: DataFrame,
+            readParts: DataFrame, readsAll: Boolean, commitDelta: DataFrame,
+            state: DataFrame, qv: DataFrame => DataFrame): DataFrame = {
+          val touched = parts(commitDelta).localCheckpoint(false)
+          val ov = readParts.join(touched, "ym")
+            .agg(count(lit(1)).as("overlap_parts"))
+          val tn = touched.agg(count(lit(1)).as("touched_parts"))
+          val direct = qv(state)
+            .select(col("cnt").as("d_cnt"), col("sv").as("d_sv"))
+          val ra = if (readsAll) "touched_parts = 0" else "overlap_parts = 0"
+          broadcast(cached.select(col("cnt").as("c_cnt"), col("sv").as("c_sv")))
+            .crossJoin(broadcast(direct)).crossJoin(broadcast(ov))
+            .crossJoin(broadcast(tn))
+            .select(lit(qid).as("query"), lit(ver).as("ver"),
+              col("touched_parts"), col("overlap_parts"),
+              lit(if (readsAll) 1L else 0L).as("reads_all"),
+              expr(s"CAST(CASE WHEN $ra THEN 1 ELSE 0 END AS BIGINT)")
+                .as("valid"),
+              expr("CAST(CASE WHEN overlap_parts = 0 THEN 1 ELSE 0 END AS BIGINT)")
+                .as("naive_valid"),
+              col("c_cnt").as("cached_cnt"), col("c_sv").as("cached_sv"),
+              col("d_cnt").as("direct_cnt"), col("d_sv").as("direct_sv"),
+              expr(s"CAST(CASE WHEN (CASE WHEN $ra THEN 1 ELSE 0 END) = (CASE WHEN c_cnt = d_cnt AND c_sv = d_sv THEN 1 ELSE 0 END) THEN 1 ELSE 0 END AS BIGINT)")
+                .as("audit_correct"),
+              expr("CAST(CASE WHEN (CASE WHEN overlap_parts = 0 THEN 1 ELSE 0 END) = (CASE WHEN c_cnt = d_cnt AND c_sv = d_sv THEN 1 ELSE 0 END) THEN 1 ELSE 0 END AS BIGINT)")
+                .as("naive_correct"))
+        }
+        val empty = v0.limit(0)
+        leg("Q1:rev1995", "v0", cache1, q1Parts, readsAll = false, empty, v0, q1Val)
+          .unionByName(leg("Q2:global", "v0", cache2, allParts, readsAll = true, empty, v0, q2Val))
+          .unionByName(leg("Q1:rev1995", "v1", cache1, q1Parts, readsAll = false, d1, v1, q1Val))
+          .unionByName(leg("Q2:global", "v1", cache2, allParts, readsAll = true, d1, v1, q2Val))
+          .unionByName(leg("Q1:rev1995", "v2", cache1, q1Parts, readsAll = false, d2, v2, q1Val))
+          .unionByName(leg("Q2:global", "v2", cache2, allParts, readsAll = true, d2, v2, q2Val))
+          .orderBy("query", "ver")
+      },
+      Some {
+        def legSql(qid: String, ver: String, cacheCte: String, rpCte: String,
+            readsAll: Boolean, deltaCte: String, stCte: String, q1: Boolean): String = {
+          val dsel =
+            if (q1) s"SELECT count(*) AS cnt, coalesce(sum(v), 0) AS sv FROM $stCte WHERE yr = 1995"
+            else s"SELECT count(*) AS cnt, coalesce(sum(v), 0) AS sv FROM $stCte"
+          val touched =
+            if (deltaCte == "empty") "SELECT CAST(NULL AS BIGINT) AS ym WHERE 1 = 0"
+            else s"SELECT DISTINCT ym FROM $deltaCte"
+          val validSel =
+            if (readsAll) s"(SELECT CASE WHEN count(*) = 0 THEN 1 ELSE 0 END FROM ($touched) tt)"
+            else s"(SELECT CASE WHEN count(*) = 0 THEN 1 ELSE 0 END FROM $rpCte rp JOIN ($touched) tt ON tt.ym = rp.ym)"
+          s"""SELECT '$qid' AS query, '$ver' AS ver, (SELECT count(*) FROM ($touched) tt) AS touched_parts, (SELECT count(*) FROM $rpCte rp JOIN ($touched) tt ON tt.ym = rp.ym) AS overlap_parts, ${if (readsAll) 1 else 0} AS reads_all, $validSel AS valid, (SELECT CASE WHEN count(*) = 0 THEN 1 ELSE 0 END FROM $rpCte rp JOIN ($touched) tt ON tt.ym = rp.ym) AS naive_valid, (SELECT cnt FROM $cacheCte) AS cached_cnt, (SELECT sv FROM $cacheCte) AS cached_sv, (SELECT cnt FROM ($dsel) dd) AS direct_cnt, (SELECT sv FROM ($dsel) dd) AS direct_sv"""
+        }
+        val legs = Seq(
+          legSql("Q1:rev1995", "v0", "cache1", "q1p", readsAll = false, "empty", "v0", q1 = true),
+          legSql("Q2:global", "v0", "cache2", "allp", readsAll = true, "empty", "v0", q1 = false),
+          legSql("Q1:rev1995", "v1", "cache1", "q1p", readsAll = false, "d1", "v1", q1 = true),
+          legSql("Q2:global", "v1", "cache2", "allp", readsAll = true, "d1", "v1", q1 = false),
+          legSql("Q1:rev1995", "v2", "cache1", "q1p", readsAll = false, "d2", "v2", q1 = true),
+          legSql("Q2:global", "v2", "cache2", "allp", readsAll = true, "d2", "v2", q1 = false))
+          .mkString(" UNION ALL ")
+        s"""WITH base0 AS (SELECT o_orderkey AS k, CAST(year(o_orderdate) AS BIGINT) AS yr, CAST(year(o_orderdate) * 100 + month(o_orderdate) AS BIGINT) AS ym, CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS v FROM orders), v0 AS (SELECT * FROM base0 WHERE yr <= 1997), d1 AS (SELECT * FROM base0 WHERE yr = 1998), d2 AS (SELECT k + 1000000000 AS k, yr, ym, v FROM base0 WHERE yr = 1995), v1 AS (SELECT * FROM v0 UNION ALL SELECT * FROM d1), v2 AS (SELECT * FROM v1 UNION ALL SELECT * FROM d2), cache1 AS (SELECT count(*) AS cnt, coalesce(sum(v), 0) AS sv FROM v0 WHERE yr = 1995), cache2 AS (SELECT count(*) AS cnt, coalesce(sum(v), 0) AS sv FROM v0), q1p AS (SELECT DISTINCT ym FROM v0 WHERE yr = 1995), allp AS (SELECT DISTINCT ym FROM v0), legs AS ($legs) SELECT query, ver, CAST(touched_parts AS BIGINT) AS touched_parts, CAST(overlap_parts AS BIGINT) AS overlap_parts, CAST(reads_all AS BIGINT) AS reads_all, CAST(valid AS BIGINT) AS valid, CAST(naive_valid AS BIGINT) AS naive_valid, CAST(cached_cnt AS BIGINT) AS cached_cnt, CAST(cached_sv AS BIGINT) AS cached_sv, CAST(direct_cnt AS BIGINT) AS direct_cnt, CAST(direct_sv AS BIGINT) AS direct_sv, CAST(CASE WHEN valid = (CASE WHEN cached_cnt = direct_cnt AND cached_sv = direct_sv THEN 1 ELSE 0 END) THEN 1 ELSE 0 END AS BIGINT) AS audit_correct, CAST(CASE WHEN naive_valid = (CASE WHEN cached_cnt = direct_cnt AND cached_sv = direct_sv THEN 1 ELSE 0 END) THEN 1 ELSE 0 END AS BIGINT) AS naive_correct FROM legs ORDER BY query, ver"""
+      },
+      "A/S ext: snapshot-versioned result cache with partition-grain invalidation — a cached aggregate survives a commit touching disjoint partitions (certified: cached still equals the direct recompute) and invalidates exactly when the commit's partitions intersect its read set, with audit_correct pinning every metadata verdict to the measured cached-vs-direct truth"))
 }
