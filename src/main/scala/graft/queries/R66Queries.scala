@@ -23,12 +23,20 @@ import graft.Tables
   *    old files to one month and the new files not at all, the key
   *    point probe prunes the new files to one bucket and the old files
   *    not at all — with every pruned read certified against the direct
-  *    scan and the mixed-spec bill priced next to single-spec layouts.
+  *    scan and the mixed-spec bill priced next to single-spec layouts;
+  *  - q437 promotes the physical TYPE (int32 history read as bigint),
+  *    certified lossless, with the narrowing wrap priced exactly;
+  *  - q438 enforces UNIQUE/CHECK at commit time from the DELTA alone
+  *    (plus keyed state probes), certified equal to full revalidation;
+  *  - q439 keys a result cache by (query, version, read-partition set)
+  *    and certifies partition-grain invalidation — including the
+  *    read-set unsoundness counterexample for predicate-free queries.
   *
   * Scale: q435's incremental path touches |Δ| + |grain| rows per
-  * commit (the rebuilds are the graders); q436's pruning decisions are
-  * metadata arithmetic over a file-count-sized manifest, and only the
-  * graders read the corpus.
+  * commit (the rebuilds are the graders); q436/q439's pruning and
+  * invalidation decisions are metadata arithmetic over file-count
+  * manifests; q438 validates |Δ| rows + |Δ| probes per commit. Only
+  * the graders read the corpus.
   */
 object R66Queries {
 

@@ -1316,4 +1316,97 @@ object EventStream {
       .start()
   }
 
+  /** q435's streaming twin: the (y, m) grain view MAINTAINED from a
+    * keyed changelog ('I' insert / 'D' delete-by-key), with the
+    * MIN/MAX escalation policy the batch query proves necessary:
+    * COUNT/SUM fold each micro-batch's delta grain exactly; MIN/MAX
+    * fold inserts (least/greatest) but, on a delete whose removed rows
+    * TOUCHED a group's current extreme, that group — and only that
+    * group — is recomputed from the maintained table (the partial
+    * rebuild a real incremental maintainer schedules instead of a full
+    * refresh). `escalations` (optional accumulator) counts escalated
+    * groups per batch so tests can pin "partial, never full".
+    * State = the table (for escalation) + the view; both whole-table
+    * checkpoints release their superseded versions (changelogStream's
+    * storage contract).
+    */
+  def viewMaintainStream(ops: DataFrame,
+      escalations: Option[org.apache.spark.util.LongAccumulator] = None)
+      (sink: (Long, DataFrame) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    var table: DataFrame = null // (k, y, m, v)
+    var view: DataFrame = null // (y, m, cnt, sv, mn, mx)
+    def release(df: DataFrame): Unit =
+      if (df != null) df.queryExecution.analyzed match {
+        case lr: org.apache.spark.sql.execution.LogicalRDD =>
+          lr.rdd.unpersist(blocking = false)
+        case _ => ()
+      }
+    ops.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val b = batch.toDF().localCheckpoint(true)
+        val ins = b.where("op = 'I'").select("k", "y", "m", "v")
+        val delKeys = b.where("op = 'D'").select("k").distinct()
+        val delRows =
+          if (table == null) ins.limit(0)
+          else table.join(broadcast(delKeys), Seq("k"))
+        val newTable =
+          ((if (table == null) ins.limit(0)
+            else table.join(broadcast(delKeys), Seq("k"), "left_anti"))
+            .unionByName(ins))
+            .localCheckpoint(true)
+        // delta grains for this commit
+        val dIns = ins.groupBy("y", "m").agg(
+          count(lit(1)).as("icnt"), sum("v").as("isv"),
+          min("v").as("imn"), max("v").as("imx"))
+        val dDel = delRows.groupBy("y", "m").agg(
+          count(lit(1)).as("dcnt"), sum("v").as("dsv"),
+          min("v").as("dmn"), max("v").as("dmx"))
+        val folded =
+          (if (view == null)
+            dIns.select(col("y"), col("m"), col("icnt").as("cnt"),
+              col("isv").as("sv"), col("imn").as("mn"), col("imx").as("mx"),
+              lit(0L).as("esc"))
+          else view
+            .join(dIns, Seq("y", "m"), "full_outer")
+            .join(dDel, Seq("y", "m"), "left")
+            .select(col("y"), col("m"),
+              (coalesce(col("cnt"), lit(0L)) + coalesce(col("icnt"), lit(0L))
+                - coalesce(col("dcnt"), lit(0L))).as("cnt"),
+              (coalesce(col("sv"), lit(0L)) + coalesce(col("isv"), lit(0L))
+                - coalesce(col("dsv"), lit(0L))).as("sv"),
+              least(col("mn"), col("imn")).as("mn"),
+              greatest(col("mx"), col("imx")).as("mx"),
+              // escalate iff the delete's removed extremes touch the
+              // group's pre-fold extremes — the delta-visible trigger
+              when(col("dmn") <= col("mn") || col("dmx") >= col("mx"), 1L)
+                .otherwise(0L).as("esc"))
+            .where(col("cnt") > 0L))
+        // partial rebuild: ONLY escalated groups re-derive mn/mx from
+        // the maintained table; everything else keeps the folded value
+        val rebuilt = newTable
+          .join(broadcast(folded.where(col("esc") === 1L).select("y", "m")),
+            Seq("y", "m"))
+          .groupBy("y", "m").agg(min("v").as("rmn"), max("v").as("rmx"))
+        val merged = folded.join(rebuilt, Seq("y", "m"), "left")
+          .select(col("y"), col("m"), col("cnt"), col("sv"),
+            coalesce(col("rmn"), col("mn")).as("mn"),
+            coalesce(col("rmx"), col("mx")).as("mx"), col("esc"))
+          .localCheckpoint(true)
+        escalations.foreach { acc =>
+          val n = merged.agg(coalesce(sum("esc"), lit(0L))).head().getLong(0)
+          if (n > 0) acc.add(n)
+        }
+        release(table); release(view)
+        table = newTable
+        // view keeps the esc diagnostic column; the checkpointed frame
+        // itself is the state so its blocks release cleanly next batch
+        view = merged
+        sink(id, merged)
+        release(b)
+      }
+      .outputMode("append")
+      .start()
+  }
+
 }

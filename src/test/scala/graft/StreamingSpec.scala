@@ -1403,6 +1403,61 @@ class StreamingSpec extends SparkSpecBase {
       "final KMV state must be independent of batching and delivery order")
   }
 
+  test("viewMaintainStream: the maintained grain equals the rebuild after every commit; delete extremes escalate partially, never fully") {
+    // q435's streaming twin: COUNT/SUM fold deltas, MIN/MAX escalate
+    // exactly the delete-touched-extreme groups to a table-backed
+    // partial rebuild. The inductive law: after EVERY commit the
+    // maintained view equals the grain of the logical table state.
+    val rows = Tables.load(spark, sf001, "orders").select(
+        col("o_orderkey").as("k"), year(col("o_orderdate")).cast("long").as("y"),
+        month(col("o_orderdate")).cast("long").as("m"),
+        expr("CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)").as("v"),
+        expr("(o_custkey % 2147483648) * 2654435761 % 4294967296").as("h"))
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    val kcut = (rows.map(_._1).max + 1) * 4 / 5
+    val orig = rows.filter(_._1 <= kcut)
+    val app = rows.filter(_._1 > kcut)
+    val victims = rows.filter(_._5 < 429496729L).map(_._1).toSet
+    assert(victims.nonEmpty && victims.size < rows.size / 2, "dead delete fixture")
+    val commits: Seq[Seq[(String, Long, Long, Long, Long)]] = Seq(
+      orig.map(r => ("I", r._1, r._2, r._3, r._4)),
+      app.map(r => ("I", r._1, r._2, r._3, r._4)),
+      victims.toSeq.sorted.map(k => ("D", k, 0L, 0L, 0L)))
+    val states: Seq[Seq[(Long, Long, Long, Long, Long)]] = Seq(
+      orig, orig ++ app, (orig ++ app).filterNot(r => victims(r._1)))
+    def grainOf(rs: Seq[(Long, Long, Long, Long, Long)])
+        : Map[(Long, Long), (Long, Long, Long, Long)] =
+      rs.groupBy(r => (r._2, r._3)).view.mapValues { g =>
+        (g.size.toLong, g.map(_._4).sum, g.map(_._4).min, g.map(_._4).max)
+      }.toMap
+    val esc = spark.sparkContext.longAccumulator("esc")
+    val got = scala.collection.mutable.ArrayBuffer
+      .empty[Map[(Long, Long), (Long, Long, Long, Long)]]
+    val escPerBatch = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val mem = MemoryStream[(String, Long, Long, Long, Long)](spark)
+    val q = graft.streaming.EventStream.viewMaintainStream(
+        mem.toDF().toDF("op", "k", "y", "m", "v"), Some(esc)) { (_, st) =>
+      got += st.select("y", "m", "cnt", "sv", "mn", "mx")
+        .as[(Long, Long, Long, Long, Long, Long)].collect()
+        .map(r => (r._1, r._2) -> ((r._3, r._4, r._5, r._6))).toMap
+      escPerBatch += esc.value
+    }
+    try commits.foreach { c => mem.addData(c: _*); q.processAllAvailable() }
+    finally q.stop()
+    assert(got.size == 3)
+    states.zipWithIndex.foreach { case (st, i) =>
+      assert(got(i) == grainOf(st),
+        s"commit $i: maintained view diverged from the grain rebuild")
+    }
+    // inserts never escalate; the delete escalates some but not all groups
+    assert(escPerBatch(1) == 0L, "insert commits must not escalate")
+    val delEsc = escPerBatch(2) - escPerBatch(1)
+    val totalGroups = grainOf(states(2)).size.toLong
+    assert(delEsc > 0L, "the delete touched no extremes — dead fixture")
+    assert(delEsc < totalGroups,
+      s"escalation was a full refresh ($delEsc of $totalGroups groups)")
+  }
+
   test("changelogStream: the table maintained from commit ops equals every snapshot; the compaction commit is content-neutral and moves the files") {
     // q421's online half: the four snapshot-arc commits (load, MoR
     // delete, append, compaction = X+R in one batch) fed as a changelog
