@@ -539,5 +539,93 @@ object R66Queries {
           .mkString(" UNION ALL ")
         s"""WITH base0 AS (SELECT o_orderkey AS k, CAST(year(o_orderdate) AS BIGINT) AS yr, CAST(year(o_orderdate) * 100 + month(o_orderdate) AS BIGINT) AS ym, CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS v FROM orders), v0 AS (SELECT * FROM base0 WHERE yr <= 1997), d1 AS (SELECT * FROM base0 WHERE yr = 1998), d2 AS (SELECT k + 1000000000 AS k, yr, ym, v FROM base0 WHERE yr = 1995), v1 AS (SELECT * FROM v0 UNION ALL SELECT * FROM d1), v2 AS (SELECT * FROM v1 UNION ALL SELECT * FROM d2), cache1 AS (SELECT count(*) AS cnt, coalesce(sum(v), 0) AS sv FROM v0 WHERE yr = 1995), cache2 AS (SELECT count(*) AS cnt, coalesce(sum(v), 0) AS sv FROM v0), q1p AS (SELECT DISTINCT ym FROM v0 WHERE yr = 1995), allp AS (SELECT DISTINCT ym FROM v0), legs AS ($legs) SELECT query, ver, CAST(touched_parts AS BIGINT) AS touched_parts, CAST(overlap_parts AS BIGINT) AS overlap_parts, CAST(reads_all AS BIGINT) AS reads_all, CAST(valid AS BIGINT) AS valid, CAST(naive_valid AS BIGINT) AS naive_valid, CAST(cached_cnt AS BIGINT) AS cached_cnt, CAST(cached_sv AS BIGINT) AS cached_sv, CAST(direct_cnt AS BIGINT) AS direct_cnt, CAST(direct_sv AS BIGINT) AS direct_sv, CAST(CASE WHEN valid = (CASE WHEN cached_cnt = direct_cnt AND cached_sv = direct_sv THEN 1 ELSE 0 END) THEN 1 ELSE 0 END AS BIGINT) AS audit_correct, CAST(CASE WHEN naive_valid = (CASE WHEN cached_cnt = direct_cnt AND cached_sv = direct_sv THEN 1 ELSE 0 END) THEN 1 ELSE 0 END AS BIGINT) AS naive_correct FROM legs ORDER BY query, ver"""
       },
-      "A/S ext: snapshot-versioned result cache with partition-grain invalidation — a cached aggregate survives a commit touching disjoint partitions (certified: cached still equals the direct recompute) and invalidates exactly when the commit's partitions intersect its read set, with audit_correct pinning every metadata verdict to the measured cached-vs-direct truth"))
+      "A/S ext: snapshot-versioned result cache with partition-grain invalidation — a cached aggregate survives a commit touching disjoint partitions (certified: cached still equals the direct recompute) and invalidates exactly when the commit's partitions intersect its read set, with audit_correct pinning every metadata verdict to the measured cached-vs-direct truth"),
+
+    // q440 — BITEMPORAL READS: q421 time-travels ONE axis (transaction
+    // time); real warehouses carry two — what was true (VALID time)
+    // versus what we KNEW (TRANSACTION time) — because history gets
+    // corrected and facts arrive late. Three transaction commits:
+    //   tx1 load      — every order recorded with its valid year;
+    //   tx2 correction — a Knuth-hash band's prices RESTATED (+7%,
+    //                    integer cents): same keys, same valid years,
+    //                    higher tx — the new version supersedes;
+    //   tx3 backfill  — late-arriving facts (fresh keys, shifted into
+    //                    OLD valid years): the valid-time past grows
+    //                    without rewriting what was already recorded.
+    // The read "believed(T): the ≤1995 valid-time state as known at
+    // tx ≤ T" replays at T = 1, 2, 3 — per-key latest-tx-wins (the
+    // supersession window), then the valid-time filter. Certified per
+    // row:
+    //   - replay_stable: the belief at T computed from the FINAL table
+    //     (filter tx ≤ T, then supersede) equals the same read computed
+    //     from the tx-prefix table — the bitemporal law that an
+    //     append-only tx axis makes every past belief reproducible
+    //     forever, the property audits and training-data lineage
+    //     depend on;
+    //   - delta_explained: each belief CHANGE equals the commit's own
+    //     effect on that valid slice (the correction's +7% band delta
+    //     at T=2, the backfill's late mass at T=3) — no smearing.
+    // Scale: supersession is one keyed window per read; beliefs are
+    // aggregates; nothing rewrites history — the axes only append.
+    QuerySpec(
+      "q440_bitemporal",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val base0 = t(s, d, "orders").select(col("o_orderkey").as("k"),
+          year(col("o_orderdate")).cast("long").as("vy"),
+          expr("CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)").as("v"),
+          expr("(o_custkey % 2147483648) * 2654435761 % 4294967296").as("h"))
+        // tx1: everything as first recorded
+        val tx1 = base0.select(col("k"), col("vy"), col("v"), lit(1L).as("tx"))
+        // tx2: the 10%-band restated +7% (same k, same vy, higher tx)
+        val tx2 = base0.where(col("h") < 429496729L)
+          .select(col("k"), col("vy"),
+            expr("v + v * 7 div 100").as("v"), lit(2L).as("tx"))
+        // tx3: late facts — fresh keys backfilled 3 valid-years earlier
+        val tx3 = base0.where(col("h") >= 3865470565L)
+          .select((col("k") + 1000000000L).as("k"),
+            (col("vy") - 3L).as("vy"), col("v"), lit(3L).as("tx"))
+        val bt = tx1.unionByName(tx2).unionByName(tx3).localCheckpoint(false)
+        val w = Window.partitionBy("k").orderBy(col("tx").desc)
+        def believed(src: DataFrame, tmax: Long): DataFrame =
+          src.where(col("tx") <= tmax)
+            .withColumn("rn", row_number().over(w))
+            .where(col("rn") === 1 && col("vy") <= 1995L)
+            .agg(count(lit(1)).as("n"), coalesce(sum("v"), lit(0L)).as("sv"))
+        def leg(tmax: Long, prefix: DataFrame, deltaExpected: DataFrame)
+            : DataFrame = {
+          val fin = believed(bt, tmax)
+            .select(col("n").as("n"), col("sv").as("sv"))
+          val pre = believed(prefix, tmax)
+            .select(col("n").as("p_n"), col("sv").as("p_sv"))
+          val prev =
+            if (tmax == 1L) fin.select(col("n").as("b_n"), col("sv").as("b_sv"))
+            else believed(bt, tmax - 1L)
+              .select(col("n").as("b_n"), col("sv").as("b_sv"))
+          broadcast(fin).crossJoin(broadcast(pre)).crossJoin(broadcast(prev))
+            .crossJoin(broadcast(deltaExpected))
+            .select(lit(tmax).as("t"), col("n"), col("sv"),
+              expr("CAST(CASE WHEN n = p_n AND sv = p_sv THEN 1 ELSE 0 END AS BIGINT)")
+                .as("replay_stable"),
+              (col("sv") - col("b_sv")).as("belief_delta"),
+              col("exp_delta"),
+              expr("CAST(CASE WHEN sv - b_sv = exp_delta THEN 1 ELSE 0 END AS BIGINT)")
+                .as("delta_explained"))
+        }
+        val zero = bt.limit(0).agg(coalesce(sum("v"), lit(0L)).as("exp_delta"))
+        // tx2's own effect on the ≤1995 slice: +7% on the band's rows there
+        val corrDelta = base0
+          .where(col("h") < 429496729L && col("vy") <= 1995L)
+          .agg(coalesce(sum(expr("v * 7 div 100")), lit(0L)).as("exp_delta"))
+        // tx3's effect: the late rows landing at vy-3 ≤ 1995
+        val backDelta = base0
+          .where(col("h") >= 3865470565L && col("vy") - 3L <= 1995L)
+          .agg(coalesce(sum("v"), lit(0L)).as("exp_delta"))
+        leg(1L, tx1, zero)
+          .unionByName(leg(2L, tx1.unionByName(tx2), corrDelta))
+          .unionByName(leg(3L, bt, backDelta))
+          .orderBy("t")
+      },
+      Some("""WITH base0 AS (SELECT o_orderkey AS k, CAST(year(o_orderdate) AS BIGINT) AS vy, CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS v, (o_custkey % 2147483648) * 2654435761 % 4294967296 AS h FROM orders), tx1 AS (SELECT k, vy, v, 1 AS tx FROM base0), tx2 AS (SELECT k, vy, v + v * 7 // 100 AS v, 2 AS tx FROM base0 WHERE h < 429496729), tx3 AS (SELECT k + 1000000000 AS k, vy - 3 AS vy, v, 3 AS tx FROM base0 WHERE h >= 3865470565), bt AS (SELECT * FROM tx1 UNION ALL SELECT * FROM tx2 UNION ALL SELECT * FROM tx3), b1 AS (SELECT count(*) AS n, coalesce(sum(v), 0) AS sv FROM (SELECT k, vy, v, row_number() OVER (PARTITION BY k ORDER BY tx DESC) AS rn FROM bt WHERE tx <= 1) z WHERE rn = 1 AND vy <= 1995), b2 AS (SELECT count(*) AS n, coalesce(sum(v), 0) AS sv FROM (SELECT k, vy, v, row_number() OVER (PARTITION BY k ORDER BY tx DESC) AS rn FROM bt WHERE tx <= 2) z WHERE rn = 1 AND vy <= 1995), b3 AS (SELECT count(*) AS n, coalesce(sum(v), 0) AS sv FROM (SELECT k, vy, v, row_number() OVER (PARTITION BY k ORDER BY tx DESC) AS rn FROM bt WHERE tx <= 3) z WHERE rn = 1 AND vy <= 1995), p1 AS (SELECT count(*) AS n, coalesce(sum(v), 0) AS sv FROM (SELECT k, vy, v, row_number() OVER (PARTITION BY k ORDER BY tx DESC) AS rn FROM tx1 WHERE tx <= 1) z WHERE rn = 1 AND vy <= 1995), p2 AS (SELECT count(*) AS n, coalesce(sum(v), 0) AS sv FROM (SELECT k, vy, v, row_number() OVER (PARTITION BY k ORDER BY tx DESC) AS rn FROM (SELECT * FROM tx1 UNION ALL SELECT * FROM tx2) u WHERE tx <= 2) z WHERE rn = 1 AND vy <= 1995), cd AS (SELECT coalesce(sum(v * 7 // 100), 0) AS exp_delta FROM base0 WHERE h < 429496729 AND vy <= 1995), bd AS (SELECT coalesce(sum(v), 0) AS exp_delta FROM base0 WHERE h >= 3865470565 AND vy - 3 <= 1995), legs AS (SELECT 1 AS t, b1.n, b1.sv, CASE WHEN b1.n = p1.n AND b1.sv = p1.sv THEN 1 ELSE 0 END AS replay_stable, 0 AS belief_delta, 0 AS exp_delta, 1 AS delta_explained FROM b1 CROSS JOIN p1 UNION ALL SELECT 2, b2.n, b2.sv, CASE WHEN b2.n = p2.n AND b2.sv = p2.sv THEN 1 ELSE 0 END, b2.sv - b1.sv, cd.exp_delta, CASE WHEN b2.sv - b1.sv = cd.exp_delta THEN 1 ELSE 0 END FROM b2 CROSS JOIN p2 CROSS JOIN b1 CROSS JOIN cd UNION ALL SELECT 3, b3.n, b3.sv, 1, b3.sv - b2.sv, bd.exp_delta, CASE WHEN b3.sv - b2.sv = bd.exp_delta THEN 1 ELSE 0 END FROM b3 CROSS JOIN b2 CROSS JOIN bd) SELECT CAST(t AS BIGINT) AS t, CAST(n AS BIGINT) AS n, CAST(sv AS BIGINT) AS sv, CAST(replay_stable AS BIGINT) AS replay_stable, CAST(belief_delta AS BIGINT) AS belief_delta, CAST(exp_delta AS BIGINT) AS exp_delta, CAST(delta_explained AS BIGINT) AS delta_explained FROM legs ORDER BY t"""),
+      "A/S ext: bitemporal reads — valid time vs transaction time over an append-only fact table with a price correction and a late-arriving backfill; every past belief is replay-stable (the read at tx<=T from the final table equals the read from the tx-prefix — history is reproducible forever) and every belief change is explained exactly by its commit's own effect on the valid slice"))
 }
