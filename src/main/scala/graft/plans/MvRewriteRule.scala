@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression,
 import org.apache.spark.sql.types.DoubleType
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LeafNode, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.functions.{col, count, lit, sum}
+import org.apache.spark.sql.functions.{col, count, expr, lit, sum}
 
 /** Materialized-view catalog: a registered view is a grain aggregate
   * (GROUP BY `dims` with COUNT(*) and per-measure SUM partials) over a
@@ -46,10 +46,17 @@ object MvCatalog {
         * (so even measure predicates are answerable when the view
         * carries them), residual conjuncts dim-only and re-applied.
         */
-      viewPreds: Seq[Expression])
+      viewPreds: Seq[Expression],
+      /** |view| rows, measured at registration — the cost key: when
+        * several registered views can answer a query, the smallest
+        * wins (fewest rows scanned).
+        */
+      viewRows: Long)
 
+  // a relation may carry SEVERAL views (the full grain, a coarser
+  // rollup, a filtered partial) — lookup returns them cheapest-first
   private val registered =
-    new java.util.concurrent.ConcurrentHashMap[LogicalPlan, Mv]()
+    new java.util.concurrent.ConcurrentHashMap[LogicalPlan, List[Mv]]()
 
   private[plans] def splitAnd(e: Expression): Seq[Expression] = e match {
     case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
@@ -97,34 +104,66 @@ object MvCatalog {
     val resolvedPreds = filtered.queryExecution.analyzed
       .collect { case Filter(cond, _) => splitAnd(cond) }.flatten
     if (!resolvedPreds.forall(_.deterministic)) return false
+    // ONE corpus pass: the recomputed grain carries the per-measure NULL
+    // census alongside the COUNT/SUM partials, and the validation is a
+    // single full-outer dim-join against the offered view (both
+    // directions of the old double-exceptAll in one aggregation) —
+    // registration's ANALYZE-grade price, but paid once, not four times
+    val ms = sumCols.toSeq.sortBy(_._1)
     val aggs = count(lit(1)).cast("long").as(cntCol) +:
-      sumCols.toSeq.sortBy(_._1).map { case (m, v) => sum(col(m)).as(v) }
-    val grain = filtered.groupBy(dims.map(col): _*).agg(aggs.head, aggs.tail: _*)
-    val offered = view.select((dims ++ Seq(cntCol) ++ sumCols.toSeq.sortBy(_._1).map(_._2)).map(col): _*)
-    val recomputed = grain.select(offered.columns.toIndexedSeq.map(col): _*)
-    val ok = recomputed.exceptAll(offered).isEmpty && offered.exceptAll(recomputed).isEmpty
-    if (!ok) return false
-    // per-measure NULL census over the view's input — zero nulls makes
-    // AVG(m) = SUM(sum_m)/SUM(cnt) exact (COUNT(m) == COUNT(*))
-    val avgSafe: Set[String] =
-      if (sumCols.isEmpty) Set.empty
-      else {
-        val census = filtered.select(sumCols.keys.toSeq.sorted.map(m =>
+      (ms.map { case (m, v) => sum(col(m)).as(v) } ++
+        ms.map { case (m, _) =>
           org.apache.spark.sql.functions.coalesce(
             sum(org.apache.spark.sql.functions.when(col(m).isNull, 1L)
-              .otherwise(0L)), lit(0L)).as(m)): _*).head()
-        sumCols.keys.filter(m => census.getAs[Long](m) == 0L)
+              .otherwise(0L)), lit(0L)).as(s"__nn_$m")
+        })
+    val grain = filtered.groupBy(dims.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*).localCheckpoint(false)
+    // duplicate-dim offered rows (identical twins would survive the
+    // dim-join compare) are caught by the row-count guard; the measured
+    // |view| becomes the cost key for cheapest-view selection
+    val viewRows = view.count()
+    if (viewRows != grain.count()) return false
+    val valCols = cntCol +: ms.map(_._2)
+    val gSide = grain.select(dims.map(col) ++ valCols.map(c => col(c).as(s"g_$c")): _*)
+    val oSide = view.select(dims.map(col) ++ valCols.map(c => col(c).as(s"o_$c")): _*)
+    val badPred = valCols.map(c =>
+      s"g_$c IS NULL OR o_$c IS NULL OR g_$c <> o_$c").mkString(" OR ")
+    val checkRow = gSide.join(oSide, dims, "full_outer")
+      .agg(org.apache.spark.sql.functions.coalesce(
+        sum(org.apache.spark.sql.functions.when(expr(badPred), 1L)
+          .otherwise(0L)), lit(0L)).as("bad"))
+      .head()
+    if (checkRow.getLong(0) != 0L) return false
+    // per-measure NULL census, reduced from the grain — zero nulls makes
+    // AVG(m) = SUM(sum_m)/SUM(cnt) exact (COUNT(m) == COUNT(*))
+    val avgSafe: Set[String] =
+      if (ms.isEmpty) Set.empty
+      else {
+        val census = grain.select(ms.map { case (m, _) =>
+          org.apache.spark.sql.functions.coalesce(sum(s"__nn_$m"), lit(0L)).as(m)
+        }: _*).head()
+        ms.map(_._1).filter(m => census.getAs[Long](m) == 0L)
           .map(_.toLowerCase).toSet
       }
-    registered.put(baseLeaves.head.canonicalized,
-      Mv(baseLeaves.head.canonicalized, viewLeaves.head.asInstanceOf[LeafNode],
-        dims.map(_.toLowerCase), cntCol.toLowerCase,
-        sumCols.map { case (m, v) => m.toLowerCase -> v.toLowerCase },
-        avgSafe, resolvedPreds.map(normByName)))
+    val mv = Mv(baseLeaves.head.canonicalized,
+      viewLeaves.head.asInstanceOf[LeafNode],
+      dims.map(_.toLowerCase), cntCol.toLowerCase,
+      sumCols.map { case (m, v) => m.toLowerCase -> v.toLowerCase },
+      avgSafe, resolvedPreds.map(normByName), viewRows)
+    registered.merge(baseLeaves.head.canonicalized, List(mv),
+      (olds, news) => news ::: olds.filterNot(
+        _.viewLeaf.canonicalized == mv.viewLeaf.canonicalized))
     true
   }
 
-  def lookup(leaf: LogicalPlan): Option[Mv] = Option(registered.get(leaf.canonicalized))
+  /** All registered views of the relation, CHEAPEST first — when
+    * several can answer a query, the rule takes the first that
+    * rewrites (fewest rows scanned wins).
+    */
+  def lookup(leaf: LogicalPlan): Seq[Mv] =
+    Option(registered.get(leaf.canonicalized)).getOrElse(Nil)
+      .sortBy(_.viewRows)
 
   def clear(): Unit = registered.clear()
 }
@@ -157,60 +196,72 @@ object MvCatalog {
   */
 object MvRewriteRule extends Rule[LogicalPlan] {
 
-  /** Unwrap pruning Projects / Filters down to the registered leaf;
-    * returns the RESIDUAL conjunct predicates (in original order) iff
-    * every step is legal: all query conjuncts deterministic and
-    * subquery-free, every view conjunct matched verbatim by a query
-    * conjunct (filter subsumption — a PARTIAL view answers only
-    * queries at least as restrictive), and every residual conjunct
-    * dim-only (re-applied on the view's own columns).
+  /** Unwrap pruning Projects / Filters down to a registered leaf,
+    * collecting the raw filter conjuncts on the way.
     */
   private def unwrap(plan: LogicalPlan, preds: Seq[Expression]):
-      Option[(LeafNode, Seq[Expression], MvCatalog.Mv)] =
+      Option[(LeafNode, Seq[Expression])] =
     plan match {
       case Project(ps, child) if ps.forall(_.isInstanceOf[AttributeReference]) =>
         unwrap(child, preds)
       case Filter(cond, child) =>
         unwrap(child, preds :+ cond)
-      case leaf: LeafNode =>
-        MvCatalog.lookup(leaf).flatMap { mv =>
-          val conj = preds.flatMap(MvCatalog.splitAnd)
-          val basicOk = conj.forall(p => p.deterministic && !p.containsPattern(
-            org.apache.spark.sql.catalyst.trees.TreePattern.PLAN_EXPRESSION))
-          if (!basicOk) None
-          else {
-            val normed = conj.map(p => (p, MvCatalog.normByName(p)))
-            val subsumes = mv.viewPreds.forall(vp => normed.exists(_._2 == vp))
-            val residual = normed.collect {
-              case (p, n) if !mv.viewPreds.contains(n) => p
-            }.filterNot {
-              // IsNotNull over a measure PROVEN null-free at registration
-              // (over the view's own filtered input) is vacuously true —
-              // the optimizer infers these from the very conjuncts we
-              // just matched, and they must not block the rewrite.
-              case org.apache.spark.sql.catalyst.expressions.IsNotNull(
-                  a: AttributeReference) =>
-                !mv.dims.contains(a.name.toLowerCase) &&
-                  mv.avgSafe.contains(a.name.toLowerCase)
-              case _ => false
-            }
-            val residualOk = residual.forall(
-              _.references.forall(a => mv.dims.contains(a.name.toLowerCase)))
-            if (subsumes && residualOk) Some((leaf, residual, mv)) else None
-          }
-        }
+      case leaf: LeafNode if MvCatalog.lookup(leaf).nonEmpty =>
+        Some((leaf, preds))
       case _ => None
     }
+
+  /** Per-candidate-view admission: every query conjunct deterministic
+    * and subquery-free, every view conjunct matched verbatim by a query
+    * conjunct (filter subsumption — a PARTIAL view answers only queries
+    * at least as restrictive), and every residual conjunct dim-only
+    * (re-applied on the view's own columns). Returns the residual.
+    */
+  private def admit(preds: Seq[Expression], mv: MvCatalog.Mv)
+      : Option[Seq[Expression]] = {
+    val conj = preds.flatMap(MvCatalog.splitAnd)
+    val basicOk = conj.forall(p => p.deterministic && !p.containsPattern(
+      org.apache.spark.sql.catalyst.trees.TreePattern.PLAN_EXPRESSION))
+    if (!basicOk) None
+    else {
+      val normed = conj.map(p => (p, MvCatalog.normByName(p)))
+      val subsumes = mv.viewPreds.forall(vp => normed.exists(_._2 == vp))
+      val residual = normed.collect {
+        case (p, n) if !mv.viewPreds.contains(n) => p
+      }.filterNot {
+        // IsNotNull over a measure PROVEN null-free at registration
+        // (over the view's own filtered input) is vacuously true —
+        // the optimizer infers these from the very conjuncts we
+        // just matched, and they must not block the rewrite.
+        case org.apache.spark.sql.catalyst.expressions.IsNotNull(
+            a: AttributeReference) =>
+          !mv.dims.contains(a.name.toLowerCase) &&
+            mv.avgSafe.contains(a.name.toLowerCase)
+        case _ => false
+      }
+      val residualOk = residual.forall(
+        _.references.forall(a => mv.dims.contains(a.name.toLowerCase)))
+      if (subsumes && residualOk) Some(residual) else None
+    }
+  }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case agg @ Aggregate(groupings, aggExprs, child, _) =>
       unwrap(child, Nil) match {
-        case Some((_, preds, mv))
-            if groupings.forall {
+        case Some((leaf, preds)) =>
+          // candidates come back cheapest-first; the first view that
+          // admits the filters, covers the groupings AND rewrites every
+          // output wins — coarser/filtered views refuse individually
+          // and the next candidate gets its turn
+          MvCatalog.lookup(leaf).view.flatMap { mv =>
+            val coveredGroupings = groupings.forall {
               case a: AttributeReference => mv.dims.contains(a.name.toLowerCase)
               case _ => false
-            } =>
-          rewrite(agg, groupings, aggExprs, preds, mv).getOrElse(agg)
+            }
+            if (!coveredGroupings) None
+            else admit(preds, mv).flatMap(residual =>
+              rewrite(agg, groupings, aggExprs, residual, mv))
+          }.headOption.getOrElse(agg)
         case _ => agg
       }
   }

@@ -80,7 +80,6 @@ object R65Queries {
         import graft.plans.{MvCatalog, MvRewriteRule}
         import org.apache.spark.sql.catalyst.plans.logical.LeafNode
         val base = liFrame(s, d).localCheckpoint(false)
-        val pbase = liFrame(s, d).localCheckpoint(false)
         val nbase = liFrame(s, d)
           .withColumn("cents", when(col("cents") % 7L === 0L,
             lit(null).cast("long")).otherwise(col("cents")))
@@ -90,7 +89,10 @@ object R65Queries {
             .agg(count(lit(1)).as("cnt"), sum("cents").as("sum_cents"))
             .localCheckpoint(false)
         val view = grainOf(base)
-        val pview = pbase.where(col("cents") > 100000L)
+        // the partial grain registers on the SAME relation — the
+        // multi-view catalog serves each query from the cheapest view
+        // whose predicate it subsumes
+        val pview = base.where(col("cents") > 100000L)
           .groupBy("f", "s", "y", "m")
           .agg(count(lit(1)).as("cnt"), sum("cents").as("sum_cents"))
           .localCheckpoint(false)
@@ -99,7 +101,7 @@ object R65Queries {
         val sums = Map("cents" -> "sum_cents")
         require(MvCatalog.register(base, view, dims, "cnt", sums),
           "full-grain registration failed")
-        require(MvCatalog.register(pbase, pview, dims, "cnt", sums,
+        require(MvCatalog.register(base, pview, dims, "cnt", sums,
           Seq(col("cents") > 100000L)), "partial-grain registration failed")
         require(MvCatalog.register(nbase, nview, dims, "cnt", sums),
           "null-measure registration failed")
@@ -135,7 +137,7 @@ object R65Queries {
                 lit(0.0).as("avg_r")),
             view)
           val s3 = scen("3:partial_subsume",
-            pbase.where(col("cents") > 100000L && col("s") === "F")
+            base.where(col("cents") > 100000L && col("s") === "F")
               .groupBy("f")
               .agg(count(lit(1)).as("n"), sum("cents").as("tc"))
               .select(col("f").as("g"), col("n"), col("tc"),

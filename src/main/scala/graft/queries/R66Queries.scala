@@ -84,7 +84,7 @@ object R66Queries {
           .groupBy("y", "m").agg(sum("cnt").as("cnt"), sum("sv").as("sv"),
             min("mn").as("mn"), max("mx").as("mx"))
           .localCheckpoint(false)
-        val reb1 = grain(kk)
+        val reb1 = grain(kk).localCheckpoint(false)
         // commit 2: DELETE the hash band — COUNT/SUM subtract, MIN/MAX
         // carry forward naively (divergence is the finding)
         val d2 = kk.where(col("h") < delT)
@@ -98,15 +98,23 @@ object R66Queries {
           .where(col("cnt") > 0L)
           .localCheckpoint(false)
         val reb2 = grain(kk.where(col("h") >= delT)).localCheckpoint(false)
-        // certificates
-        def eqAll(a: DataFrame, b: DataFrame, cols: Seq[String]): DataFrame = {
+        // certificates: ONE full-outer join per state emits both the
+        // COUNT/SUM and the MIN/MAX verdicts (was two joins per state)
+        def eqBoth(a: DataFrame, b: DataFrame): DataFrame = {
+          val cols = Seq("cnt", "sv", "mn", "mx")
           val an = a.select(col("y") +: col("m") +: cols.map(c => col(c).as(s"a_$c")): _*)
           val bn = b.select(col("y") +: col("m") +: cols.map(c => col(c).as(s"b_$c")): _*)
-          val bad = cols.map(c => s"a_$c IS NULL OR b_$c IS NULL OR a_$c <> b_$c")
-            .mkString(" OR ")
+          def bad(cs: Seq[String]) = cs.map(c =>
+            s"a_$c IS NULL OR b_$c IS NULL OR a_$c <> b_$c").mkString(" OR ")
           an.join(bn, Seq("y", "m"), "full_outer")
-            .agg(coalesce(sum(when(expr(bad), 1L).otherwise(0L)), lit(0L)).as("bad"))
-            .select(expr("CAST(CASE WHEN bad = 0 THEN 1 ELSE 0 END AS BIGINT)").as("eq"))
+            .agg(
+              coalesce(sum(when(expr(bad(Seq("cnt", "sv"))), 1L).otherwise(0L)),
+                lit(0L)).as("sc_bad"),
+              coalesce(sum(when(expr(bad(Seq("mn", "mx"))), 1L).otherwise(0L)),
+                lit(0L)).as("mm_bad"))
+            .select(
+              expr("CAST(CASE WHEN sc_bad = 0 THEN 1 ELSE 0 END AS BIGINT)").as("sc_eq"),
+              expr("CAST(CASE WHEN mm_bad = 0 THEN 1 ELSE 0 END AS BIGINT)").as("mm_eq"))
         }
         val mm = v2n.join(reb2.select(col("y"), col("m"),
             col("mn").as("rmn"), col("mx").as("rmx")), Seq("y", "m"), "full_outer")
@@ -123,26 +131,24 @@ object R66Queries {
             expr("CAST(CASE WHEN div_not_hit = 0 THEN 1 ELSE 0 END AS BIGINT)")
               .as("div_in_hit"))
           .localCheckpoint(false)
-        def stateRow(id: String, view: DataFrame, scEq: DataFrame,
-            mmEq: DataFrame, mmStats: DataFrame): DataFrame =
+        def stateRow(id: String, view: DataFrame, eqs: DataFrame,
+            mmStats: DataFrame): DataFrame =
           view.agg(count(lit(1)).as("groups"), sum("cnt").as("rows_total"),
               sum("sv").as("sv_total"))
-            .crossJoin(broadcast(scEq.select(col("eq").as("sc_equal"))))
-            .crossJoin(broadcast(mmEq.select(col("eq").as("mm_equal"))))
+            .crossJoin(broadcast(eqs))
             .crossJoin(broadcast(mmStats))
             .select(lit(id).as("commit"), col("groups"), col("rows_total"),
-              col("sv_total"), col("sc_equal"), col("mm_equal"),
+              col("sv_total"), col("sc_eq").as("sc_equal"),
+              col("mm_eq").as("mm_equal"),
               col("mm_diverged"), col("mm_del_hit"), col("div_in_hit"))
-        val one = stateRow("0:load", v0, eqAll(v0, v0, Seq("cnt", "sv")),
-          eqAll(v0, v0, Seq("mn", "mx")),
-          mm.select(lit(0L).as("mm_diverged"), lit(0L).as("mm_del_hit"),
-            lit(1L).as("div_in_hit")))
-        val two = stateRow("1:insert", v1, eqAll(v1, reb1, Seq("cnt", "sv")),
-          eqAll(v1, reb1, Seq("mn", "mx")),
-          mm.select(lit(0L).as("mm_diverged"), lit(0L).as("mm_del_hit"),
-            lit(1L).as("div_in_hit")))
-        val three = stateRow("2:delete", v2n, eqAll(v2n, reb2, Seq("cnt", "sv")),
-          eqAll(v2n, reb2, Seq("mn", "mx")), mm)
+        // the load state IS its own rebuild — certify by construction
+        val trivialEq = v0.limit(0)
+          .agg(lit(1L).as("sc_eq"), lit(1L).as("mm_eq"))
+        val noEsc = mm.select(lit(0L).as("mm_diverged"), lit(0L).as("mm_del_hit"),
+          lit(1L).as("div_in_hit"))
+        val one = stateRow("0:load", v0, trivialEq, noEsc)
+        val two = stateRow("1:insert", v1, eqBoth(v1, reb1), noEsc)
+        val three = stateRow("2:delete", v2n, eqBoth(v2n, reb2), mm)
         one.unionByName(two).unionByName(three).orderBy("commit")
       },
       Some {
@@ -226,8 +232,9 @@ object R66Queries {
               col("files_read"), col("files_total"),
               billMonth.as("bill_monthspec"), billHash.as("bill_hashspec"))
         }
+        // probe context joined per leg from broadcast singletons — no
+        // second corpus-sized materialization
         val rp = rows.crossJoin(broadcast(pm)).crossJoin(broadcast(pk))
-          .localCheckpoint(false)
         val mfp = manifest.crossJoin(broadcast(pm)).crossJoin(broadcast(pk))
         // probe 1: month — A prunes to the month file, B reads fully
         val l1 = probeLeg("1:month",
@@ -479,15 +486,41 @@ object R66Queries {
         val cache2 = q2Val(v0).localCheckpoint(false)
         val q1Parts = parts(v0.where(col("yr") === 1995L)).localCheckpoint(false)
         val allParts = parts(v0).localCheckpoint(false)
+        // ONE grader pass over the FINAL state's rows: every (query,
+        // version) direct value via membership flags (d2's synthetic
+        // keys sit above 10⁹, 1998 rows identify v1) — six recomputes
+        // fused into a single aggregation, q385 grader convention
+        val g = v2.agg(
+          coalesce(sum(when(col("yr") === 1995L && col("k") < 1000000000L, 1L)
+            .otherwise(0L)), lit(0L)).as("q1v0_n"),
+          coalesce(sum(when(col("yr") === 1995L && col("k") < 1000000000L, col("v"))
+            .otherwise(0L)), lit(0L)).as("q1v0_s"),
+          coalesce(sum(when(col("yr") === 1995L, 1L).otherwise(0L)), lit(0L))
+            .as("q1v2_n"),
+          coalesce(sum(when(col("yr") === 1995L, col("v")).otherwise(0L)), lit(0L))
+            .as("q1v2_s"),
+          coalesce(sum(when(col("yr") <= 1997L && col("k") < 1000000000L, 1L)
+            .otherwise(0L)), lit(0L)).as("q2v0_n"),
+          coalesce(sum(when(col("yr") <= 1997L && col("k") < 1000000000L, col("v"))
+            .otherwise(0L)), lit(0L)).as("q2v0_s"),
+          coalesce(sum(when(col("k") < 1000000000L, 1L).otherwise(0L)), lit(0L))
+            .as("q2v1_n"),
+          coalesce(sum(when(col("k") < 1000000000L, col("v")).otherwise(0L)), lit(0L))
+            .as("q2v1_s"),
+          count(lit(1)).as("q2v2_n"),
+          coalesce(sum("v"), lit(0L)).as("q2v2_s"))
+          .localCheckpoint(false)
+        // per-commit touched partition sets, computed once
+        val touched0 = parts(v0.limit(0)).localCheckpoint(false)
+        val touched1 = parts(d1).localCheckpoint(false)
+        val touched2 = parts(d2).localCheckpoint(false)
         def leg(qid: String, ver: String, cached: DataFrame,
-            readParts: DataFrame, readsAll: Boolean, commitDelta: DataFrame,
-            state: DataFrame, qv: DataFrame => DataFrame): DataFrame = {
-          val touched = parts(commitDelta).localCheckpoint(false)
+            readParts: DataFrame, readsAll: Boolean, touched: DataFrame,
+            dN: String, dS: String): DataFrame = {
           val ov = readParts.join(touched, "ym")
             .agg(count(lit(1)).as("overlap_parts"))
           val tn = touched.agg(count(lit(1)).as("touched_parts"))
-          val direct = qv(state)
-            .select(col("cnt").as("d_cnt"), col("sv").as("d_sv"))
+          val direct = g.select(col(dN).as("d_cnt"), col(dS).as("d_sv"))
           val ra = if (readsAll) "touched_parts = 0" else "overlap_parts = 0"
           broadcast(cached.select(col("cnt").as("c_cnt"), col("sv").as("c_sv")))
             .crossJoin(broadcast(direct)).crossJoin(broadcast(ov))
@@ -506,13 +539,12 @@ object R66Queries {
               expr("CAST(CASE WHEN (CASE WHEN overlap_parts = 0 THEN 1 ELSE 0 END) = (CASE WHEN c_cnt = d_cnt AND c_sv = d_sv THEN 1 ELSE 0 END) THEN 1 ELSE 0 END AS BIGINT)")
                 .as("naive_correct"))
         }
-        val empty = v0.limit(0)
-        leg("Q1:rev1995", "v0", cache1, q1Parts, readsAll = false, empty, v0, q1Val)
-          .unionByName(leg("Q2:global", "v0", cache2, allParts, readsAll = true, empty, v0, q2Val))
-          .unionByName(leg("Q1:rev1995", "v1", cache1, q1Parts, readsAll = false, d1, v1, q1Val))
-          .unionByName(leg("Q2:global", "v1", cache2, allParts, readsAll = true, d1, v1, q2Val))
-          .unionByName(leg("Q1:rev1995", "v2", cache1, q1Parts, readsAll = false, d2, v2, q1Val))
-          .unionByName(leg("Q2:global", "v2", cache2, allParts, readsAll = true, d2, v2, q2Val))
+        leg("Q1:rev1995", "v0", cache1, q1Parts, readsAll = false, touched0, "q1v0_n", "q1v0_s")
+          .unionByName(leg("Q2:global", "v0", cache2, allParts, readsAll = true, touched0, "q2v0_n", "q2v0_s"))
+          .unionByName(leg("Q1:rev1995", "v1", cache1, q1Parts, readsAll = false, touched1, "q1v0_n", "q1v0_s"))
+          .unionByName(leg("Q2:global", "v1", cache2, allParts, readsAll = true, touched1, "q2v1_n", "q2v1_s"))
+          .unionByName(leg("Q1:rev1995", "v2", cache1, q1Parts, readsAll = false, touched2, "q1v2_n", "q1v2_s"))
+          .unionByName(leg("Q2:global", "v2", cache2, allParts, readsAll = true, touched2, "q2v2_n", "q2v2_s"))
           .orderBy("query", "ver")
       },
       Some {

@@ -232,6 +232,39 @@ class MvRewriteSpec extends SparkSpecBase {
     MvCatalog.clear()
   }
 
+  test("multi-view catalog: cheapest covering view wins, coverage falls through") {
+    MvCatalog.clear()
+    // two views on the SAME relation: the fine (f,s,y,m) grain and a
+    // coarse (f,s) rollup (~25x fewer rows)
+    val coarse = base.groupBy("f", "s")
+      .agg(count(lit(1)).as("cnt"), sum("cents").as("sum_cents"))
+      .localCheckpoint(false)
+    assert(MvCatalog.register(base, view, Seq("f", "s", "y", "m"),
+      "cnt", Map("cents" -> "sum_cents")))
+    assert(MvCatalog.register(base, coarse, Seq("f", "s"),
+      "cnt", Map("cents" -> "sum_cents")))
+    def leafSchema(df: DataFrame): Set[String] = withRule {
+      leaves(df).head.schema.fieldNames.toSet
+    }
+    // answerable by BOTH → the coarse (cheaper) view must serve it
+    def qf = base.groupBy("f").agg(sum("cents").as("tc"))
+    val got = sameResult(qf)
+    withRule {
+      assert(leaves(got).size == 1 &&
+        leafSchema(got) == coarse.columns.toSet,
+        s"cheapest covering view not chosen:\n${got.queryExecution.optimizedPlan}")
+    }
+    // groupings the coarse view cannot cover fall through to the fine one
+    def qy = base.groupBy("f", "y").agg(count(lit(1)).as("n"))
+    val got2 = sameResult(qy)
+    withRule {
+      assert(leaves(got2).size == 1 &&
+        leafSchema(got2) == view.columns.toSet,
+        s"coverage fall-through failed:\n${got2.queryExecution.optimizedPlan}")
+    }
+    MvCatalog.clear()
+  }
+
   test("registration refuses a lying offer and non-leaf plans") {
     MvCatalog.clear()
     // a view whose counts are off by one must not validate
