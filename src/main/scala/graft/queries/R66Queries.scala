@@ -659,5 +659,109 @@ object R66Queries {
           .orderBy("t")
       },
       Some("""WITH base0 AS (SELECT o_orderkey AS k, CAST(year(o_orderdate) AS BIGINT) AS vy, CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS v, (o_custkey % 2147483648) * 2654435761 % 4294967296 AS h FROM orders), tx1 AS (SELECT k, vy, v, 1 AS tx FROM base0), tx2 AS (SELECT k, vy, v + v * 7 // 100 AS v, 2 AS tx FROM base0 WHERE h < 429496729), tx3 AS (SELECT k + 1000000000 AS k, vy - 3 AS vy, v, 3 AS tx FROM base0 WHERE h >= 3865470565), bt AS (SELECT * FROM tx1 UNION ALL SELECT * FROM tx2 UNION ALL SELECT * FROM tx3), b1 AS (SELECT count(*) AS n, coalesce(sum(v), 0) AS sv FROM (SELECT k, vy, v, row_number() OVER (PARTITION BY k ORDER BY tx DESC) AS rn FROM bt WHERE tx <= 1) z WHERE rn = 1 AND vy <= 1995), b2 AS (SELECT count(*) AS n, coalesce(sum(v), 0) AS sv FROM (SELECT k, vy, v, row_number() OVER (PARTITION BY k ORDER BY tx DESC) AS rn FROM bt WHERE tx <= 2) z WHERE rn = 1 AND vy <= 1995), b3 AS (SELECT count(*) AS n, coalesce(sum(v), 0) AS sv FROM (SELECT k, vy, v, row_number() OVER (PARTITION BY k ORDER BY tx DESC) AS rn FROM bt WHERE tx <= 3) z WHERE rn = 1 AND vy <= 1995), p1 AS (SELECT count(*) AS n, coalesce(sum(v), 0) AS sv FROM (SELECT k, vy, v, row_number() OVER (PARTITION BY k ORDER BY tx DESC) AS rn FROM tx1 WHERE tx <= 1) z WHERE rn = 1 AND vy <= 1995), p2 AS (SELECT count(*) AS n, coalesce(sum(v), 0) AS sv FROM (SELECT k, vy, v, row_number() OVER (PARTITION BY k ORDER BY tx DESC) AS rn FROM (SELECT * FROM tx1 UNION ALL SELECT * FROM tx2) u WHERE tx <= 2) z WHERE rn = 1 AND vy <= 1995), cd AS (SELECT coalesce(sum(v * 7 // 100), 0) AS exp_delta FROM base0 WHERE h < 429496729 AND vy <= 1995), bd AS (SELECT coalesce(sum(v), 0) AS exp_delta FROM base0 WHERE h >= 3865470565 AND vy - 3 <= 1995), legs AS (SELECT 1 AS t, b1.n, b1.sv, CASE WHEN b1.n = p1.n AND b1.sv = p1.sv THEN 1 ELSE 0 END AS replay_stable, 0 AS belief_delta, 0 AS exp_delta, 1 AS delta_explained FROM b1 CROSS JOIN p1 UNION ALL SELECT 2, b2.n, b2.sv, CASE WHEN b2.n = p2.n AND b2.sv = p2.sv THEN 1 ELSE 0 END, b2.sv - b1.sv, cd.exp_delta, CASE WHEN b2.sv - b1.sv = cd.exp_delta THEN 1 ELSE 0 END FROM b2 CROSS JOIN p2 CROSS JOIN b1 CROSS JOIN cd UNION ALL SELECT 3, b3.n, b3.sv, 1, b3.sv - b2.sv, bd.exp_delta, CASE WHEN b3.sv - b2.sv = bd.exp_delta THEN 1 ELSE 0 END FROM b3 CROSS JOIN b2 CROSS JOIN bd) SELECT CAST(t AS BIGINT) AS t, CAST(n AS BIGINT) AS n, CAST(sv AS BIGINT) AS sv, CAST(replay_stable AS BIGINT) AS replay_stable, CAST(belief_delta AS BIGINT) AS belief_delta, CAST(exp_delta AS BIGINT) AS exp_delta, CAST(delta_explained AS BIGINT) AS delta_explained FROM legs ORDER BY t"""),
-      "A/S ext: bitemporal reads — valid time vs transaction time over an append-only fact table with a price correction and a late-arriving backfill; every past belief is replay-stable (the read at tx<=T from the final table equals the read from the tx-prefix — history is reproducible forever) and every belief change is explained exactly by its commit's own effect on the valid slice"))
+      "A/S ext: bitemporal reads — valid time vs transaction time over an append-only fact table with a price correction and a late-arriving backfill; every past belief is replay-stable (the read at tx<=T from the final table equals the read from the tx-prefix — history is reproducible forever) and every belief change is explained exactly by its commit's own effect on the valid slice"),
+
+    // q441 — SPEC-UNIFICATION COMPACTION: q436 leaves the table
+    // permanently mixed-spec; this runs the REPLACE commit that ends
+    // it — every month-partitioned A file rewritten into the hash-
+    // bucket spec (new file ids 2000+bucket; the snapshot arc's
+    // compaction, applied to LAYOUT). Certified three ways:
+    //   - content-neutral: rows / value sum / modular key checksum
+    //     identical before and after (the REPLACE law, q421/q424
+    //     convention);
+    //   - the point probe COLLAPSES: 81 files (all-of-A + one bucket)
+    //     before, exactly 2 after (the old-B and compacted buckets) —
+    //     what the rewrite was bought for;
+    //   - the month probe DEGRADES: 17 files before (one A month +
+    //     all-of-B), ALL files after — hash buckets cannot prune
+    //     months. Unification is a TRADE, not a free lunch, and both
+    //     directions are priced with missed = 0 soundness on every
+    //     probe in both phases.
+    // Scale: the compaction touches |A| rows once (the rewrite); every
+    // pruning verdict stays manifest arithmetic; graders only.
+    QuerySpec(
+      "q441_spec_unify_compaction",
+      (s, d) => {
+        import R39Queries.md5Bucket
+        val keyed0 = t(s, d, "orders").select(col("o_orderkey").as("k"),
+          (year(col("o_orderdate")) * 100 + month(col("o_orderdate")))
+            .cast("long").as("ym"),
+          expr("CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)").as("v"))
+        val mxk = keyed0.agg(expr("(max(k) + 1) * 4 div 5").as("kcut"))
+        val bkt = md5Bucket(col("k").cast("string"), 16)
+        // pre: A = month files, B = 1000+bucket; post: A rewritten to
+        // 2000+bucket (hash spec), B untouched
+        val rows = keyed0.crossJoin(broadcast(mxk))
+          .select(col("k"), col("ym"), col("v"),
+            when(col("k") <= col("kcut"), col("ym"))
+              .otherwise(lit(1000L) + bkt).as("part_pre"),
+            when(col("k") <= col("kcut"), "A").otherwise("B").as("spec_pre"),
+            when(col("k") <= col("kcut"), lit(2000L) + bkt)
+              .otherwise(lit(1000L) + bkt).as("part_post"))
+          .localCheckpoint(false)
+        val pm = rows.where(col("spec_pre") === "A")
+          .groupBy("part_pre").agg(count(lit(1)).as("c"))
+          .orderBy(col("c").desc, col("part_pre")).limit(1)
+          .select(col("part_pre").as("probe_ym")).localCheckpoint(false)
+        val pk = rows.agg(max("k").as("probe_k"))
+          .join(rows.select(col("k").as("probe_k"), col("ym").as("probe_k_ym")),
+            "probe_k")
+          .localCheckpoint(false)
+        val sig = rows.agg(count(lit(1)).as("n"), sum("v").as("sv"),
+          sum(expr("(k % 999983) * (k % 999983)")).as("ck"))
+        def probeLeg(phase: String, probe: String, prunedPart: DataFrame => DataFrame,
+            matchPred: String): DataFrame = {
+          val partCol = if (phase == "1:pre") "part_pre" else "part_post"
+          val manifest = rows.groupBy(col(partCol).as("part"),
+            (if (phase == "1:pre") col("spec_pre") else lit("B")).as("spec"))
+            .agg(count(lit(1)).as("c"))
+          val pruned = prunedPart(manifest)
+          val prunedRows = rows.crossJoin(broadcast(pm)).crossJoin(broadcast(pk))
+            .join(broadcast(pruned.select(col("part").as(partCol))), partCol)
+            .where(expr(matchPred))
+            .agg(count(lit(1)).as("pruned_rows"))
+          val direct = rows.crossJoin(broadcast(pm)).crossJoin(broadcast(pk))
+            .where(expr(matchPred))
+            .agg(count(lit(1)).as("direct_rows"))
+          broadcast(direct).crossJoin(broadcast(prunedRows))
+            .crossJoin(broadcast(pruned.agg(count(lit(1)).as("files_read"))))
+            .crossJoin(broadcast(manifest.agg(count(lit(1)).as("files_total"))))
+            .crossJoin(broadcast(sig))
+            .select(lit(phase).as("phase"), lit(probe).as("probe"),
+              col("direct_rows"), col("pruned_rows"),
+              (col("direct_rows") - col("pruned_rows")).as("missed"),
+              col("files_read"), col("files_total"),
+              col("n").as("table_rows"), col("sv").as("table_sum"),
+              col("ck").as("table_keychk"))
+        }
+        val preMonth = probeLeg("1:pre", "1:month",
+          m => m.crossJoin(broadcast(pm)).where(expr(
+            "(spec = 'A' AND part = probe_ym) OR spec = 'B'")).select("part"),
+          "ym = probe_ym")
+        val prePoint = probeLeg("1:pre", "2:key_point",
+          m => m.crossJoin(broadcast(pk)).where(col("spec") === "A" ||
+              (col("spec") === "B" && col("part") === lit(1000L) +
+                md5Bucket(col("probe_k").cast("string"), 16))).select("part"),
+          "k = probe_k")
+        // post: hash spec everywhere — the point probe prunes to the
+        // two bucket files, the month probe can prune NOTHING
+        val postMonth = probeLeg("2:post", "1:month",
+          m => m.select("part"), "ym = probe_ym")
+        val postPoint = probeLeg("2:post", "2:key_point",
+          m => m.crossJoin(broadcast(pk)).where(
+            col("part") === lit(1000L) + md5Bucket(col("probe_k").cast("string"), 16) ||
+              col("part") === lit(2000L) + md5Bucket(col("probe_k").cast("string"), 16))
+            .select("part"),
+          "k = probe_k")
+        preMonth.unionByName(prePoint).unionByName(postMonth)
+          .unionByName(postPoint).orderBy("phase", "probe")
+      },
+      Some {
+        import R39Queries.md5BucketSql
+        val bq = md5BucketSql("CAST(k AS VARCHAR)", 16)
+        val bp = md5BucketSql("CAST(probe_k AS VARCHAR)", 16)
+        // the SQL mirrors the Spark legs directly, built explicitly
+        s"""WITH keyed0 AS (SELECT o_orderkey AS k, CAST(year(o_orderdate) * 100 + month(o_orderdate) AS BIGINT) AS ym, CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS v FROM orders), mxk AS (SELECT (max(k) + 1) * 4 // 5 AS kcut FROM keyed0), rows0 AS (SELECT k, ym, v, CASE WHEN k <= kcut THEN ym ELSE 1000 + $bq END AS part_pre, CASE WHEN k <= kcut THEN 'A' ELSE 'B' END AS spec_pre, CASE WHEN k <= kcut THEN 2000 + $bq ELSE 1000 + $bq END AS part_post FROM keyed0 CROSS JOIN mxk), pm AS (SELECT part_pre AS probe_ym FROM rows0 WHERE spec_pre = 'A' GROUP BY part_pre ORDER BY count(*) DESC, part_pre LIMIT 1), pk AS (SELECT k AS probe_k, ym AS probe_k_ym FROM rows0 WHERE k = (SELECT max(k) FROM rows0)), sig AS (SELECT count(*) AS n, sum(v) AS sv, sum((k % 999983) * (k % 999983)) AS ck FROM rows0), mpre AS (SELECT part_pre AS part, spec_pre AS spec, count(*) AS c FROM rows0 GROUP BY 1, 2), mpost AS (SELECT part_post AS part, count(*) AS c FROM rows0 GROUP BY 1), l1 AS (SELECT '1:pre' AS phase, '1:month' AS probe, (SELECT count(*) FROM rows0 CROSS JOIN pm WHERE ym = probe_ym) AS direct_rows, (SELECT count(*) FROM rows0 r CROSS JOIN pm WHERE ((r.spec_pre = 'A' AND r.part_pre = probe_ym) OR r.spec_pre = 'B') AND r.ym = probe_ym) AS pruned_rows, (SELECT count(*) FROM mpre CROSS JOIN pm WHERE (spec = 'A' AND part = probe_ym) OR spec = 'B') AS files_read, (SELECT count(*) FROM mpre) AS files_total), l2 AS (SELECT '1:pre', '2:key_point', (SELECT count(*) FROM rows0 CROSS JOIN pk WHERE k = probe_k), (SELECT count(*) FROM rows0 r CROSS JOIN pk WHERE (r.spec_pre = 'A' OR (r.spec_pre = 'B' AND r.part_pre = 1000 + $bp)) AND r.k = probe_k), (SELECT count(*) FROM mpre CROSS JOIN pk WHERE spec = 'A' OR (spec = 'B' AND part = 1000 + $bp)), (SELECT count(*) FROM mpre)), l3 AS (SELECT '2:post', '1:month', (SELECT count(*) FROM rows0 CROSS JOIN pm WHERE ym = probe_ym), (SELECT count(*) FROM rows0 r CROSS JOIN pm WHERE r.ym = probe_ym), (SELECT count(*) FROM mpost), (SELECT count(*) FROM mpost)), l4 AS (SELECT '2:post', '2:key_point', (SELECT count(*) FROM rows0 CROSS JOIN pk WHERE k = probe_k), (SELECT count(*) FROM rows0 r CROSS JOIN pk WHERE (r.part_post = 1000 + $bp OR r.part_post = 2000 + $bp) AND r.k = probe_k), (SELECT count(*) FROM mpost CROSS JOIN pk WHERE part = 1000 + $bp OR part = 2000 + $bp), (SELECT count(*) FROM mpost)), legs AS (SELECT * FROM l1 UNION ALL SELECT * FROM l2 UNION ALL SELECT * FROM l3 UNION ALL SELECT * FROM l4) SELECT phase, probe, CAST(direct_rows AS BIGINT) AS direct_rows, CAST(pruned_rows AS BIGINT) AS pruned_rows, CAST(direct_rows - pruned_rows AS BIGINT) AS missed, CAST(files_read AS BIGINT) AS files_read, CAST(files_total AS BIGINT) AS files_total, (SELECT CAST(n AS BIGINT) FROM sig) AS table_rows, (SELECT CAST(sv AS BIGINT) FROM sig) AS table_sum, (SELECT CAST(ck AS BIGINT) FROM sig) AS table_keychk FROM legs ORDER BY phase, probe"""
+      },
+      "A/S ext: spec-unification compaction — every month-partitioned file rewritten into the hash-bucket spec as one REPLACE commit, certified content-neutral (rows / sum / modular key checksum unchanged); the point probe collapses from 81 files to 2 while the month probe degrades from 17 to all — the layout trade priced honestly in both directions with missed = 0 soundness throughout"))
 }
