@@ -54,8 +54,11 @@ object R19Queries {
     */
   private[graft] def hitsAuthority(edgeTable: DataFrame): DataFrame = {
     val edges = edgeTable.localCheckpoint(false)
-    val edgesByP = edges.repartition(col("p")).localCheckpoint(false)
-    val edgesByC = edges.repartition(col("c")).localCheckpoint(false)
+    // the two pinned layouts share no lineage below `edges` — overlap
+    // their checkpoint materializations (graft.Par, guide §2.6)
+    val (edgesByP, edgesByC) = graft.Par.par2(
+      edges.repartition(col("p")).localCheckpoint(false),
+      edges.repartition(col("c")).localCheckpoint(false))
     // the raw aggregate is referenced TWICE inside a normalize (the
     // max and the scaling join) — checkpoint the INPUT, not the
     // output (each level has exactly one downstream consumer, so an

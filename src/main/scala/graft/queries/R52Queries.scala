@@ -210,8 +210,8 @@ object R52Queries {
               .agg(sum("f").as(s"c_$tag"))
             (fr.drop(s"sc_$tag"), gee, cm)
           }
-          val (fr, geeR, cmR) = stats(r, "r")
-          val (fs, geeS, cmS) = stats(sd, "s")
+          val ((fr, geeR, cmR), (fs, geeS, cmS)) =
+            graft.Par.par2(stats(r, "r"), stats(sd, "s"))
           val frA = fr.agg(count(lit(1)).as("ndv_r"), sum("f_r").as("n_r"))
           val fsA = fs.agg(count(lit(1)).as("ndv_s"), sum("f_s").as("n_s"))
           val truth = fr.join(fs, "k").agg(sum(expr("f_r * f_s")).as("true_rows"))
@@ -236,13 +236,18 @@ object R52Queries {
               col("z.estimator").as("estimator"), col("z.est").as("est"),
               col("z.state_units").as("state_units"), col("true_rows"))
         }
-        val p1 = leg(1L, "lineitem_orders_fk",
-          side(li, col("l_orderkey"), liH), side(or, col("o_orderkey"), orH))
-        val p2 = leg(2L, "orders_lineitem_dates",
-          side(or, expr("unix_timestamp(o_orderdate) div 86400"), orH),
-          side(li, expr("unix_timestamp(l_shipdate) div 86400"), liH))
-        val p3 = leg(3L, "orders_customer_fk",
-          side(or, col("o_custkey"), orH), side(cu, col("c_custkey"), cuH))
+        // the three pair legs share no lineage (six independent keyed
+        // passes, each localCheckpointed): construct them concurrently so
+        // the checkpoint materializations overlap instead of running
+        // back-to-back (graft.Par — guide §2.6)
+        val (p1, p2, p3) = graft.Par.par3(
+          leg(1L, "lineitem_orders_fk",
+            side(li, col("l_orderkey"), liH), side(or, col("o_orderkey"), orH)),
+          leg(2L, "orders_lineitem_dates",
+            side(or, expr("unix_timestamp(o_orderdate) div 86400"), orH),
+            side(li, expr("unix_timestamp(l_shipdate) div 86400"), liH)),
+          leg(3L, "orders_customer_fk",
+            side(or, col("o_custkey"), orH), side(cu, col("c_custkey"), cuH)))
         p1.unionByName(p2).unionByName(p3)
           .select(col("pair_id"), col("pair"), col("estimator"), col("est"),
             col("state_units"), col("true_rows"),

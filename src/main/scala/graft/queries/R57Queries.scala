@@ -387,45 +387,59 @@ object R57Queries {
               expr("CAST(CASE WHEN rows_scanned * 2 <= n * 3 THEN 1 ELSE 0 END AS BIGINT)")
                 .as("clears_gate"))
         }
-        // class A + B share q400's chosen sketch-range layout of events
-        val ev = t(s, d, "events").select(col("event_id").as("eid"),
-          expr("CAST(floor(value * 100.0 + 0.5) AS BIGINT)").as("v"))
-          .localCheckpoint(false)
-        val mx = ev.agg(min("v").as("a"), expr("max(v) - min(v) + 1").as("w"),
-          count(lit(1)).as("n")).localCheckpoint(false)
-        // q400's chosen layout through the SHARED builder (decision and
-        // applier cannot drift)
-        val asgAB = R56Queries.sketchRangeAssign(ev, mx).select("eid", "v", "p")
-          .localCheckpoint(false)
-        val zonesA = asgAB.groupBy("p").agg(count(lit(1)).as("c"),
-          min("v").as("zmin"), max("v").as("zmax")).localCheckpoint(false)
+        // the A/B (events) and C (lineitem) chains share no lineage:
+        // construct them concurrently so their checkpoint
+        // materializations overlap (graft.Par — guide §2.6); within each
+        // chain the order is unchanged
+        val ((asgAB, zonesA, zonesB), (asgC, zonesC)) = graft.Par.par2({
+          // class A + B share q400's chosen sketch-range layout of events
+          val ev = t(s, d, "events").select(col("event_id").as("eid"),
+            expr("CAST(floor(value * 100.0 + 0.5) AS BIGINT)").as("v"))
+            .localCheckpoint(false)
+          val mx = ev.agg(min("v").as("a"), expr("max(v) - min(v) + 1").as("w"),
+            count(lit(1)).as("n")).localCheckpoint(false)
+          // q400's chosen layout through the SHARED builder (decision and
+          // applier cannot drift)
+          val asgAB = R56Queries.sketchRangeAssign(ev, mx).select("eid", "v", "p")
+            .localCheckpoint(false)
+          val zonesA = asgAB.groupBy("p").agg(count(lit(1)).as("c"),
+            min("v").as("zmin"), max("v").as("zmax")).localCheckpoint(false)
+          val zonesB = asgAB.select(col("p"), col("eid").as("v"))
+            .groupBy("p").agg(count(lit(1)).as("c"),
+              min("v").as("zmin"), max("v").as("zmax")).localCheckpoint(false)
+          (asgAB, zonesA, zonesB)
+        }, {
+          val asgC = t(s, d, "lineitem").select(
+            md5Bucket(concat(lit("lf:"), col("l_orderkey").cast("string")), 32).as("p"),
+            col("l_returnflag").as("v"))
+            .localCheckpoint(false)
+          val zonesC = asgC.groupBy("p").agg(count(lit(1)).as("c"),
+            min("v").as("zmin"), max("v").as("zmax")).localCheckpoint(false)
+          (asgC, zonesC)
+        })
         val probesA = zonesA.orderBy(col("c").desc, col("p")).limit(3)
           .select(col("zmin").as("lo"), col("zmax").as("hi"))
           .withColumn("probe_id", expr("row_number() OVER (ORDER BY lo)"))
           .select(col("probe_id").cast("long").as("probe_id"), col("lo"), col("hi"))
         val asgB = asgAB.select(col("p"), col("eid").as("v"))
-        val zonesB = asgB.groupBy("p").agg(count(lit(1)).as("c"),
-          min("v").as("zmin"), max("v").as("zmax")).localCheckpoint(false)
         val probesB = zonesB.orderBy(col("c").desc, col("p")).limit(3)
           .select(col("zmin").as("lo"), col("zmin").as("hi"))
           .withColumn("probe_id", expr("row_number() OVER (ORDER BY lo)"))
           .select(col("probe_id").cast("long").as("probe_id"), col("lo"), col("hi"))
-        val asgC = t(s, d, "lineitem").select(
-          md5Bucket(concat(lit("lf:"), col("l_orderkey").cast("string")), 32).as("p"),
-          col("l_returnflag").as("v"))
-          .localCheckpoint(false)
-        val zonesC = asgC.groupBy("p").agg(count(lit(1)).as("c"),
-          min("v").as("zmin"), max("v").as("zmax")).localCheckpoint(false)
         val probesC = asgC.select("v").distinct()
           .withColumn("probe_id", expr("row_number() OVER (ORDER BY v)"))
           .select(col("probe_id").cast("long").as("probe_id"),
             col("v").as("lo"), col("v").as("hi"))
-        val legs = legsOf("A:value_range", asgAB.select("p", "v"), zonesA, probesA,
-            point = false, dedupVals = false)
-          .unionByName(legsOf("B:eid_point", asgB, zonesB, probesB,
-            point = true, dedupVals = false))
-          .unionByName(legsOf("C:flag_dict", asgC, zonesC, probesC,
+        // the three per-class leg builds each materialize a `touched`
+        // checkpoint — overlap them too
+        val legsSeq = graft.Par(
+          () => legsOf("A:value_range", asgAB.select("p", "v"), zonesA, probesA,
+            point = false, dedupVals = false),
+          () => legsOf("B:eid_point", asgB, zonesB, probesB,
+            point = true, dedupVals = false),
+          () => legsOf("C:flag_dict", asgC, zonesC, probesC,
             point = true, dedupVals = true))
+        val legs = legsSeq.reduce(_ unionByName _)
         val mn = legs.where(col("clears_gate") === 1L)
           .groupBy("cls").agg(min("state_units").as("mn_state"))
         legs.join(broadcast(mn), Seq("cls"), "left")
