@@ -102,18 +102,37 @@ object R27Queries {
           .select(lit(ch).as("chain"), col("fr"), col("to"), col("p"))
         val mAll = (m1.select(lit("base").as("chain"), col("fr"), col("to"),
           col("p")) +: Channels.map(removed)).reduce(_ unionByName _)
-        def square(m: DataFrame): DataFrame = {
-          val a = m.select(col("chain"), col("fr").as("afr"),
-            col("to").as("ato"), col("p").as("ap"))
-          val b = m.select(col("chain"), col("fr").as("bfr"),
-            col("to").as("bto"), col("p").as("bp"))
-          a.join(b, Seq("chain")).where(col("ato") === col("bfr"))
-            .groupBy(col("chain"), col("afr").as("fr"), col("bto").as("to"))
-            .agg(expr("sum(ap * bp) div 1000000").as("p"))
-        }
-        val p16 = square(square(square(square(mAll))))
-          .where(col("fr") === "START" && col("to") === "CONV")
-          .select(col("chain"), col("p").as("conv_micro"))
+        // The four squarings used to be four join+aggregate rounds over
+        // the (chain, fr)-keyed rows — ~8 sequential AQE stages whose
+        // fixed per-stage cost dwarfed the ≤245-row algebra. Pack each
+        // chain's matrix into ONE array row instead and square with
+        // higher-order functions: identical integer arithmetic
+        // (Σ aᵢₖ·bₖⱼ div 1e6 — order-independent exact BIGINT sums, the
+        // state list derived from the data exactly as the join derived
+        // it), zero shuffles and zero joins for the whole P¹⁶ chain. A
+        // (fr, to) cell the join never produced shows up here as p = 0,
+        // which contributes 0 to every downstream sum and meets the same
+        // coalesce(_, 0) read as the vanished row did. Consecutive
+        // squarings stay separate Project levels (CollapseProject leaves
+        // multiply-referenced non-cheap producers alone), so each level
+        // is evaluated once per chain row.
+        def sq(prev: String): String =
+          s"flatten(transform(sts, f -> transform(sts, t2 -> named_struct(" +
+            s"'fr', f, 'to', t2, 'p', aggregate(filter($prev, a -> a.fr = f), " +
+            s"CAST(0 AS BIGINT), (acc, a) -> acc + a.p * coalesce(" +
+            s"get(filter($prev, b -> b.fr = a.to AND b.to = t2), 0).p, " +
+            s"CAST(0 AS BIGINT))) div 1000000))))"
+        val p16 = mAll
+          .groupBy("chain").agg(collect_list(struct(col("fr"), col("to"), col("p"))).as("m"))
+          .withColumn("sts",
+            expr("array_distinct(concat(transform(m, x -> x.fr), transform(m, x -> x.to)))"))
+          .withColumn("m2", expr(sq("m")))
+          .withColumn("m4", expr(sq("m2")))
+          .withColumn("m8", expr(sq("m4")))
+          .withColumn("m16", expr(sq("m8")))
+          .select(col("chain"),
+            expr("coalesce(get(filter(m16, x -> x.fr = 'START' AND x.to = 'CONV'), 0).p, CAST(0 AS BIGINT))")
+              .as("conv_micro"))
           .localCheckpoint(false)
         // aggregate-coalesce both reads so a chain with NO surviving
         // path to CONV reports 0 instead of vanishing (the oracle's

@@ -378,25 +378,31 @@ object R56Queries {
               expr("CAST(CASE WHEN range_overlaps = 0 THEN 1 ELSE 0 END AS BIGINT)")
                 .as("disjoint"))
         }
-        val hash = summar("1:hash",
-          rows.withColumn("p",
-            md5Bucket(concat(lit("h:"), col("eid").cast("string")), 32)),
-          mx.select(lit(0L).as("state_units")))
-        val width = summar("2:equal_width",
-          rows.crossJoin(broadcast(mx))
-            .withColumn("p", expr("least(31, (v - a) * 32 div w)")),
-          mx.select(lit(2L).as("state_units")))
-        val sketch = summar("3:sketch_cum256", sketchRangeAssign(rows, mx),
-          mx.select(lit(256L).as("state_units")))
-        val fracs = (1 to 31).map(_ / 32.0)
-        val cuts = graft.ops.QuantileOps.exactElementQuantiles(
-          rows.select("v"), "v", Seq.empty, fracs)
-        val pExpr = "CAST(" + (1 to 31).map(i =>
-          s"(CASE WHEN v > cut_$i THEN 1 ELSE 0 END)").mkString(" + ") + " AS BIGINT)"
-        val exact = summar("4:exact_quantile",
-          rows.crossJoin(broadcast(cuts)).withColumn("p", expr(pExpr)),
-          mx.select(col("n").as("state_units")))
-        val perS = Seq(hash, width, sketch, exact).reduce(_ unionByName _)
+        // the four strategy legs are independent below rows/mx and each
+        // materializes a `loads` checkpoint — build them concurrently
+        // (graft.Par, guide §2.6)
+        val legsPar = graft.Par(
+          () => summar("1:hash",
+            rows.withColumn("p",
+              md5Bucket(concat(lit("h:"), col("eid").cast("string")), 32)),
+            mx.select(lit(0L).as("state_units"))),
+          () => summar("2:equal_width",
+            rows.crossJoin(broadcast(mx))
+              .withColumn("p", expr("least(31, (v - a) * 32 div w)")),
+            mx.select(lit(2L).as("state_units"))),
+          () => summar("3:sketch_cum256", sketchRangeAssign(rows, mx),
+            mx.select(lit(256L).as("state_units"))),
+          () => {
+            val fracs = (1 to 31).map(_ / 32.0)
+            val cuts = graft.ops.QuantileOps.exactElementQuantiles(
+              rows.select("v"), "v", Seq.empty, fracs)
+            val pExpr = "CAST(" + (1 to 31).map(i =>
+              s"(CASE WHEN v > cut_$i THEN 1 ELSE 0 END)").mkString(" + ") + " AS BIGINT)"
+            summar("4:exact_quantile",
+              rows.crossJoin(broadcast(cuts)).withColumn("p", expr(pExpr)),
+              mx.select(col("n").as("state_units")))
+          })
+        val perS = legsPar.reduce(_ unionByName _)
         perS.crossJoin(broadcast(perS
             .where(expr("meets_bal = 1 AND disjoint = 1"))
             .agg(min("state_units").as("mn"))))
