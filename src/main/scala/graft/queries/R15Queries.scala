@@ -58,7 +58,18 @@ object R15Queries {
     * the Σ C(deg,2) rows into the final aggregate are Adamic–Adar's
     * inherent cost.
     */
-  private[graft] def adamicAdarScores(e: DataFrame): DataFrame = {
+  private[graft] def adamicAdarScores(e0: DataFrame): DataFrame = {
+    // ONE p-partitioned layout serves every consumer: without the pin,
+    // `e` (the caller's join+distinct) was recomputed for w and for BOTH
+    // self-join sides, and each self-join side paid its own exchange.
+    // repartition(p) before the checkpoint makes the degree aggregation,
+    // the ef build and the ca/cb self-join all reuse the checkpoint's
+    // hash partitioning (p ⊆ every downstream clustering key), so the
+    // only shuffles left are this one layout pass and the final pair
+    // aggregation — the Σ C(deg,2) rows that are Adamic–Adar's inherent
+    // cost. (The caller no longer pre-distincts; the distinct rides the
+    // p-partitioned layout here for free.)
+    val e = e0.repartition(col("p")).distinct().localCheckpoint(false)
     val w = e.groupBy("p").agg(count(lit(1)).as("deg"))
       .where(col("deg").between(2, 50))
       .withColumn("w_micro", floor(lit(1e6) / log(col("deg"))).cast("long"))
@@ -185,7 +196,6 @@ object R15Queries {
           .join(t(s, d, "orders").select(col("o_orderkey"), col("o_custkey")),
             col("l_orderkey") === col("o_orderkey"))
           .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
-          .distinct()
         adamicAdarScores(e)
           .orderBy(col("aa_micro").desc, col("ca"), col("cb"))
           .limit(50)

@@ -79,24 +79,29 @@ object R65Queries {
       (s, d) => {
         import graft.plans.{MvCatalog, MvRewriteRule}
         import org.apache.spark.sql.catalyst.plans.logical.LeafNode
-        val base = liFrame(s, d).localCheckpoint(false)
-        val nbase = liFrame(s, d)
-          .withColumn("cents", when(col("cents") % 7L === 0L,
-            lit(null).cast("long")).otherwise(col("cents")))
-          .localCheckpoint(false)
+        // the two bases, and then the three registered grains, are
+        // independent checkpointed legs — overlap their materializations
+        // (graft.Par, guide §2.6)
+        val (base, nbase) = graft.Par.par2(
+          liFrame(s, d).localCheckpoint(false),
+          liFrame(s, d)
+            .withColumn("cents", when(col("cents") % 7L === 0L,
+              lit(null).cast("long")).otherwise(col("cents")))
+            .localCheckpoint(false))
         def grainOf(b: DataFrame): DataFrame =
           b.groupBy("f", "s", "y", "m")
             .agg(count(lit(1)).as("cnt"), sum("cents").as("sum_cents"))
             .localCheckpoint(false)
-        val view = grainOf(base)
         // the partial grain registers on the SAME relation — the
         // multi-view catalog serves each query from the cheapest view
         // whose predicate it subsumes
-        val pview = base.where(col("cents") > 100000L)
-          .groupBy("f", "s", "y", "m")
-          .agg(count(lit(1)).as("cnt"), sum("cents").as("sum_cents"))
-          .localCheckpoint(false)
-        val nview = grainOf(nbase)
+        val (view, pview, nview) = graft.Par.par3(
+          grainOf(base),
+          base.where(col("cents") > 100000L)
+            .groupBy("f", "s", "y", "m")
+            .agg(count(lit(1)).as("cnt"), sum("cents").as("sum_cents"))
+            .localCheckpoint(false),
+          grainOf(nbase))
         val dims = Seq("f", "s", "y", "m")
         val sums = Map("cents" -> "sum_cents")
         require(MvCatalog.register(base, view, dims, "cnt", sums),
@@ -124,33 +129,36 @@ object R65Queries {
             q.withColumn("scenario", lit(id)).withColumn("view_only", lit(vo))
               .localCheckpoint(true)
           }
-          val s1 = scen("1:grain_group",
-            base.groupBy("f")
-              .agg(count(lit(1)).as("n"), sum("cents").as("tc"),
-                avg("cents").as("av"))
-              .select(col("f").as("g"), col("n"), col("tc"),
-                round(col("av"), 6).as("avg_r")),
-            view)
-          val s2 = scen("2:empty_global",
-            base.where(col("y") === 1871L).agg(count(lit(1)).as("n"))
-              .select(lit("*").as("g"), col("n"), lit(0L).as("tc"),
-                lit(0.0).as("avg_r")),
-            view)
-          val s3 = scen("3:partial_subsume",
-            base.where(col("cents") > 100000L && col("s") === "F")
-              .groupBy("f")
-              .agg(count(lit(1)).as("n"), sum("cents").as("tc"))
-              .select(col("f").as("g"), col("n"), col("tc"),
-                lit(0.0).as("avg_r")),
-            pview)
-          val s4 = scen("4:null_avg_refusal",
-            nbase.groupBy("f")
-              .agg(count(lit(1)).as("n"), sum("cents").as("tc"),
-                avg("cents").as("av"))
-              .select(col("f").as("g"), col("n"), col("tc"),
-                round(col("av"), 6).as("avg_r")),
-            nview)
-          s1.unionByName(s2).unionByName(s3).unionByName(s4)
+          // the four scenarios each eager-checkpoint inside the injected
+          // scope and share no lineage — materialize them concurrently
+          val scens = graft.Par(
+            () => scen("1:grain_group",
+              base.groupBy("f")
+                .agg(count(lit(1)).as("n"), sum("cents").as("tc"),
+                  avg("cents").as("av"))
+                .select(col("f").as("g"), col("n"), col("tc"),
+                  round(col("av"), 6).as("avg_r")),
+              view),
+            () => scen("2:empty_global",
+              base.where(col("y") === 1871L).agg(count(lit(1)).as("n"))
+                .select(lit("*").as("g"), col("n"), lit(0L).as("tc"),
+                  lit(0.0).as("avg_r")),
+              view),
+            () => scen("3:partial_subsume",
+              base.where(col("cents") > 100000L && col("s") === "F")
+                .groupBy("f")
+                .agg(count(lit(1)).as("n"), sum("cents").as("tc"))
+                .select(col("f").as("g"), col("n"), col("tc"),
+                  lit(0.0).as("avg_r")),
+              pview),
+            () => scen("4:null_avg_refusal",
+              nbase.groupBy("f")
+                .agg(count(lit(1)).as("n"), sum("cents").as("tc"),
+                  avg("cents").as("av"))
+                .select(col("f").as("g"), col("n"), col("tc"),
+                  round(col("av"), 6).as("avg_r")),
+              nview))
+          scens.reduce(_ unionByName _)
             .select(col("scenario"), col("g"), col("n"), col("tc"),
               col("avg_r"), col("view_only"))
             .orderBy("scenario", "g")
