@@ -55,7 +55,10 @@ object R19Queries {
   private[graft] def hitsAuthority(edgeTable: DataFrame): DataFrame = {
     val edges = edgeTable.localCheckpoint(false)
     // the two pinned layouts share no lineage below `edges` — overlap
-    // their checkpoint materializations (graft.Par, guide §2.6)
+    // their checkpoint materializations (graft.Par, guide §2.6). A
+    // per-layout repartition+distinct (skipping this shared pin) was
+    // measured AND REJECTED: the doubled distinct costs what the saved
+    // shuffle buys back.
     val (edgesByP, edgesByC) = graft.Par.par2(
       edges.repartition(col("p")).localCheckpoint(false),
       edges.repartition(col("c")).localCheckpoint(false))

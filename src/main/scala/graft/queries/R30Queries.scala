@@ -21,9 +21,16 @@ object R30Queries {
     * invariant spec's convergence check.
     */
   private[graft] def peel(e: DataFrame, k: Int): DataFrame = {
+    // `e` arrives c-hash-partitioned (the checkpoint pins the layout):
+    // the degree-by-c aggregation and the c-side filter join reuse it
+    // with no exchange, only the p side shuffles, and the round's
+    // result is re-laid-out by c for the next round — ~3 exchanges per
+    // round instead of 5, with no broadcast (node lists are not
+    // broadcastable at the 100 TB design point).
     val dc = e.groupBy("c").agg(count(lit(1)).as("dc")).where(col("dc") >= k)
     val dp = e.groupBy("p").agg(count(lit(1)).as("dp")).where(col("dp") >= k)
     e.join(dc.select("c"), "c").join(dp.select("p"), "p")
+      .repartition(col("c"))
       .localCheckpoint(false)
   }
 
@@ -32,7 +39,8 @@ object R30Queries {
       .join(t(s, d, "orders").select(col("o_orderkey"), col("o_custkey")),
         col("l_orderkey") === col("o_orderkey"))
       .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
-      .distinct()
+      .repartition(col("c"))
+      .distinct() // rides the c layout: (c) clustering satisfies (c, p)
       .localCheckpoint(false)
     peel(peel(peel(e0, k), k), k)
   }

@@ -284,12 +284,25 @@ object R61Queries {
       (s, d) => {
         val keyed = keyedFrame(s, d)
         val (orig, app, rw, _, _) = states(keyed)
-        val ofl = orig.groupBy("f").agg(count(lit(1)).as("nr"),
-          sum(when(expr(victimPred), 1L).otherwise(0L)).as("nv"))
-          .localCheckpoint(false)
-        val afl = app.groupBy("f").agg(count(lit(1)).as("nr")).localCheckpoint(false)
+        // the per-file censuses of the two slices are independent —
+        // overlap their checkpoints (graft.Par, guide §2.6)
+        val (ofl, afl) = graft.Par.par2(
+          orig.groupBy("f").agg(count(lit(1)).as("nr"),
+            sum(when(expr(victimPred), 1L).otherwise(0L)).as("nv"))
+            .localCheckpoint(false),
+          app.groupBy("f").agg(count(lit(1)).as("nr")).localCheckpoint(false))
         val nullV = lit(null).cast("long")
-        val objects = ofl.where("nv = 0").select(
+        // objects (needs ofl+afl), the row-tag frame rt (needs orig+ofl+
+        // rw) and the logical signatures (need keyed only) are mutually
+        // independent checkpointed legs — build them concurrently
+        val vicCol = expr(s"CAST(CASE WHEN $victimPred THEN 1 ELSE 0 END AS BIGINT)")
+        val l1 = keyed.where(expr(s"k <= kcut AND NOT ($victimPred)"))
+        val l2 = keyed.where(expr(s"NOT ($victimPred) OR k > kcut"))
+        def lsig(df: DataFrame, hor: Long): DataFrame =
+          df.agg(count(lit(1)).as("l_rows"), sum("v").as("l_val"),
+            expr(chkExpr).as("l_chk")).withColumn("hor", lit(hor))
+        val (objects, rt, logical) = graft.Par.par3(
+          ofl.where("nv = 0").select(
             lit("1:orig_untouched").as("class"), col("f"), lit(0L).as("va"),
             nullV.as("vr"), col("nr").as("phys"), lit(0L).as("dv"))
           .unionByName(ofl.where("nv > 0").select(
@@ -305,7 +318,19 @@ object R61Queries {
             lit("5:replacement").as("class"), (col("f") + 100L).as("f"),
             lit(3L).as("va"), nullV.as("vr"),
             (col("nr") - col("nv")).as("phys"), lit(0L).as("dv")))
-          .localCheckpoint(false)
+          .localCheckpoint(false),
+          orig.join(broadcast(ofl.select(col("f"), col("nv"))), Seq("f"))
+            .select(expr("CASE WHEN nv = 0 THEN '1:orig_untouched' ELSE '2:orig_rewritten' END")
+              .as("class"), col("f").as("fo"), col("k"), col("v"), vicCol.as("vic"))
+            .unionByName(app.select(lit("4:append").as("class"), col("f").as("fo"),
+              col("k"), col("v"), vicCol.as("vic")))
+            .unionByName(orig.join(broadcast(rw), Seq("f"), "left_semi")
+              .where(expr(s"NOT ($victimPred)"))
+              .select(lit("5:replacement").as("class"), (col("f") + 100L).as("fo"),
+                col("k"), col("v"), lit(0L).as("vic")))
+            .localCheckpoint(false),
+          lsig(l1, 1L).unionByName(lsig(l2, 2L)).unionByName(lsig(l2, 3L))
+            .localCheckpoint(false))
         val hz = s.range(1, 4).select(col("id").as("hor"))
         val vs = s.range(0, 4).select(col("id").as("ver"))
         val ruleStd = "vr IS NOT NULL AND vr <= hor"
@@ -326,17 +351,6 @@ object R61Queries {
           sum(expr("dv * rule_del")).as("dv_entries_dropped"))
         // row-level re-read of the earliest surviving version from the
         // post-GC survivor manifest, under a parameterized GC rule
-        val vicCol = expr(s"CAST(CASE WHEN $victimPred THEN 1 ELSE 0 END AS BIGINT)")
-        val rt = orig.join(broadcast(ofl.select(col("f"), col("nv"))), Seq("f"))
-          .select(expr("CASE WHEN nv = 0 THEN '1:orig_untouched' ELSE '2:orig_rewritten' END")
-            .as("class"), col("f").as("fo"), col("k"), col("v"), vicCol.as("vic"))
-          .unionByName(app.select(lit("4:append").as("class"), col("f").as("fo"),
-            col("k"), col("v"), vicCol.as("vic")))
-          .unionByName(orig.join(broadcast(rw), Seq("f"), "left_semi")
-            .where(expr(s"NOT ($victimPred)"))
-            .select(lit("5:replacement").as("class"), (col("f") + 100L).as("fo"),
-              col("k"), col("v"), lit(0L).as("vic")))
-          .localCheckpoint(false)
         def readSig(rule: String): DataFrame = {
           val surv = objects.crossJoin(hz).where(expr(s"NOT ($rule)"))
             .where(expr("va <= hor AND hor < coalesce(vr, 4)"))
@@ -351,13 +365,6 @@ object R61Queries {
           kept.groupBy("hor").agg(count(lit(1)).as("r_rows"), sum("v").as("r_val"),
             expr(chkExpr).as("r_chk"))
         }
-        val l1 = keyed.where(expr(s"k <= kcut AND NOT ($victimPred)"))
-        val l2 = keyed.where(expr(s"NOT ($victimPred) OR k > kcut"))
-        def lsig(df: DataFrame, hor: Long): DataFrame =
-          df.agg(count(lit(1)).as("l_rows"), sum("v").as("l_val"),
-            expr(chkExpr).as("l_chk")).withColumn("hor", lit(hor))
-        val logical = lsig(l1, 1L).unionByName(lsig(l2, 2L)).unionByName(lsig(l2, 3L))
-          .localCheckpoint(false)
         val intact = readSig(ruleStd).join(logical, Seq("hor"))
           .select(col("hor"), expr(
             "CAST(CASE WHEN r_rows = l_rows AND r_val = l_val AND r_chk = l_chk THEN 1 ELSE 0 END AS BIGINT)")

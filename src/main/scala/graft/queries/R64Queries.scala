@@ -134,11 +134,15 @@ object R64Queries {
             expr("CAST(floor(value * 100.0 + 0.5) AS BIGINT)").as("c"))
         // one class-tagged pipeline: every aggregate below carries the
         // class key, so both duels ride the same jobs
-        val rows = dense.unionByName(sparse).localCheckpoint(false)
+        // `rows` is a map-only union (each consumer re-derives it from
+        // the parquet scan for less than its checkpoint barrier cost) and
+        // `truth` is a 2-row aggregate over the pinned cnts — neither
+        // earns a checkpoint; cnts keeps its pin (three keyed consumers)
+        val rows = dense.unionByName(sparse)
         val cnts = rows.groupBy("class", "c").agg(count(lit(1)).as("cnt"))
           .localCheckpoint(false)
         val truth = cnts.groupBy("class").agg(sum(expr("cnt * cnt")).as("truth"),
-          count(lit(1)).as("keys")).localCheckpoint(false)
+          count(lit(1)).as("keys"))
         val corr = cnts.select(col("class"),
             R39Queries.md5Bucket(concat(lit("cs:"), col("c").cast("string")), 16)
               .as("band"), expr("cnt * cnt").as("m"))
