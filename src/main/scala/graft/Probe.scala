@@ -10,7 +10,63 @@ import org.apache.spark.sql.functions._
   * driver contract; `runMain graft.Probe [sfDir]`.
   */
 object Probe {
+  /** `runMain graft.Probe confs [sfDir]` — A/B a set of runtime SQL
+    * confs over a representative query mix (2 warm runs each, second
+    * reported), same JVM so JIT state is shared.
+    */
+  private def confSweep(sfDir: String): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val queries = Seq("q398_analyze_policy", "q405_skipping_chooser",
+      "q184_robust_zscore", "q214_khop_reach", "q321_shared_runs",
+      "q361_countmin_joinsize", "q381_quantile_shootout", "q244_weighted_median",
+      "q192_brand_basket", "q251_incr_funnel", "q04_group_agg", "q20_window_rank")
+    val variants: Seq[(String, Map[String, String])] = Seq(
+      "default" -> Map(),
+      "parFirst_off" -> Map(
+        "spark.sql.adaptive.coalescePartitions.parallelismFirst" -> "false"),
+      "constraint_off" -> Map(
+        "spark.sql.constraintPropagation.enabled" -> "false"),
+      "both" -> Map(
+        "spark.sql.adaptive.coalescePartitions.parallelismFirst" -> "false",
+        "spark.sql.constraintPropagation.enabled" -> "false"))
+    // warm everything once on defaults
+    queries.foreach { q =>
+      try SparkEntry.queries(q)(spark, sfDir).count()
+      catch { case e: Throwable => println(s"PROBE warm $q FAILED ${e.getMessage}") }
+      Bench.cleanupTransients(spark)
+    }
+    for ((vn, confs) <- variants) {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      var tot = 0.0
+      for (q <- queries) {
+        var best = Double.MaxValue
+        for (_ <- 1 to 2) {
+          val t0 = System.nanoTime()
+          SparkEntry.queries(q)(spark, sfDir).count()
+          best = math.min(best, (System.nanoTime() - t0) / 1e9)
+          Bench.cleanupTransients(spark)
+        }
+        tot += best
+        println(f"PROBE conf=$vn%-15s $q%-28s $best%6.2f s")
+      }
+      println(f"PROBE conf=$vn%-15s TOTAL $tot%6.2f s")
+      confs.keys.foreach(spark.conf.unset)
+    }
+    spark.stop()
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("confs")) {
+      confSweep(if (args.length > 1) args(1) else "/root/testdata/sf0.1"); return
+    }
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()

@@ -53,7 +53,9 @@ object R19Queries {
     * final authority level a³.
     */
   private[graft] def hitsAuthority(edgeTable: DataFrame): DataFrame = {
-    val edges = edgeTable.localCheckpoint(false)
+    // eager: the two layout legs below consume `edges` concurrently — a
+    // lazy final stage would be recomputed and raced by both
+    val edges = edgeTable.localCheckpoint(true)
     // the two pinned layouts share no lineage below `edges` — overlap
     // their checkpoint materializations (graft.Par, guide §2.6). A
     // per-layout repartition+distinct (skipping this shared pin) was

@@ -63,14 +63,19 @@ object R55Queries {
         val mc = t(s, d, "orders")
           .select(month(col("o_orderdate")).cast("long").as("m"),
             col("o_custkey").as("c"))
-          .distinct().localCheckpoint(false)
+          .distinct().localCheckpoint(true) // eager: consumed by concurrent legs below
         val hv = mc.select(col("m"), col("c"),
           expr("CAST(conv(substring(md5(concat('kmv:', CAST(c AS STRING))), 1, 10), 16, 10) AS BIGINT)")
             .as("hv"))
-        val rk = hv.withColumn("r", row_number().over(
-            Window.partitionBy("m").orderBy("hv")))
-          .where(col("r") <= 32).select("m", "hv").localCheckpoint(false)
-        val nd = mc.groupBy("m").agg(count(lit(1)).as("nd")).localCheckpoint(false)
+        // rk/nd build concurrently (independent below the STORED mc) and
+        // are eager: the three pair legs consume them from parallel
+        // threads, and a lazy checkpoint's final stage would be
+        // recomputed (and raced) by each first concurrent consumer
+        val (rk, nd) = graft.Par.par2(
+          hv.withColumn("r", row_number().over(
+              Window.partitionBy("m").orderBy("hv")))
+            .where(col("r") <= 32).select("m", "hv").localCheckpoint(true),
+          mc.groupBy("m").agg(count(lit(1)).as("nd")).localCheckpoint(true))
         // a sketch is exactly 32 rows, so theta is its max — and every
         // top-32 is a TakeOrdered (orderBy + limit), never a global
         // window: the rebuild legs scan ndv-sized sets and a
@@ -120,7 +125,8 @@ object R55Queries {
               .as("qerr_rho_bp"),
             col("merge_ok"), lit(64L).as("state_units"))
         }
-        leg(1L, 1, 2).unionByName(leg(2L, 6, 7)).unionByName(leg(3L, 11, 12))
+        graft.Par(() => leg(1L, 1, 2), () => leg(2L, 6, 7), () => leg(3L, 11, 12))
+          .reduce(_ unionByName _)
           .orderBy("pair_id")
       },
       Some {

@@ -117,14 +117,14 @@ object R56Queries {
         val o = o0.crossJoin(broadcast(w0))
           .select(col("st"),
             expr("CASE WHEN st >= 3 THEN v + w0 ELSE v END").as("v"))
-          .localCheckpoint(false)
+          .localCheckpoint(true) // eager: consumed by concurrent legs below
         def mxOf(cond: String): DataFrame = o.where(cond)
           .agg(min("v").as("bmin"), expr("max(v) - min(v) + 1").as("bw"))
         // the two reused boundary frames share no lineage below `o` —
         // materialize their checkpoints concurrently (graft.Par)
         val (mx1, mx3) = graft.Par.par2(
-          mxOf("st <= 1").localCheckpoint(false),
-          mxOf("st <= 3").localCheckpoint(false))
+          mxOf("st <= 1").localCheckpoint(true),
+          mxOf("st <= 3").localCheckpoint(true))
         def histOn(j: Int, mx: DataFrame): DataFrame =
           o.where(s"st <= $j").crossJoin(broadcast(mx))
             .groupBy(expr(R50Queries.histBin16("v", "bmin", "bw")).as("b"))
@@ -176,7 +176,7 @@ object R56Queries {
           "mx4" -> mxOf("st <= 4"))
         val legW: Map[(Int, String), DataFrame] =
           legKeys.zip(graft.Par(legKeys.map { case (j, mxn) =>
-            () => legWorst(j, mxByName(mxn)).localCheckpoint(false)
+            () => legWorst(j, mxByName(mxn)).localCheckpoint(true)
           }: _*)).toMap
         def worstOf(steps: Seq[(Int, String)], name: String): DataFrame =
           steps.map(legW(_)).reduce(_ unionByName _).agg(max("qerr").as(name))
@@ -358,11 +358,13 @@ object R56Queries {
       (s, d) => {
         import R39Queries.{md5Bucket, skewSummary}
         import org.apache.spark.sql.expressions.Window
+        // eager: rows/mx are consumed by the four concurrent strategy
+        // legs below; lazy final stages would be recomputed/raced
         val rows = t(s, d, "events").select(col("event_id").as("eid"),
           expr("CAST(floor(value * 100.0 + 0.5) AS BIGINT)").as("v"))
-          .localCheckpoint(false)
+          .localCheckpoint(true)
         val mx = rows.agg(min("v").as("a"), expr("max(v) - min(v) + 1").as("w"),
-          count(lit(1)).as("n")).localCheckpoint(false)
+          count(lit(1)).as("n")).localCheckpoint(true)
         def summar(name: String, withP: DataFrame, state: DataFrame): DataFrame = {
           val loads = withP.groupBy("p").agg(count(lit(1)).as("c"),
             min("v").as("pmin"), max("v").as("pmax")).localCheckpoint(false)

@@ -65,7 +65,10 @@ object R61Queries {
       .select(col("k"), col("v"), col("h"), col("kcut"),
         expr("CASE WHEN k <= kcut THEN least(31, k * 32 div (kcut + 1)) " +
           "ELSE 32 + least(7, (k - kcut - 1) * 8 div (kcut div 4 + 1)) END").as("f"))
-      .localCheckpoint(false)
+      // eager: q423 consumes this frame from concurrent legs (ofl/afl,
+      // then the logical signatures); a lazy final stage would be
+      // recomputed and raced by each first concurrent consumer
+      .localCheckpoint(true)
   }
 
   /** The arc's fixed victim predicate (identical text in both engines):
@@ -289,8 +292,8 @@ object R61Queries {
         val (ofl, afl) = graft.Par.par2(
           orig.groupBy("f").agg(count(lit(1)).as("nr"),
             sum(when(expr(victimPred), 1L).otherwise(0L)).as("nv"))
-            .localCheckpoint(false),
-          app.groupBy("f").agg(count(lit(1)).as("nr")).localCheckpoint(false))
+            .localCheckpoint(true), // eager: consumed by the concurrent legs below
+          app.groupBy("f").agg(count(lit(1)).as("nr")).localCheckpoint(true))
         val nullV = lit(null).cast("long")
         // objects (needs ofl+afl), the row-tag frame rt (needs orig+ofl+
         // rw) and the logical signatures (need keyed only) are mutually

@@ -82,12 +82,15 @@ object R65Queries {
         // the two bases, and then the three registered grains, are
         // independent checkpointed legs — overlap their materializations
         // (graft.Par, guide §2.6)
+        // eager: both bases are consumed from concurrent threads below
+        // (the grain par3 and the scenario Par), and a lazy checkpoint's
+        // final stage would be recomputed/raced by each first consumer
         val (base, nbase) = graft.Par.par2(
-          liFrame(s, d).localCheckpoint(false),
+          liFrame(s, d).localCheckpoint(true),
           liFrame(s, d)
             .withColumn("cents", when(col("cents") % 7L === 0L,
               lit(null).cast("long")).otherwise(col("cents")))
-            .localCheckpoint(false))
+            .localCheckpoint(true))
         def grainOf(b: DataFrame): DataFrame =
           b.groupBy("f", "s", "y", "m")
             .agg(count(lit(1)).as("cnt"), sum("cents").as("sum_cents"))
