@@ -210,7 +210,11 @@ object R33Queries {
         val deltaIdx = graft.ops.AnnOps
           .assignToCells(e.where(col("vec_id") % 10 >= 8), cents0)
           .select("vec_id", "cell")
-        val incr = baseIdx.unionByName(deltaIdx).localCheckpoint(false)
+        // incr / reb / truth are three independent checkpointed legs
+        // (delta assignment, Lloyd rebuild, brute-force truth) — declared
+        // here as thunks and materialized concurrently below (graft.Par,
+        // guide §2.6)
+        def incrLeg() = baseIdx.unionByName(deltaIdx).localCheckpoint(false)
         // Rebuild = one Lloyd refresh over the grown corpus. Long-form
         // (vec_id, pos, x) arithmetic, q161's idiom: the refreshed
         // centroids are double-valued means, and the long form keeps
@@ -223,7 +227,7 @@ object R33Queries {
         val c1 = ex.join(ScaleQueries.ivfFlat(s, d).select("vec_id", "cell"), "vec_id")
           .groupBy("cell", "pos").agg(avg("x").as("cx"))
         val wA = Window.partitionBy("vec_id").orderBy(col("cos_r").desc, col("cell").asc)
-        val reb = ex.join(broadcast(c1), "pos")
+        val reb0 = ex.join(broadcast(c1), "pos")
           .groupBy("vec_id", "cell")
           .agg(sum(col("x") * col("cx")).as("dot"),
             sqrt(sum(col("x") * col("x"))).as("nv"),
@@ -231,7 +235,7 @@ object R33Queries {
           .withColumn("cos_r", round(col("dot") / (col("nv") * col("nc")), 6))
           .withColumn("rn", row_number().over(wA))
           .where(col("rn") === 1).select("vec_id", "cell")
-          .localCheckpoint(false)
+        def rebLeg() = reb0.localCheckpoint(false)
         // Recall SPOT-CHECK sample: every delta id ending in 8/9 whose
         // 50-residue is 48/49 — 4% of the corpus, a fixed slice OF the
         // delta (vec_id % 50 >= 48 ⊂ vec_id % 10 >= 8). Truth and the
@@ -240,12 +244,13 @@ object R33Queries {
         val q = e.where(col("vec_id") % 50 >= 48)
           .select(col("vec_id").as("qid"), col("embedding").as("qe"))
         val wT = Window.partitionBy("qid").orderBy(col("cos_r").desc, col("cid").asc)
-        val truth = broadcast(q).crossJoin(e)
+        val truth0 = broadcast(q).crossJoin(e)
           .where(col("vec_id") =!= col("qid"))
           .select(col("qid"), col("vec_id").as("cid"),
             round(expr("cosine_sim(qe, embedding)"), 6).as("cos_r"))
           .withColumn("rn", row_number().over(wT)).where(col("rn") <= 3)
-          .select("qid", "cid").localCheckpoint(false)
+          .select("qid", "cid")
+        val (incr, reb, truth) = graft.Par.par3(incrLeg(), rebLeg(), truth0.localCheckpoint(false))
         val nqDf = q.agg(count(lit(1)).as("n_q"))
         def hitsOf(index: DataFrame): DataFrame = {
           val qc = q.join(index.withColumnRenamed("vec_id", "qid"), "qid")
