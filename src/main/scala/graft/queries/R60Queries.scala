@@ -205,11 +205,14 @@ object R60Queries {
     QuerySpec(
       "q418_mv_subsumption_gate",
       (s, d) => {
-        val li = liFrame(s, d).localCheckpoint(false)
-        val v = li.groupBy("f", "s", "y", "m")
-          .agg(count(lit(1)).as("cnt"), sum("cents").as("sv"))
-          .localCheckpoint(false)
-        val nn = li.agg(count(lit(1)).as("n")).localCheckpoint(false)
+        // li is eager (v and nn consume it from concurrent legs); the
+        // grain build and the row census then overlap (graft.Par §2.6)
+        val li = liFrame(s, d).localCheckpoint(true)
+        val (v, nn) = graft.Par.par2(
+          li.groupBy("f", "s", "y", "m")
+            .agg(count(lit(1)).as("cnt"), sum("cents").as("sv"))
+            .localCheckpoint(false),
+          li.agg(count(lit(1)).as("n")).localCheckpoint(false))
         val vr = v.agg(count(lit(1)).as("vrows")).localCheckpoint(false)
         def certify(id: String, answerable: Long, viewLeg: DataFrame,
             baseLeg: DataFrame): DataFrame = {
