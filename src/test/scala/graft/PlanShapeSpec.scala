@@ -247,6 +247,13 @@ class PlanShapeSpec extends SparkSpecBase {
       //        row_number over the 3-row probe battery (a TakeOrdered
       //        limit(3) output)
       "q401_zonemap_pruning",
+      // q405 — the q401 probe-battery class: row_number over the 3-row
+      //        TakeOrdered probe frames (A/B) and over the ≤3-value
+      //        distinct dict domain (C), plus the q357-class 256-row
+      //        boundary cum; exposed to this audit when the mid-r13
+      //        build trimmed the single-use probes checkpoint (the
+      //        windows themselves are unchanged and bounded)
+      "q405_skipping_chooser",
       // q427 — cumulative maintenance/rebuild bills over the 4-row
       //        per-version summary (one row per snapshot forever; the
       //        corpus contributes the fused partial/rebuild aggregation

@@ -20,7 +20,9 @@ class QueriesSmokeSpec extends SparkSpecBase {
   // would silently ship value-unchecked — fail structurally, not in
   // round-review archaeology.
   test("every registered query carries oracleSql except the declared rows-only set") {
-    val declaredRowsOnly = Set("q60_ivf_ann")
+    // empty since r13: q60 now routes IVF search through the
+    // Lloyd-trained quantizer and is DuckDB-oracled like everything else
+    val declaredRowsOnly = Set.empty[String]
     val unoracled = graft.queries.AllQueries.specs
       .filter(_.oracle.isEmpty).map(_.name).toSet
     assert(unoracled == declaredRowsOnly,
