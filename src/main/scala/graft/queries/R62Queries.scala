@@ -226,33 +226,41 @@ object R62Queries {
         val vp = R61Queries.victimPred
         val bandOf = "least(15, v * 16 div (vmx + 1))"
         val mxv = keyed.agg(max("v").as("vmx")).localCheckpoint(false)
+        // eager: the signed-partials pass and the rebuild grader below
+        // consume `banded` from concurrent threads
         val banded = keyed.crossJoin(broadcast(mxv))
           .select(col("k"), col("v"), col("h"), col("f"), col("kcut"),
-            expr(bandOf).as("b")).localCheckpoint(false)
+            expr(bandOf).as("b")).localCheckpoint(true)
         // ONE pass for all signed CDC partials: each row contributes to
         // its load/append delta (+1,+v) and, if a victim, to the delete
         // delta (-1,-v); v3's REPLACE delta is empty by construction
         val cIns = struct(lit(0L).as("dver"), lit(1L).as("sc"), col("v").as("sv"))
         val cDel = struct(lit(1L).as("dver"), lit(-1L).as("sc"), (-col("v")).as("sv"))
         val cApp = struct(lit(2L).as("dver"), lit(1L).as("sc"), col("v").as("sv"))
-        val dd = banded.select(col("b"), explode(
-            when(expr(s"k <= kcut AND ($vp)"), array(cIns, cDel))
-              .when(expr("k <= kcut"), array(cIns)).otherwise(array(cApp))).as("z"))
-          .select(col("b"), col("z.dver").as("dver"), col("z.sc").as("sc"),
-            col("z.sv").as("sv"))
-          .groupBy("dver", "b").agg(sum("sc").as("dc"), sum("sv").as("dvv"))
-          .localCheckpoint(false) // <= 48 rows
-        val vers = s.range(4).select(col("id").as("ver")).localCheckpoint(false)
+        // one slice, not the 32-slice default (a 4-row frame never needs
+        // 32 tasks); eager because both passes below consume it
+        val vers = s.range(0, 4, 1, 1).select(col("id").as("ver")).localCheckpoint(true)
+        // the signed-partials pass (dd) and the rebuild grader (rc) are
+        // independent passes over the stored banded frame — overlap
+        // their checkpoints (graft.Par, guide §2.6); both eager (dd
+        // feeds the states fold's construction, rc the final action)
+        val (dd, rc) = graft.Par.par2(
+          banded.select(col("b"), explode(
+              when(expr(s"k <= kcut AND ($vp)"), array(cIns, cDel))
+                .when(expr("k <= kcut"), array(cIns)).otherwise(array(cApp))).as("z"))
+            .select(col("b"), col("z.dver").as("dver"), col("z.sc").as("sc"),
+              col("z.sv").as("sv"))
+            .groupBy("dver", "b").agg(sum("sc").as("dc"), sum("sv").as("dvv"))
+            .localCheckpoint(true), // <= 48 rows
+          banded.crossJoin(broadcast(vers)).where(expr(
+              s"(ver = 0 AND k <= kcut) OR (ver = 1 AND k <= kcut AND NOT ($vp)) " +
+                s"OR (ver >= 2 AND (NOT ($vp) OR k > kcut))"))
+            .groupBy("ver", "b").agg(count(lit(1)).as("cnt"), sum("v").as("sv"))
+            .localCheckpoint(true))
         // every version's maintained state from ONE cumulative fold
         val states = dd.join(broadcast(vers), expr("dver <= ver"))
           .groupBy("ver", "b").agg(sum("dc").as("cnt"), sum("dvv").as("sv"))
           .where(col("cnt") > 0L).localCheckpoint(false)
-        // every version's rebuild grader from ONE corpus pass (x4 rows)
-        val rc = banded.crossJoin(broadcast(vers)).where(expr(
-            s"(ver = 0 AND k <= kcut) OR (ver = 1 AND k <= kcut AND NOT ($vp)) " +
-              s"OR (ver >= 2 AND (NOT ($vp) OR k > kcut))"))
-          .groupBy("ver", "b").agg(count(lit(1)).as("cnt"), sum("v").as("sv"))
-          .localCheckpoint(false)
         val eq = states.select(col("ver"), col("b"), col("cnt").as("a1"), col("sv").as("a2"))
           .join(rc.select(col("ver"), col("b"), col("cnt").as("b1"), col("sv").as("b2")),
             Seq("ver", "b"), "full_outer")

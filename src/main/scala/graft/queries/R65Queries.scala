@@ -107,12 +107,19 @@ object R65Queries {
           grainOf(nbase))
         val dims = Seq("f", "s", "y", "m")
         val sums = Map("cents" -> "sum_cents")
-        require(MvCatalog.register(base, view, dims, "cnt", sums),
-          "full-grain registration failed")
-        require(MvCatalog.register(base, pview, dims, "cnt", sums,
-          Seq(col("cents") > 100000L)), "partial-grain registration failed")
-        require(MvCatalog.register(nbase, nview, dims, "cnt", sums),
-          "null-measure registration failed")
+        // each registration pays its own validation pass (grain rebuild +
+        // row counts + full-outer compare + null census — ~5 blocking
+        // actions); the catalog is a concurrent map whose lookup sorts
+        // by measured cost, so registration order is immaterial and the
+        // three validations can overlap (graft.Par, guide §2.6)
+        val regs = graft.Par(
+          () => MvCatalog.register(base, view, dims, "cnt", sums),
+          () => MvCatalog.register(base, pview, dims, "cnt", sums,
+            Seq(col("cents") > 100000L)),
+          () => MvCatalog.register(nbase, nview, dims, "cnt", sums))
+        require(regs(0), "full-grain registration failed")
+        require(regs(1), "partial-grain registration failed")
+        require(regs(2), "null-measure registration failed")
         val hadRule = s.experimental.extraOptimizations.contains(MvRewriteRule)
         if (!hadRule) s.experimental.extraOptimizations =
           s.experimental.extraOptimizations :+ MvRewriteRule
