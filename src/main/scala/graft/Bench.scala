@@ -92,9 +92,22 @@ object Bench {
       val capture = new AbstractAppender(
         "graftWarnings", null, null, true, Property.EMPTY_ARRAY) {
         override def append(ev: LogEvent): Unit =
-          if (ev.getLevel.isMoreSpecificThan(Level.ERROR))
-            warn(ev.getLoggerName.split('.').last,
-              ev.getMessage.getFormattedMessage)
+          if (ev.getLevel.isMoreSpecificThan(Level.ERROR)) {
+            val msg = ev.getMessage.getFormattedMessage
+            // VERDICT r13 #5: "Failed to update accumulator … (Unknown
+            // class)" is the known-benign DAGScheduler race — a late
+            // straggler/zombie task result arriving after its query's
+            // per-query cleanup (cleanupTransients + ContextCleaner GC)
+            // already unregistered the accumulator. It carries no signal
+            // (the per-query -1 value and [bench] stderr line surface
+            // real failures) and was consuming the 3-slot warnings
+            // budget in the driver artifact, so this one class is
+            // filtered from the capture buffer; everything else at
+            // ERROR still lands in "warnings".
+            if (!(msg.contains("Failed to update accumulator") &&
+                  msg.contains("(Unknown class)")))
+              warn(ev.getLoggerName.split('.').last, msg)
+          }
       }
       capture.start()
       root.getAppenders.keySet().toArray.foreach(k =>

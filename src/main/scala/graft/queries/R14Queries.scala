@@ -71,18 +71,31 @@ object R14Queries {
     val s1 = delta
 
     // stage 2: the q124 Gopher gates, computed inline on the delta
-    // (the base termFreq memo covers base ids only)
+    // (the base termFreq memo covers base ids only). The repetition
+    // gate's max term frequency is read off the SORTED token array as
+    // the longest equal-run (one per-row higher-order fold) instead of
+    // the old explode → groupBy(doc,term) → groupBy(doc) → join chain —
+    // same rational max(tf)/n_tok, two shuffles and a join fewer
+    // (guide §2.4; the q302 pack-into-arrays idiom). A delta doc always
+    // has ≥1 token (split("") = [""]), so the join-vs-projection
+    // row sets agree.
     val toks = graft.ops.TextOps.tokens(col("text"))
-    val stats = s1.select(col("doc_id"), col("text"),
-      size(toks).cast("long").as("n_tok"),
-      (length(regexp_replace(col("text"), " ", "")).cast("long") * 1.0 /
-        size(toks).cast("long")).as("mwl"),
-      graft.ops.TextOps.markerHits(toks, Seq("the", "a", "and", "of", "to"))
-        .as("n_stop"))
-    val rep = s1.select(col("doc_id"), explode(toks).as("term"))
-      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-      .groupBy("doc_id").agg((max("tf") * 1.0 / sum("tf")).as("rep"))
-    val s2 = stats.join(rep, "doc_id")
+    val maxTf = expr(
+      """aggregate(array_sort(split(lower(text), ' ')),
+        named_struct('prev', CAST(NULL AS STRING), 'run', 0L, 'best', 0L),
+        (acc, x) -> named_struct(
+          'prev', x,
+          'run', CASE WHEN x <=> acc.prev THEN acc.run + 1L ELSE 1L END,
+          'best', greatest(acc.best,
+            CASE WHEN x <=> acc.prev THEN acc.run + 1L ELSE 1L END)),
+        acc -> acc.best)""")
+    val s2 = s1.select(col("doc_id"), col("text"),
+        size(toks).cast("long").as("n_tok"),
+        (length(regexp_replace(col("text"), " ", "")).cast("long") * 1.0 /
+          size(toks).cast("long")).as("mwl"),
+        graft.ops.TextOps.markerHits(toks, Seq("the", "a", "and", "of", "to"))
+          .as("n_stop"),
+        (maxTf * 1.0 / size(toks).cast("long")).as("rep"))
       .where(col("n_tok") >= 30 && col("mwl") >= 4.0 && col("mwl") <= 5.0 &&
         col("n_stop") >= 1 && col("rep") <= 0.12)
       .select("doc_id", "text")

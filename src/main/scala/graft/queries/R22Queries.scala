@@ -123,9 +123,18 @@ object R22Queries {
           .select((-col("doc_id") - 1000000L).as("doc_id"),
             expr("concat_ws(' ', slice(split(lower(text), ' '), 1, greatest(5, size(split(lower(text), ' ')) div 2)))")
               .as("text"))
+        // Binary shingle keys + one lineage cut (the q321 convention,
+        // guide §2.3): the df/candidate/intersection chain below needs
+        // only shingle EQUALITY, so the union table is rekeyed once to
+        // 16-byte md5 digests (collision-free at any corpus size — every
+        // count unchanged) and checkpointed so its six consumers (df
+        // pass, both self-join sides, sizes, both intersection sides)
+        // stop re-deriving the excerpt shingling per consumer.
         val ds = ScaleQueries.shingleRows(s, d).select("doc_id", "s")
           .unionByName(graft.ops.DedupOps.shingleRows(excerpts, "text", 5)
             .select("doc_id", "s"))
+          .select(col("doc_id"), unhex(md5(col("s"))).as("s"))
+          .localCheckpoint(false)
         val cand = rareShingleCandidates(ds)
         val sizes = ds.groupBy("doc_id").agg(count(lit(1)).as("n"))
         val inter = cand

@@ -320,26 +320,42 @@ object R33Queries {
         // once-per-corpus index every dedup query shares); positional
         // work is deferred until the candidate set bounds it.
         val posLegs = posShingles(legs).localCheckpoint(false)
+        // Binary shingle keys (VERDICT r13 #1; guide §2.3 shuffle keys,
+        // not payloads): everything below needs only EQUALITY of the
+        // ~40-byte shingle strings, so ONE md5 pass rekeys the union
+        // table to 16-byte binary digests and the df aggregation, the
+        // candidate self-join and the intersection join all shuffle
+        // those instead. md5 is 128 bits — no collisions in practice at
+        // any corpus size (P ≈ 1.5e-15 even at 10^12 distinct shingles),
+        // so every count is unchanged; the rekeyed table is checkpointed
+        // so its six consumers pay the hash pass once.
         val sh = ScaleQueries.shingleRows(s, d).select("doc_id", "s")
           .unionByName(posLegs.select("doc_id", "s").distinct())
-        val dfq = sh.groupBy("s").agg(count(lit(1)).as("dfreq"))
-        val rare = dfq.where(col("dfreq").between(2, 4)).select("s")
-        val shr = sh.join(rare, "s")
-        val cand = shr.select(col("doc_id").as("a"), col("s"))
-          .join(shr.select(col("doc_id").as("b"), col("s")), "s")
+          .select(col("doc_id"), unhex(md5(col("s"))).as("h"))
+          .localCheckpoint(false)
+        val dfq = sh.groupBy("h").agg(count(lit(1)).as("dfreq"))
+        val rare = dfq.where(col("dfreq").between(2, 4)).select("h")
+        val shr = sh.join(rare, "h")
+        val cand = shr.select(col("doc_id").as("a"), col("h"))
+          .join(shr.select(col("doc_id").as("b"), col("h")), "h")
           .where(col("a") < col("b") && col("a") < 0 && col("b") >= 0)
           .select("a", "b").distinct()
           .localCheckpoint(false)
         // Positions for the BASE side only where a candidate pair needs
         // them — the positional explode is bounded by the candidate
-        // partner set, never the corpus.
+        // partner set, never the corpus. The run core joins positions on
+        // shingle equality only, so both sides ride the same 16-byte
+        // digest in place of the string.
         val posBase = posShingles(toks.join(
           cand.select(col("b").as("doc_id")).distinct(), "doc_id"))
-        val rs = graft.ops.DedupOps.maxSharedRuns(cand, posLegs, posBase)
+        val hKeyed = (p: DataFrame) =>
+          p.select(col("doc_id"), col("pos"), unhex(md5(col("s"))).as("s"))
+        val rs = graft.ops.DedupOps.maxSharedRuns(
+          cand, hKeyed(posLegs), hKeyed(posBase))
         val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
         val ix = cand
-          .join(sh.select(col("doc_id").as("a"), col("s")), Seq("a"))
-          .join(sh.select(col("doc_id").as("b"), col("s")), Seq("b", "s"))
+          .join(sh.select(col("doc_id").as("a"), col("h")), Seq("a"))
+          .join(sh.select(col("doc_id").as("b"), col("h")), Seq("b", "h"))
           .groupBy("a", "b").agg(count(lit(1)).as("ix"))
         cand.join(ix, Seq("a", "b")).join(rs, Seq("a", "b"))
           .join(sizes.select(col("doc_id").as("a"), col("n").as("na")), Seq("a"))
@@ -437,9 +453,15 @@ object R33Queries {
         val cand = ScaleQueries.unionCand(s, d)
         val docs = cand.select(col("a").as("doc_id"))
           .unionByName(cand.select(col("b").as("doc_id"))).distinct()
+        // the run core joins positions on shingle EQUALITY only, so the
+        // checkpointed frame carries the 16-byte md5 digest instead of
+        // the ~40-byte string (guide §2.3 shuffle keys, not payloads;
+        // collision-free at any corpus size) — smaller pin, narrower
+        // position-join shuffles, identical run counts
         val pos = posShingles(
           t(s, d, "documents").join(docs, "doc_id")
             .select(col("doc_id"), split(lower(col("text")), " ").as("tk")))
+          .select(col("doc_id"), col("pos"), unhex(md5(col("s"))).as("s"))
           .localCheckpoint(false)
         val rs = graft.ops.DedupOps.maxSharedRuns(cand, pos, pos)
         cand.join(rs, Seq("a", "b"))

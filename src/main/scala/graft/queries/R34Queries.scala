@@ -104,7 +104,7 @@ object R34Queries {
               "WHEN dth >= 5000 THEN 5000 ELSE -1 END").cast("long").as("bkt"),
             col("ntok"))
           .groupBy("bkt").agg(count(lit(1)).as("nd"), sum("ntok").as("tok"))
-        val grid = s.range(1).select(explode(array(
+        val grid = s.range(0, 1, 1, 1).select(explode(array(
           Seq(5000L, 6000L, 7000L, 8000L, 8500L, 9000L, 9500L, 9900L, 10000L)
             .map(lit): _*)).as("t_bp"))
         val joined = grid.join(bucketed, col("t_bp") === col("bkt"), "full_outer")

@@ -177,7 +177,7 @@ object R35Queries {
           .where(col("cid") =!= col("qid"))
           .select(col("qid"), col("cid"), col("crn"),
             round(expr("cosine_sim(qe, cemb)"), 6).as("cos_r"))
-        val grid = s.range(1).select(explode(array(
+        val grid = s.range(0, 1, 1, 1).select(explode(array(
           Seq(1L, 2L, 4L, 8L).map(lit): _*)).as("np"))
         val w = Window.partitionBy("np", "qid").orderBy(col("cos_r").desc, col("cid").asc)
         val legs = broadcast(grid).join(cand, col("crn") <= col("np"))
@@ -222,9 +222,13 @@ object R35Queries {
         val cand = ScaleQueries.unionCand(s, d)
         val docs = cand.select(col("a").as("doc_id"))
           .unionByName(cand.select(col("b").as("doc_id"))).distinct()
+        // 16-byte md5 digests in place of shingle strings for the run
+        // core's position joins (guide §2.3; the q321/q323 convention —
+        // equality-only use, collision-free, identical counts)
         val pos = R33Queries.posShingles(
           t(s, d, "documents").join(docs, "doc_id")
             .select(col("doc_id"), split(lower(col("text")), " ").as("tk")))
+          .select(col("doc_id"), col("pos"), unhex(md5(col("s"))).as("s"))
           .localCheckpoint(false)
         val rs = graft.ops.DedupOps.maxSharedRuns(cand, pos, pos)
         val src = t(s, d, "documents").select(col("doc_id"), col("source"))

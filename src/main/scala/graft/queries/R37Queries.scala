@@ -225,7 +225,7 @@ object R37Queries {
           .withColumn("r", row_number()
             .over(Window.orderBy(col("gc").desc, col("w").asc)).cast("long"))
         val totals = wl.groupBy("lang").agg(sum("c").as("total_tokens"))
-        val grid = s.range(1).select(explode(array(
+        val grid = s.range(0, 1, 1, 1).select(explode(array(
           Seq(4L, 8L, 16L, 31L).map(lit): _*)).as("k"))
         wl.join(broadcast(vocab.select("w", "r")), "w")
           .join(broadcast(grid), col("r") <= col("k"))

@@ -121,30 +121,42 @@ object R43Queries {
         val part = t(s, d, "part")
         val samp = part.where(
           expr("(p_partkey % 2147483648) * 2654435761 % 4294967296 < 1073741824"))
-        // one aggregate per (phase, determinant) computing every
-        // dependent's distinct-count at once (12 jobs, not 60): all five
-        // checks of a determinant share its groupBy shuffle
-        val legs = cols.map { a =>
-          val deps = cols.filterNot(_ == a)
-          val sNds = deps.map(b => countDistinct(col(b)).as(s"nd_$b"))
-          val sRow = samp.groupBy(col(a)).agg(sNds.head, sNds.tail: _*)
-            .agg(deps.map(b => max(s"nd_$b").as(s"smax_$b")).head,
-              deps.map(b => max(s"nd_$b").as(s"smax_$b")).tail: _*)
-          val eNds = deps.map(b => countDistinct(col(b)).as(s"nd_$b"))
-          val eOuts = deps.flatMap(b => Seq(
-            max(s"nd_$b").as(s"emax_$b"),
-            sum(when(col(s"nd_$b") > 1, 1L).otherwise(0L)).as(s"eviol_$b")))
-          val eRow = part.groupBy(col(a)).agg(eNds.head, eNds.tail: _*)
-            .agg(eOuts.head, eOuts.tail: _*)
-          sRow.crossJoin(broadcast(eRow))
-            .select(explode(array(deps.map(b =>
-              struct(lit(a).as("det"), lit(b).as("dep"),
-                col(s"smax_$b").as("sample_max_dep"),
-                col(s"eviol_$b").as("exact_n_viol_det"),
-                col(s"emax_$b").as("exact_max_dep"))): _*)).as("z"))
-            .select("z.*")
+        // one aggregate per PHASE, not per (phase, determinant): each row
+        // is exploded once per determinant with the determinant's value
+        // as a string group key (cast is injective per column type —
+        // long/int/double toString, identity on strings — so the groups
+        // are exactly the per-column groups), and every dependent's
+        // distinct-count is computed in the same aggregate. 12 corpus
+        // aggregates (~24 exchanges) become 2 (guide §2.4); the det==dep
+        // diagonal is computed idly (nd ≡ 1) and dropped at the explode.
+        val detExpl = (df: DataFrame) => df
+          .select(explode(array(cols.map(c =>
+            struct(lit(c).as("det"), col(c).cast("string").as("dv"))): _*)).as("z")
+            +: cols.map(col): _*)
+          .select(col("z.det").as("det") +: col("z.dv").as("dv") +: cols.map(col): _*)
+        def phase(df: DataFrame, pfx: String, withViol: Boolean): DataFrame = {
+          val nds = cols.map(b => countDistinct(col(b)).as(s"nd_$b"))
+          val outs = cols.flatMap(b =>
+            max(s"nd_$b").as(s"${pfx}max_$b") +:
+              (if (withViol)
+                Seq(sum(when(col(s"nd_$b") > 1, 1L).otherwise(0L)).as(s"eviol_$b"))
+              else Nil))
+          detExpl(df).groupBy("det", "dv").agg(nds.head, nds.tail: _*)
+            .groupBy("det").agg(outs.head, outs.tail: _*)
         }
-        legs.reduce(_ unionByName _)
+        val legs = phase(samp, "s", withViol = false)
+          .join(phase(part, "e", withViol = true), "det")
+          .select(col("det"), explode(array(cols.map(b =>
+            struct(lit(b).as("dep"),
+              col(s"smax_$b").as("sample_max_dep"),
+              col(s"eviol_$b").as("exact_n_viol_det"),
+              col(s"emax_$b").as("exact_max_dep"))): _*)).as("z"))
+          .where(col("z.dep") =!= col("det"))
+          .select(col("det"), col("z.dep").as("dep"),
+            col("z.sample_max_dep").as("sample_max_dep"),
+            col("z.exact_n_viol_det").as("exact_n_viol_det"),
+            col("z.exact_max_dep").as("exact_max_dep"))
+        legs
           .select(col("det"), col("dep"), col("sample_max_dep"),
             when(col("sample_max_dep") > 1L, 1L).otherwise(0L).as("pruned_by_sample"),
             col("exact_max_dep"), col("exact_n_viol_det"),
@@ -208,7 +220,7 @@ object R43Queries {
         val cum = merged.withColumn("cum",
           sum("mc").over(Window.orderBy("bin")
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-        val grid = s.range(1).select(
+        val grid = s.range(0, 1, 1, 1).select(
           explode(array(lit(5000L), lit(9500L), lit(9900L))).as("f_bp"))
         val qb = grid.crossJoin(broadcast(mx.select("n")))
           .join(broadcast(cum), expr("cum >= CAST(ceil(n * (f_bp / 10000.0)) AS BIGINT)"))
@@ -382,7 +394,7 @@ object R43Queries {
           .agg(sum(when(col("jbp") >= 7000L, 1L).otherwise(0L)).as("n_hi"),
             sum(when(col("jbp") >= 7000L, col("cap")).otherwise(0L)).as("exp_hi_sum"),
             sum(when(col("jbp") < 7000L, col("cap")).otherwise(0L)).as("exp_junk_sum_micro"))
-        val p07 = s.range(1).select(explode(array(brGrid.map { case (bb, rr) =>
+        val p07 = s.range(0, 1, 1, 1).select(explode(array(brGrid.map { case (bb, rr) =>
             struct(lit(bb.toLong).as("b"), lit(rr.toLong).as("r"),
               lit(captureMicro(7000L, bb, rr)).as("p07_micro"))
           }: _*)).as("z"))

@@ -109,23 +109,28 @@ object R44Queries {
       (s, d) => {
         val widths = Seq(1024L, 8192L, 65536L, 524288L)
         val keys = t(s, d, "lineitem").select(col("l_partkey").as("k"))
-        val exact = keys.groupBy("k").agg(count(lit(1)).as("f"))
+        // ONE per-key pass feeds BOTH the exact grader and the sketch
+        // (guide §2.3 aggregate-before-you-shuffle, the q404 per-key
+        // convention): the cm cell hashes depend only on k, so they are
+        // evaluated over the |distinct k| per-key table instead of every
+        // fact row (~30x fewer md5+conv evaluations at sf0.1), and the
+        // cell counts fold back with the per-key frequencies
+        // (c_cell = Σ_{k→cell} f_k — identical counts by additivity).
+        val perKey = keys.groupBy("k").agg(count(lit(1)).as("f"))
+          .localCheckpoint(false)
+        val exact = perKey
           .agg(sum(expr("f * f")).as("exact_f2"), sum("f").as("n_rows"))
         // ONE hash pass at the finest width; coarser sketches fold from
         // it exactly because every narrower w divides 524288, so
-        // h mod w == (h mod 524288) mod w — the fact table is hashed
+        // h mod w == (h mod 524288) mod w — the per-key table is hashed
         // once and each extra width costs only a ≤(3 x ndv)-row
-        // re-aggregation. Committed bench: 3.22 s warm at sf0.1
-        // (BENCH_FULL_r10) — the fusion removed the 4-scan shape
-        // (verified in the pinned PLANS signature); the residual cost
-        // is the exact-F2 grader's 1.8M md5+conv evaluations, which
-        // the certification deliberately keeps
-        val fine = keys.select(explode(array((1 to 3).map(i =>
+        // re-aggregation.
+        val fine = perKey.select(col("f"), explode(array((1 to 3).map(i =>
             struct(lit(i.toLong).as("hr"),
               pmod(conv(substring(md5(concat(lit(s"cm$i:"), col("k").cast("string"))), 1, 10), 16, 10)
                 .cast("long"), lit(524288L)).as("cell"))): _*)).as("z"))
-          .select(col("z.hr").as("hr"), col("z.cell").as("cell"))
-          .groupBy("hr", "cell").agg(count(lit(1)).as("c"))
+          .select(col("z.hr").as("hr"), col("z.cell").as("cell"), col("f"))
+          .groupBy("hr", "cell").agg(sum("f").as("c"))
           .localCheckpoint(false)
         val legs = widths.map { w =>
           fine.groupBy(col("hr"), pmod(col("cell"), lit(w)).as("cw"))
@@ -193,14 +198,23 @@ object R44Queries {
             struct(lit(9500L).as("f_bp"), col("cut_2").cast("long").as("exact_v")),
             struct(lit(9900L).as("f_bp"), col("cut_3").cast("long").as("exact_v")))).as("z"))
           .select(col("z.f_bp").as("f_bp"), col("z.exact_v").as("exact_v"))
-        val grid = s.range(1).select(
+        // 1-slice range (not spark.range(1)'s 32 slices): the grid is 3
+        // rows, and each of the four legs cross-joins it — the default
+        // slicing paid 4 extra 32-task stages of pure fixed cost
+        val grid = s.range(0, 1, 1, 1).select(
           explode(array(lit(5000L), lit(9500L), lit(9900L))).as("f_bp"))
         // ONE bin pass at the finest grain; coarser sketches fold from it
         // exactly because the grains nest: floor(x*B/w) = floor(x*1024/w)
         // div (1024/B) (nested-floor identity) and the least() clamps
         // compose (1023 div 64 = 15) — so the fact table is binned once
         // and each extra grain costs a ≤1024-row re-aggregation (was: 4
-        // full scans, measured 2.6 s -> ~1.3 s)
+        // full scans, measured 2.6 s -> ~1.3 s).
+        // NOTE (r14, measured and REJECTED): folding mx/ex/m1024 from a
+        // shared per-value (v, c) checkpoint regressed QTime 2.8 → 3.7 s
+        // — ndv(v) ≈ 583k of 600k rows, so the per-value pass saves
+        // almost nothing while its checkpoint + the eager mx/exr pins
+        // serialize work the single final action previously overlapped
+        // (ReuseExchange already dedups the repeated broadcast subtrees).
         val m1024 = vm.crossJoin(broadcast(mx))
           .select(expr("least(1023, (v - vmin) * 1024 div w)").as("bin"))
           .groupBy("bin").agg(count(lit(1)).as("mc"))

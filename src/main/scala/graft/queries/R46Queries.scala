@@ -208,7 +208,7 @@ object R46Queries {
               "WHEN delay_s > 300 THEN 300 WHEN delay_s > 60 THEN 60 ELSE 0 END")
             .cast("long").as("b"))
           .groupBy("b").agg(count(lit(1)).as("nb"))
-        val grid = s.range(1).select(explode(array(
+        val grid = s.range(0, 1, 1, 1).select(explode(array(
           Seq(60L, 300L, 900L, 3600L, 21600L, 86400L).map(lit): _*)).as("w_s"))
         // full-outer so the b=0 (never-dropped) bucket still feeds the
         // whole-frame total; all windows run over this ≤7-row table

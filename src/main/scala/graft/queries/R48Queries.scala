@@ -137,7 +137,7 @@ object R48Queries {
           .groupBy("b").agg(
             sum(col("is_junk")).as("jn"),
             sum(lit(1L) - col("is_junk")).as("cn"))
-        val grid = s.range(1).select(explode(array(
+        val grid = s.range(0, 1, 1, 1).select(explode(array(
           Seq(100L, 300L, 500L, 700L, 1000L, 1500L, 2000L, 4000L).map(lit): _*)).as("t_bp"))
         val joined = grid.join(bucketed, col("t_bp") === col("b"), "full_outer")
           .select(col("t_bp"), coalesce(col("t_bp"), col("b")).as("k"),

@@ -248,7 +248,7 @@ object R49Queries {
             .select(lit((i + 1).toLong).as("req"), lit(cut).as("hash_cut"),
               col("victim_rows"), col("files_touched"), col("rewrite_rows"))
         }.reduce(_ unionByName _)
-        val reads = s.range(1).select(explode(array(
+        val reads = s.range(0, 1, 1, 1).select(explode(array(
           Seq(0L, 1L, 10L, 100L).map(lit): _*)).as("reads"))
         sized.crossJoin(broadcast(reads))
           .select(col("req"), col("hash_cut"), col("reads"),

@@ -74,7 +74,7 @@ object R51Queries {
           .agg(count(lit(1)).as("c"))
           .withColumn("cum", sum("c").over(Window.orderBy("bin")
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-        val grid = s.range(1).select(
+        val grid = s.range(0, 1, 1, 1).select(
           explode(array(lit(5000L), lit(9500L), lit(9900L))).as("f_bp"))
         val skEst = grid.crossJoin(broadcast(mx))
           .join(broadcast(cum), expr("cum >= CAST(ceil(n * (f_bp / 10000.0)) AS BIGINT)"))

@@ -118,7 +118,7 @@ object R52Queries {
               "WHEN lag_s > 1800 THEN 1800 WHEN lag_s > 300 THEN 300 ELSE 0 END")
             .cast("long").as("b"))
           .groupBy("b").agg(count(lit(1)).as("nb"))
-        val grid = s.range(1).select(explode(array(
+        val grid = s.range(0, 1, 1, 1).select(explode(array(
           Seq(300L, 1800L, 3600L, 21600L, 86400L, 259200L).map(lit): _*)).as("r_s"))
         val joined = grid.join(bucketed, col("r_s") === col("b"), "full_outer")
           .select(col("r_s"), coalesce(col("r_s"), col("b")).as("k"),

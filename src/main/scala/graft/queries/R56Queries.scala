@@ -273,12 +273,22 @@ object R56Queries {
       "q399_adaptive_salt",
       (s, d) => {
         import R39Queries.{md5Bucket, skewSummary}
-        val keyed = R54Queries.hhKeyed(t(s, d, "events"))
+        // ONE corpus pass (guide §2.3 aggregate-before-you-shuffle):
+        // every strategy leg's 32-way bucket hash depends only on
+        // (k, rh % 64) — k has ≤71 distinct values by hhKeyed's
+        // construction and every rung of the salt ladder divides 64
+        // (powers of two ≤ 64), so pmod(rh, sa) = pmod(rh % 64, sa) and
+        // rh itself never needs to leave this grid. Aggregating once to
+        // the ≤71·64-row (k, r64, c) table replaces six corpus-scale
+        // md5Bucket passes with six tiny folds; every leg's per-bucket
+        // load is identical by Σ-additivity of the counts.
+        val c64 = R54Queries.hhKeyed(t(s, d, "events"))
           .select(col("k"),
-            expr("CAST(conv(substring(md5(concat('sl:', CAST(eid AS STRING))), 1, 10), 16, 10) AS BIGINT)")
-              .as("rh"))
+            expr("CAST(conv(substring(md5(concat('sl:', CAST(eid AS STRING))), 1, 10), 16, 10) AS BIGINT) % 64")
+              .as("r64"))
+          .groupBy("k", "r64").agg(count(lit(1)).as("c"))
           .localCheckpoint(false)
-        val kc = keyed.groupBy("k").agg(count(lit(1)).as("f")).localCheckpoint(false)
+        val kc = c64.groupBy("k").agg(sum("c").as("f")).localCheckpoint(false)
         val nk = kc.agg(count(lit(1)).as("n_keys"), sum("f").as("n"))
         def saltOf(target: Int): DataFrame = adaptiveSaltTable(kc, nk, target)
         def summar(loads: DataFrame, name: String, repl: DataFrame): DataFrame =
@@ -288,19 +298,19 @@ object R56Queries {
               expr("CAST(CASE WHEN skew_bp <= 20000 THEN 1 ELSE 0 END AS BIGINT)")
                 .as("meets_bal"))
         val none = summar(
-          keyed.groupBy(md5Bucket(col("k"), 32).as("p")).agg(count(lit(1)).as("c")),
+          c64.groupBy(md5Bucket(col("k"), 32).as("p")).agg(sum("c").as("c")),
           "1:none", nk.select(col("n_keys").as("repl_rows")))
         val uni = summar(
-          keyed.groupBy(md5Bucket(concat(col("k"), lit(":"),
-            (col("rh") % 64).cast("string")), 32).as("p")).agg(count(lit(1)).as("c")),
+          c64.groupBy(md5Bucket(concat(col("k"), lit(":"),
+            col("r64").cast("string")), 32).as("p")).agg(sum("c").as("c")),
           "2:uniform64", nk.select(expr("n_keys * 64").as("repl_rows")))
         val adapt = Seq(32, 64, 128, 256).map { tg =>
           val sa = saltOf(tg).localCheckpoint(false)
           summar(
-            keyed.join(broadcast(sa), "k")
+            c64.join(broadcast(sa), "k")
               .groupBy(md5Bucket(concat(col("k"), lit(":"),
-                pmod(col("rh"), col("sa")).cast("string")), 32).as("p"))
-              .agg(count(lit(1)).as("c")),
+                pmod(col("r64"), col("sa")).cast("string")), 32).as("p"))
+              .agg(sum("c").as("c")),
             f"${2 + Seq(32, 64, 128, 256).indexOf(tg) + 1}%d:adaptive_t$tg",
             sa.agg(sum("sa").as("repl_rows")))
         }
@@ -560,6 +570,15 @@ object R56Queries {
           .localCheckpoint(false)
         val kc = t(s, d, "lineitem").groupBy(col("l_orderkey").as("k"))
           .agg(count(lit(1)).as("f")).localCheckpoint(false)
+        // r14 NOTE (measured and REJECTED): fusing the two scenarios'
+        // md5-cell passes and probe joins into shared oCells/kcCells/
+        // cellFlags frames with one combined (nh1, nh2) grading pass
+        // regressed QTime 1.9 -> 2.5-2.8 s. The fused probe keeps every
+        // fact cell (the scenario bit-sets PARTITION the order keys, so
+        // their union covers all cells) where this per-leg shape's inner
+        // join against the SELECTIVE leg's bits prunes most rows before
+        // the (k, f) aggregation, and the shared eager pins serialize
+        // construction the single final action previously overlapped.
         def cellArr(kCol: String): Column = array((1 to 4).map(i =>
           expr(s"CAST(conv(substring(md5(concat('bf$i:', CAST($kCol AS STRING))), 1, 10), 16, 10) AS BIGINT) % 65536")): _*)
         def leg(name: String, cond: String): DataFrame = {

@@ -500,29 +500,38 @@ object R6Queries {
     QuerySpec(
       "q184_robust_zscore",
       (s, d) => {
-        // Both quantile passes and the final fence count re-read the
-        // projected event rows (and the med-joined deviations) — three
-        // scans each without a lineage cut. localCheckpoint materializes
-        // the 2-column projection once (the q214 stance: it is a
-        // fraction of the raw table and becomes shuffle-file-sized
-        // state, not a cached raw corpus).
-        val ev = t(s, d, "events").where(col("value").isNotNull)
-          .select(col("event_type"), col("value"))
+        // ONE per-(type, value) counting pass feeds the whole chain
+        // (guide §1.2 don't-compute-twice; the q404/q361 per-key
+        // convention): the median reads off the counts directly
+        // (QuantileOps.exactElementQuantilesFromCounts — its internal
+        // per-value aggregation is exactly this table), the deviation
+        // table is the SAME counts re-keyed by |v − med| (a map-side
+        // transform + tiny re-aggregation, never a second corpus
+        // shuffle), the MAD reads off that, and the final fence count
+        // folds the deviation counts instead of re-scanning rows. Raw
+        // event rows shuffle exactly once.
+        val pc = t(s, d, "events").where(col("value").isNotNull)
+          .groupBy(col("event_type"), col("value"))
+          .agg(count(lit(1)).as("c"))
           .localCheckpoint(false)
         val med = graft.ops.QuantileOps
-          .exactElementQuantile(ev, "value", Seq("event_type"), 0.5)
-          .select(col("event_type"), col("n"), col("cut").as("med"))
-        val dev = ev.join(broadcast(med), "event_type")
-          .withColumn("dev", abs(col("value") - col("med")))
+          .exactElementQuantilesFromCounts(
+            pc, "value", "c", Seq("event_type"), Seq(0.5))
+          .select(col("event_type"), col("n"), col("cut_1").as("med"))
+        val devC = pc.join(broadcast(med.select("event_type", "med")), "event_type")
+          .groupBy(col("event_type"), abs(col("value") - col("med")).as("dev"))
+          .agg(sum("c").as("c"))
           .localCheckpoint(false)
         val mad = graft.ops.QuantileOps
-          .exactElementQuantile(dev, "dev", Seq("event_type"), 0.5)
-          .select(col("event_type"), col("cut").as("mad"))
-        dev.join(broadcast(mad), "event_type")
+          .exactElementQuantilesFromCounts(
+            devC, "dev", "c", Seq("event_type"), Seq(0.5))
+          .select(col("event_type"), col("cut_1").as("mad"))
+        devC.join(broadcast(mad), "event_type")
+          .join(broadcast(med.select("event_type", "med")), "event_type")
           .groupBy("event_type")
-          .agg(count(lit(1)).as("n"),
+          .agg(sum("c").as("n"),
             round(max("med"), 4).as("med"), round(max("mad"), 4).as("mad"),
-            sum(when(col("dev") > col("mad") * 1.4826 * 3, 1L).otherwise(0L)).as("n_out"))
+            sum(when(col("dev") > col("mad") * 1.4826 * 3, col("c")).otherwise(0L)).as("n_out"))
           .orderBy("event_type")
       },
       Some {

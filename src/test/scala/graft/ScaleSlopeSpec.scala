@@ -468,6 +468,47 @@ class ScaleSlopeSpec extends SparkSpecBase {
     info(f"q428 slope: $t1%.2f s → $tk%.2f s over ×$K, exponent $e%.2f")
   }
 
+  test("q313 k-core peel: c-layout vs naive over ×8 — the exchange reduction carries slope evidence") {
+    // VERDICT r13 #3: the q313 layout win (degree-by-c and the c-filter
+    // join ride one pinned c-hash layout, ~3 exchanges/round instead of
+    // ~5) was kept on mechanism; this measures BOTH formulations on the
+    // same ×1/×8 disjoint edge tables so the reduction carries measured
+    // before/after exponents in the SLOPES artifact instead of sf0.1
+    // bench noise. The naive rounds are the pre-layout shape: no pinned
+    // partitioning, every round re-exchanges the shrinking edge table
+    // for each degree aggregation and filter join.
+    import graft.queries.R30Queries.peel
+    def naivePeel(e: DataFrame, k: Int): DataFrame = {
+      val dc = e.groupBy("c").agg(count(lit(1)).as("dc")).where(col("dc") >= k)
+      val dp = e.groupBy("p").agg(count(lit(1)).as("dp")).where(col("dp") >= k)
+      e.join(dc.select("c"), "c").join(dp.select("p"), "p")
+        .localCheckpoint(false)
+    }
+    def layout3(e0: DataFrame): DataFrame = {
+      val e = e0.repartition(col("c")).localCheckpoint(false)
+      peel(peel(peel(e, 3), 3), 3)
+    }
+    def naive3(e0: DataFrame): DataFrame =
+      naivePeel(naivePeel(naivePeel(e0, 3), 3), 3)
+    layout3(edges1).count(); naive3(edges1).count() // warm plans/JIT
+    val (t1L, n1L) = timedMin(layout3(edges1), 3)
+    val (tkL, nkL) = timedMin(layout3(edgesK), 2)
+    val (t1N, n1N) = timedMin(naive3(edges1), 3)
+    val (tkN, nkN) = timedMin(naive3(edgesK), 2)
+    assert(n1L == n1N && nkL == nkN,
+      s"layout and naive peels disagree on the core ($n1L/$nkL vs $n1N/$nkN)")
+    assert(nkL == K * n1L,
+      s"core edges must scale exactly ×$K on disjoint copies (got $n1L → $nkL)")
+    val eL = exponent(t1L, tkL)
+    val eN = exponent(t1N, tkN)
+    assert(eL <= 1.45,
+      f"q313 layout peel exponent $eL%.2f over ×$K ($t1L%.2f s → $tkL%.2f s) — superlinear")
+    measured("q313_kcore_layout") = eL
+    measured("q313_kcore_naive") = eN
+    info(f"q313 layout slope: $t1L%.2f s → $tkL%.2f s over ×$K, exponent $eL%.2f")
+    info(f"q313 naive  slope: $t1N%.2f s → $tkN%.2f s over ×$K, exponent $eN%.2f")
+  }
+
   test("measured exponents are pinned in the committed SLOPES artifact (drift diffable)") {
     // VERDICT r7 #7: pass/fail at 1.45 hides slow drift (0.3 → 1.3
     // across rounds never trips the quadratic tripwire). Pinning the
@@ -476,7 +517,7 @@ class ScaleSlopeSpec extends SparkSpecBase {
     // lines always land in target/slopes_live.txt — after an
     // intentional change, copy that file to SLOPES_r{NN}.txt
     // (zero-padded) and commit.
-    if (measured.size < 12)
+    if (measured.size < 14)
       cancel("an upstream slope test failed — no complete live exponent set to diff")
     val lines = measured.map { case (k, e) => f"SLOPE $k $e%.2f" }.toSeq
     val live = java.nio.file.Paths.get("target", "slopes_live.txt")
