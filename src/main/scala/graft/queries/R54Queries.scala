@@ -127,7 +127,13 @@ object R54Queries {
         }.reduce(_ unionByName _)
         val ch = perS.where(col("meets_bal") === 1L)
           .agg(min("salt_s").as("chosen_s"))
-        // the APPLY: chosen factor recomputed from raw rows, no grid
+        // the APPLY: chosen factor recomputed from raw rows, no grid.
+        // (r14, measured and REJECTED: folding this leg from the grid by
+        // Σ-additivity — the q399 argument — removed the second corpus
+        // md5Bucket pass but measured FLAT-to-worse in two interleaved
+        // QTime A/B rounds at sf0.1 (new 2.41/1.94 vs old 2.08/1.81
+        // medians); the apply scan overlaps work the fold serializes,
+        // and the recompute-from-raw is also what apply_ok certifies.)
         val applyLoads = rows.crossJoin(broadcast(ch))
           .groupBy(md5Bucket(concat(col("fl"), lit(":"),
             pmod(col("b64"), col("chosen_s")).cast("string")), 32).as("p"))

@@ -133,30 +133,44 @@ object R64Queries {
           .select(lit("2:sparse_value").as("class"), col("event_id").as("rid"),
             expr("CAST(floor(value * 100.0 + 0.5) AS BIGINT)").as("c"))
         // one class-tagged pipeline: every aggregate below carries the
-        // class key, so both duels ride the same jobs
-        // `rows` is a map-only union (each consumer re-derives it from
-        // the parquet scan for less than its checkpoint barrier cost) and
-        // `truth` is a 2-row aggregate over the pinned cnts — neither
-        // earns a checkpoint; cnts keeps its pin (three keyed consumers)
+        // class key, so both duels ride the same jobs.
+        // ONE per-(class, key) pass (guide §2.3; the q361/q404 per-key
+        // convention, r14): the old shape scanned `rows` three times
+        // (cnts, the ia band counts, the ib band counts) and joined the
+        // two row-sample legs back on (class, c, band). Both row-hash
+        // band assignments are evaluated in the SAME scan and folded
+        // into 16+16 conditional counters per key, so the union
+        // shuffles once on (class, c) and every estimator below is a
+        // fold of this ~|keys|-row table. est_indep equivalence: the
+        // inner join summed ca·cb over (c, band) where BOTH legs had
+        // rows — exactly Σ_k ca_k·cb_k of the pivot, since a leg with
+        // no rows in band k has ca_k = 0 and kills the product; bands
+        // whose every product is zero now emit est 0 directly, which is
+        // what the old left-join + coalesce produced for them.
         val rows = dense.unionByName(sparse)
-        val cnts = rows.groupBy("class", "c").agg(count(lit(1)).as("cnt"))
+        val keyed = rows.select(col("class"), col("c"),
+          R39Queries.md5Bucket(concat(lit("ia:"), col("rid").cast("string")), 16)
+            .as("ba"),
+          R39Queries.md5Bucket(concat(lit("ib:"), col("rid").cast("string")), 16)
+            .as("bb"))
+        val pivots = count(lit(1)).as("cnt") +:
+          ((0 until 16).map(k =>
+            sum(when(col("ba") === k, 1L).otherwise(0L)).as(s"ca_$k")) ++
+           (0 until 16).map(k =>
+            sum(when(col("bb") === k, 1L).otherwise(0L)).as(s"cb_$k")))
+        val perKey = keyed.groupBy("class", "c").agg(pivots.head, pivots.tail: _*)
           .localCheckpoint(false)
-        val truth = cnts.groupBy("class").agg(sum(expr("cnt * cnt")).as("truth"),
+        val truth = perKey.groupBy("class").agg(sum(expr("cnt * cnt")).as("truth"),
           count(lit(1)).as("keys"))
-        val corr = cnts.select(col("class"),
+        val corr = perKey.select(col("class"),
             R39Queries.md5Bucket(concat(lit("cs:"), col("c").cast("string")), 16)
               .as("band"), expr("cnt * cnt").as("m"))
           .groupBy("class", "band").agg((sum("m") * 16L).as("est_corr"))
-        val a = rows.select(col("class"), col("c"),
-            R39Queries.md5Bucket(concat(lit("ia:"), col("rid").cast("string")), 16)
-              .as("band"))
-          .groupBy("class", "c", "band").agg(count(lit(1)).as("ca"))
-        val b = rows.select(col("class"), col("c"),
-            R39Queries.md5Bucket(concat(lit("ib:"), col("rid").cast("string")), 16)
-              .as("band"))
-          .groupBy("class", "c", "band").agg(count(lit(1)).as("cb"))
-        val indep = a.join(b, Seq("class", "c", "band"))
-          .groupBy("class", "band").agg((sum(expr("ca * cb")) * 256L).as("est_indep"))
+        val indep = perKey.select(col("class"), explode(array((0 until 16).map(k =>
+            struct(lit(k.toLong).as("band"),
+              (col(s"ca_$k") * col(s"cb_$k")).as("prod"))): _*)).as("z"))
+          .select(col("class"), col("z.band").as("band"), col("z.prod").as("prod"))
+          .groupBy("class", "band").agg((sum("prod") * 256L).as("est_indep"))
         val bands = truth.select("class")
           .crossJoin(s.range(16).select(col("id").as("band")))
         val per = bands.join(corr, Seq("class", "band"), "left")

@@ -165,7 +165,14 @@ object R8Queries {
     QuerySpec(
       "q214_khop_reach",
       (s, d) => {
+        // ONE src-hash layout serves all three hop joins (the q313/q255
+        // pin, guide §2.2): the memoized edge table arrives with no
+        // useful partitioning (its union destroys the distinct's), so
+        // without the pin every hop re-exchanges the full edge table by
+        // src. Repartition + checkpoint pays that exchange once; each
+        // hop's join then exchanges only the (tiny) frontier side.
         val ed = R3Queries.tradeEdges(s, d)
+          .repartition(col("src")).localCheckpoint(false)
         val seeds = ed.select(col("src").as("node")).where(col("node") < 10)
           .distinct().withColumn("hop", lit(0L))
         // Each hop is localCheckpoint'ed (the connectedComponents:211
