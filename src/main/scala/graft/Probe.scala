@@ -43,24 +43,31 @@ object Probe {
       catch { case e: Throwable => println(s"PROBE warm $q FAILED ${e.getMessage}") }
       Bench.cleanupTransients(spark)
     }
-    for ((vn, confs) <- variants) {
-      confs.foreach { case (k, v) => spark.conf.set(k, v) }
-      var tot = 0.0
-      for (q <- queries) {
-        var best = Double.MaxValue
-        for (_ <- 1 to 2) {
-          val t0 = System.nanoTime()
-          SparkEntry.queries(q)(spark, sfDir).count()
-          best = math.min(best, (System.nanoTime() - t0) / 1e9)
-          Bench.cleanupTransients(spark)
-        }
-        tot += best
-        println(f"PROBE conf=$vn%-15s $q%-28s $best%6.2f s")
+    // ADVICE r13: the timed loop guards each query like the warm loop
+    // does, and the variant's confs are unset in a finally — one failing
+    // query no longer aborts the sweep mid-variant with its confs stuck.
+    try {
+      for ((vn, confs) <- variants) {
+        confs.foreach { case (k, v) => spark.conf.set(k, v) }
+        try {
+          var tot = 0.0
+          for (q <- queries) {
+            var best = Double.MaxValue
+            for (_ <- 1 to 2) {
+              val t0 = System.nanoTime()
+              try SparkEntry.queries(q)(spark, sfDir).count()
+              catch { case e: Throwable =>
+                println(s"PROBE conf=$vn $q FAILED ${e.getMessage}") }
+              best = math.min(best, (System.nanoTime() - t0) / 1e9)
+              Bench.cleanupTransients(spark)
+            }
+            tot += best
+            println(f"PROBE conf=$vn%-15s $q%-28s $best%6.2f s")
+          }
+          println(f"PROBE conf=$vn%-15s TOTAL $tot%6.2f s")
+        } finally confs.keys.foreach(spark.conf.unset)
       }
-      println(f"PROBE conf=$vn%-15s TOTAL $tot%6.2f s")
-      confs.keys.foreach(spark.conf.unset)
-    }
-    spark.stop()
+    } finally spark.stop()
   }
 
   def main(args: Array[String]): Unit = {

@@ -112,7 +112,15 @@ object R27Queries {
         // it), zero shuffles and zero joins for the whole P¹⁶ chain. A
         // (fr, to) cell the join never produced shows up here as p = 0,
         // which contributes 0 to every downstream sum and meets the same
-        // coalesce(_, 0) read as the vanished row did. Consecutive
+        // coalesce(_, 0) read as the vanished row did. NOTE (ADVICE
+        // r13): this means p16's ROW SET — not just its values — now
+        // differs from the oracle CTE shape: a chain with no surviving
+        // START→CONV path emits an explicit conv_micro = 0 row where
+        // the join formulation emitted none. The current consumers
+        // (the left join + coalesce below) are value-identical either
+        // way, but a future consumer that COUNTS or inner-joins p16
+        // rows would silently diverge from the oracle — keep reads
+        // through the coalesce pattern. Consecutive
         // squarings stay separate Project levels (CollapseProject leaves
         // multiply-referenced non-cheap producers alone), so each level
         // is evaluated once per chain row.
