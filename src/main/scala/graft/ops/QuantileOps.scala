@@ -53,39 +53,6 @@ object QuantileOps {
     // invariant under dedup, n = Σ counts), so raw rows shuffle once,
     // not twice
     val pc0 = base.groupBy(gNames.map(col) :+ col("__v"): _*).agg(count(lit(1)).as("__c"))
-    fromCounts(pc0, groupCols, fracs, buckets)
-  }
-
-  /** As [[exactElementQuantiles]], but starting from an ALREADY
-    * AGGREGATED per-value count table — for callers that pay a per-value
-    * pass anyway and share it across consumers (q362's sketch/exact fold,
-    * guide §1.2 don't-compute-twice). `pc0` must carry the group columns
-    * (or none for the global group), a non-null double `__v` value column
-    * and a positive `__c` count column; semantics are exactly the tail of
-    * [[exactElementQuantiles]] (which delegates here).
-    */
-  def exactElementQuantilesFromCounts(
-      pc0: DataFrame,
-      valueCol: String,
-      countCol: String,
-      groupCols: Seq[String],
-      fracs: Seq[Double],
-      buckets: Int = 65536): DataFrame = {
-    require(fracs.nonEmpty, "need at least one quantile fraction")
-    val g = if (groupCols.isEmpty) Seq(lit(1L).as("__g")) else groupCols.map(col)
-    val gNames = if (groupCols.isEmpty) Seq("__g") else groupCols
-    val norm = pc0.select(g :+ col(valueCol).cast("double").as("__v")
-      :+ col(countCol).cast("long").as("__c"): _*)
-      .where(col("__v").isNotNull)
-    fromCounts(norm, groupCols, fracs, buckets)
-  }
-
-  private def fromCounts(
-      pc0: DataFrame,
-      groupCols: Seq[String],
-      fracs: Seq[Double],
-      buckets: Int): DataFrame = {
-    val gNames = if (groupCols.isEmpty) Seq("__g") else groupCols
     val mm = pc0.groupBy(gNames.map(col): _*)
       .agg(min("__v").as("__mn"), max("__v").as("__mx"), sum("__c").as("n"))
     // bucket by fixed-width ranges; the mn==mx degenerate group

@@ -500,38 +500,37 @@ object R6Queries {
     QuerySpec(
       "q184_robust_zscore",
       (s, d) => {
-        // ONE per-(type, value) counting pass feeds the whole chain
-        // (guide §1.2 don't-compute-twice; the q404/q361 per-key
-        // convention): the median reads off the counts directly
-        // (QuantileOps.exactElementQuantilesFromCounts — its internal
-        // per-value aggregation is exactly this table), the deviation
-        // table is the SAME counts re-keyed by |v − med| (a map-side
-        // transform + tiny re-aggregation, never a second corpus
-        // shuffle), the MAD reads off that, and the final fence count
-        // folds the deviation counts instead of re-scanning rows. Raw
-        // event rows shuffle exactly once.
-        val pc = t(s, d, "events").where(col("value").isNotNull)
-          .groupBy(col("event_type"), col("value"))
-          .agg(count(lit(1)).as("c"))
+        // Both quantile passes and the final fence count re-read the
+        // projected event rows (and the med-joined deviations) — three
+        // scans each without a lineage cut. localCheckpoint materializes
+        // the 2-column projection once (the q214 stance: it is a
+        // fraction of the raw table and becomes shuffle-file-sized
+        // state, not a cached raw corpus).
+        // (r14, measured and REJECTED: a per-(type, value) counting
+        // pass feeding median/MAD/fence via a FromCounts QuantileOps
+        // variant — ndv(type, value) is 49k of 100k rows here (raw
+        // doubles, only ~2× reduction), QuantileOps already aggregates
+        // per-value internally, and the extra pc/devC checkpoint
+        // barriers sit on a strictly serial chain: interleaved QTime
+        // A/B measured the fold ~0.9 s WORSE (2.47 vs 1.56 median).
+        // The q404/q361 per-key convention pays only when ndv ≪ n.)
+        val ev = t(s, d, "events").where(col("value").isNotNull)
+          .select(col("event_type"), col("value"))
           .localCheckpoint(false)
         val med = graft.ops.QuantileOps
-          .exactElementQuantilesFromCounts(
-            pc, "value", "c", Seq("event_type"), Seq(0.5))
-          .select(col("event_type"), col("n"), col("cut_1").as("med"))
-        val devC = pc.join(broadcast(med.select("event_type", "med")), "event_type")
-          .groupBy(col("event_type"), abs(col("value") - col("med")).as("dev"))
-          .agg(sum("c").as("c"))
+          .exactElementQuantile(ev, "value", Seq("event_type"), 0.5)
+          .select(col("event_type"), col("n"), col("cut").as("med"))
+        val dev = ev.join(broadcast(med), "event_type")
+          .withColumn("dev", abs(col("value") - col("med")))
           .localCheckpoint(false)
         val mad = graft.ops.QuantileOps
-          .exactElementQuantilesFromCounts(
-            devC, "dev", "c", Seq("event_type"), Seq(0.5))
-          .select(col("event_type"), col("cut_1").as("mad"))
-        devC.join(broadcast(mad), "event_type")
-          .join(broadcast(med.select("event_type", "med")), "event_type")
+          .exactElementQuantile(dev, "dev", Seq("event_type"), 0.5)
+          .select(col("event_type"), col("cut").as("mad"))
+        dev.join(broadcast(mad), "event_type")
           .groupBy("event_type")
-          .agg(sum("c").as("n"),
+          .agg(count(lit(1)).as("n"),
             round(max("med"), 4).as("med"), round(max("mad"), 4).as("mad"),
-            sum(when(col("dev") > col("mad") * 1.4826 * 3, col("c")).otherwise(0L)).as("n_out"))
+            sum(when(col("dev") > col("mad") * 1.4826 * 3, 1L).otherwise(0L)).as("n_out"))
           .orderBy("event_type")
       },
       Some {
